@@ -1,0 +1,288 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.ml.fpm.FPGrowth
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** §A — core frequent-pattern-mining surface (SURVEY.md §2.1.A).
+  *
+  * The reference (wj2021/MiningFrequentPattern — empty checkout, see
+  * SURVEY.md §0; semantics reconstructed per the driver's BASELINE.json
+  * characterization) mines frequent itemsets / association rules over a
+  * transaction database with Apriori / FP-Growth on MapReduce. Here the
+  * transaction DB is derived from the star schema: basket = sorted
+  * distinct `p_brand` per `l_orderkey` (lineitem ⋈ part).
+  *
+  * Scale posture (100 TB):
+  *  - `part` is a dimension table → always `broadcast()`; the lineitem
+  *    scan never shuffles for the join.
+  *  - baskets use `collect_set` bounded by the 25-value brand vocabulary
+  *    (no unbounded state per key).
+  *  - Apriori levels prune candidates by downward closure (frequent-item
+  *    semi-filter) before the k-way self-join, the same trick the
+  *    reference's mapper-side pruning performs.
+  *  - `fpm_fpgrowth` delegates to ml.fpm.FPGrowth = PFP (Li et al. 2008):
+  *    two shuffles total, group-sharded conditional FP-trees — the
+  *    literal distributed lifecycle of the reference.
+  *  - support thresholds are FRACTIONS of the basket count, carried as a
+  *    broadcast 1-row count joined into the plan (no driver collect).
+  */
+object Mining {
+
+  private val MinSupItems   = 0.05
+  private val MinSupPairs   = 0.02
+  private val MinSupTriples = 0.005 // triple supports peak ≈0.006 (measured)
+  private val MinSupFp      = 0.005
+  private val MinConf       = 0.15  // confidences peak ≈0.19–0.25 (measured)
+  private val MinSupUsers   = 0.05
+
+  /** (tid, item) exploded distinct transaction rows. */
+  def txItems(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem").select("l_orderkey", "l_partkey")
+    val pt = Tables.load(s, dir, "part").select("p_partkey", "p_brand")
+    li.join(broadcast(pt), li("l_partkey") === pt("p_partkey"))
+      .select(col("l_orderkey").as("tid"), col("p_brand").as("item"))
+      .distinct()
+  }
+
+  /** Baskets: one row per transaction with sorted distinct items. */
+  def baskets(s: SparkSession, dir: String): DataFrame =
+    txItems(s, dir)
+      .groupBy("tid")
+      .agg(sort_array(collect_set(col("item"))).as("items"))
+
+  /** 1-row DataFrame with the total basket count (broadcast into plans). */
+  private def basketCount(s: SparkSession, dir: String): DataFrame =
+    txItems(s, dir).select(countDistinct(col("tid")).as("n"))
+
+  // ---------------------------------------------------------------- queries
+
+  def fpmBasketize(s: SparkSession, dir: String): DataFrame =
+    baskets(s, dir)
+      .select(
+        col("tid").as("l_orderkey"),
+        concat_ws(",", col("items")).as("items_str"),
+        size(col("items")).cast("long").as("basket_size"))
+      .orderBy("l_orderkey")
+
+  def fpmFreqItems(s: SparkSession, dir: String): DataFrame = {
+    val tx = txItems(s, dir)
+    tx.groupBy("item").agg(count(lit(1)).as("freq"))
+      .crossJoin(broadcast(basketCount(s, dir)))
+      .filter(col("freq") >= col("n") * MinSupItems)
+      .select(col("item"), col("freq"))
+      .orderBy("item")
+  }
+
+  /** Frequent items at the k-itemset threshold — downward-closure prune set. */
+  private def f1(s: SparkSession, dir: String, minSup: Double): DataFrame =
+    txItems(s, dir)
+      .groupBy("item").agg(count(lit(1)).as("freq"))
+      .crossJoin(broadcast(basketCount(s, dir)))
+      .filter(col("freq") >= col("n") * minSup)
+      .select(col("item"))
+
+  /** tx rows restricted to items frequent at minSup (Apriori prune). */
+  private def txPruned(s: SparkSession, dir: String, minSup: Double): DataFrame =
+    txItems(s, dir).join(broadcast(f1(s, dir, minSup)), Seq("item"), "left_semi")
+
+  def fpmFreqPairs(s: SparkSession, dir: String): DataFrame = {
+    val tx = txPruned(s, dir, MinSupPairs)
+    val a = tx.select(col("tid"), col("item").as("ia"))
+    val b = tx.select(col("tid").as("tid_b"), col("item").as("ib"))
+    a.join(b, a("tid") === b("tid_b") && a("ia") < b("ib"))
+      .groupBy("ia", "ib").agg(count(lit(1)).as("freq"))
+      .crossJoin(broadcast(basketCount(s, dir)))
+      .filter(col("freq") >= col("n") * MinSupPairs)
+      .select(concat_ws(",", col("ia"), col("ib")).as("itemset"), col("freq"))
+      .orderBy("itemset")
+  }
+
+  def fpmFreqTriples(s: SparkSession, dir: String): DataFrame = {
+    val tx = txPruned(s, dir, MinSupTriples)
+    val a = tx.select(col("tid"), col("item").as("ia"))
+    val b = tx.select(col("tid").as("tid_b"), col("item").as("ib"))
+    val c = tx.select(col("tid").as("tid_c"), col("item").as("ic"))
+    a.join(b, a("tid") === b("tid_b") && a("ia") < b("ib"))
+      .join(c, b("tid_b") === c("tid_c") && b("ib") < c("ic"))
+      .groupBy("ia", "ib", "ic").agg(count(lit(1)).as("freq"))
+      .crossJoin(broadcast(basketCount(s, dir)))
+      .filter(col("freq") >= col("n") * MinSupTriples)
+      .select(
+        concat_ws(",", col("ia"), col("ib"), col("ic")).as("itemset"),
+        col("freq"))
+      .orderBy("itemset")
+  }
+
+  /** PFP via ml.fpm.FPGrowth; bounded to size ≤ 3 so the SQL oracle can
+    * enumerate the identical set (Apriori-level union). mllib filters by
+    * ceil(minSupport·count) which for integer counts is exactly
+    * `freq >= minSupport·count`. */
+  def fpmFpgrowth(s: SparkSession, dir: String): DataFrame = {
+    val model = new FPGrowth()
+      .setItemsCol("items").setMinSupport(MinSupFp).setMinConfidence(MinConf)
+      .fit(baskets(s, dir))
+    model.freqItemsets
+      .filter(size(col("items")) <= 3)
+      .select(
+        concat_ws(",", sort_array(col("items"))).as("itemset"),
+        size(col("items")).cast("long").as("size"),
+        col("freq"))
+      .orderBy("size", "itemset")
+  }
+
+  /** Association rules A⇒B from frequent pairs, computed relationally so
+    * the oracle can reproduce them exactly. All ratios are IEEE doubles
+    * derived from exact integer supports in a fixed operation order —
+    * engine-identical without rounding. */
+  def fpmAssocRules(s: SparkSession, dir: String): DataFrame = {
+    val tx = txItems(s, dir)
+    val supp1 = tx.groupBy("item").agg(count(lit(1)).as("s"))
+    val a = tx.select(col("tid"), col("item").as("ia"))
+    val b = tx.select(col("tid").as("tid_b"), col("item").as("ib"))
+    val pairs = a.join(b, a("tid") === b("tid_b") && a("ia") < b("ib"))
+      .groupBy("ia", "ib").agg(count(lit(1)).as("sab"))
+      .crossJoin(broadcast(basketCount(s, dir)))
+      .filter(col("sab") >= col("n") * MinSupPairs)
+    val directed = pairs.select(col("ia").as("antecedent"), col("ib").as("consequent"), col("sab"), col("n"))
+      .unionByName(pairs.select(col("ib").as("antecedent"), col("ia").as("consequent"), col("sab"), col("n")))
+    directed
+      .join(broadcast(supp1.withColumnRenamed("item", "antecedent").withColumnRenamed("s", "s_ante")), "antecedent")
+      .join(broadcast(supp1.withColumnRenamed("item", "consequent").withColumnRenamed("s", "s_cons")), "consequent")
+      .withColumn("confidence", col("sab").cast("double") / col("s_ante"))
+      .filter(col("confidence") >= MinConf)
+      .select(
+        col("antecedent"), col("consequent"), col("sab").as("pair_freq"),
+        col("confidence"),
+        (col("sab").cast("double") / col("s_ante") * col("n") / col("s_cons")).as("lift"),
+        (col("sab").cast("double") / col("n")).as("support"))
+      .orderBy("antecedent", "consequent")
+  }
+
+  /** Bounded sequential patterns: ordered event-type pairs within a user's
+    * stream, counted by distinct users (GSP/PrefixSpan length-2 slice kept
+    * SQL-enumerable; `ml.fpm.PrefixSpan` is the unbounded path). Strict
+    * (ts, event_id) ordering — events.ts is µs-aligned so the comparison
+    * is engine-identical. */
+  def fpmSeqPairs(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+    val a = ev.select(col("user_id"), col("event_type").as("eta"), col("ts").as("ts_a"), col("event_id").as("id_a"))
+    val b = ev.select(col("user_id").as("uid_b"), col("event_type").as("etb"), col("ts").as("ts_b"), col("event_id").as("id_b"))
+    val users = ev.select(countDistinct(col("user_id")).as("n_users"))
+    a.join(b, a("user_id") === b("uid_b") &&
+        (a("ts_a") < b("ts_b") || (a("ts_a") === b("ts_b") && a("id_a") < b("id_b"))))
+      .groupBy("eta", "etb").agg(countDistinct(col("user_id")).as("users"))
+      .crossJoin(broadcast(users))
+      .filter(col("users") >= col("n_users") * MinSupUsers)
+      .select(col("eta"), col("etb"), col("users"))
+      .orderBy("eta", "etb")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fpm_basketize"    -> (fpmBasketize _),
+    "fpm_freq_items"   -> (fpmFreqItems _),
+    "fpm_freq_pairs"   -> (fpmFreqPairs _),
+    "fpm_freq_triples" -> (fpmFreqTriples _),
+    "fpm_fpgrowth"     -> (fpmFpgrowth _),
+    "fpm_assoc_rules"  -> (fpmAssocRules _),
+    "fpm_seq_pairs"    -> (fpmSeqPairs _),
+  )
+
+  private val txCte =
+    """WITH tx AS (
+      |  SELECT DISTINCT l_orderkey AS tid, p_brand AS item
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |), nb AS (SELECT count(DISTINCT tid) AS n FROM tx)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "fpm_basketize" ->
+      """SELECT l_orderkey,
+        |       string_agg(DISTINCT p_brand, ',' ORDER BY p_brand) AS items_str,
+        |       count(DISTINCT p_brand) AS basket_size
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY l_orderkey
+        |ORDER BY l_orderkey""".stripMargin,
+
+    "fpm_freq_items" -> (txCte +
+      """
+        |SELECT item, CAST(count(*) AS BIGINT) AS freq
+        |FROM tx GROUP BY item
+        |HAVING count(*) >= 0.05 * (SELECT n FROM nb)
+        |ORDER BY item""".stripMargin),
+
+    "fpm_freq_pairs" -> (txCte +
+      """
+        |SELECT a.item || ',' || b.item AS itemset, CAST(count(*) AS BIGINT) AS freq
+        |FROM tx a JOIN tx b ON a.tid = b.tid AND a.item < b.item
+        |GROUP BY a.item, b.item
+        |HAVING count(*) >= 0.02 * (SELECT n FROM nb)
+        |ORDER BY itemset""".stripMargin),
+
+    "fpm_freq_triples" -> (txCte +
+      """
+        |SELECT a.item || ',' || b.item || ',' || c.item AS itemset,
+        |       CAST(count(*) AS BIGINT) AS freq
+        |FROM tx a
+        |JOIN tx b ON a.tid = b.tid AND a.item < b.item
+        |JOIN tx c ON b.tid = c.tid AND b.item < c.item
+        |GROUP BY a.item, b.item, c.item
+        |HAVING count(*) >= 0.005 * (SELECT n FROM nb)
+        |ORDER BY itemset""".stripMargin),
+
+    "fpm_fpgrowth" -> (txCte +
+      """, l1 AS (
+        |  SELECT item AS itemset, 1 AS sz, count(*) AS freq
+        |  FROM tx GROUP BY item
+        |  HAVING count(*) >= 0.005 * (SELECT n FROM nb)
+        |), l2 AS (
+        |  SELECT a.item || ',' || b.item AS itemset, 2 AS sz, count(*) AS freq
+        |  FROM tx a JOIN tx b ON a.tid = b.tid AND a.item < b.item
+        |  GROUP BY a.item, b.item
+        |  HAVING count(*) >= 0.005 * (SELECT n FROM nb)
+        |), l3 AS (
+        |  SELECT a.item || ',' || b.item || ',' || c.item AS itemset, 3 AS sz, count(*) AS freq
+        |  FROM tx a
+        |  JOIN tx b ON a.tid = b.tid AND a.item < b.item
+        |  JOIN tx c ON b.tid = c.tid AND b.item < c.item
+        |  GROUP BY a.item, b.item, c.item
+        |  HAVING count(*) >= 0.005 * (SELECT n FROM nb)
+        |)
+        |SELECT itemset, CAST(sz AS BIGINT) AS size, CAST(freq AS BIGINT) AS freq
+        |FROM (SELECT * FROM l1 UNION ALL SELECT * FROM l2 UNION ALL SELECT * FROM l3)
+        |ORDER BY size, itemset""".stripMargin),
+
+    "fpm_assoc_rules" -> (txCte +
+      """, s1 AS (SELECT item, CAST(count(*) AS BIGINT) AS s FROM tx GROUP BY item),
+        |p AS (
+        |  SELECT a.item AS ia, b.item AS ib, CAST(count(*) AS BIGINT) AS sab
+        |  FROM tx a JOIN tx b ON a.tid = b.tid AND a.item < b.item
+        |  GROUP BY a.item, b.item
+        |  HAVING count(*) >= 0.02 * (SELECT n FROM nb)
+        |), d AS (
+        |  SELECT ia AS antecedent, ib AS consequent, sab FROM p
+        |  UNION ALL
+        |  SELECT ib AS antecedent, ia AS consequent, sab FROM p
+        |)
+        |SELECT d.antecedent, d.consequent, d.sab AS pair_freq,
+        |       CAST(d.sab AS DOUBLE) / sa.s AS confidence,
+        |       CAST(d.sab AS DOUBLE) / sa.s * (SELECT n FROM nb) / sc.s AS lift,
+        |       CAST(d.sab AS DOUBLE) / (SELECT n FROM nb) AS support
+        |FROM d
+        |JOIN s1 sa ON sa.item = d.antecedent
+        |JOIN s1 sc ON sc.item = d.consequent
+        |WHERE CAST(d.sab AS DOUBLE) / sa.s >= 0.15
+        |ORDER BY antecedent, consequent""".stripMargin),
+
+    "fpm_seq_pairs" ->
+      """SELECT a.event_type AS eta, b.event_type AS etb,
+        |       CAST(count(DISTINCT a.user_id) AS BIGINT) AS users
+        |FROM events a JOIN events b ON a.user_id = b.user_id
+        | AND (a.ts < b.ts OR (a.ts = b.ts AND a.event_id < b.event_id))
+        |GROUP BY a.event_type, b.event_type
+        |HAVING count(DISTINCT a.user_id) >=
+        |       0.05 * (SELECT count(DISTINCT user_id) FROM events)
+        |ORDER BY eta, etb""".stripMargin,
+  )
+}

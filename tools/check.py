@@ -1,0 +1,92 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate (dev tooling only; the
+library itself has no Python dependency).
+
+Usage: python3 tools/check.py <sfDir> <verifyOutDir> [key ...]
+
+Loads each <verifyOutDir>/<key> parquet (Spark result), runs the oracle SQL
+from <verifyOutDir>/oracle_sql.json in DuckDB 1.0.0 over views named after
+the parquet tables in <sfDir>, and compares row-by-row with exact value
+equality (after normalizing Decimal vs float and timestamp types).
+"""
+import sys, json, glob, math, datetime
+from decimal import Decimal
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(v):
+    if isinstance(v, Decimal):
+        return ("num", float(v))
+    if isinstance(v, float):
+        return ("num", v)
+    if isinstance(v, int):
+        return ("num", float(v)) if not isinstance(v, bool) else ("bool", v)
+    if isinstance(v, datetime.datetime):
+        return ("ts", v.replace(tzinfo=None).isoformat())
+    if isinstance(v, datetime.date):
+        return ("date", v.isoformat())
+    if isinstance(v, list):
+        return ("list", tuple(norm(x) for x in v))
+    return (type(v).__name__, v)
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    failed = []
+    for key, sql in sorted(oracle.items()):
+        if only and key not in only:
+            continue
+        files = glob.glob(f"{out_dir}/{key}/*.parquet")
+        if not files:
+            print(f"FAIL {key}: no spark output")
+            failed.append(key)
+            continue
+        try:
+            exp = con.sql(sql)
+            exp_cols = sorted(exp.columns)
+            exp_rows = [tuple(r[exp.columns.index(c)] for c in exp_cols)
+                        for r in exp.fetchall()]
+        except Exception as e:
+            print(f"FAIL {key}: oracle error: {e}")
+            failed.append(key)
+            continue
+        got = con.sql(f"SELECT * FROM read_parquet({files!r})")
+        got_cols = sorted(got.columns)
+        got_rows = [tuple(r[got.columns.index(c)] for c in got_cols)
+                    for r in got.fetchall()]
+        if got_cols != exp_cols:
+            print(f"FAIL {key}: columns spark={got_cols} oracle={exp_cols}")
+            failed.append(key)
+            continue
+        if len(got_rows) != len(exp_rows):
+            print(f"FAIL {key}: rowcount spark={len(got_rows)} oracle={len(exp_rows)}")
+            failed.append(key)
+            continue
+        bad = 0
+        for i, (g, e) in enumerate(zip(got_rows, exp_rows)):
+            ng, ne = tuple(map(norm, g)), tuple(map(norm, e))
+            if ng != ne:
+                if bad == 0:
+                    print(f"FAIL {key}: row {i} spark={g} oracle={e}")
+                bad += 1
+        if bad:
+            print(f"FAIL {key}: {bad}/{len(got_rows)} rows differ")
+            failed.append(key)
+        else:
+            print(f"ok   {key}: {len(got_rows)} rows, cols={got_cols}")
+    print(f"\n{len(oracle) if not only else len(only)} checked, {len(failed)} failed"
+          + (f": {failed}" if failed else ""))
+    sys.exit(1 if failed else 0)
+
+
+if __name__ == "__main__":
+    main()
