@@ -7,9 +7,13 @@ object SparkEntry {
     operators.Mining.fpmFpgrowth(spark, "/root/testdata/sf0.001")
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    operators.Mining.queries
+    operators.Mining.queries ++
+      operators.Relational.queries ++
+      functions.Scalar.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    operators.Mining.oracle
+    operators.Mining.oracle ++
+      operators.Relational.oracle ++
+      functions.Scalar.oracle
 }

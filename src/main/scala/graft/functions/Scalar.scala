@@ -1,0 +1,150 @@
+package graft.functions
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** §C — scalar function surface (SURVEY.md §2.1.C).
+  *
+  * All built-in codegen'd expressions (no UDFs) so every query stays
+  * inside whole-stage codegen. Engine-parity notes per key:
+  *  - dayofweek: Spark is 1=Sunday, DuckDB 0=Sunday → oracle adds 1.
+  *  - ceil/floor on double: Spark returns LONG, DuckDB DOUBLE → cast
+  *    both sides to a common type.
+  *  - pow() is libm-dependent → squared terms are written as exact
+  *    decimal multiplication instead.
+  *  - regexp_extract: Spark needs the explicit group-0 index.
+  */
+object Scalar {
+
+  def fnString(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "part")
+      .select(
+        col("p_partkey"),
+        lower(col("p_name")).as("name_lc"),
+        substring(col("p_brand"), 7, 2).as("brand_sfx"),
+        regexp_extract(lower(col("p_type")), "^[a-z]+", 0).as("type_head"),
+        length(col("p_name")).cast("long").as("name_len"),
+        concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"))
+      .orderBy("p_partkey")
+
+  def fnDatetime(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "orders")
+      .select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).cast("long").as("yr"),
+        month(col("o_orderdate")).cast("long").as("mo"),
+        dayofweek(col("o_orderdate")).cast("long").as("dow"),
+        date_trunc("month", col("o_orderdate")).as("month_start"),
+        datediff(lit("1998-01-01").cast("date"), col("o_orderdate")).cast("long").as("days_to_98"))
+      .orderBy("o_orderkey")
+
+  def fnMath(s: SparkSession, dir: String): DataFrame = {
+    val taxD = col("l_tax").cast("decimal(18,2)")
+    Tables.load(s, dir, "lineitem")
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        round(col("l_quantity")).as("qty_r"),
+        abs(col("l_discount") - 0.04).as("disc_dev"),
+        ceil(col("l_extendedprice")).cast("double").as("price_ceil"),
+        floor(col("l_extendedprice")).cast("double").as("price_floor"),
+        ((lit(1) + taxD) * (lit(1) + taxD)).cast("double").as("tax_sq"),
+        greatest(col("l_quantity"), col("l_extendedprice") / 1000).as("hi"),
+        least(col("l_quantity"), col("l_extendedprice") / 1000).as("lo"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  /** Array functions over the mining baskets. */
+  def fnArray(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Mining.baskets(s, dir)
+      .select(
+        col("tid").as("l_orderkey"),
+        size(col("items")).cast("long").as("basket_size"),
+        array_contains(col("items"), "Brand#13").as("has_13"),
+        concat_ws(",", slice(col("items"), 1, 2)).as("first2"),
+        array_position(col("items"), "Brand#13").as("pos_13"))
+      .orderBy("l_orderkey")
+
+  def fnJson(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+      .select(get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .groupBy((col("k") % 2).cast("long").as("parity"))
+      .agg(count(lit(1)).as("cnt"), sum(col("k")).as("sum_k"))
+      .orderBy("parity")
+
+  def fnConditional(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "orders")
+      .select(
+        col("o_orderkey"),
+        when(col("o_totalprice") > 300000, "high")
+          .when(col("o_totalprice") > 150000, "mid")
+          .otherwise("low").as("tier"),
+        coalesce(nullif(col("o_orderstatus"), lit("P")), lit("was_p")).as("status2"))
+      .orderBy("o_orderkey")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fn_string"      -> (fnString _),
+    "fn_datetime"    -> (fnDatetime _),
+    "fn_math"        -> (fnMath _),
+    "fn_array"       -> (fnArray _),
+    "fn_json"        -> (fnJson _),
+    "fn_conditional" -> (fnConditional _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "fn_string" ->
+      """SELECT p_partkey, lower(p_name) AS name_lc,
+        |       substring(p_brand, 7, 2) AS brand_sfx,
+        |       regexp_extract(lower(p_type), '^[a-z]+') AS type_head,
+        |       CAST(length(p_name) AS BIGINT) AS name_len,
+        |       concat_ws('|', p_brand, p_type) AS brand_type
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "fn_datetime" ->
+      """SELECT o_orderkey,
+        |       CAST(year(o_orderdate) AS BIGINT) AS yr,
+        |       CAST(month(o_orderdate) AS BIGINT) AS mo,
+        |       CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS dow,
+        |       CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+        |       CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-01-01') AS BIGINT) AS days_to_98
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "fn_math" ->
+      """SELECT l_orderkey, l_linenumber,
+        |       round(l_quantity) AS qty_r,
+        |       abs(l_discount - 0.04) AS disc_dev,
+        |       ceil(l_extendedprice) AS price_ceil,
+        |       floor(l_extendedprice) AS price_floor,
+        |       CAST((1 + CAST(l_tax AS DECIMAL(18,2))) * (1 + CAST(l_tax AS DECIMAL(18,2))) AS DOUBLE) AS tax_sq,
+        |       greatest(l_quantity, l_extendedprice / 1000) AS hi,
+        |       least(l_quantity, l_extendedprice / 1000) AS lo
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "fn_array" ->
+      """WITH b AS (
+        |  SELECT l_orderkey, list_sort(list(DISTINCT p_brand)) AS items
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  GROUP BY l_orderkey)
+        |SELECT l_orderkey,
+        |       CAST(length(items) AS BIGINT) AS basket_size,
+        |       list_contains(items, 'Brand#13') AS has_13,
+        |       array_to_string(items[1:2], ',') AS first2,
+        |       CAST(list_position(items, 'Brand#13') AS BIGINT) AS pos_13
+        |FROM b ORDER BY l_orderkey""".stripMargin,
+
+    "fn_json" ->
+      """SELECT CAST(k % 2 AS BIGINT) AS parity,
+        |       CAST(count(*) AS BIGINT) AS cnt,
+        |       CAST(sum(k) AS BIGINT) AS sum_k
+        |FROM (SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k FROM events)
+        |GROUP BY k % 2 ORDER BY parity""".stripMargin,
+
+    "fn_conditional" ->
+      """SELECT o_orderkey,
+        |       CASE WHEN o_totalprice > 300000 THEN 'high'
+        |            WHEN o_totalprice > 150000 THEN 'mid'
+        |            ELSE 'low' END AS tier,
+        |       coalesce(nullif(o_orderstatus, 'P'), 'was_p') AS status2
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+  )
+}

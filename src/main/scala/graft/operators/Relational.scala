@@ -1,0 +1,318 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** §B — relational core (SURVEY.md §2.1.B).
+  *
+  * The reference's MapReduce jobs hand-compose scan/project/filter
+  * (mapper), shuffle-by-key (group/join), and aggregate (reducer+combiner);
+  * here each is a first-class declarative operator so Catalyst gets to
+  * push down, prune, broadcast, and partial-aggregate.
+  *
+  * Scale posture (100 TB):
+  *  - filters/projections sit directly on the scan → parquet predicate
+  *    pushdown + column pruning (verified via explain: PushedFilters /
+  *    ReadSchema).
+  *  - dimension joins (`part`, `customer`) are explicit `broadcast()`;
+  *    fact-fact joins (lineitem ⋈ orders) use shuffle-merge, the strategy
+  *    that scales past memory on both sides; AQE handles skew splits.
+  *  - aggregates are partial+final hash aggregates (map-side combine),
+  *    top-k is TakeOrderedAndProject (no global sort materialization).
+  *
+  * Determinism: aggregated monetary doubles are leaf-cast to
+  * DECIMAL(18,2) (exact for the ≤2-fractional-digit data), summed
+  * exactly, and only converted to double at the output boundary; every
+  * query ends in a total ORDER BY (SURVEY.md §2.0).
+  */
+object Relational {
+
+  private def dec(c: String) = col(c).cast("decimal(18,2)")
+
+  /** l_extendedprice·(1−l_discount) in exact decimal arithmetic. */
+  private val discPrice = dec("l_extendedprice") * (lit(1) - dec("l_discount"))
+
+  private val discPriceSql =
+    "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))"
+
+  // ---------------------------------------------------------------- queries
+
+  def relScanProject(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  def relFilterPred(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1998-01-01").cast("timestamp")
+        && col("l_discount").between(0.02, 0.06)
+        && col("l_returnflag") =!= "R")
+      .select("l_orderkey", "l_linenumber", "l_shipdate", "l_discount", "l_returnflag")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** TPC-H Q1-style pricing summary. */
+  def relAggHash(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "lineitem")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(dec("l_quantity")).cast("double").as("sum_qty"),
+        sum(dec("l_extendedprice")).cast("double").as("sum_base"),
+        sum(discPrice).cast("double").as("sum_disc"),
+        (sum(dec("l_quantity")).cast("double") / count(lit(1))).as("avg_qty"),
+        count(lit(1)).as("cnt"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  def relAggDistinct(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        countDistinct(col("l_partkey")).as("distinct_parts"),
+        count(lit(1)).as("cnt"))
+      .orderBy("l_returnflag")
+
+  /** HLL++ sketch — engine-specific, no oracle (rows-only check). */
+  def relAggApprox(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
+      .orderBy("l_returnflag")
+
+  def relAggRollup(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "lineitem")
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("cnt"), sum(dec("l_quantity")).cast("double").as("sum_qty"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  def relAggCube(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "orders")
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("cnt"), sum(dec("o_totalprice")).cast("double").as("total"))
+      .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+
+  def relJoinBroadcast(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem")
+    val pt = Tables.load(s, dir, "part").select("p_partkey", "p_brand")
+    li.join(broadcast(pt), li("l_partkey") === pt("p_partkey"))
+      .groupBy("p_brand")
+      .agg(sum(discPrice).cast("double").as("revenue"), count(lit(1)).as("cnt"))
+      .orderBy("p_brand")
+  }
+
+  /** Fact-fact join: forced shuffle-merge — the 100 TB-safe strategy. */
+  def relJoinSortmerge(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem")
+    val ord = Tables.load(s, dir, "orders").select("o_orderkey", "o_orderpriority")
+    li.join(ord.hint("merge"), li("l_orderkey") === ord("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(sum(discPrice).cast("double").as("revenue"), count(lit(1)).as("cnt"))
+      .orderBy("o_orderpriority")
+  }
+
+  def relJoinSemi(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.load(s, dir, "customer")
+    val big = Tables.load(s, dir, "orders")
+      .filter(col("o_totalprice") > 200000).select("o_custkey")
+    cust.join(big, cust("c_custkey") === big("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  /** Customers with no 1-URGENT order (every customer has *some* order in
+    * this data, so the plain no-orders anti-join would be empty). */
+  def relJoinAnti(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.load(s, dir, "customer")
+    val urgent = Tables.load(s, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT").select("o_custkey")
+    cust.join(urgent, cust("c_custkey") === urgent("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  /** Range/interval join: per user, ordered event pairs ≤ 10 min apart.
+    * Equi key (user_id) first, range predicate after — shuffles only on
+    * the equi key at scale. events.ts is µs-aligned (engine-identical). */
+  def relJoinRange(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events").select("user_id", "ts", "event_id")
+    val a = ev.select(col("user_id"), col("ts").as("ts_a"), col("event_id").as("id_a"))
+    val b = ev.select(col("user_id").as("uid_b"), col("ts").as("ts_b"), col("event_id").as("id_b"))
+    a.join(b, a("user_id") === b("uid_b")
+        && (a("ts_a") < b("ts_b") || (a("ts_a") === b("ts_b") && a("id_a") < b("id_b")))
+        && b("ts_b") <= a("ts_a") + expr("INTERVAL 10 MINUTES"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("pair_cnt"))
+      .orderBy("user_id")
+  }
+
+  def relWindowRank(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.load(s, dir, "orders")
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .select("o_custkey", "rn", "o_orderkey", "o_totalprice")
+      .orderBy("o_custkey", "rn")
+  }
+
+  def relWindowFrame(s: SparkSession, dir: String): DataFrame = {
+    val ord = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    val run = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val mov = ord.rowsBetween(-2, 0)
+    Tables.load(s, dir, "orders")
+      .select(
+        col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        sum(dec("o_totalprice")).over(run).cast("double").as("run_sum"),
+        (sum(dec("o_totalprice")).over(mov).cast("double") /
+          count(lit(1)).over(mov)).as("mov_avg"))
+      .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+  }
+
+  /** Global top-k → TakeOrderedAndProject, no full sort at scale. */
+  def relSortLimit(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_extendedprice")
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+      .limit(20)
+
+  def relSetOps(s: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.load(s, dir, "orders")
+    val f = ord.filter(col("o_orderstatus") === "F").select("o_custkey")
+    val o = ord.filter(col("o_orderstatus") === "O").select("o_custkey")
+    f.except(o).withColumn("tag", lit("except"))
+      .unionByName(f.intersect(o).withColumn("tag", lit("intersect")))
+      .select(col("tag"), col("o_custkey"))
+      .orderBy("tag", "o_custkey")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_scan_project"   -> (relScanProject _),
+    "rel_filter_pred"    -> (relFilterPred _),
+    "rel_agg_hash"       -> (relAggHash _),
+    "rel_agg_distinct"   -> (relAggDistinct _),
+    "rel_agg_approx"     -> (relAggApprox _),
+    "rel_agg_rollup"     -> (relAggRollup _),
+    "rel_agg_cube"       -> (relAggCube _),
+    "rel_join_broadcast" -> (relJoinBroadcast _),
+    "rel_join_sortmerge" -> (relJoinSortmerge _),
+    "rel_join_semi"      -> (relJoinSemi _),
+    "rel_join_anti"      -> (relJoinAnti _),
+    "rel_join_range"     -> (relJoinRange _),
+    "rel_window_rank"    -> (relWindowRank _),
+    "rel_window_frame"   -> (relWindowFrame _),
+    "rel_sort_limit"     -> (relSortLimit _),
+    "rel_set_ops"        -> (relSetOps _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "rel_scan_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "rel_filter_pred" ->
+      """SELECT l_orderkey, l_linenumber, l_shipdate, l_discount, l_returnflag
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+        |  AND l_discount BETWEEN 0.02 AND 0.06
+        |  AND l_returnflag <> 'R'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "rel_agg_hash" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base,
+         |       CAST(sum($discPriceSql) AS DOUBLE) AS sum_disc,
+         |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+         |       CAST(count(*) AS BIGINT) AS cnt
+         |FROM lineitem
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "rel_agg_distinct" ->
+      """SELECT l_returnflag,
+        |       CAST(count(DISTINCT l_partkey) AS BIGINT) AS distinct_parts,
+        |       CAST(count(*) AS BIGINT) AS cnt
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "rel_agg_rollup" ->
+      """SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS cnt,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "rel_agg_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS cnt,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders
+        |GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+
+    "rel_join_broadcast" ->
+      s"""SELECT p_brand, CAST(sum($discPriceSql) AS DOUBLE) AS revenue,
+         |       CAST(count(*) AS BIGINT) AS cnt
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
+    "rel_join_sortmerge" ->
+      s"""SELECT o_orderpriority, CAST(sum($discPriceSql) AS DOUBLE) AS revenue,
+         |       CAST(count(*) AS BIGINT) AS cnt
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "rel_join_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_totalprice > 200000)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "rel_join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "rel_join_range" ->
+      """SELECT a.user_id, CAST(count(*) AS BIGINT) AS pair_cnt
+        |FROM events a JOIN events b ON a.user_id = b.user_id
+        | AND (a.ts < b.ts OR (a.ts = b.ts AND a.event_id < b.event_id))
+        | AND b.ts <= a.ts + INTERVAL '10 minutes'
+        |GROUP BY a.user_id ORDER BY a.user_id""".stripMargin,
+
+    "rel_window_rank" ->
+      """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_custkey
+        |                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders)
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+
+    "rel_window_frame" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_sum,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |       / count(*) OVER (
+        |         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS mov_avg
+        |FROM orders
+        |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin,
+
+    "rel_sort_limit" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+        |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+        |LIMIT 20""".stripMargin,
+
+    "rel_set_ops" ->
+      """WITH f AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'),
+        |     o AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+        |SELECT 'except' AS tag, o_custkey FROM (SELECT o_custkey FROM f EXCEPT SELECT o_custkey FROM o)
+        |UNION ALL
+        |SELECT 'intersect' AS tag, o_custkey FROM (SELECT o_custkey FROM f INTERSECT SELECT o_custkey FROM o)
+        |ORDER BY tag, o_custkey""".stripMargin,
+  )
+}
