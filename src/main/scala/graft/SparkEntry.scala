@@ -9,11 +9,13 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     operators.Mining.queries ++
       operators.Relational.queries ++
-      functions.Scalar.queries
+      functions.Scalar.queries ++
+      operators.LlmOps.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     operators.Mining.oracle ++
       operators.Relational.oracle ++
-      functions.Scalar.oracle
+      functions.Scalar.oracle ++
+      operators.LlmOps.oracle
 }

@@ -1,0 +1,457 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** §D — LLM-training-data pipeline operators (SURVEY.md §2.1.D plus the
+  * scale-pipeline additions: dedup family, similarity search, text
+  * analysis, fingerprinting, multimodal plumbing).
+  *
+  * Engine-parity design notes:
+  *  - Vector math NEVER goes through decimal: DuckDB casts FLOAT→DECIMAL
+  *    via the float's shortest repr while Spark goes via double (probed —
+  *    they disagree). Instead: cast each element to DOUBLE (exact binary
+  *    widening in both engines) and LEFT-FOLD the products in array order
+  *    (`aggregate` HOF ≡ DuckDB `list_reduce` with a prepended 0.0).
+  *    IEEE double + and * are deterministic given identical operand order,
+  *    and sqrt is correctly rounded — so cosine/L2 are engine-identical.
+  *  - Dedup keys on md5 of the canonical token bag (sorted distinct
+  *    tokens): raw-text md5 groups are empty below sf0.1 in this corpus.
+  *
+  * Scale posture (100 TB):
+  *  - dot products are per-row projections (no shuffle, no explode);
+  *    brute-force knn is a broadcast of the probe row + TakeOrdered.
+  *  - near-dup joins are *blocked* (LSH bands / (lang,n_chars) /
+  *    label cells) so candidate generation shuffles on a bounded key,
+  *    never the full cross product.
+  *  - MinHash signatures are built by partial-aggregated min per
+  *    (doc, perm) — the classic map-side-combine shape.
+  */
+object LlmOps {
+
+  private val Stopwords = Seq("a", "the")
+
+  /** Left-fold dot product in array order — engine-identical IEEE doubles. */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  private def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** DuckDB-side equivalents of dot/norm (same fold order, 0.0 init). */
+  private def sqlDot(a: String, b: String): String =
+    s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |  list_transform(generate_series(1, len($a)),
+       |    i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))), (x,y) -> x + y)""".stripMargin
+  private def sqlNorm(a: String): String = s"sqrt(${sqlDot(a, a)})"
+
+  /** Canonical token-bag fingerprint (rolling-hash-style doc identity). */
+  private val fpCol: Column =
+    md5(concat_ws(" ", sort_array(array_distinct(split(col("text"), " ")))))
+  private val fpSql =
+    "md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))"
+
+  // ---------------------------------------------------------------- queries
+
+  def tokenizeWordcount(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("word"))
+      .limit(50)
+
+  def exactDedup(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), fpCol.as("fp"))
+      .groupBy("fp")
+      .agg(count(lit(1)).as("dup_cnt"), min(col("doc_id")).as("canonical_id"))
+      .filter(col("dup_cnt") > 1)
+      .orderBy("fp")
+
+  def fingerprint(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), fpCol.as("fp"))
+      .orderBy("doc_id")
+
+  /** MinHash + LSH banding near-dup candidates (no oracle — LSH banding
+    * is not reasonably SQL-expressible; validated against exact Jaccard
+    * in LlmOpsSpec). 32 seeded xxhash64 permutations, 4 bands × 8 rows.
+    * Output: candidate pairs with the signature-estimated Jaccard. */
+  def minhashNeardup(s: SparkSession, dir: String): DataFrame = {
+    val numPerm = 32
+    val toks = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("tok"))
+    // (doc, perm) -> min over tokens of xxhash64(tok || '#' || perm)
+    val sig = toks
+      .select(col("doc_id"), explode(sequence(lit(0), lit(numPerm - 1))).as("perm"), col("tok"))
+      .select(col("doc_id"), col("perm"),
+        xxhash64(concat_ws("#", col("tok"), col("perm"))).as("h"))
+      .groupBy("doc_id", "perm").agg(min(col("h")).as("mh"))
+    // band key = joined signature rows of the band, deterministic order by perm
+    val bands = sig
+      .withColumn("band", col("perm") % 4)
+      .groupBy("doc_id", "band")
+      .agg(concat_ws(",", transform(sort_array(collect_list(struct(col("perm"), col("mh")))),
+        s => s.getField("mh"))).as("band_key"))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.band_key") === col("y.band_key")
+          && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    // estimated jaccard = matching signature components / numPerm
+    val sa = sig.select(col("doc_id").as("doc_a"), col("perm").as("perm_a"), col("mh").as("mha"))
+    val sb = sig.select(col("doc_id").as("db"), col("perm").as("perm_b"), col("mh").as("mhb"))
+    cand.join(sa, "doc_a")
+      .join(sb, col("db") === col("doc_b") && col("perm_b") === col("perm_a"))
+      .groupBy("doc_a", "doc_b")
+      .agg((sum(when(col("mha") === col("mhb"), 1).otherwise(0)).cast("double") / numPerm)
+        .as("est_jaccard"))
+      .filter(col("est_jaccard") >= 0.7)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Exact word-set Jaccard over (lang, n_chars)-blocked candidate pairs —
+    * the verifiable n-gram-Jaccard dedup path. */
+  def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    val toks = docs.select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("tok"))
+    val sz = toks.groupBy("doc_id").agg(count(lit(1)).as("nt"))
+    val a = docs.select(col("doc_id").as("doc_a"), col("lang"), col("n_chars"))
+    val b = docs.select(col("doc_id").as("doc_b"), col("lang").as("lang_b"), col("n_chars").as("nc_b"))
+    val pairs = a.join(b, col("lang") === col("lang_b")
+      && col("n_chars") === col("nc_b") && col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+    val ta = toks.select(col("doc_id").as("doc_a"), col("tok"))
+    val tb = toks.select(col("doc_id").as("db"), col("tok").as("tok_b"))
+    pairs
+      .join(ta, "doc_a")
+      .join(tb, col("db") === col("doc_b") && col("tok_b") === col("tok"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("i"))
+      .join(sz.select(col("doc_id").as("doc_a"), col("nt").as("na")), "doc_a")
+      .join(sz.select(col("doc_id").as("doc_b"), col("nt").as("nb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (col("i").cast("double") / (col("na") + col("nb") - col("i"))).as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Brute-force exact cosine top-10 to probe vector vec_id=0 — the knn
+    * baseline (`llm_ann_ivf` is the bucketed scale path). Probe row is
+    * broadcast; top-k runs as TakeOrdered, no global sort. */
+  def similarityKnn(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(s, dir, "embeddings")
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+    emb.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        (dot(col("embedding"), col("qe")) / (norm(col("embedding")) * norm(col("qe"))))
+          .as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  /** IVF-style ANN: 8 fixed "centroids" (vec_id < 8), assign every vector
+    * to its nearest centroid by L2², search only the probe vector's cell.
+    * Deterministic: argmin tiebreak on centroid id; validated for recall
+    * against brute force in LlmOpsSpec. */
+  def annIvf(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(s, dir, "embeddings")
+    val cent = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    val d2 = emb.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("embedding"), col("cid"),
+        aggregate(
+          zip_with(col("embedding"), col("ce"),
+            (x, y) => (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+          lit(0.0), (acc, v) => acc + v).as("d2"))
+    val assign = d2
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("vec_id")
+          .orderBy(col("d2"), col("cid"))))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("cid"))
+    val probeCell = assign.filter(col("vec_id") === 0).select(col("cid").as("qcid"))
+    val q = Tables.load(s, dir, "embeddings").filter(col("vec_id") === 0)
+      .select(col("embedding").as("qe"))
+    assign.join(broadcast(probeCell), col("cid") === col("qcid"))
+      .filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        (dot(col("embedding"), col("qe")) / (norm(col("embedding")) * norm(col("qe"))))
+          .as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  /** Embedding-cosine near-dup pairs, blocked by label cell. */
+  def embedCosineNeardup(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(s, dir, "embeddings")
+    val a = emb.select(col("vec_id").as("va"), col("label"), col("embedding").as("ea"))
+    val b = emb.select(col("vec_id").as("vb"), col("label").as("label_b"), col("embedding").as("eb"))
+    a.join(b, col("label") === col("label_b") && col("va") < col("vb"))
+      .select(col("va"), col("vb"),
+        (dot(col("ea"), col("eb")) / (norm(col("ea")) * norm(col("eb")))).as("cos"))
+      .filter(col("cos") > 0.3)
+      .orderBy("va", "vb")
+  }
+
+  def textStats(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("doc_cnt"),
+        (sum(col("n_chars")).cast("double") / count(lit(1))).as("avg_chars"),
+        countDistinct(col("source")).as("distinct_sources"),
+        max(col("n_chars")).as("max_chars"))
+      .orderBy("lang")
+
+  /** Token counting: whitespace tokens + a BPE-ish piece count
+    * (ceil(len/4) pieces per word, integer arithmetic only). */
+  def tokenCount(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("ws_tokens"),
+        aggregate(
+          transform(split(col("text"), " "),
+            w => floor((length(w) + 3) / lit(4.0)).cast("long")),
+          lit(0L), (acc, v) => acc + v).as("bpe_ish_tokens"),
+        (col("n_chars").cast("double") / size(split(col("text"), " ")))
+          .as("chars_per_token"))
+      .orderBy("doc_id")
+
+  /** Language-ID heuristic (stopword-hit scoring). NOTE: the synthetic
+    * corpus uses one shared 31-token vocabulary for every `lang` value, so
+    * no content-based detector can beat chance here — this demonstrates
+    * the operator mechanics, not accuracy. */
+  def langId(s: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val hits = size(filter(toks, t => t.isin(Stopwords: _*)))
+    Tables.load(s, dir, "documents")
+      .select(
+        col("doc_id"), col("lang"),
+        when(hits > 0, "en").otherwise("unk").as("pred_lang"),
+        (hits.cast("double") / size(toks)).as("stop_score"))
+      .orderBy("doc_id")
+  }
+
+  /** Quality scoring: distinct-token, stopword and short-token ratios
+    * combined with fixed weights in a fixed fp operation order. */
+  def qualityScore(s: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val n = size(toks).cast("double")
+    val distinctRatio = size(array_distinct(toks)).cast("double") / n
+    val stopRatio = size(filter(toks, t => t.isin(Stopwords: _*))).cast("double") / n
+    val shortRatio = size(filter(toks, t => length(t) <= 2)).cast("double") / n
+    Tables.load(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        size(toks).cast("long").as("tok_cnt"),
+        distinctRatio.as("distinct_ratio"),
+        stopRatio.as("stop_ratio"),
+        shortRatio.as("short_ratio"),
+        (distinctRatio * 0.5 + (lit(1.0) - stopRatio) * 0.3
+          + (lit(1.0) - shortRatio) * 0.2).as("quality"))
+      .orderBy("doc_id")
+  }
+
+  /** SimHash fingerprints (no oracle: DuckDB has no xxhash64). 64-bit
+    * simhash over token hashes — bit b of the result is set when the
+    * count of tokens with bit b set exceeds half the token count. */
+  def simhash(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
+    val bitVotes = toks
+      .select(col("doc_id"), explode(sequence(lit(0), lit(63))).as("bit"), col("h"))
+      .groupBy("doc_id", "bit")
+      .agg(
+        sum(expr("shiftright(h, CAST(bit AS INT)) & 1")).as("ones"),
+        count(lit(1)).as("total"))
+    bitVotes
+      .select(col("doc_id"),
+        when(col("ones") * 2 > col("total"),
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT))"))
+          .otherwise(0L).as("bitval"))
+      .groupBy("doc_id")
+      .agg(sum(col("bitval")).as("simhash"))
+      .orderBy("doc_id")
+  }
+
+  /** Multimodal join: text row ⋈ vector row on doc_id=vec_id. */
+  def multimodalJoin(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents").select(col("doc_id"), col("text"))
+    val emb = Tables.load(s, dir, "embeddings")
+    docs.join(emb, docs("doc_id") === emb("vec_id"))
+      .select(col("doc_id"), col("label"),
+        length(col("text")).cast("long").as("text_len"),
+        norm(col("embedding")).as("emb_norm"))
+      .orderBy("doc_id")
+  }
+
+  /** Multimodal binary plumbing: treat content as an opaque binary column
+    * with typed metadata. The "decode" step is a clearly-marked
+    * deterministic STUB (byte length mod 256) standing in for a real
+    * image/audio decoder — the schema/partitioning/plumbing is real. */
+  def binaryMeta(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        length(col("text").cast("binary")).cast("long").as("n_bytes"),
+        md5(col("text")).as("content_md5"),
+        upper(substring(md5(col("text")), 1, 8)).as("chunk_key"),
+        (length(col("text").cast("binary")) % 256).cast("long").as("stub_feature"))
+      .orderBy("doc_id")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_tokenize_wordcount" -> (tokenizeWordcount _),
+    "llm_exact_dedup"        -> (exactDedup _),
+    "llm_fingerprint"        -> (fingerprint _),
+    "llm_minhash_neardup"    -> (minhashNeardup _),
+    "llm_ngram_jaccard"      -> (ngramJaccard _),
+    "llm_similarity_knn"     -> (similarityKnn _),
+    "llm_ann_ivf"            -> (annIvf _),
+    "llm_embed_cos_neardup"  -> (embedCosineNeardup _),
+    "llm_text_stats"         -> (textStats _),
+    "llm_token_count"        -> (tokenCount _),
+    "llm_lang_id"            -> (langId _),
+    "llm_quality_score"      -> (qualityScore _),
+    "llm_simhash"            -> (simhash _),
+    "llm_multimodal_join"    -> (multimodalJoin _),
+    "llm_binary_meta"        -> (binaryMeta _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "llm_tokenize_wordcount" ->
+      """SELECT word, CAST(count(*) AS BIGINT) AS freq
+        |FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |GROUP BY word ORDER BY freq DESC, word LIMIT 50""".stripMargin,
+
+    "llm_exact_dedup" ->
+      s"""SELECT $fpSql AS fp, CAST(count(*) AS BIGINT) AS dup_cnt,
+         |       min(doc_id) AS canonical_id
+         |FROM documents GROUP BY fp HAVING count(*) > 1 ORDER BY fp""".stripMargin,
+
+    "llm_fingerprint" ->
+      s"SELECT doc_id, $fpSql AS fp FROM documents ORDER BY doc_id",
+
+    "llm_ngram_jaccard" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+        |  FROM documents),
+        |sz AS (SELECT doc_id, count(*) AS nt FROM toks GROUP BY doc_id),
+        |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |       FROM documents a JOIN documents b
+        |         ON a.lang = b.lang AND a.n_chars = b.n_chars AND a.doc_id < b.doc_id),
+        |inter AS (
+        |  SELECT doc_a, doc_b, count(*) AS i
+        |  FROM pr JOIN toks ta ON ta.doc_id = doc_a
+        |          JOIN toks tb ON tb.doc_id = doc_b AND tb.tok = ta.tok
+        |  GROUP BY doc_a, doc_b)
+        |SELECT doc_a, doc_b, CAST(i AS DOUBLE) / (sa.nt + sb.nt - i) AS jaccard
+        |FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+        |WHERE CAST(i AS DOUBLE) / (sa.nt + sb.nt - i) >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "llm_similarity_knn" ->
+      s"""SELECT e.vec_id,
+         |       ${sqlDot("e.embedding", "q.qe")}
+         |       / (${sqlNorm("e.embedding")} * sqrt(${sqlDot("q.qe", "q.qe")})) AS sim
+         |FROM embeddings e
+         |CROSS JOIN (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) q
+         |WHERE e.vec_id <> 0
+         |ORDER BY sim DESC, e.vec_id LIMIT 10""".stripMargin,
+
+    "llm_ann_ivf" ->
+      s"""WITH cent AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 8),
+         |d2 AS (
+         |  SELECT e.vec_id, e.embedding, c.cid,
+         |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |           list_transform(generate_series(1, len(e.embedding)),
+         |             i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(c.ce[i] AS DOUBLE))
+         |                * (CAST(e.embedding[i] AS DOUBLE) - CAST(c.ce[i] AS DOUBLE)))),
+         |           (x,y) -> x + y) AS d2
+         |  FROM embeddings e CROSS JOIN cent c),
+         |assign AS (
+         |  SELECT vec_id, embedding, cid FROM (
+         |    SELECT vec_id, embedding, cid,
+         |           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+         |    FROM d2) WHERE rn = 1),
+         |probe AS (SELECT cid AS qcid FROM assign WHERE vec_id = 0),
+         |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+         |SELECT a.vec_id,
+         |       ${sqlDot("a.embedding", "q.qe")}
+         |       / (${sqlNorm("a.embedding")} * sqrt(${sqlDot("q.qe", "q.qe")})) AS sim
+         |FROM assign a JOIN probe ON a.cid = probe.qcid CROSS JOIN q
+         |WHERE a.vec_id <> 0
+         |ORDER BY sim DESC, a.vec_id LIMIT 10""".stripMargin,
+
+    "llm_embed_cos_neardup" ->
+      s"""SELECT a.vec_id AS va, b.vec_id AS vb,
+         |       ${sqlDot("a.embedding", "b.embedding")}
+         |       / (${sqlNorm("a.embedding")} * ${sqlNorm("b.embedding")}) AS cos
+         |FROM embeddings a JOIN embeddings b
+         |  ON a.label = b.label AND a.vec_id < b.vec_id
+         |WHERE ${sqlDot("a.embedding", "b.embedding")}
+         |      / (${sqlNorm("a.embedding")} * ${sqlNorm("b.embedding")}) > 0.3
+         |ORDER BY va, vb""".stripMargin,
+
+    "llm_text_stats" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS doc_cnt,
+        |       CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars,
+        |       CAST(count(DISTINCT source) AS BIGINT) AS distinct_sources,
+        |       max(n_chars) AS max_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "llm_token_count" ->
+      """SELECT doc_id,
+        |       CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+        |       CAST(list_sum(list_transform(string_split(text, ' '),
+        |            w -> (length(w) + 3) // 4)) AS BIGINT) AS bpe_ish_tokens,
+        |       CAST(n_chars AS DOUBLE) / len(string_split(text, ' ')) AS chars_per_token
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "llm_lang_id" ->
+      """SELECT doc_id, lang,
+        |       CASE WHEN len(list_filter(string_split(text, ' '),
+        |                 t -> t = 'a' OR t = 'the')) > 0
+        |            THEN 'en' ELSE 'unk' END AS pred_lang,
+        |       CAST(len(list_filter(string_split(text, ' '),
+        |            t -> t = 'a' OR t = 'the')) AS DOUBLE)
+        |       / len(string_split(text, ' ')) AS stop_score
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "llm_quality_score" ->
+      """WITH q AS (
+        |  SELECT doc_id,
+        |         CAST(len(string_split(text, ' ')) AS DOUBLE) AS n,
+        |         CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) AS nd,
+        |         CAST(len(list_filter(string_split(text, ' '),
+        |              t -> t = 'a' OR t = 'the')) AS DOUBLE) AS nstop,
+        |         CAST(len(list_filter(string_split(text, ' '),
+        |              t -> length(t) <= 2)) AS DOUBLE) AS nshort
+        |  FROM documents)
+        |SELECT doc_id, CAST(n AS BIGINT) AS tok_cnt,
+        |       nd / n AS distinct_ratio,
+        |       nstop / n AS stop_ratio,
+        |       nshort / n AS short_ratio,
+        |       (nd / n) * 0.5 + (1.0 - nstop / n) * 0.3 + (1.0 - nshort / n) * 0.2 AS quality
+        |FROM q ORDER BY doc_id""".stripMargin,
+
+    "llm_multimodal_join" ->
+      s"""SELECT doc_id, label, CAST(length(text) AS BIGINT) AS text_len,
+         |       ${sqlNorm("embedding")} AS emb_norm
+         |FROM documents JOIN embeddings ON doc_id = vec_id
+         |ORDER BY doc_id""".stripMargin,
+
+    "llm_binary_meta" ->
+      """SELECT doc_id,
+        |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |       md5(text) AS content_md5,
+        |       upper(substring(md5(text), 1, 8)) AS chunk_key,
+        |       CAST(octet_length(encode(text)) % 256 AS BIGINT) AS stub_feature
+        |FROM documents ORDER BY doc_id""".stripMargin,
+  )
+}
