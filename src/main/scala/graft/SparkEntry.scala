@@ -10,12 +10,16 @@ object SparkEntry {
     operators.Mining.queries ++
       operators.Relational.queries ++
       functions.Scalar.queries ++
-      operators.LlmOps.queries
+      operators.LlmOps.queries ++
+      streaming.Streaming.queries ++
+      functions.Udfs.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     operators.Mining.oracle ++
       operators.Relational.oracle ++
       functions.Scalar.oracle ++
-      operators.LlmOps.oracle
+      operators.LlmOps.oracle ++
+      streaming.Streaming.oracle ++
+      functions.Udfs.oracle
 }

@@ -23,9 +23,14 @@ object Tables {
       // µs-aligned values (probed: ns % 1000 == 0 for every row), so the
       // DIV-1000 conversion is lossless. Integer DIV, not `/`: epoch
       // nanos ≈ 1.7e18 exceeds double's 2^53 exact-integer range.
+      // Only convert when ts actually reads back as long — an
+      // events-shaped table written with µs timestamps needs none.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$sfDir/$name.parquet")
-        .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
+      val df = spark.read.parquet(s"$sfDir/$name.parquet")
+      if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
+      else df
     } else {
       spark.read.parquet(s"$sfDir/$name.parquet")
     }

@@ -1,0 +1,102 @@
+package graft.functions
+
+import graft.operators.Mining
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** §F — UDF / UDAF / UDTF extension surface (SURVEY.md §2.1.F).
+  *
+  * Demonstrates all three user-extension points with oracle-checkable
+  * semantics:
+  *  - `udf_scalar`: a Scala UDF (codegen-opaque scalar; fine off the hot
+  *    path — built-ins are preferred everywhere else).
+  *  - `udaf_itemset_support`: a typed `Aggregator` doing single-pass
+  *    per-item support counting — the MapReduce combiner pattern as a
+  *    UDAF (partial maps merged across partitions, no row explosion).
+  *  - `udtf_generator`: Dataset `flatMap` generating ordered item pairs
+  *    per basket — the Apriori candidate generator as a lateral view.
+  */
+object Udfs {
+
+  /** Gini impurity of a uniform distribution over n items: 1 - 1/n. */
+  def udfScalar(s: SparkSession, dir: String): DataFrame = {
+    val gini = udf((n: Long) => 1.0 - 1.0 / n)
+    Mining.baskets(s, dir)
+      .select(col("tid").as("l_orderkey"),
+        size(col("items")).cast("long").as("basket_size"))
+      .withColumn("gini", gini(col("basket_size")))
+      .orderBy("l_orderkey")
+  }
+
+  /** Single-pass item-support counter (combiner-style partial maps). */
+  object ItemSupport extends Aggregator[String, Map[String, Long], Map[String, Long]] {
+    override def zero: Map[String, Long] = Map.empty
+    override def reduce(b: Map[String, Long], item: String): Map[String, Long] =
+      b.updated(item, b.getOrElse(item, 0L) + 1L)
+    override def merge(x: Map[String, Long], y: Map[String, Long]): Map[String, Long] =
+      y.foldLeft(x) { case (m, (k, v)) => m.updated(k, m.getOrElse(k, 0L) + v) }
+    override def finish(r: Map[String, Long]): Map[String, Long] = r
+    override def bufferEncoder: Encoder[Map[String, Long]] =
+      Encoders.kryo[Map[String, Long]]
+    override def outputEncoder: Encoder[Map[String, Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  }
+
+  /** Equals fpm_freq_items without the support filter (cross-checked in
+    * UdfSpec and by the oracle). */
+  def udafItemsetSupport(s: SparkSession, dir: String): DataFrame = {
+    val counter = udaf(ItemSupport)
+    Mining.txItems(s, dir)
+      .agg(counter(col("item")).as("supports"))
+      .select(explode(col("supports")).as(Seq("item", "freq")))
+      .orderBy("item")
+  }
+
+  /** Basket → all ordered item pairs (typed flatMap generator). */
+  def udtfGenerator(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Mining.baskets(s, dir)
+      .as[(Long, Seq[String])]
+      .flatMap { case (tid, items) =>
+        for {
+          i <- items.indices
+          j <- (i + 1) until items.size
+        } yield (tid, items(i), items(j))
+      }
+      .toDF("l_orderkey", "item_a", "item_b")
+      .orderBy("l_orderkey", "item_a", "item_b")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "udf_scalar"           -> (udfScalar _),
+    "udaf_itemset_support" -> (udafItemsetSupport _),
+    "udtf_generator"       -> (udtfGenerator _),
+  )
+
+  private val txCte =
+    """WITH tx AS (
+      |  SELECT DISTINCT l_orderkey AS tid, p_brand AS item
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "udf_scalar" ->
+      """SELECT l_orderkey,
+        |       CAST(count(DISTINCT p_brand) AS BIGINT) AS basket_size,
+        |       CAST(1 AS DOUBLE) - CAST(1 AS DOUBLE) / count(DISTINCT p_brand) AS gini
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
+
+    "udaf_itemset_support" -> (txCte +
+      """
+        |SELECT item, CAST(count(*) AS BIGINT) AS freq
+        |FROM tx GROUP BY item ORDER BY item""".stripMargin),
+
+    "udtf_generator" -> (txCte +
+      """
+        |SELECT a.tid AS l_orderkey, a.item AS item_a, b.item AS item_b
+        |FROM tx a JOIN tx b ON a.tid = b.tid AND a.item < b.item
+        |ORDER BY l_orderkey, item_a, item_b""".stripMargin),
+  )
+}

@@ -1,0 +1,164 @@
+package graft.streaming
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** §E — streaming surface (SURVEY.md §2.1.E).
+  *
+  * Each operator exists twice:
+  *  1. the *transform* (`xxxStream`) — applied to any events-shaped
+  *     DataFrame, batch or streaming; the streaming path adds watermarks
+  *     and runs under Structured Streaming's IncrementalExecution
+  *     (micro-batch state in the StateStore). StreamingSpec drives these
+  *     through MemoryStream and asserts batch/stream equivalence plus
+  *     late-data drop semantics.
+  *  2. the declared *batch-equivalent query* (oracle-checked): identical
+  *     results expressed over the static events table so the driver's
+  *     DuckDB gate can hash-match it.
+  *
+  * Scale posture: all grouping keys are (bounded time bucket × small
+  * dimension) or user_id — state per key is bounded; watermarks bound
+  * total state; session logic is lag+cumsum (one shuffle by user) in
+  * batch and `session_window` (state-store merge) in streaming.
+  *
+  * Determinism: window starts are epoch-aligned in both engines
+  * (Spark `window` ≡ DuckDB `time_bucket`, probed); timestamp gaps are
+  * compared in integer microseconds (events.ts is µs-aligned).
+  */
+object Streaming {
+
+  // ------------------------------------------------------ stream transforms
+
+  /** Tumbling 1-hour counts + value sums per event_type. */
+  def tumblingStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("val_sum"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("cnt"), col("val_sum"))
+
+  /** Sliding 1-hour window, 30-minute slide. */
+  def slidingStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("window_start"), col("cnt"))
+
+  /** Session windows per user, 30-minute inactivity gap. */
+  def sessionStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("cnt"))
+
+  /** First arrival per (user_id, event_type) within the watermark. */
+  def dedupStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicates("user_id", "event_type")
+      .select(col("user_id"), col("event_type"), col("event_id"), col("ts"))
+
+  // ------------------------------------------- declared batch equivalents
+
+  def streamTumbling(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("val_sum"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("cnt"), col("val_sum"))
+      .orderBy("window_start", "event_type")
+
+  def streamSliding(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("window_start"), col("cnt"))
+      .orderBy("window_start")
+
+  /** Batch sessionization: lag + cumulative-sum of gap starts — proven
+    * equivalent to `session_window` by StreamingSpec. */
+  def streamSession(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.load(s, dir, "events")
+      .withColumn("pts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_s",
+        when(col("pts").isNull
+          || unix_micros(col("ts")) - unix_micros(col("pts")) > 1800000000L, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("new_s")).over(run))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("cnt"),
+        min(col("ts")).as("session_start"), max(col("ts")).as("session_end"))
+      .orderBy("user_id", "session_id")
+  }
+
+  def streamStatefulDedup(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    Tables.load(s, dir, "events")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type"), col("event_id"), col("ts").as("first_ts"))
+      .orderBy("user_id", "event_type")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_tumbling"       -> (streamTumbling _),
+    "stream_sliding"        -> (streamSliding _),
+    "stream_session"        -> (streamSession _),
+    "stream_stateful_dedup" -> (streamStatefulDedup _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "stream_tumbling" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+        |       event_type, CAST(count(*) AS BIGINT) AS cnt,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS val_sum
+        |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+
+    "stream_sliding" ->
+      """SELECT window_start, CAST(count(*) AS BIGINT) AS cnt FROM (
+        |  SELECT CAST(time_bucket(INTERVAL '30 minutes', ts) AS TIMESTAMP) AS window_start FROM events
+        |  UNION ALL
+        |  SELECT CAST(time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes' AS TIMESTAMP) FROM events)
+        |GROUP BY window_start ORDER BY window_start""".stripMargin,
+
+    "stream_session" ->
+      """WITH x AS (
+        |  SELECT user_id, ts, event_id,
+        |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts
+        |  FROM events),
+        |y AS (
+        |  SELECT user_id, ts,
+        |         CASE WHEN pts IS NULL OR epoch_us(ts) - epoch_us(pts) > 1800000000
+        |              THEN 1 ELSE 0 END AS new_s,
+        |         event_id
+        |  FROM x),
+        |z AS (
+        |  SELECT user_id, ts,
+        |         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                          ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM y)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |       CAST(count(*) AS BIGINT) AS cnt,
+        |       min(ts) AS session_start, max(ts) AS session_end
+        |FROM z GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
+
+    "stream_stateful_dedup" ->
+      """SELECT user_id, event_type, event_id, ts AS first_ts FROM (
+        |  SELECT user_id, event_type, event_id, ts,
+        |         row_number() OVER (PARTITION BY user_id, event_type
+        |                            ORDER BY ts, event_id) AS rn
+        |  FROM events)
+        |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+  )
+}

@@ -1,0 +1,99 @@
+package graft
+
+import graft.operators.LlmOps
+import org.apache.spark.sql.functions._
+
+/** Validation for the oracle-free LLM ops (SURVEY.md §5.2.6) and sanity on
+  * the similarity family. Exact Jaccard ground truth is computed
+  * driver-side: the corpus token sets are tiny (≤31-token vocabulary). */
+class LlmOpsSpec extends SparkSpec {
+
+  private lazy val tokenSets: Map[Long, Set[String]] =
+    Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).toSet)
+      .toMap
+
+  private def jaccard(a: Set[String], b: Set[String]): Double =
+    a.intersect(b).size.toDouble / a.union(b).size
+
+  test("minhash candidates: estimates track exact Jaccard, high-sim recall holds") {
+    val cand = LlmOps.minhashNeardup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(cand.nonEmpty)
+    // NOTE: candidates are SELECTED for est >= 0.7, so the estimator error
+    // on this subset is biased upward — bound the mean error and the
+    // precision, not each individual pair.
+    val errs = cand.map { case (a, b, est) =>
+      math.abs(est - jaccard(tokenSets(a), tokenSets(b)))
+    }
+    assert(errs.sum / errs.length <= 0.15, s"mean |est-exact| = ${errs.sum / errs.length}")
+    val precise = cand.count { case (a, b, _) =>
+      jaccard(tokenSets(a), tokenSets(b)) >= 0.5
+    }
+    assert(precise.toDouble / cand.length >= 0.8,
+      s"precision ${precise}/${cand.length}")
+    // recall: most truly-near pairs (J >= 0.9) must surface as candidates
+    val ids = tokenSets.keys.toSeq.sorted
+    val near = for {
+      i <- ids; j <- ids if i < j
+      if jaccard(tokenSets(i), tokenSets(j)) >= 0.9
+    } yield (i, j)
+    val found = cand.map(c => (c._1, c._2)).toSet
+    val hit = near.count(found.contains)
+    assert(near.isEmpty || hit.toDouble / near.size >= 0.5,
+      s"recall ${hit}/${near.size}")
+  }
+
+  test("exact dedup groups contain identical token bags") {
+    val fps = LlmOps.fingerprint(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    LlmOps.exactDedup(spark, sf).collect().foreach { r =>
+      val fp = r.getString(0)
+      val members = fps.filter(_._2 == fp).keys
+      assert(members.size == r.getLong(1))
+      val bags = members.map(tokenSets(_)).toSet
+      assert(bags.size == 1, s"group $fp has differing bags")
+    }
+  }
+
+  test("knn: 10 rows, sims in [-1,1], strictly ordered") {
+    val sims = LlmOps.similarityKnn(spark, sf).collect().map(_.getDouble(1))
+    assert(sims.length == 10)
+    assert(sims.forall(s => s >= -1.0 - 1e-9 && s <= 1.0 + 1e-9))
+    assert(sims.sameElements(sims.sorted(Ordering[Double].reverse)))
+  }
+
+  test("IVF ANN returns a subset of the brute-force ranking universe") {
+    val brute = LlmOps.similarityKnn(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val bruteTop = brute.values.max
+    val ivf = LlmOps.annIvf(spark, sf).collect()
+    assert(ivf.nonEmpty && ivf.length <= 10)
+    // no IVF hit can beat the global best
+    ivf.foreach(r => assert(r.getDouble(1) <= bruteTop + 1e-12))
+  }
+
+  test("dedup result is invariant under input row permutation") {
+    val base = LlmOps.exactDedup(spark, sf).collect().toSeq
+    // same computation over a shuffled copy of the table
+    val tmp = s"/tmp/graft-perm-${System.nanoTime()}"
+    Tables.load(spark, sf, "documents").orderBy(rand(42))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val perm = LlmOps.exactDedup(spark, tmp).collect().toSeq
+    assert(base == perm)
+  }
+
+  test("quality score stays within [0,1] and language scores are consistent") {
+    LlmOps.qualityScore(spark, sf).collect().foreach { r =>
+      val q = r.getAs[Double]("quality")
+      assert(q >= 0.0 && q <= 1.0 + 1e-12)
+    }
+    LlmOps.langId(spark, sf).collect().foreach { r =>
+      val sc = r.getAs[Double]("stop_score")
+      val pred = r.getAs[String]("pred_lang")
+      assert((sc > 0.0) == (pred == "en"))
+    }
+  }
+}

@@ -1,0 +1,78 @@
+package graft
+
+import graft.operators.Mining
+import graft.functions.Udfs
+import org.apache.spark.sql.functions._
+
+/** Cross-algorithm agreement — the reference family's own strongest
+  * correctness check (SURVEY.md §5.1b): FP-Growth and Apriori are
+  * different algorithms for the same function and must agree exactly. */
+class MiningSpec extends SparkSpec {
+
+  private def txItems = Mining.txItems(spark, sf).cache()
+
+  test("fpgrowth equals the union of Apriori levels 1-3 at minSupport 0.005") {
+    val n = txItems.select(countDistinct(col("tid"))).head.getLong(0)
+    val minCount = 0.005 * n
+
+    val l1 = txItems.groupBy("item").agg(count(lit(1)).as("freq"))
+      .filter(col("freq") >= minCount)
+      .select(col("item").as("itemset"), lit(1L).as("size"), col("freq"))
+    val a = txItems.select(col("tid"), col("item").as("ia"))
+    val b = txItems.select(col("tid").as("tb"), col("item").as("ib"))
+    val c = txItems.select(col("tid").as("tc"), col("item").as("ic"))
+    val l2 = a.join(b, col("tid") === col("tb") && col("ia") < col("ib"))
+      .groupBy("ia", "ib").agg(count(lit(1)).as("freq"))
+      .filter(col("freq") >= minCount)
+      .select(concat_ws(",", col("ia"), col("ib")).as("itemset"), lit(2L).as("size"), col("freq"))
+    val l3 = a.join(b, col("tid") === col("tb") && col("ia") < col("ib"))
+      .join(c, col("tb") === col("tc") && col("ib") < col("ic"))
+      .groupBy("ia", "ib", "ic").agg(count(lit(1)).as("freq"))
+      .filter(col("freq") >= minCount)
+      .select(concat_ws(",", col("ia"), col("ib"), col("ic")).as("itemset"), lit(3L).as("size"), col("freq"))
+
+    val apriori = l1.unionByName(l2).unionByName(l3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val fpg = Mining.fpmFpgrowth(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(fpg == apriori)
+  }
+
+  test("typed UDAF equals unfiltered per-item supports") {
+    val expected = txItems.groupBy("item").agg(count(lit(1)).as("freq"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = Udfs.udafItemsetSupport(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+  }
+
+  test("downward closure: every sub-itemset of a frequent itemset is frequent") {
+    val rows = Mining.fpmFpgrowth(spark, sf).collect()
+    val present = rows.map(r => r.getString(0)).toSet
+    rows.filter(_.getLong(1) >= 2).foreach { r =>
+      val items = r.getString(0).split(",")
+      items.indices.foreach { i =>
+        val sub = items.patch(i, Nil, 1).mkString(",")
+        assert(present.contains(sub), s"missing subset $sub of ${r.getString(0)}")
+      }
+    }
+  }
+
+  test("anti-monotonicity: pairs frequent at 0.02 are a subset of pairs at 0.005") {
+    val strict = Mining.fpmFreqPairs(spark, sf).collect().map(_.getString(0)).toSet
+    val loose = Mining.fpmFpgrowth(spark, sf)
+      .filter(col("size") === 2).collect().map(_.getString(0)).toSet
+    assert(strict.subsetOf(loose))
+  }
+
+  test("association rule bounds: 0 <= confidence <= 1, support <= antecedent share") {
+    Mining.fpmAssocRules(spark, sf).collect().foreach { r =>
+      val conf = r.getAs[Double]("confidence")
+      val lift = r.getAs[Double]("lift")
+      val supp = r.getAs[Double]("support")
+      assert(conf >= 0.0 && conf <= 1.0)
+      assert(supp > 0.0 && supp <= conf + 1e-12)
+      assert(lift > 0.0)
+    }
+  }
+}

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property-based invariants (SURVEY.md §5.2.3) over small random
+  * transaction databases, executed through the same Spark operators the
+  * declared queries use. Uses raw scalacheck generators with fixed seeds
+  * (the scalatest+scalacheck bridge artifact is not in the offline
+  * cache), so every run checks the same deterministic sample set. */
+class PropertiesSpec extends SparkSpec {
+
+  private val vocab = ('a' to 'h').map(_.toString)
+
+  private val txGen: Gen[List[Set[String]]] =
+    Gen.chooseNum(5, 40).flatMap { n =>
+      Gen.listOfN(n, Gen.someOf(vocab).map(_.toSet))
+    }.map(_.map(s => if (s.isEmpty) Set("a") else s))
+
+  private def samples(k: Int): Seq[List[Set[String]]] =
+    (1 to k).map(i => txGen.pureApply(Gen.Parameters.default, Seed(42L + i)))
+
+  private def freqItemsets(tx: List[Set[String]], minCount: Long): Map[Set[String], Long] = {
+    val sp = spark
+    import sp.implicits._
+    val df = tx.zipWithIndex
+      .flatMap { case (items, tid) => items.map(tid -> _) }
+      .toDF("tid", "item")
+    val a = df.select(col("tid"), col("item").as("ia"))
+    val b = df.select(col("tid").as("tb"), col("item").as("ib"))
+    val l1 = df.groupBy("item").agg(count(lit(1)).as("f"))
+      .collect().map(r => Set(r.getString(0)) -> r.getLong(1))
+    val l2 = a.join(b, col("tid") === col("tb") && col("ia") < col("ib"))
+      .groupBy("ia", "ib").agg(count(lit(1)).as("f"))
+      .collect().map(r => Set(r.getString(0), r.getString(1)) -> r.getLong(2))
+    (l1 ++ l2).filter(_._2 >= minCount).toMap
+  }
+
+  test("downward closure: subsets of frequent itemsets are frequent") {
+    samples(6).foreach { tx =>
+      val fi = freqItemsets(tx, 2)
+      fi.keys.filter(_.size == 2).foreach { pair =>
+        pair.subsets(1).foreach(sub => assert(fi.contains(sub)))
+      }
+    }
+  }
+
+  test("anti-monotonicity: raising minSupport shrinks the result set") {
+    samples(6).foreach { tx =>
+      val lo = freqItemsets(tx, 2).keySet
+      val hi = freqItemsets(tx, 4).keySet
+      assert(hi.subsetOf(lo))
+    }
+  }
+
+  test("support bounds: pair support never exceeds either item support") {
+    samples(6).foreach { tx =>
+      val fi = freqItemsets(tx, 1)
+      fi.filter(_._1.size == 2).foreach { case (pair, supp) =>
+        pair.subsets(1).foreach { sub =>
+          assert(supp <= fi.getOrElse(sub, 0L))
+        }
+      }
+    }
+  }
+
+  test("sessionization: per-user session count is within [1, events-per-user]") {
+    val sessions = streaming.Streaming.streamSession(spark, sf)
+      .groupBy("user_id").agg(count(lit(1)).as("n_sessions"), sum(col("cnt")).as("n_events"))
+      .collect()
+    assert(sessions.nonEmpty)
+    sessions.foreach { r =>
+      val ns = r.getLong(1); val ne = r.getLong(2)
+      assert(ns >= 1 && ns <= ne)
+    }
+  }
+}

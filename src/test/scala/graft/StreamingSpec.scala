@@ -1,0 +1,121 @@
+package graft
+
+import graft.streaming.Streaming
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+case class Ev(ts: Timestamp, user_id: Long, event_type: String,
+              value: Double, event_id: Long)
+
+/** Structured Streaming semantics via MemoryStream (SURVEY.md §5.2.4):
+  * batch/stream equivalence on in-order data, session-window equivalence
+  * with the lag+cumsum batch form, late-data drop, first-arrival dedup. */
+class StreamingSpec extends SparkSpec {
+
+  private def t(s: String) = Timestamp.valueOf(s)
+
+  test("tumbling stream (complete mode) equals batch aggregation") {
+    val sp = spark
+    import sp.implicits._
+    implicit val ctx = sp.sqlContext
+    val evs = Seq(
+      Ev(t("2024-01-01 10:05:00"), 1, "click", 1.50, 1),
+      Ev(t("2024-01-01 10:35:00"), 2, "view", 2.25, 2),
+      Ev(t("2024-01-01 11:10:00"), 1, "click", 3.00, 3),
+      Ev(t("2024-01-01 12:59:59"), 3, "purchase", 10.00, 4))
+    val ms = MemoryStream[Ev]
+    ms.addData(evs)
+    val q = Streaming.tumblingStream(ms.toDF())
+      .writeStream.outputMode("complete").format("memory").queryName("tum").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("tum")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    val batch = Streaming.tumblingStream(evs.toDF())
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(streamed == batch && streamed.size == 4)
+  }
+
+  test("late data beyond the watermark is dropped in append mode") {
+    val sp = spark
+    import sp.implicits._
+    implicit val ctx = sp.sqlContext
+    val ms = MemoryStream[Ev]
+    val q = Streaming.tumblingStream(ms.toDF())
+      .writeStream.outputMode("append").format("memory").queryName("late").start()
+    try {
+      ms.addData(Ev(t("2024-01-01 10:05:00"), 1, "click", 1.0, 1))
+      q.processAllAvailable()
+      // advance watermark far past the 10:00 window (wm = 14:00 - 10min)
+      ms.addData(Ev(t("2024-01-01 14:00:00"), 1, "click", 1.0, 2))
+      q.processAllAvailable()
+      // late arrival for the already-closed 10:00 window -> dropped
+      ms.addData(Ev(t("2024-01-01 10:30:00"), 1, "click", 99.0, 3))
+      q.processAllAvailable()
+      // close the 14:00 window too
+      ms.addData(Ev(t("2024-01-01 18:00:00"), 1, "click", 1.0, 4))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("late")
+      .collect().map(r => (r.getTimestamp(0).toString, r.getLong(2))).toMap
+    assert(rows("2024-01-01 10:00:00.0") == 1L, s"late row not dropped: $rows")
+  }
+
+  test("session_window stream equals lag+cumsum batch sessionization") {
+    val sp = spark
+    import sp.implicits._
+    implicit val ctx = sp.sqlContext
+    val active = Seq(
+      Ev(t("2024-01-01 10:00:00"), 1, "click", 1.0, 1),
+      Ev(t("2024-01-01 10:10:00"), 1, "view", 1.0, 2),
+      Ev(t("2024-01-01 11:30:00"), 1, "click", 1.0, 3), // gap 80min -> new session
+      Ev(t("2024-01-01 10:00:00"), 2, "view", 1.0, 4))
+    val ms = MemoryStream[Ev]
+    val q = Streaming.sessionStream(ms.toDF())
+      .writeStream.outputMode("append").format("memory").queryName("sess").start()
+    try {
+      ms.addData(active)
+      q.processAllAvailable()
+      ms.addData(Ev(t("2024-01-02 10:00:00"), 9, "click", 1.0, 9)) // close all
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("sess")
+      .filter(col("user_id") =!= 9)
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2))).toSet
+    // batch equivalent on the same static rows
+    val batchDf = active.toDF()
+    val tmp = s"/tmp/graft-sess-${System.nanoTime()}"
+    batchDf.write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val batch = Streaming.streamSession(spark, tmp)
+      .select(col("user_id"), col("session_start"), col("cnt"))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2))).toSet
+    assert(streamed == batch && streamed.size == 3)
+  }
+
+  test("streaming dropDuplicates keeps only the first (user, event_type) arrival") {
+    val sp = spark
+    import sp.implicits._
+    implicit val ctx = sp.sqlContext
+    val ms = MemoryStream[Ev]
+    val q = Streaming.dedupStream(ms.toDF())
+      .writeStream.outputMode("append").format("memory").queryName("dedup").start()
+    try {
+      ms.addData(
+        Ev(t("2024-01-01 10:00:00"), 1, "click", 1.0, 1),
+        Ev(t("2024-01-01 10:01:00"), 1, "click", 1.0, 2))
+      q.processAllAvailable()
+      ms.addData(Ev(t("2024-01-01 10:02:00"), 1, "click", 1.0, 3))
+      q.processAllAvailable()
+    } finally q.stop()
+    val ids = spark.table("dedup").collect().map(_.getLong(2)).toSet
+    assert(ids == Set(1L))
+  }
+
+  test("batch-equivalent declared queries are consistent with stream transforms") {
+    // tumbling declared query == tumblingStream applied to the static table
+    val declared = Streaming.streamTumbling(spark, sf).collect()
+    val transformed = Streaming.tumblingStream(Tables.load(spark, sf, "events"))
+      .orderBy("window_start", "event_type").collect()
+    assert(declared.sameElements(transformed))
+  }
+}
