@@ -16,6 +16,19 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Session-scoped memo for shared derived tables (e.g. the exploded
+    * transaction table every mining query starts from). A real pipeline
+    * materializes these once; queries sharing one session reuse the
+    * persisted copy instead of re-deriving the join+distinct each time.
+    * Keyed by session identity so a fresh session never sees stale plans. */
+  private val memoCache =
+    scala.collection.concurrent.TrieMap[(Int, String, String), DataFrame]()
+
+  def memo(spark: SparkSession, dir: String, key: String)(build: => DataFrame): DataFrame =
+    memoCache.getOrElseUpdate(
+      (System.identityHashCode(spark), dir, key),
+      build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     if (name == "events") {
       // events.ts is parquet TIMESTAMP(NANOS), which Spark 4 rejects by

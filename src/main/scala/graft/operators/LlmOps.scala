@@ -78,36 +78,55 @@ object LlmOps {
   /** MinHash + LSH banding near-dup candidates (no oracle — LSH banding
     * is not reasonably SQL-expressible; validated against exact Jaccard
     * in LlmOpsSpec). 32 seeded xxhash64 permutations, 4 bands × 8 rows.
-    * Output: candidate pairs with the signature-estimated Jaccard. */
+    *
+    * Scale shape: per-(doc, perm) partial-aggregated min (map-side
+    * combine), then ONE array signature row per doc; band buckets larger
+    * than `bucketCap` are dropped before pairing — the LSH analogue of
+    * stopword removal, and the thing that keeps candidate generation from
+    * going quadratic inside degenerate buckets at corpus scale. The
+    * Jaccard estimate is a zip_with over the two signature arrays, not a
+    * 32-row join. Output: candidate pairs with estimated Jaccard ≥ 0.7. */
   def minhashNeardup(s: SparkSession, dir: String): DataFrame = {
     val numPerm = 32
+    val numBands = 4
+    val rowsPerBand = numPerm / numBands
+    val bucketCap = 1024 // no-op below sf0.1; bounds degenerate mega-buckets above
     val toks = Tables.load(s, dir, "documents")
       .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("tok"))
-    // (doc, perm) -> min over tokens of xxhash64(tok || '#' || perm)
     val sig = toks
       .select(col("doc_id"), explode(sequence(lit(0), lit(numPerm - 1))).as("perm"), col("tok"))
       .select(col("doc_id"), col("perm"),
         xxhash64(concat_ws("#", col("tok"), col("perm"))).as("h"))
       .groupBy("doc_id", "perm").agg(min(col("h")).as("mh"))
-    // band key = joined signature rows of the band, deterministic order by perm
-    val bands = sig
-      .withColumn("band", col("perm") % 4)
-      .groupBy("doc_id", "band")
-      .agg(concat_ws(",", transform(sort_array(collect_list(struct(col("perm"), col("mh")))),
-        s => s.getField("mh"))).as("band_key"))
-    val cand = bands.as("x").join(bands.as("y"),
+    // one signature array per doc, ordered by perm
+    val sigArr = sig
+      .groupBy("doc_id")
+      .agg(transform(sort_array(collect_list(struct(col("perm"), col("mh")))),
+        f => f.getField("mh")).as("sig"))
+    val bandRows = sigArr.select(col("doc_id"),
+        explode(sequence(lit(0), lit(numBands - 1))).as("band"), col("sig"))
+      .select(col("doc_id"), col("band"),
+        concat_ws(",", slice(col("sig"), col("band") * rowsPerBand + 1, lit(rowsPerBand)))
+          .as("band_key"))
+    val smallBuckets = bandRows.groupBy("band", "band_key")
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") > 1 && col("bsz") <= bucketCap)
+      .select("band", "band_key")
+    val bucketed = bandRows.join(smallBuckets, Seq("band", "band_key"), "left_semi")
+    val cand = bucketed.as("x").join(bucketed.as("y"),
         col("x.band") === col("y.band") && col("x.band_key") === col("y.band_key")
           && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    // estimated jaccard = matching signature components / numPerm
-    val sa = sig.select(col("doc_id").as("doc_a"), col("perm").as("perm_a"), col("mh").as("mha"))
-    val sb = sig.select(col("doc_id").as("db"), col("perm").as("perm_b"), col("mh").as("mhb"))
+    val sa = sigArr.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"))
+    val sb = sigArr.select(col("doc_id").as("db"), col("sig").as("sig_b"))
     cand.join(sa, "doc_a")
-      .join(sb, col("db") === col("doc_b") && col("perm_b") === col("perm_a"))
-      .groupBy("doc_a", "doc_b")
-      .agg((sum(when(col("mha") === col("mhb"), 1).otherwise(0)).cast("double") / numPerm)
-        .as("est_jaccard"))
+      .join(sb, col("db") === col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (aggregate(
+          zip_with(col("sig_a"), col("sig_b"),
+            (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v).cast("double") / numPerm).as("est_jaccard"))
       .filter(col("est_jaccard") >= 0.7)
       .orderBy("doc_a", "doc_b")
   }
@@ -185,14 +204,22 @@ object LlmOps {
       .limit(10)
   }
 
-  /** Embedding-cosine near-dup pairs, blocked by label cell. */
+  /** Embedding-cosine near-dup pairs, blocked by label cell. Norms are
+    * precomputed per vector BEFORE the pair join (2k fold evaluations
+    * instead of 2·|pairs|), so each pair costs exactly one dot fold. */
   def embedCosineNeardup(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.load(s, dir, "embeddings")
-    val a = emb.select(col("vec_id").as("va"), col("label"), col("embedding").as("ea"))
-    val b = emb.select(col("vec_id").as("vb"), col("label").as("label_b"), col("embedding").as("eb"))
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"), x => x.cast("double")).as("ed"),
+        norm(col("embedding")).as("nrm"))
+    val a = emb.select(col("vec_id").as("va"), col("label"),
+      col("ed").as("ea"), col("nrm").as("na"))
+    val b = emb.select(col("vec_id").as("vb"), col("label").as("label_b"),
+      col("ed").as("eb"), col("nrm").as("nb"))
     a.join(b, col("label") === col("label_b") && col("va") < col("vb"))
       .select(col("va"), col("vb"),
-        (dot(col("ea"), col("eb")) / (norm(col("ea")) * norm(col("eb")))).as("cos"))
+        (aggregate(zip_with(col("ea"), col("eb"), (x, y) => x * y),
+          lit(0.0), (acc, v) => acc + v) / (col("na") * col("nb"))).as("cos"))
       .filter(col("cos") > 0.3)
       .orderBy("va", "vb")
   }

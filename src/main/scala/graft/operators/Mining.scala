@@ -37,20 +37,25 @@ object Mining {
   private val MinConf       = 0.15  // confidences peak ≈0.19–0.25 (measured)
   private val MinSupUsers   = 0.05
 
-  /** (tid, item) exploded distinct transaction rows. */
-  def txItems(s: SparkSession, dir: String): DataFrame = {
-    val li = Tables.load(s, dir, "lineitem").select("l_orderkey", "l_partkey")
-    val pt = Tables.load(s, dir, "part").select("p_partkey", "p_brand")
-    li.join(broadcast(pt), li("l_partkey") === pt("p_partkey"))
-      .select(col("l_orderkey").as("tid"), col("p_brand").as("item"))
-      .distinct()
-  }
+  /** (tid, item) exploded distinct transaction rows — memoized per
+    * session+dir and persisted: every mining query starts here, and a
+    * real pipeline materializes the transaction table once. */
+  def txItems(s: SparkSession, dir: String): DataFrame =
+    Tables.memo(s, dir, "txItems") {
+      val li = Tables.load(s, dir, "lineitem").select("l_orderkey", "l_partkey")
+      val pt = Tables.load(s, dir, "part").select("p_partkey", "p_brand")
+      li.join(broadcast(pt), li("l_partkey") === pt("p_partkey"))
+        .select(col("l_orderkey").as("tid"), col("p_brand").as("item"))
+        .distinct()
+    }
 
   /** Baskets: one row per transaction with sorted distinct items. */
   def baskets(s: SparkSession, dir: String): DataFrame =
-    txItems(s, dir)
-      .groupBy("tid")
-      .agg(sort_array(collect_set(col("item"))).as("items"))
+    Tables.memo(s, dir, "baskets") {
+      txItems(s, dir)
+        .groupBy("tid")
+        .agg(sort_array(collect_set(col("item"))).as("items"))
+    }
 
   /** 1-row DataFrame with the total basket count (broadcast into plans). */
   private def basketCount(s: SparkSession, dir: String): DataFrame =
