@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.Tables
+import graft.expressions.DotProduct
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -32,8 +33,14 @@ object LlmOps {
 
   private val Stopwords = Seq("a", "the")
 
-  /** Left-fold dot product in array order — engine-identical IEEE doubles. */
-  private def dot(a: Column, b: Column): Column =
+  /** Left-fold dot product in array order — engine-identical IEEE doubles.
+    * Runs as the native codegen'd [[graft.expressions.DotProduct]]
+    * (callers register it on the session first); `dotHof` is the
+    * equivalent HOF formulation, kept for the bit-equality test in
+    * LlmOpsSpec. */
+  private def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
+
+  def dotHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
@@ -160,6 +167,7 @@ object LlmOps {
     * baseline (`llm_ann_ivf` is the bucketed scale path). Probe row is
     * broadcast; top-k runs as TakeOrdered, no global sort. */
   def similarityKnn(s: SparkSession, dir: String): DataFrame = {
+    DotProduct.register(s)
     val emb = Tables.load(s, dir, "embeddings")
     val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
     emb.filter(col("vec_id") =!= 0)
@@ -176,6 +184,7 @@ object LlmOps {
     * Deterministic: argmin tiebreak on centroid id; validated for recall
     * against brute force in LlmOpsSpec. */
   def annIvf(s: SparkSession, dir: String): DataFrame = {
+    DotProduct.register(s)
     val emb = Tables.load(s, dir, "embeddings")
     val cent = emb.filter(col("vec_id") < 8)
       .select(col("vec_id").as("cid"), col("embedding").as("ce"))
@@ -208,6 +217,7 @@ object LlmOps {
     * precomputed per vector BEFORE the pair join (2k fold evaluations
     * instead of 2·|pairs|), so each pair costs exactly one dot fold. */
   def embedCosineNeardup(s: SparkSession, dir: String): DataFrame = {
+    DotProduct.register(s)
     val emb = Tables.load(s, dir, "embeddings")
       .select(col("vec_id"), col("label"),
         transform(col("embedding"), x => x.cast("double")).as("ed"),
@@ -218,8 +228,7 @@ object LlmOps {
       col("ed").as("eb"), col("nrm").as("nb"))
     a.join(b, col("label") === col("label_b") && col("va") < col("vb"))
       .select(col("va"), col("vb"),
-        (aggregate(zip_with(col("ea"), col("eb"), (x, y) => x * y),
-          lit(0.0), (acc, v) => acc + v) / (col("na") * col("nb"))).as("cos"))
+        (dot(col("ea"), col("eb")) / (col("na") * col("nb"))).as("cos"))
       .filter(col("cos") > 0.3)
       .orderBy("va", "vb")
   }
@@ -309,6 +318,7 @@ object LlmOps {
 
   /** Multimodal join: text row ⋈ vector row on doc_id=vec_id. */
   def multimodalJoin(s: SparkSession, dir: String): DataFrame = {
+    DotProduct.register(s)
     val docs = Tables.load(s, dir, "documents").select(col("doc_id"), col("text"))
     val emb = Tables.load(s, dir, "embeddings")
     docs.join(emb, docs("doc_id") === emb("vec_id"))

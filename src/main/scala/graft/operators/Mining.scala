@@ -167,17 +167,24 @@ object Mining {
 
   /** Bounded sequential patterns: ordered event-type pairs within a user's
     * stream, counted by distinct users (GSP/PrefixSpan length-2 slice kept
-    * SQL-enumerable; `ml.fpm.PrefixSpan` is the unbounded path). Strict
-    * (ts, event_id) ordering — events.ts is µs-aligned so the comparison
-    * is engine-identical. */
+    * SQL-enumerable; `ml.fpm.PrefixSpan` is the unbounded path).
+    *
+    * Scale shape: a user exhibits a→b iff their FIRST a-event precedes
+    * their LAST b-event in strict (ts, event_id) order, so one
+    * aggregation to (user, type, min, max) — O(users·types) — replaces
+    * the O(events²/user) self-join; the oracle states the spec as the
+    * plain self-join and hash-matches this plan exactly. events.ts is
+    * µs-aligned, so timestamp comparisons are engine-identical. */
   def fpmSeqPairs(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.load(s, dir, "events")
-      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
-    val a = ev.select(col("user_id"), col("event_type").as("eta"), col("ts").as("ts_a"), col("event_id").as("id_a"))
-    val b = ev.select(col("user_id").as("uid_b"), col("event_type").as("etb"), col("ts").as("ts_b"), col("event_id").as("id_b"))
+      .select(col("user_id"), col("event_type"),
+        struct(col("ts"), col("event_id")).as("k"))
+    val perType = ev.groupBy("user_id", "event_type")
+      .agg(min(col("k")).as("first_k"), max(col("k")).as("last_k"))
     val users = ev.select(countDistinct(col("user_id")).as("n_users"))
-    a.join(b, a("user_id") === b("uid_b") &&
-        (a("ts_a") < b("ts_b") || (a("ts_a") === b("ts_b") && a("id_a") < b("id_b"))))
+    val a = perType.select(col("user_id"), col("event_type").as("eta"), col("first_k"))
+    val b = perType.select(col("user_id").as("uid_b"), col("event_type").as("etb"), col("last_k"))
+    a.join(b, col("user_id") === col("uid_b") && col("first_k") < col("last_k"))
       .groupBy("eta", "etb").agg(countDistinct(col("user_id")).as("users"))
       .crossJoin(broadcast(users))
       .filter(col("users") >= col("n_users") * MinSupUsers)
@@ -185,7 +192,33 @@ object Mining {
       .orderBy("eta", "etb")
   }
 
+  /** Full sequential-pattern mining via ml.fpm.PrefixSpan (PrefixSpan,
+    * Pei et al., ICDE 2001 — the reference family's sequence-mining
+    * variant), bounded to pattern length ≤ 2 so the oracle can enumerate
+    * the identical set: length-1 = event types by distinct users,
+    * length-2 = the ordered-pair support of fpm_seq_pairs. Sequences are
+    * built deterministically per user in (ts, event_id) order. */
+  def fpmPrefixspan(s: SparkSession, dir: String): DataFrame = {
+    val seqs = Tables.load(s, dir, "events")
+      .groupBy("user_id")
+      .agg(transform(
+        sort_array(collect_list(struct(col("ts"), col("event_id"), col("event_type")))),
+        e => array(e.getField("event_type"))).as("sequence"))
+    val patterns = new org.apache.spark.ml.fpm.PrefixSpan()
+      .setMinSupport(MinSupUsers)
+      .setMaxPatternLength(2)
+      .setSequenceCol("sequence")
+      .findFrequentSequentialPatterns(seqs)
+    patterns
+      .select(
+        concat_ws(">", transform(col("sequence"), a => element_at(a, 1))).as("pattern"),
+        size(col("sequence")).cast("long").as("len"),
+        col("freq"))
+      .orderBy("len", "pattern")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fpm_prefixspan"   -> (fpmPrefixspan _),
     "fpm_basketize"    -> (fpmBasketize _),
     "fpm_freq_items"   -> (fpmFreqItems _),
     "fpm_freq_pairs"   -> (fpmFreqPairs _),
@@ -202,6 +235,25 @@ object Mining {
       |), nb AS (SELECT count(DISTINCT tid) AS n FROM tx)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "fpm_prefixspan" ->
+      """WITH nu AS (SELECT count(DISTINCT user_id) AS n FROM events),
+        |l1 AS (
+        |  SELECT event_type AS pattern, 1 AS len,
+        |         count(DISTINCT user_id) AS freq
+        |  FROM events GROUP BY event_type
+        |  HAVING count(DISTINCT user_id) >= 0.05 * (SELECT n FROM nu)
+        |), l2 AS (
+        |  SELECT a.event_type || '>' || b.event_type AS pattern, 2 AS len,
+        |         count(DISTINCT a.user_id) AS freq
+        |  FROM events a JOIN events b ON a.user_id = b.user_id
+        |   AND (a.ts < b.ts OR (a.ts = b.ts AND a.event_id < b.event_id))
+        |  GROUP BY a.event_type, b.event_type
+        |  HAVING count(DISTINCT a.user_id) >= 0.05 * (SELECT n FROM nu)
+        |)
+        |SELECT pattern, CAST(len AS BIGINT) AS len, CAST(freq AS BIGINT) AS freq
+        |FROM (SELECT * FROM l1 UNION ALL SELECT * FROM l2)
+        |ORDER BY len, pattern""".stripMargin,
+
     "fpm_basketize" ->
       """SELECT l_orderkey,
         |       string_agg(DISTINCT p_brand, ',' ORDER BY p_brand) AS items_str,

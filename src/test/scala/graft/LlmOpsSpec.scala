@@ -58,6 +58,17 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("native graft_dot is bit-identical to the HOF fold") {
+    graft.expressions.DotProduct.register(spark)
+    val emb = Tables.load(spark, sf, "embeddings")
+    val diffs = emb.select(
+        call_function("graft_dot", col("embedding"), col("embedding")).as("native"),
+        LlmOps.dotHof(col("embedding"), col("embedding")).as("hof"))
+      .filter(col("native") =!= col("hof"))
+      .count()
+    assert(diffs == 0)
+  }
+
   test("knn: 10 rows, sims in [-1,1], strictly ordered") {
     val sims = LlmOps.similarityKnn(spark, sf).collect().map(_.getDouble(1))
     assert(sims.length == 10)
