@@ -1,0 +1,47 @@
+package graft
+
+import graft.sources.FimiSource
+import org.apache.spark.sql.functions._
+
+/** Driver-contract invariants and source round-trips. */
+class ContractSpec extends SparkSpec {
+
+  test("every oracle key has a query; no dangling oracles") {
+    val dangling = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(dangling.isEmpty, s"oracles without queries: $dangling")
+  }
+
+  test("oracle coverage: only the declared sketch/LSH keys are oracle-free") {
+    val oracleFree = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(oracleFree == Set("rel_agg_approx", "llm_minhash_neardup", "llm_simhash"),
+      s"unexpected oracle-free keys: $oracleFree")
+  }
+
+  test("entry returns rows (driver smoke contract)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every query has unique, non-empty column names") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val cols = fn(spark, sf).columns
+      assert(cols.nonEmpty && cols.distinct.length == cols.length,
+        s"$name columns: ${cols.mkString(",")}")
+      assert(cols.forall(_.nonEmpty), s"$name has empty column name")
+    }
+  }
+
+  test("FIMI text source round-trips the mining baskets") {
+    val baskets = operators.Mining.baskets(spark, sf)
+      .orderBy("tid").select("items")
+    val path = s"/tmp/graft-fimi-${System.nanoTime()}"
+    FimiSource.write(baskets, path)
+    val back = FimiSource.read(spark, path)
+    assert(back.count() == baskets.count())
+    // same multiset of canonical basket strings
+    val a = baskets.select(concat_ws(",", col("items")).as("b"))
+      .groupBy("b").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val b = back.select(concat_ws(",", col("items")).as("b"))
+      .groupBy("b").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(a == b)
+  }
+}
