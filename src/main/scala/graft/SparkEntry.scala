@@ -11,6 +11,7 @@ object SparkEntry {
       operators.Relational.queries ++
       functions.Scalar.queries ++
       operators.LlmOps.queries ++
+      operators.SqlSurface.queries ++
       streaming.Streaming.queries ++
       functions.Udfs.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -20,6 +21,7 @@ object SparkEntry {
       operators.Relational.oracle ++
       functions.Scalar.oracle ++
       operators.LlmOps.oracle ++
+      operators.SqlSurface.oracle ++
       streaming.Streaming.oracle ++
       functions.Udfs.oracle
 }

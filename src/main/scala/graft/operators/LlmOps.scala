@@ -342,7 +342,32 @@ object LlmOps {
         (length(col("text").cast("binary")) % 256).cast("long").as("stub_feature"))
       .orderBy("doc_id")
 
+  /** Batch "decode" over opaque binary content via typed mapPartitions —
+    * the Scala analogue of a Pandas-UDF/`mapInPandas` decode stage for
+    * image/audio columns. The decoder itself is a clearly-marked
+    * deterministic STUB (no media libs in this environment): features
+    * are cheap arithmetic on the byte length, shaped like a real
+    * per-batch feature extractor (schema, batching, partition-parallel
+    * plumbing are the real thing). The oracle states the same
+    * arithmetic, so even the stub is hash-verified. */
+  def decodeStub(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("text").cast("binary").as("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        batch.map { case (id, bytes) =>
+          // STUB decode: stand-in for image/audio feature extraction
+          val n = bytes.length
+          (id, n.toLong, (n % 7).toDouble, (n % 11).toDouble, (n % 13).toDouble)
+        }
+      }
+      .toDF("doc_id", "n_bytes", "f0", "f1", "f2")
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_decode_stub"        -> (decodeStub _),
     "llm_tokenize_wordcount" -> (tokenizeWordcount _),
     "llm_exact_dedup"        -> (exactDedup _),
     "llm_fingerprint"        -> (fingerprint _),
@@ -361,6 +386,14 @@ object LlmOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "llm_decode_stub" ->
+      """SELECT doc_id,
+        |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |       CAST(octet_length(encode(text)) % 7 AS DOUBLE) AS f0,
+        |       CAST(octet_length(encode(text)) % 11 AS DOUBLE) AS f1,
+        |       CAST(octet_length(encode(text)) % 13 AS DOUBLE) AS f2
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     "llm_tokenize_wordcount" ->
       """SELECT word, CAST(count(*) AS BIGINT) AS freq
         |FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)

@@ -185,7 +185,23 @@ object Relational {
       .orderBy("tag", "o_custkey")
   }
 
+  /** Skew-safe two-stage aggregation: salt the group key, partial-agg
+    * per (key, salt), then final-agg per key. Decimal sums are exact and
+    * associative, so the result is identical to the direct aggregation
+    * (the oracle states the direct form) — this is the manual fallback
+    * for keys too hot even for AQE's skew handling. */
+  def relAggSalted(s: SparkSession, dir: String): DataFrame = {
+    val salted = Tables.load(s, dir, "lineitem")
+      .withColumn("salt", pmod(hash(col("l_orderkey")), lit(8)))
+      .groupBy("l_returnflag", "salt")
+      .agg(sum(dec("l_quantity")).as("pq"), count(lit(1)).as("pc"))
+    salted.groupBy("l_returnflag")
+      .agg(sum(col("pq")).cast("double").as("sum_qty"), sum(col("pc")).as("cnt"))
+      .orderBy("l_returnflag")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_agg_salted"     -> (relAggSalted _),
     "rel_scan_project"   -> (relScanProject _),
     "rel_filter_pred"    -> (relFilterPred _),
     "rel_agg_hash"       -> (relAggHash _),
@@ -205,6 +221,12 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "rel_agg_salted" ->
+      """SELECT l_returnflag,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |       CAST(count(*) AS BIGINT) AS cnt
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
     "rel_scan_project" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,

@@ -1,0 +1,76 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** SQL-string entry point: the same engine driven through `spark.sql`
+  * over registered views — TPC-H-shaped multi-join analytics proving the
+  * parser/analyzer path end-to-end. The SQL text doubles as the DuckDB
+  * oracle (dialect-shared ANSI subset), so the two engines execute the
+  * *identical* query text.
+  *
+  * Scale posture: classic star-join plans — Catalyst broadcast-joins the
+  * dimensions (region/nation/supplier/customer) under the fact tables'
+  * shuffle joins; both queries aggregate with partial+final hash
+  * aggregation and end in bounded top-k / small-group sorts.
+  */
+object SqlSurface {
+
+  private def views(s: SparkSession, dir: String, names: String*): Unit =
+    names.foreach(t => Tables.load(s, dir, t).createOrReplaceTempView(t))
+
+  /** TPC-H Q3-shaped: shipping-priority revenue of building-segment
+    * orders straddling a date. */
+  private val q3Sql =
+    """SELECT l_orderkey,
+      |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+      |                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+      |       o_orderdate, o_orderpriority
+      |FROM customer
+      |JOIN orders   ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1997-06-01'
+      |  AND l_shipdate  > TIMESTAMP '1997-06-01'
+      |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY revenue DESC, l_orderkey
+      |LIMIT 10""".stripMargin
+
+  /** TPC-H Q5-shaped: local-supplier volume per nation in EUROPE, 1996. */
+  private val q5Sql =
+    """SELECT n_name,
+      |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+      |                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+      |       CAST(count(*) AS BIGINT) AS cnt
+      |FROM customer
+      |JOIN orders   ON c_custkey  = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey  = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation   ON s_nationkey = n_nationkey
+      |JOIN region   ON n_regionkey = r_regionkey
+      |WHERE r_name = 'EUROPE'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate <  TIMESTAMP '1997-01-01'
+      |GROUP BY n_name
+      |ORDER BY revenue DESC, n_name""".stripMargin
+
+  def sqlQ3(s: SparkSession, dir: String): DataFrame = {
+    views(s, dir, "customer", "orders", "lineitem")
+    s.sql(q3Sql)
+  }
+
+  def sqlQ5(s: SparkSession, dir: String): DataFrame = {
+    views(s, dir, "customer", "orders", "lineitem", "supplier", "nation", "region")
+    s.sql(q5Sql)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sql_tpch_q3" -> (sqlQ3 _),
+    "sql_tpch_q5" -> (sqlQ5 _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "sql_tpch_q3" -> q3Sql,
+    "sql_tpch_q5" -> q5Sql,
+  )
+}
