@@ -366,7 +366,18 @@ object LlmOps {
       .orderBy("doc_id")
   }
 
+  /** Deterministic hash-based sampling (eval/train split style): keep
+    * docs whose salted md5 starts with one of 2/16 hex digits — a stable
+    * ~12.5% sample, identical on every engine and at every scale. */
+  def hashSample(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .filter(substring(md5(concat(lit("graft:"), col("doc_id").cast("string"))), 1, 1)
+        .isin("0", "1"))
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_hash_sample"        -> (hashSample _),
     "llm_decode_stub"        -> (decodeStub _),
     "llm_tokenize_wordcount" -> (tokenizeWordcount _),
     "llm_exact_dedup"        -> (exactDedup _),
@@ -386,6 +397,11 @@ object LlmOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "llm_hash_sample" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE substring(md5('graft:' || CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1')
+        |ORDER BY doc_id""".stripMargin,
+
     "llm_decode_stub" ->
       """SELECT doc_id,
         |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

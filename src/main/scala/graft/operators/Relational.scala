@@ -200,7 +200,19 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  /** Pivot: order counts per priority × status, absent cells as 0. */
+  def relPivot(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "orders")
+      .groupBy("o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0L, Seq("F", "O", "P"))
+      .select(col("o_orderpriority"), col("F").as("cnt_f"),
+        col("O").as("cnt_o"), col("P").as("cnt_p"))
+      .orderBy("o_orderpriority")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_pivot"          -> (relPivot _),
     "rel_agg_salted"     -> (relAggSalted _),
     "rel_scan_project"   -> (relScanProject _),
     "rel_filter_pred"    -> (relFilterPred _),
@@ -221,6 +233,13 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "rel_pivot" ->
+      """SELECT o_orderpriority,
+        |       CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS cnt_f,
+        |       CAST(count(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS cnt_o,
+        |       CAST(count(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS cnt_p
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
     "rel_agg_salted" ->
       """SELECT l_returnflag,
         |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

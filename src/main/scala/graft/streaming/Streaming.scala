@@ -4,6 +4,11 @@ import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Row/state shapes for the arbitrary-stateful operator. */
+case class SeqEvent(ts: java.sql.Timestamp, user_id: Long, event_id: Long)
+case class SeqOut(user_id: Long, event_id: Long, seq: Long)
 
 /** §E — streaming surface (SURVEY.md §2.1.E).
   *
@@ -65,7 +70,35 @@ object Streaming {
       .dropDuplicates("user_id", "event_type")
       .select(col("user_id"), col("event_type"), col("event_id"), col("ts"))
 
+  /** Arbitrary stateful processing via `flatMapGroupsWithState`: per-user
+    * running sequence numbers carried in explicit GroupState. The same
+    * function runs over a batch Dataset (the declared oracle-checked
+    * query) and under Structured Streaming's IncrementalExecution
+    * (StreamingSpec) — state per key is one long, bounded.
+    * Events are sorted (ts, event_id) inside each group buffer because
+    * per-group iterator order is not guaranteed. */
+  def runningSeq(events: DataFrame): DataFrame = {
+    val sp = events.sparkSession
+    import sp.implicits._
+    events.select(col("ts"), col("user_id"), col("event_id")).as[SeqEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (uid: Long, it: Iterator[SeqEvent], state: GroupState[Long]) => {
+          val start = state.getOption.getOrElse(0L)
+          val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          state.update(start + sorted.size)
+          sorted.iterator.zipWithIndex.map { case (e, i) =>
+            SeqOut(uid, e.event_id, start + i + 1)
+          }
+        })
+      .toDF()
+  }
+
   // ------------------------------------------- declared batch equivalents
+
+  def streamRunningSeq(s: SparkSession, dir: String): DataFrame =
+    runningSeq(Tables.load(s, dir, "events"))
+      .orderBy("user_id", "seq")
 
   def streamTumbling(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "events")
@@ -111,6 +144,7 @@ object Streaming {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_running_seq"    -> (streamRunningSeq _),
     "stream_tumbling"       -> (streamTumbling _),
     "stream_sliding"        -> (streamSliding _),
     "stream_session"        -> (streamSession _),
@@ -118,6 +152,12 @@ object Streaming {
   )
 
   val oracle: Map[String, String] = Map(
+    "stream_running_seq" ->
+      """SELECT user_id, event_id,
+        |       CAST(row_number() OVER (PARTITION BY user_id
+        |                               ORDER BY ts, event_id) AS BIGINT) AS seq
+        |FROM events ORDER BY user_id, seq""".stripMargin,
+
     "stream_tumbling" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
         |       event_type, CAST(count(*) AS BIGINT) AS cnt,

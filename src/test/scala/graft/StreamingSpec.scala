@@ -111,6 +111,33 @@ class StreamingSpec extends SparkSpec {
     assert(ids == Set(1L))
   }
 
+  test("flatMapGroupsWithState running seq: incremental stream equals batch") {
+    val sp = spark
+    import sp.implicits._
+    implicit val ctx = sp.sqlContext
+    val batch1 = Seq(
+      Ev(t("2024-01-01 10:00:00"), 1, "click", 1.0, 1),
+      Ev(t("2024-01-01 10:05:00"), 1, "view", 1.0, 2),
+      Ev(t("2024-01-01 10:00:00"), 2, "view", 1.0, 3))
+    val batch2 = Seq(
+      Ev(t("2024-01-01 10:10:00"), 1, "click", 1.0, 4),
+      Ev(t("2024-01-01 10:20:00"), 2, "click", 1.0, 5))
+    val ms = MemoryStream[Ev]
+    val q = Streaming.runningSeq(ms.toDF())
+      .writeStream.outputMode("append").format("memory").queryName("seq").start()
+    try {
+      ms.addData(batch1); q.processAllAvailable()
+      ms.addData(batch2); q.processAllAvailable() // state carries across batches
+    } finally q.stop()
+    val streamed = spark.table("seq")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val batchRes = Streaming.runningSeq((batch1 ++ batch2).toDF())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed == batchRes)
+    assert(streamed == Set((1L, 1L, 1L), (1L, 2L, 2L), (1L, 4L, 3L),
+      (2L, 3L, 1L), (2L, 5L, 2L)))
+  }
+
   test("batch-equivalent declared queries are consistent with stream transforms") {
     // tumbling declared query == tumblingStream applied to the static table
     val declared = Streaming.streamTumbling(spark, sf).collect()
