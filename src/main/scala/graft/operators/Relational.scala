@@ -211,7 +211,34 @@ object Relational {
         col("O").as("cnt_o"), col("P").as("cnt_p"))
       .orderBy("o_orderpriority")
 
+  /** As-of join: for each click, the most recent prior view (strictly
+    * earlier in (ts, event_id) order, same user, within 1 hour) and its
+    * value — the time-series operator family (merge_asof).
+    *
+    * Composed as the scale-optimal single-pass form: union ordering +
+    * `last(..., ignoreNulls)` over an unbounded-preceding row frame —
+    * ONE shuffle by user + one sort, instead of a range join that
+    * explodes candidate pairs (SURVEY §4.3: composition beats a custom
+    * SparkStrategy here; a custom exec node would add nothing the
+    * window operator doesn't already do in one pass). */
+  def relAsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.load(s, dir, "events")
+      .withColumn("lv_val",
+        last(when(col("event_type") === "view", col("value")), ignoreNulls = true).over(w))
+      .withColumn("lv_ts",
+        last(when(col("event_type") === "view", col("ts")), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "click" && col("lv_ts").isNotNull
+        && unix_micros(col("ts")) - unix_micros(col("lv_ts")) <= 3600000000L)
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("lv_val").as("view_value"),
+        (unix_micros(col("ts")) - unix_micros(col("lv_ts"))).as("gap_us"))
+      .orderBy("user_id", "click_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_asof_join"      -> (relAsofJoin _),
     "rel_pivot"          -> (relPivot _),
     "rel_agg_salted"     -> (relAggSalted _),
     "rel_scan_project"   -> (relScanProject _),
@@ -233,6 +260,23 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "rel_asof_join" ->
+      """WITH x AS (
+        |  SELECT user_id, event_id, event_type, ts,
+        |         last_value(CASE WHEN event_type = 'view' THEN value END IGNORE NULLS)
+        |           OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lv_val,
+        |         last_value(CASE WHEN event_type = 'view' THEN ts END IGNORE NULLS)
+        |           OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lv_ts
+        |  FROM events)
+        |SELECT user_id, event_id AS click_id, lv_val AS view_value,
+        |       epoch_us(ts) - epoch_us(lv_ts) AS gap_us
+        |FROM x
+        |WHERE event_type = 'click' AND lv_ts IS NOT NULL
+        |  AND epoch_us(ts) - epoch_us(lv_ts) <= 3600000000
+        |ORDER BY user_id, click_id""".stripMargin,
+
     "rel_pivot" ->
       """SELECT o_orderpriority,
         |       CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS cnt_f,

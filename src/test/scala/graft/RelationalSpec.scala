@@ -41,6 +41,66 @@ class RelationalSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), s"full sort in:\n$plan")
   }
 
+  test("bucketed tables co-locate the join: no shuffle exchange on either side") {
+    spark.sql("DROP TABLE IF EXISTS li_b"); spark.sql("DROP TABLE IF EXISTS ord_b")
+    Seq("li_b", "ord_b").foreach { t =>
+      val loc = new java.io.File(s"/tmp/graft-warehouse/$t")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(): Unit
+      }
+      if (loc.exists()) rm(loc)
+    }
+    Tables.load(spark, sf, "lineitem").select("l_orderkey", "l_quantity")
+      .write.bucketBy(4, "l_orderkey").sortBy("l_orderkey")
+      .mode("overwrite").saveAsTable("li_b")
+    Tables.load(spark, sf, "orders").select("o_orderkey", "o_orderpriority")
+      .write.bucketBy(4, "o_orderkey").sortBy("o_orderkey")
+      .mode("overwrite").saveAsTable("ord_b")
+    // force the shuffle-join path (broadcast would win at this tiny scale
+    // and bypass bucketing entirely — at 100 TB neither side broadcasts)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val plan =
+      try {
+        val joined = spark.table("li_b").join(spark.table("ord_b"),
+          org.apache.spark.sql.functions.col("l_orderkey") ===
+            org.apache.spark.sql.functions.col("o_orderkey"))
+        joined.collect()
+        joined.queryExecution.executedPlan.toString
+      } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    // bucket-pruned SMJ reads both sides pre-partitioned: the only
+    // acceptable exchange would be a broadcast, never a shuffle
+    assert(plan.contains("SortMergeJoin"), s"not SMJ:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"shuffle in bucketed join:\n$plan")
+    spark.sql("DROP TABLE li_b"); spark.sql("DROP TABLE ord_b")
+  }
+
+  private def micros(ts: java.sql.Timestamp): Long =
+    ts.getTime * 1000L + (ts.getNanos % 1000000) / 1000L
+
+  test("as-of join matches an independent per-row reference computation") {
+    val got = Relational.relAsofJoin(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getDouble(2), r.getLong(3))).toMap
+    // reference: brute-force scan over collected events
+    val evs = Tables.load(spark, sf, "events")
+      .select("user_id", "event_id", "event_type", "ts", "value").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getTimestamp(3), r.getDouble(4)))
+    val byUser = evs.groupBy(_._1)
+    val expected = (for {
+      (u, rows) <- byUser.toSeq
+      (_, cid, typ, cts, _) <- rows if typ == "click"
+      prior = rows.filter { case (_, vid, vt, vts, _) =>
+        vt == "view" && (vts.before(cts) || (vts == cts && vid < cid))
+      }
+      if prior.nonEmpty
+      best = prior.maxBy { case (_, vid, _, vts, _) => (micros(vts), vid) }
+      gapUs = micros(cts) - micros(best._4)
+      if gapUs <= 3600000000L
+    } yield (u, cid) -> (best._5, gapUs)).toMap
+    assert(got == expected)
+  }
+
   test("set ops: except and intersect branches are disjoint by construction") {
     val rows = Relational.relSetOps(spark, sf).collect()
     val byTag = rows.groupBy(_.getString(0)).view.mapValues(_.map(_.getLong(1)).toSet)

@@ -15,6 +15,7 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.warehouse.dir", "/tmp/graft-warehouse")
       .appName("graft-test")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -138,6 +138,30 @@ class StreamingSpec extends SparkSpec {
       (2L, 3L, 1L), (2L, 5L, 2L)))
   }
 
+  test("foreachBatch sink: tumbling aggregation lands in parquet per micro-batch") {
+    val sp = spark
+    import sp.implicits._
+    implicit val ctx = sp.sqlContext
+    val out = s"/tmp/graft-fb-${System.nanoTime()}"
+    val ms = MemoryStream[Ev]
+    val q = Streaming.tumblingStream(ms.toDF())
+      .writeStream.outputMode("update")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        batch.write.mode("append").parquet(out)
+      }
+      .start()
+    try {
+      ms.addData(
+        Ev(t("2024-01-01 10:05:00"), 1, "click", 1.0, 1),
+        Ev(t("2024-01-01 10:15:00"), 2, "view", 2.0, 2))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.read.parquet(out)
+    assert(rows.count() == 2)
+    assert(rows.columns.sorted.sameElements(
+      Array("cnt", "event_type", "val_sum", "window_start")))
+  }
+
   test("batch-equivalent declared queries are consistent with stream transforms") {
     // tumbling declared query == tumblingStream applied to the static table
     val declared = Streaming.streamTumbling(spark, sf).collect()
