@@ -376,7 +376,20 @@ object LlmOps {
       .select(col("doc_id"), col("lang"), col("n_chars"))
       .orderBy("doc_id")
 
+  /** Unit-normalized embeddings (array-valued output): each component
+    * divided by the vector's norm, positionally deterministic in both
+    * engines. The standard pre-step for cosine ANN indexes. */
+  def normalizeEmbeddings(s: SparkSession, dir: String): DataFrame = {
+    DotProduct.register(s)
+    Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          x => x.cast("double") / norm(col("embedding"))).as("unit"))
+      .orderBy("vec_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_normalize_emb"      -> (normalizeEmbeddings _),
     "llm_hash_sample"        -> (hashSample _),
     "llm_decode_stub"        -> (decodeStub _),
     "llm_tokenize_wordcount" -> (tokenizeWordcount _),
@@ -397,6 +410,12 @@ object LlmOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "llm_normalize_emb" ->
+      s"""SELECT vec_id,
+         |       list_transform(embedding,
+         |         x -> CAST(x AS DOUBLE) / ${sqlNorm("embedding")}) AS unit
+         |FROM embeddings ORDER BY vec_id""".stripMargin,
+
     "llm_hash_sample" ->
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE substring(md5('graft:' || CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1')

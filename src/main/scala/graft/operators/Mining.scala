@@ -92,17 +92,25 @@ object Mining {
   private def txPruned(s: SparkSession, dir: String, minSup: Double): DataFrame =
     txItems(s, dir).join(broadcast(f1(s, dir, minSup)), Seq("item"), "left_semi")
 
-  def fpmFreqPairs(s: SparkSession, dir: String): DataFrame = {
-    val tx = txPruned(s, dir, MinSupPairs)
-    val a = tx.select(col("tid"), col("item").as("ia"))
-    val b = tx.select(col("tid").as("tid_b"), col("item").as("ib"))
-    a.join(b, a("tid") === b("tid_b") && a("ia") < b("ib"))
-      .groupBy("ia", "ib").agg(count(lit(1)).as("freq"))
+  /** Unthresholded pair supports — memoized: fpm_freq_pairs and
+    * fpm_assoc_rules share this one self-join+aggregate materialization
+    * (the 25-item vocabulary bounds it to ≤300 rows regardless of scale,
+    * so persisting it is always safe). */
+  private def pairSupports(s: SparkSession, dir: String): DataFrame =
+    Tables.memo(s, dir, "pairSupports") {
+      val tx = txItems(s, dir)
+      val a = tx.select(col("tid"), col("item").as("ia"))
+      val b = tx.select(col("tid").as("tid_b"), col("item").as("ib"))
+      a.join(b, a("tid") === b("tid_b") && a("ia") < b("ib"))
+        .groupBy("ia", "ib").agg(count(lit(1)).as("freq"))
+    }
+
+  def fpmFreqPairs(s: SparkSession, dir: String): DataFrame =
+    pairSupports(s, dir)
       .crossJoin(broadcast(basketCount(s, dir)))
       .filter(col("freq") >= col("n") * MinSupPairs)
       .select(concat_ws(",", col("ia"), col("ib")).as("itemset"), col("freq"))
       .orderBy("itemset")
-  }
 
   def fpmFreqTriples(s: SparkSession, dir: String): DataFrame = {
     val tx = txPruned(s, dir, MinSupTriples)
@@ -144,10 +152,8 @@ object Mining {
   def fpmAssocRules(s: SparkSession, dir: String): DataFrame = {
     val tx = txItems(s, dir)
     val supp1 = tx.groupBy("item").agg(count(lit(1)).as("s"))
-    val a = tx.select(col("tid"), col("item").as("ia"))
-    val b = tx.select(col("tid").as("tid_b"), col("item").as("ib"))
-    val pairs = a.join(b, a("tid") === b("tid_b") && a("ia") < b("ib"))
-      .groupBy("ia", "ib").agg(count(lit(1)).as("sab"))
+    val pairs = pairSupports(s, dir)
+      .withColumnRenamed("freq", "sab")
       .crossJoin(broadcast(basketCount(s, dir)))
       .filter(col("sab") >= col("n") * MinSupPairs)
     val directed = pairs.select(col("ia").as("antecedent"), col("ib").as("consequent"), col("sab"), col("n"))

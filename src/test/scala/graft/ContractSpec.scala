@@ -30,6 +30,19 @@ class ContractSpec extends SparkSpec {
     }
   }
 
+  test("partitioned parquet write enables partition pruning on read") {
+    val path = s"/tmp/graft-part-${System.nanoTime()}"
+    Tables.load(spark, sf, "documents")
+      .write.partitionBy("lang").mode("overwrite").parquet(path)
+    val filtered = spark.read.parquet(path).filter(col("lang") === "en")
+    val plan = filtered.queryExecution.sparkPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("lang"),
+      s"no partition pruning in:\n$plan")
+    val expected = Tables.load(spark, sf, "documents")
+      .filter(col("lang") === "en").count()
+    assert(filtered.count() == expected)
+  }
+
   test("FIMI text source round-trips the mining baskets") {
     val baskets = operators.Mining.baskets(spark, sf)
       .orderBy("tid").select("items")
