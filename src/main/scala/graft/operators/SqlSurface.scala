@@ -54,6 +54,22 @@ object SqlSurface {
       |GROUP BY n_name
       |ORDER BY revenue DESC, n_name""".stripMargin
 
+  /** Correlated scalar subquery — exercises Catalyst's
+    * RewriteCorrelatedScalarSubquery decorrelation (the subquery becomes
+    * an aggregate + left outer join; customers with no orders compare
+    * against NULL and drop out in both engines). */
+  private val corrSql =
+    """SELECT c_custkey, c_name, c_acctbal
+      |FROM customer
+      |WHERE c_acctbal > (SELECT 0.0001 * CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |                   FROM orders WHERE o_custkey = c_custkey)
+      |ORDER BY c_custkey""".stripMargin
+
+  def sqlCorr(s: SparkSession, dir: String): DataFrame = {
+    views(s, dir, "customer", "orders")
+    s.sql(corrSql)
+  }
+
   def sqlQ3(s: SparkSession, dir: String): DataFrame = {
     views(s, dir, "customer", "orders", "lineitem")
     s.sql(q3Sql)
@@ -65,12 +81,14 @@ object SqlSurface {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "sql_tpch_q3" -> (sqlQ3 _),
-    "sql_tpch_q5" -> (sqlQ5 _),
+    "sql_tpch_q3"       -> (sqlQ3 _),
+    "sql_tpch_q5"       -> (sqlQ5 _),
+    "sql_corr_subquery" -> (sqlCorr _),
   )
 
   val oracle: Map[String, String] = Map(
-    "sql_tpch_q3" -> q3Sql,
-    "sql_tpch_q5" -> q5Sql,
+    "sql_tpch_q3"       -> q3Sql,
+    "sql_tpch_q5"       -> q5Sql,
+    "sql_corr_subquery" -> corrSql,
   )
 }
