@@ -131,15 +131,27 @@ object Relational {
   }
 
   /** Range/interval join: per user, ordered event pairs ≤ 10 min apart.
-    * Equi key (user_id) first, range predicate after — shuffles only on
-    * the equi key at scale. events.ts is µs-aligned (engine-identical). */
+    *
+    * Scale shape: the join key is (user_id, 10-minute time bucket) — the
+    * left side explodes to its own and the following bucket, so a
+    * 10-minute window can never cross more than the two, and each pair
+    * matches on exactly one bucket key (no dedup needed). This prunes
+    * the per-user cross product to near-linear intermediate size; the
+    * exact range predicate then filters within buckets. The oracle
+    * states the plain equi+range form — results are identical.
+    * events.ts is µs-aligned (engine-identical comparisons). */
   def relJoinRange(s: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.load(s, dir, "events").select("user_id", "ts", "event_id")
-    val a = ev.select(col("user_id"), col("ts").as("ts_a"), col("event_id").as("id_a"))
-    val b = ev.select(col("user_id").as("uid_b"), col("ts").as("ts_b"), col("event_id").as("id_b"))
-    a.join(b, a("user_id") === b("uid_b")
-        && (a("ts_a") < b("ts_b") || (a("ts_a") === b("ts_b") && a("id_a") < b("id_b")))
-        && b("ts_b") <= a("ts_a") + expr("INTERVAL 10 MINUTES"))
+    val bucketUs = 600000000L // 10 minutes
+    val ev = Tables.load(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        expr(s"unix_micros(ts) DIV ${bucketUs}L").as("bkt"))
+    val a = ev.select(col("user_id"), col("ts").as("ts_a"), col("event_id").as("id_a"),
+      explode(array(col("bkt"), col("bkt") + 1)).as("jb"))
+    val b = ev.select(col("user_id").as("uid_b"), col("ts").as("ts_b"),
+      col("event_id").as("id_b"), col("bkt").as("jb_b"))
+    a.join(b, a("user_id") === b("uid_b") && col("jb") === col("jb_b")
+        && (col("ts_a") < col("ts_b") || (col("ts_a") === col("ts_b") && col("id_a") < col("id_b")))
+        && col("ts_b") <= col("ts_a") + expr("INTERVAL 10 MINUTES"))
       .groupBy("user_id")
       .agg(count(lit(1)).as("pair_cnt"))
       .orderBy("user_id")
