@@ -43,6 +43,21 @@ class ContractSpec extends SparkSpec {
     assert(filtered.count() == expected)
   }
 
+  test("csv and json sources round-trip a table with schema pinned") {
+    val docs = Tables.load(spark, sf, "documents")
+      .select("doc_id", "lang", "n_chars").orderBy("doc_id")
+    val base = s"/tmp/graft-fmt-${System.nanoTime()}"
+    docs.write.option("header", "true").csv(s"$base/csv")
+    docs.write.json(s"$base/json")
+    val csvBack = spark.read.option("header", "true")
+      .schema("doc_id LONG, lang STRING, n_chars LONG").csv(s"$base/csv")
+    val jsonBack = spark.read
+      .schema("doc_id LONG, lang STRING, n_chars LONG").json(s"$base/json")
+    val expect = docs.collect().map(_.toSeq).toSet
+    assert(csvBack.collect().map(_.toSeq).toSet == expect)
+    assert(jsonBack.collect().map(_.toSeq).toSet == expect)
+  }
+
   test("FIMI text source round-trips the mining baskets") {
     val baskets = operators.Mining.baskets(spark, sf)
       .orderBy("tid").select("items")
