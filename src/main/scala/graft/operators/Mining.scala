@@ -223,7 +223,46 @@ object Mining {
       .orderBy("len", "pattern")
   }
 
+  /** Maximal frequent itemsets within the enumerated ≤3-item universe
+    * (MaxMiner/MAFIA family): frequent sets with no frequent proper
+    * superset. Computed by anti-joining each level against the covering
+    * sets of the level above — all from the shared memoized supports. */
+  def fpmMaximal(s: SparkSession, dir: String): DataFrame = {
+    val n = broadcast(basketCount(s, dir))
+    val l1 = txItems(s, dir).groupBy("item").agg(count(lit(1)).as("freq"))
+      .crossJoin(n).filter(col("freq") >= col("n") * MinSupFp)
+      .select(col("item"), col("freq"))
+    val l2 = pairSupports(s, dir)
+      .crossJoin(n).filter(col("freq") >= col("n") * MinSupFp)
+      .select(col("ia"), col("ib"), col("freq"))
+    val tx = txPruned(s, dir, MinSupFp)
+    val a = tx.select(col("tid"), col("item").as("ia"))
+    val b = tx.select(col("tid").as("tid_b"), col("item").as("ib"))
+    val c = tx.select(col("tid").as("tid_c"), col("item").as("ic"))
+    val l3 = a.join(b, a("tid") === b("tid_b") && a("ia") < b("ib"))
+      .join(c, b("tid_b") === c("tid_c") && b("ib") < c("ic"))
+      .groupBy("ia", "ib", "ic").agg(count(lit(1)).as("freq"))
+      .crossJoin(n).filter(col("freq") >= col("n") * MinSupFp)
+      .select(col("ia"), col("ib"), col("ic"), col("freq"))
+    // items covered by a frequent pair; pairs covered by a frequent triple
+    val coveredItems = l2.select(col("ia").as("item"))
+      .unionByName(l2.select(col("ib").as("item"))).distinct()
+    val coveredPairs = l3.select(col("ia").as("pa"), col("ib").as("pb"))
+      .unionByName(l3.select(col("ia").as("pa"), col("ic").as("pb")))
+      .unionByName(l3.select(col("ib").as("pa"), col("ic").as("pb")))
+      .distinct()
+    val m1 = l1.join(coveredItems, Seq("item"), "left_anti")
+      .select(col("item").as("itemset"), lit(1L).as("size"), col("freq"))
+    val m2 = l2.join(coveredPairs,
+        l2("ia") === coveredPairs("pa") && l2("ib") === coveredPairs("pb"), "left_anti")
+      .select(concat_ws(",", col("ia"), col("ib")).as("itemset"), lit(2L).as("size"), col("freq"))
+    val m3 = l3.select(concat_ws(",", col("ia"), col("ib"), col("ic")).as("itemset"),
+      lit(3L).as("size"), col("freq"))
+    m1.unionByName(m2).unionByName(m3).orderBy("size", "itemset")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fpm_maximal"      -> (fpmMaximal _),
     "fpm_prefixspan"   -> (fpmPrefixspan _),
     "fpm_basketize"    -> (fpmBasketize _),
     "fpm_freq_items"   -> (fpmFreqItems _),
@@ -241,6 +280,37 @@ object Mining {
       |), nb AS (SELECT count(DISTINCT tid) AS n FROM tx)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "fpm_maximal" -> (txCte +
+      """, l1 AS (
+        |  SELECT item, CAST(count(*) AS BIGINT) AS freq FROM tx GROUP BY item
+        |  HAVING count(*) >= 0.005 * (SELECT n FROM nb)
+        |), l2 AS (
+        |  SELECT a.item AS ia, b.item AS ib, CAST(count(*) AS BIGINT) AS freq
+        |  FROM tx a JOIN tx b ON a.tid = b.tid AND a.item < b.item
+        |  GROUP BY a.item, b.item
+        |  HAVING count(*) >= 0.005 * (SELECT n FROM nb)
+        |), l3 AS (
+        |  SELECT a.item AS ia, b.item AS ib, c.item AS ic, CAST(count(*) AS BIGINT) AS freq
+        |  FROM tx a
+        |  JOIN tx b ON a.tid = b.tid AND a.item < b.item
+        |  JOIN tx c ON b.tid = c.tid AND b.item < c.item
+        |  GROUP BY a.item, b.item, c.item
+        |  HAVING count(*) >= 0.005 * (SELECT n FROM nb)
+        |)
+        |SELECT itemset, CAST(size AS BIGINT) AS size, freq FROM (
+        |  SELECT item AS itemset, 1 AS size, freq FROM l1
+        |  WHERE NOT EXISTS (SELECT 1 FROM l2 WHERE l2.ia = l1.item OR l2.ib = l1.item)
+        |  UNION ALL
+        |  SELECT ia || ',' || ib AS itemset, 2 AS size, freq FROM l2
+        |  WHERE NOT EXISTS (SELECT 1 FROM l3
+        |    WHERE (l3.ia = l2.ia AND l3.ib = l2.ib)
+        |       OR (l3.ia = l2.ia AND l3.ic = l2.ib)
+        |       OR (l3.ib = l2.ia AND l3.ic = l2.ib))
+        |  UNION ALL
+        |  SELECT ia || ',' || ib || ',' || ic AS itemset, 3 AS size, freq FROM l3
+        |)
+        |ORDER BY size, itemset""".stripMargin),
+
     "fpm_prefixspan" ->
       """WITH nu AS (SELECT count(DISTINCT user_id) AS n FROM events),
         |l1 AS (

@@ -65,6 +65,24 @@ class MiningSpec extends SparkSpec {
     assert(strict.subsetOf(loose))
   }
 
+  test("maximal itemsets: subset of frequent set, none contained in another frequent set") {
+    val freq = Mining.fpmFpgrowth(spark, sf).collect()
+      .map(r => r.getString(0).split(",").toSet -> r.getLong(2)).toMap
+    val maximal = Mining.fpmMaximal(spark, sf).collect()
+      .map(r => (r.getString(0).split(",").toSet, r.getLong(2)))
+    assert(maximal.nonEmpty)
+    maximal.foreach { case (m, f) =>
+      assert(freq.get(m).contains(f), s"$m not frequent with freq $f")
+      val hasSuper = freq.keys.exists(g => g != m && m.subsetOf(g))
+      assert(!hasSuper, s"$m has a frequent superset")
+    }
+    // completeness: every frequent set is contained in some maximal set
+    val maxSets = maximal.map(_._1)
+    freq.keys.foreach { g =>
+      assert(maxSets.exists(m => g.subsetOf(m)), s"$g not covered by any maximal set")
+    }
+  }
+
   test("association rule bounds: 0 <= confidence <= 1, support <= antecedent share") {
     Mining.fpmAssocRules(spark, sf).collect().foreach { r =>
       val conf = r.getAs[Double]("confidence")
