@@ -57,6 +57,24 @@ object Mining {
         .agg(sort_array(collect_set(col("item"))).as("items"))
     }
 
+  /** Unthresholded per-item supports — memoized (≤25 rows, vocab-bounded). */
+  private def itemSupports(s: SparkSession, dir: String): DataFrame =
+    Tables.memo(s, dir, "itemSupports") {
+      txItems(s, dir).groupBy("item").agg(count(lit(1)).as("freq"))
+    }
+
+  /** Unthresholded triple supports — memoized (≤C(25,3) rows). */
+  private def tripleSupports(s: SparkSession, dir: String): DataFrame =
+    Tables.memo(s, dir, "tripleSupports") {
+      val tx = txItems(s, dir)
+      val a = tx.select(col("tid"), col("item").as("ia"))
+      val b = tx.select(col("tid").as("tid_b"), col("item").as("ib"))
+      val c = tx.select(col("tid").as("tid_c"), col("item").as("ic"))
+      a.join(b, a("tid") === b("tid_b") && a("ia") < b("ib"))
+        .join(c, b("tid_b") === c("tid_c") && b("ib") < c("ic"))
+        .groupBy("ia", "ib", "ic").agg(count(lit(1)).as("freq"))
+    }
+
   /** 1-row DataFrame with the total basket count (broadcast into plans). */
   private def basketCount(s: SparkSession, dir: String): DataFrame =
     txItems(s, dir).select(countDistinct(col("tid")).as("n"))
@@ -72,8 +90,7 @@ object Mining {
       .orderBy("l_orderkey")
 
   def fpmFreqItems(s: SparkSession, dir: String): DataFrame = {
-    val tx = txItems(s, dir)
-    tx.groupBy("item").agg(count(lit(1)).as("freq"))
+    itemSupports(s, dir)
       .crossJoin(broadcast(basketCount(s, dir)))
       .filter(col("freq") >= col("n") * MinSupItems)
       .select(col("item"), col("freq"))
@@ -82,8 +99,7 @@ object Mining {
 
   /** Frequent items at the k-itemset threshold — downward-closure prune set. */
   private def f1(s: SparkSession, dir: String, minSup: Double): DataFrame =
-    txItems(s, dir)
-      .groupBy("item").agg(count(lit(1)).as("freq"))
+    itemSupports(s, dir)
       .crossJoin(broadcast(basketCount(s, dir)))
       .filter(col("freq") >= col("n") * minSup)
       .select(col("item"))
@@ -113,13 +129,7 @@ object Mining {
       .orderBy("itemset")
 
   def fpmFreqTriples(s: SparkSession, dir: String): DataFrame = {
-    val tx = txPruned(s, dir, MinSupTriples)
-    val a = tx.select(col("tid"), col("item").as("ia"))
-    val b = tx.select(col("tid").as("tid_b"), col("item").as("ib"))
-    val c = tx.select(col("tid").as("tid_c"), col("item").as("ic"))
-    a.join(b, a("tid") === b("tid_b") && a("ia") < b("ib"))
-      .join(c, b("tid_b") === c("tid_c") && b("ib") < c("ic"))
-      .groupBy("ia", "ib", "ic").agg(count(lit(1)).as("freq"))
+    tripleSupports(s, dir)
       .crossJoin(broadcast(basketCount(s, dir)))
       .filter(col("freq") >= col("n") * MinSupTriples)
       .select(
@@ -229,19 +239,13 @@ object Mining {
     * sets of the level above — all from the shared memoized supports. */
   def fpmMaximal(s: SparkSession, dir: String): DataFrame = {
     val n = broadcast(basketCount(s, dir))
-    val l1 = txItems(s, dir).groupBy("item").agg(count(lit(1)).as("freq"))
+    val l1 = itemSupports(s, dir)
       .crossJoin(n).filter(col("freq") >= col("n") * MinSupFp)
       .select(col("item"), col("freq"))
     val l2 = pairSupports(s, dir)
       .crossJoin(n).filter(col("freq") >= col("n") * MinSupFp)
       .select(col("ia"), col("ib"), col("freq"))
-    val tx = txPruned(s, dir, MinSupFp)
-    val a = tx.select(col("tid"), col("item").as("ia"))
-    val b = tx.select(col("tid").as("tid_b"), col("item").as("ib"))
-    val c = tx.select(col("tid").as("tid_c"), col("item").as("ic"))
-    val l3 = a.join(b, a("tid") === b("tid_b") && a("ia") < b("ib"))
-      .join(c, b("tid_b") === c("tid_c") && b("ib") < c("ic"))
-      .groupBy("ia", "ib", "ic").agg(count(lit(1)).as("freq"))
+    val l3 = tripleSupports(s, dir)
       .crossJoin(n).filter(col("freq") >= col("n") * MinSupFp)
       .select(col("ia"), col("ib"), col("ic"), col("freq"))
     // items covered by a frequent pair; pairs covered by a frequent triple
