@@ -265,7 +265,40 @@ object Mining {
     m1.unionByName(m2).unionByName(m3).orderBy("size", "itemset")
   }
 
+  /** Closed frequent itemsets within the ≤3-item universe (CLOSET
+    * family): frequent sets with no proper superset of EQUAL support —
+    * the lossless compression of the frequent-set lattice (supports of
+    * all frequent sets are recoverable from the closed ones). */
+  def fpmClosed(s: SparkSession, dir: String): DataFrame = {
+    val n = broadcast(basketCount(s, dir))
+    val l1 = itemSupports(s, dir)
+      .crossJoin(n).filter(col("freq") >= col("n") * MinSupFp)
+      .select(col("item"), col("freq"))
+    val l2 = pairSupports(s, dir)
+      .crossJoin(n).filter(col("freq") >= col("n") * MinSupFp)
+      .select(col("ia"), col("ib"), col("freq"))
+    val l3 = tripleSupports(s, dir)
+      .crossJoin(n).filter(col("freq") >= col("n") * MinSupFp)
+      .select(col("ia"), col("ib"), col("ic"), col("freq"))
+    val pairCover = l2.select(col("ia").as("pa"), col("ib").as("pb"), col("freq").as("pfreq"))
+    val c1 = l1.join(pairCover,
+        (col("pa") === col("item") || col("pb") === col("item"))
+          && col("pfreq") === col("freq"), "left_anti")
+      .select(col("item").as("itemset"), lit(1L).as("size"), col("freq"))
+    val tripCover = l3.select(col("ia").as("ta"), col("ib").as("tb"), col("freq").as("tfreq"))
+      .unionByName(l3.select(col("ia").as("ta"), col("ic").as("tb"), col("freq").as("tfreq")))
+      .unionByName(l3.select(col("ib").as("ta"), col("ic").as("tb"), col("freq").as("tfreq")))
+    val c2 = l2.join(tripCover,
+        col("ta") === col("ia") && col("tb") === col("ib")
+          && col("tfreq") === col("freq"), "left_anti")
+      .select(concat_ws(",", col("ia"), col("ib")).as("itemset"), lit(2L).as("size"), col("freq"))
+    val c3 = l3.select(concat_ws(",", col("ia"), col("ib"), col("ic")).as("itemset"),
+      lit(3L).as("size"), col("freq"))
+    c1.unionByName(c2).unionByName(c3).orderBy("size", "itemset")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fpm_closed"       -> (fpmClosed _),
     "fpm_maximal"      -> (fpmMaximal _),
     "fpm_prefixspan"   -> (fpmPrefixspan _),
     "fpm_basketize"    -> (fpmBasketize _),
@@ -284,6 +317,39 @@ object Mining {
       |), nb AS (SELECT count(DISTINCT tid) AS n FROM tx)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "fpm_closed" -> (txCte +
+      """, l1 AS (
+        |  SELECT item, CAST(count(*) AS BIGINT) AS freq FROM tx GROUP BY item
+        |  HAVING count(*) >= 0.005 * (SELECT n FROM nb)
+        |), l2 AS (
+        |  SELECT a.item AS ia, b.item AS ib, CAST(count(*) AS BIGINT) AS freq
+        |  FROM tx a JOIN tx b ON a.tid = b.tid AND a.item < b.item
+        |  GROUP BY a.item, b.item
+        |  HAVING count(*) >= 0.005 * (SELECT n FROM nb)
+        |), l3 AS (
+        |  SELECT a.item AS ia, b.item AS ib, c.item AS ic, CAST(count(*) AS BIGINT) AS freq
+        |  FROM tx a
+        |  JOIN tx b ON a.tid = b.tid AND a.item < b.item
+        |  JOIN tx c ON b.tid = c.tid AND b.item < c.item
+        |  GROUP BY a.item, b.item, c.item
+        |  HAVING count(*) >= 0.005 * (SELECT n FROM nb)
+        |)
+        |SELECT itemset, CAST(size AS BIGINT) AS size, freq FROM (
+        |  SELECT item AS itemset, 1 AS size, freq FROM l1
+        |  WHERE NOT EXISTS (SELECT 1 FROM l2
+        |    WHERE (l2.ia = l1.item OR l2.ib = l1.item) AND l2.freq = l1.freq)
+        |  UNION ALL
+        |  SELECT ia || ',' || ib AS itemset, 2 AS size, freq FROM l2
+        |  WHERE NOT EXISTS (SELECT 1 FROM l3
+        |    WHERE ((l3.ia = l2.ia AND l3.ib = l2.ib)
+        |        OR (l3.ia = l2.ia AND l3.ic = l2.ib)
+        |        OR (l3.ib = l2.ia AND l3.ic = l2.ib))
+        |      AND l3.freq = l2.freq)
+        |  UNION ALL
+        |  SELECT ia || ',' || ib || ',' || ic AS itemset, 3 AS size, freq FROM l3
+        |)
+        |ORDER BY size, itemset""".stripMargin),
+
     "fpm_maximal" -> (txCte +
       """, l1 AS (
         |  SELECT item, CAST(count(*) AS BIGINT) AS freq FROM tx GROUP BY item

@@ -83,6 +83,26 @@ class MiningSpec extends SparkSpec {
     }
   }
 
+  test("closed itemsets: maximal ⊆ closed ⊆ frequent, closure property holds") {
+    val freq = Mining.fpmFpgrowth(spark, sf).collect()
+      .map(r => r.getString(0).split(",").toSet -> r.getLong(2)).toMap
+    val closed = Mining.fpmClosed(spark, sf).collect()
+      .map(r => r.getString(0).split(",").toSet -> r.getLong(2)).toMap
+    val maximal = Mining.fpmMaximal(spark, sf).collect()
+      .map(r => r.getString(0).split(",").toSet).toSet
+    assert(maximal.subsetOf(closed.keySet) && closed.keySet.subsetOf(freq.keySet))
+    // closure: no closed set has a proper superset with equal support
+    closed.foreach { case (c, f) =>
+      assert(!freq.exists { case (g, gf) => g != c && c.subsetOf(g) && gf == f },
+        s"$c has an equal-support superset")
+    }
+    // every frequent set's support equals the max support of a closed superset
+    freq.foreach { case (g, gf) =>
+      val sup = closed.collect { case (c, cf) if g.subsetOf(c) => cf }
+      assert(sup.nonEmpty && sup.max == gf, s"support of $g not recoverable")
+    }
+  }
+
   test("association rule bounds: 0 <= confidence <= 1, support <= antecedent share") {
     Mining.fpmAssocRules(spark, sf).collect().foreach { r =>
       val conf = r.getAs[Double]("confidence")
