@@ -1,7 +1,7 @@
 package graft.functions
 
 import graft.operators.Mining
-import org.apache.spark.sql.{DataFrame, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.{DataFrame, Encoder, SparkSession}
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 
@@ -37,8 +37,11 @@ object Udfs {
     override def merge(x: Map[String, Long], y: Map[String, Long]): Map[String, Long] =
       y.foldLeft(x) { case (m, (k, v)) => m.updated(k, m.getOrElse(k, 0L) + v) }
     override def finish(r: Map[String, Long]): Map[String, Long] = r
+    // ExpressionEncoder (columnar map), NOT Encoders.kryo: an opaque
+    // binary buffer forces the slow serialization path and blocks any
+    // future whole-stage optimization of the partial aggregate.
     override def bufferEncoder: Encoder[Map[String, Long]] =
-      Encoders.kryo[Map[String, Long]]
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
     override def outputEncoder: Encoder[Map[String, Long]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
   }

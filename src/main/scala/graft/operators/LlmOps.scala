@@ -82,9 +82,23 @@ object LlmOps {
       .select(col("doc_id"), fpCol.as("fp"))
       .orderBy("doc_id")
 
+  /** k-token shingles (k=5) of a document — the real near-dup unit:
+    * word ORDER matters, so re-ordered documents stop looking identical
+    * (unigram token sets can't tell them apart). Documents shorter than
+    * k tokens contribute their whole text as one shingle. */
+  private def shingles(text: Column, k: Int = 5): Column = {
+    val toks = split(text, " ")
+    when(size(toks) >= k,
+      array_distinct(transform(sequence(lit(0), size(toks) - lit(k)),
+        i => concat_ws(" ", slice(toks, i + lit(1), lit(k))))))
+      .otherwise(array(text))
+  }
+
   /** MinHash + LSH banding near-dup candidates (no oracle — LSH banding
-    * is not reasonably SQL-expressible; validated against exact Jaccard
-    * in LlmOpsSpec). 32 seeded xxhash64 permutations, 4 bands × 8 rows.
+    * is not reasonably SQL-expressible; validated against exact shingle
+    * Jaccard in LlmOpsSpec). Hashes 5-gram token SHINGLES (order-aware
+    * doc identity, not unigram bags); 32 seeded xxhash64 permutations,
+    * 4 bands × 8 rows.
     *
     * Scale shape: per-(doc, perm) partial-aggregated min (map-side
     * combine), then ONE array signature row per doc; band buckets larger
@@ -99,7 +113,7 @@ object LlmOps {
     val rowsPerBand = numPerm / numBands
     val bucketCap = 1024 // no-op below sf0.1; bounds degenerate mega-buckets above
     val toks = Tables.load(s, dir, "documents")
-      .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("tok"))
+      .select(col("doc_id"), explode(shingles(col("text"))).as("tok"))
     val sig = toks
       .select(col("doc_id"), explode(sequence(lit(0), lit(numPerm - 1))).as("perm"), col("tok"))
       .select(col("doc_id"), col("perm"),
@@ -140,8 +154,22 @@ object LlmOps {
 
   /** Exact word-set Jaccard over (lang, n_chars)-blocked candidate pairs —
     * the verifiable n-gram-Jaccard dedup path. */
-  def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.load(s, dir, "documents")
+  def ngramJaccard(s: SparkSession, dir: String): DataFrame =
+    ngramJaccardCapped(s, dir, 1024)
+
+  /** Blocked pair generation is quadratic INSIDE a block, so blocks
+    * larger than `blockCap` are dropped entirely (same policy as the
+    * MinHash bucket cap): one hot (lang, n_chars) cell must not go O(n²)
+    * at corpus scale. The default cap is a proven no-op at test SFs
+    * (max block ≈ 11 rows at sf0.1); LlmOpsSpec proves the cap path is
+    * live by shrinking it. */
+  def ngramJaccardCapped(s: SparkSession, dir: String, blockCap: Int): DataFrame = {
+    val docs0 = Tables.load(s, dir, "documents")
+    val smallBlocks = docs0.groupBy("lang", "n_chars")
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") <= blockCap)
+      .select("lang", "n_chars")
+    val docs = docs0.join(broadcast(smallBlocks), Seq("lang", "n_chars"), "left_semi")
     val toks = docs.select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("tok"))
     val sz = toks.groupBy("doc_id").agg(count(lit(1)).as("nt"))
     val a = docs.select(col("doc_id").as("doc_a"), col("lang"), col("n_chars"))
@@ -216,9 +244,21 @@ object LlmOps {
   /** Embedding-cosine near-dup pairs, blocked by label cell. Norms are
     * precomputed per vector BEFORE the pair join (2k fold evaluations
     * instead of 2·|pairs|), so each pair costs exactly one dot fold. */
-  def embedCosineNeardup(s: SparkSession, dir: String): DataFrame = {
+  def embedCosineNeardup(s: SparkSession, dir: String): DataFrame =
+    embedCosineNeardupCapped(s, dir, 1024)
+
+  /** Label blocks larger than `blockCap` are dropped before the pair
+    * join (MinHash bucket-cap policy): all-pairs inside one fat label is
+    * O(n²) at scale. Default cap is a no-op at test SFs (max label block
+    * ≈ 218 rows at sf0.1); LlmOpsSpec proves the cap path is live. */
+  def embedCosineNeardupCapped(s: SparkSession, dir: String, blockCap: Int): DataFrame = {
     DotProduct.register(s)
-    val emb = Tables.load(s, dir, "embeddings")
+    val emb0 = Tables.load(s, dir, "embeddings")
+    val smallBlocks = emb0.groupBy("label")
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") <= blockCap)
+      .select("label")
+    val emb = emb0.join(broadcast(smallBlocks), Seq("label"), "left_semi")
       .select(col("vec_id"), col("label"),
         transform(col("embedding"), x => x.cast("double")).as("ed"),
         norm(col("embedding")).as("nrm"))
@@ -295,8 +335,32 @@ object LlmOps {
 
   /** SimHash fingerprints (no oracle: DuckDB has no xxhash64). 64-bit
     * simhash over token hashes — bit b of the result is set when the
-    * count of tokens with bit b set exceeds half the token count. */
+    * count of tokens with bit b set exceeds half the token count.
+    *
+    * FUSED shape: 64 codegen'd `sum((h >> b) & 1)` aggregates in ONE
+    * hash aggregate over the token rows — the partial agg combines
+    * map-side, so exactly one 65-counter row per doc reaches the
+    * shuffle. (The naive form explodes 64 bit-rows per token — a 64×
+    * shuffle blow-up; kept below as [[simhashExploded]] and pinned
+    * equal in LlmOpsSpec.) */
   def simhash(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
+    val ones = (0 until 64).map(b =>
+      sum(shiftright(col("h"), b).bitwiseAND(lit(1L))).as(s"o$b"))
+    val votes = toks.groupBy("doc_id")
+      .agg(count(lit(1)).as("total"), ones: _*)
+    // majority vote per bit; disjoint powers of two, so + ≡ bitwise OR
+    val fingerprint = (0 until 64).map(b =>
+      when(col(s"o$b") * 2 > col("total"), lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    votes.select(col("doc_id"), fingerprint.as("simhash")).orderBy("doc_id")
+  }
+
+  /** Reference formulation of [[simhash]] via per-bit row explosion —
+    * test-only (LlmOpsSpec asserts fused ≡ exploded); NOT in `queries`. */
+  def simhashExploded(s: SparkSession, dir: String): DataFrame = {
     val toks = Tables.load(s, dir, "documents")
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .select(col("doc_id"), xxhash64(col("tok")).as("h"))
@@ -376,20 +440,138 @@ object LlmOps {
       .select(col("doc_id"), col("lang"), col("n_chars"))
       .orderBy("doc_id")
 
-  /** Unit-normalized embeddings (array-valued output): each component
-    * divided by the vector's norm, positionally deterministic in both
-    * engines. The standard pre-step for cosine ANN indexes. */
+  /** Unit-normalized embeddings: each component divided by the vector's
+    * norm — the standard pre-step for cosine ANN indexes. The norm is
+    * computed ONCE per row in its own projection (an O(d) fold), not
+    * inside the per-element lambda (which would be O(d²) per row).
+    * Output is exploded to scalar (vec_id, pos, component) rows so the
+    * result is canonically sortable/hashable by any engine — raw IEEE
+    * doubles, positionally deterministic. */
   def normalizeEmbeddings(s: SparkSession, dir: String): DataFrame = {
     DotProduct.register(s)
     Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "x")), col("nrm"))
+      .select(col("vec_id"), col("pos"),
+        (col("x").cast("double") / col("nrm")).as("component"))
+      .orderBy("vec_id", "pos")
+  }
+
+  /** Duplicate CLUSTERS from near-dup pairs — dedup pipelines keep one
+    * canonical doc per connected component, not per pair. Components are
+    * found by iterative min-label propagation with pointer jumping
+    * (label ← label of label), so convergence is O(log diameter)
+    * rounds; each round is one shuffle-by-key join, no driver-side
+    * collect of data (the loop's only actions are converged-yet counts).
+    * Deterministic: cluster_id = smallest doc_id in the component.
+    * Output covers every doc that appears in ≥1 near-dup pair. */
+  def dedupClusters(s: SparkSession, dir: String): DataFrame = {
+    val pairs = ngramJaccard(s, dir).select(col("doc_a"), col("doc_b"))
+    // localCheckpoint (eager) rather than persist: iterative plans nest
+    // the previous iteration's plan TWICE (propagate join + pointer
+    // jump), so without lineage truncation the logical plan doubles per
+    // round and Catalyst planning time goes exponential (measured: 387 s
+    // at sf0.1 with persist-only; sub-second per round checkpointed).
+    val edges = pairs
+      .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .localCheckpoint(true)
+    var labels = edges.select(col("doc_a").as("doc")).distinct()
+      .withColumn("cluster_id", col("doc"))
+      .localCheckpoint(true)
+    // min-propagation only ever lowers labels, so the label sum strictly
+    // decreases until the fixpoint — one cheap aggregate per round, no
+    // change-count join.
+    def labelSum(df: DataFrame): java.math.BigDecimal = {
+      val r = df.agg(sum(col("cluster_id").cast("decimal(38,0)"))).head
+      if (r.isNullAt(0)) java.math.BigDecimal.ZERO else r.getDecimal(0)
+    }
+    var prevSum = labelSum(labels)
+    var converged = prevSum.signum == 0 // empty edge set: nothing to do
+    var iter = 0
+    while (!converged && iter < 20) {
+      val nbrMin = edges
+        .join(labels.select(col("doc").as("doc_b"), col("cluster_id").as("nlbl")), "doc_b")
+        .groupBy("doc_a").agg(min(col("nlbl")).as("nmin"))
+        .select(col("doc_a").as("doc"), col("nmin"))
+      val propagated = labels.join(nbrMin, Seq("doc"), "left")
+        .select(col("doc"),
+          least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id"))).as("mid"))
+      // pointer jump: adopt the label of my current label
+      val next = propagated
+        .join(propagated.select(col("doc").as("mid"), col("mid").as("root")),
+          Seq("mid"), "left")
+        .select(col("doc"), least(col("mid"), coalesce(col("root"), col("mid"))).as("cluster_id"))
+        .localCheckpoint(true)
+      val sumNow = labelSum(next)
+      converged = sumNow.compareTo(prevSum) == 0
+      prevSum = sumNow
+      labels = next
+      iter += 1
+    }
+    labels.select(col("doc").as("doc_id"), col("cluster_id")).orderBy("doc_id")
+  }
+
+  /** IVF ANN with a LEARNED codebook: k-means|| (seeded) centroids over
+    * the corpus, nprobe nearest cells searched. The centroid table is
+    * model metadata (k rows), joined into the plan as a broadcast — the
+    * probe's cell choice and the candidate scan both stay distributed.
+    * No SQL oracle (k-means is not SQL-enumerable): rows-only + recall
+    * assertion vs brute force in LlmOpsSpec. nprobe is the recall/latency
+    * knob; nprobe=k is exact brute force. Measured top-10 recall at
+    * sf0.001: 0.8 at nprobe=2, 1.0 at nprobe=4 (the default). The
+    * synthetic corpus is ISOTROPIC (top-10 cosine sims ≈ 0.3, no label
+    * alignment — measured) — the worst case for any IVF index, which is
+    * why half the cells must be probed here; clustered real corpora
+    * concentrate neighbors in 1-2 cells. */
+  def annIvfKmeans(s: SparkSession, dir: String): DataFrame =
+    annIvfKmeansProbed(s, dir, nprobe = 4)
+
+  def annIvfKmeansProbed(s: SparkSession, dir: String, nprobe: Int): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    DotProduct.register(s)
+    // Spherical IVF: the query ranks by COSINE, so the codebook must
+    // partition the unit sphere — cluster UNIT-normalized vectors (L2 on
+    // the sphere is monotone in cosine). Clustering raw vectors mixes
+    // magnitude into the cells and costs recall (measured: 0.8 → 1.0
+    // at sf0.001, nprobe=2). Norm is hoisted out of the per-element
+    // lambda (one O(d) fold per row).
+    val unit = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+      .select(col("vec_id"), col("embedding"),
+        transform(col("embedding"), x => x.cast("double") / col("nrm")).as("u"))
+    val feat = unit.select(col("vec_id"), col("embedding"),
+      array_to_vector(col("u")).as("fv"))
+    val model = new KMeans().setK(8).setSeed(42L).setMaxIter(20)
+      .setFeaturesCol("fv").setPredictionCol("cid")
+      .fit(feat)
+    val assign = model.transform(feat).select(col("vec_id"), col("embedding"), col("cid"))
+    import s.implicits._
+    val cents = model.clusterCenters.zipWithIndex.toSeq
+      .map { case (v, i) => (i, v.toArray) }.toDF("cid", "ce")
+    val q = unit.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qe"), col("u").as("qu"))
+    val nearCells = cents.crossJoin(broadcast(q))
+      .select(col("cid"),
+        aggregate(zip_with(col("ce"), col("qu"),
+          (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, v) => acc + v).as("d2"))
+      .orderBy(col("d2"), col("cid")).limit(nprobe)
+      .select("cid")
+    assign.join(broadcast(nearCells), Seq("cid"), "left_semi")
+      .filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
       .select(col("vec_id"),
-        transform(col("embedding"),
-          x => x.cast("double") / norm(col("embedding"))).as("unit"))
-      .orderBy("vec_id")
+        (dot(col("embedding"), col("qe")) / (norm(col("embedding")) * norm(col("qe"))))
+          .as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(10)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_normalize_emb"      -> (normalizeEmbeddings _),
+    "llm_dedup_clusters"     -> (dedupClusters _),
+    "llm_ann_ivf_kmeans"     -> (annIvfKmeans _),
     "llm_hash_sample"        -> (hashSample _),
     "llm_decode_stub"        -> (decodeStub _),
     "llm_tokenize_wordcount" -> (tokenizeWordcount _),
@@ -411,10 +593,15 @@ object LlmOps {
 
   val oracle: Map[String, String] = Map(
     "llm_normalize_emb" ->
-      s"""SELECT vec_id,
-         |       list_transform(embedding,
-         |         x -> CAST(x AS DOUBLE) / ${sqlNorm("embedding")}) AS unit
-         |FROM embeddings ORDER BY vec_id""".stripMargin,
+      s"""WITH n AS (
+         |  SELECT vec_id,
+         |         list_transform(embedding,
+         |           x -> CAST(x AS DOUBLE) / ${sqlNorm("embedding")}) AS unit
+         |  FROM embeddings)
+         |SELECT vec_id,
+         |       CAST(unnest(generate_series(1, len(unit))) - 1 AS INTEGER) AS pos,
+         |       unnest(unit) AS component
+         |FROM n ORDER BY vec_id, pos""".stripMargin,
 
     "llm_hash_sample" ->
       """SELECT doc_id, lang, n_chars FROM documents
@@ -459,6 +646,32 @@ object LlmOps {
         |FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
         |WHERE CAST(i AS DOUBLE) / (sa.nt + sb.nt - i) >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "llm_dedup_clusters" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+        |  FROM documents),
+        |sz AS (SELECT doc_id, count(*) AS nt FROM toks GROUP BY doc_id),
+        |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |       FROM documents a JOIN documents b
+        |         ON a.lang = b.lang AND a.n_chars = b.n_chars AND a.doc_id < b.doc_id),
+        |inter AS (
+        |  SELECT doc_a, doc_b, count(*) AS i
+        |  FROM pr JOIN toks ta ON ta.doc_id = doc_a
+        |          JOIN toks tb ON tb.doc_id = doc_b AND tb.tok = ta.tok
+        |  GROUP BY doc_a, doc_b),
+        |pairs AS (
+        |  SELECT doc_a, doc_b
+        |  FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+        |  WHERE CAST(i AS DOUBLE) / (sa.nt + sb.nt - i) >= 0.5),
+        |e AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+        |      UNION ALL SELECT doc_b AS a, doc_a AS b FROM pairs),
+        |reach(doc, r) AS (
+        |  SELECT a, a FROM e
+        |  UNION
+        |  SELECT e.b, reach.r FROM reach JOIN e ON e.a = reach.doc)
+        |SELECT doc AS doc_id, min(r) AS cluster_id
+        |FROM reach GROUP BY doc ORDER BY doc_id""".stripMargin,
 
     "llm_similarity_knn" ->
       s"""SELECT e.vec_id,

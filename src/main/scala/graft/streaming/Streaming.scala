@@ -76,7 +76,17 @@ object Streaming {
     * query) and under Structured Streaming's IncrementalExecution
     * (StreamingSpec) — state per key is one long, bounded.
     * Events are sorted (ts, event_id) inside each group buffer because
-    * per-group iterator order is not guaranteed. */
+    * per-group iterator order is not guaranteed.
+    *
+    * MEMORY ASSUMPTION (deliberate): `it.toSeq.sortBy` buffers one
+    * user's events *per micro-batch* (streaming) or one user's whole
+    * partition slice (batch) in executor memory. That is bounded by
+    * events-per-user-per-batch, NOT by total stream length — fine for
+    * user-keyed activity streams (thousands of events per user per
+    * batch), and StreamingSpec pins behavior on a pathologically hot
+    * single key. If a key could see millions of events per batch,
+    * pre-sort with a window rank instead (`stream_stateful_dedup`'s
+    * shape) or salt the key. */
   def runningSeq(events: DataFrame): DataFrame = {
     val sp = events.sparkSession
     import sp.implicits._

@@ -38,6 +38,38 @@ class MiningSpec extends SparkSpec {
     assert(fpg == apriori)
   }
 
+  test("full-depth fpgrowth: re-thresholded <=3 slice equals bounded key, depth real, closure holds") {
+    val n = txItems.select(countDistinct(col("tid"))).head.getLong(0)
+    val full = Mining.fpmFpgrowthFull(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // the <=3 slice re-thresholded at the bounded key's minSupport (0.005)
+    // must equal the oracle-checked fpm_fpgrowth exactly
+    val sliced = full.filter(t => t._2 <= 3 && t._3 >= 0.005 * n).toSet
+    val bounded = Mining.fpmFpgrowth(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(sliced == bounded)
+    // depth is real: itemsets beyond the SQL-enumerable size exist
+    assert(full.exists(_._2 >= 4), "no itemsets of size >= 4 — depth not exercised")
+    // downward closure at full depth
+    val present = full.map(_._1).toSet
+    full.filter(_._2 >= 2).foreach { case (is, _, _) =>
+      val items = is.split(",")
+      items.indices.foreach { i =>
+        val sub = items.patch(i, Nil, 1).mkString(",")
+        assert(present.contains(sub), s"missing subset $sub of $is")
+      }
+    }
+    // support anti-monotonicity along the lattice: parent freq <= any child's
+    val bySet = full.map(t => t._1 -> t._3).toMap
+    full.filter(_._2 >= 2).foreach { case (is, _, f) =>
+      val items = is.split(",")
+      items.indices.foreach { i =>
+        val sub = items.patch(i, Nil, 1).mkString(",")
+        assert(bySet(sub) >= f, s"support of $sub below its superset $is")
+      }
+    }
+  }
+
   test("typed UDAF equals unfiltered per-item supports") {
     val expected = txItems.groupBy("item").agg(count(lit(1)).as("freq"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap

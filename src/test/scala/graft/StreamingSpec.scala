@@ -138,6 +138,33 @@ class StreamingSpec extends SparkSpec {
       (2L, 3L, 1L), (2L, 5L, 2L)))
   }
 
+  test("running seq handles a pathologically hot single user (per-batch buffering bound)") {
+    val sp = spark
+    import sp.implicits._
+    implicit val ctx = sp.sqlContext
+    // one user owns ALL events: the group buffer is the whole batch.
+    // 20k events across 2 micro-batches pins (a) correctness of the
+    // cross-batch sequence and (b) that buffering is per-batch, not
+    // per-stream (state carried between batches is one long).
+    val batch1 = (1L to 10000L).map(i =>
+      Ev(t("2024-01-01 10:00:00"), 7, "click", 1.0, i))
+    val batch2 = (10001L to 20000L).map(i =>
+      Ev(t("2024-01-01 11:00:00"), 7, "click", 1.0, i))
+    val ms = MemoryStream[Ev]
+    val q = Streaming.runningSeq(ms.toDF())
+      .writeStream.outputMode("append").format("memory").queryName("hotseq").start()
+    try {
+      ms.addData(batch1); q.processAllAvailable()
+      ms.addData(batch2); q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("hotseq")
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(rows.size == 20000)
+    // seq must equal event_id: ts ties break on event_id within a batch,
+    // and batch 2 continues from the carried state (10000)
+    assert((1L to 20000L).forall(i => rows(i) == i))
+  }
+
   test("foreachBatch sink: tumbling aggregation lands in parquet per micro-batch") {
     val sp = spark
     import sp.implicits._
