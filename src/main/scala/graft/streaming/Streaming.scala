@@ -70,6 +70,21 @@ object Streaming {
       .dropDuplicates("user_id", "event_type")
       .select(col("user_id"), col("event_type"), col("event_id"), col("ts"))
 
+  /** Stream-stream interval join (click→purchase attribution): purchases
+    * joined to the same user's clicks within the preceding 30 minutes.
+    * Both sides carry watermarks so the state store can evict expired
+    * click rows — the canonical watermarked stream-stream join.
+    * Input frames must have columns (user_id, cts, click_id) and
+    * (uid_p, pts, purchase_id). Batch and streaming give identical
+    * pairs (StreamingSpec). */
+  def attributionJoin(clicks: DataFrame, purchases: DataFrame): DataFrame =
+    clicks.withWatermark("cts", "1 hour").join(
+      purchases.withWatermark("pts", "1 hour"),
+      expr("""user_id = uid_p AND pts > cts AND
+              pts <= cts + interval 30 minutes"""))
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        col("cts"), col("pts"))
+
   /** Arbitrary stateful processing via `flatMapGroupsWithState`: per-user
     * running sequence numbers carried in explicit GroupState. The same
     * function runs over a batch Dataset (the declared oracle-checked
@@ -144,6 +159,23 @@ object Streaming {
       .orderBy("user_id", "session_id")
   }
 
+  /** Declared batch equivalent of [[attributionJoin]], aggregated to
+    * per-user attributed-pair counts (bounded output). One shuffle by
+    * user_id; the time predicate is evaluated in integer microseconds
+    * (events.ts is µs-aligned — engine-identical). */
+  def streamStreamJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("cts"), col("event_id").as("click_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("uid_p"), col("ts").as("pts"),
+        col("event_id").as("purchase_id"))
+    attributionJoin(clicks, purchases)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("attributed_pairs"))
+      .orderBy("user_id")
+  }
+
   def streamStatefulDedup(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
     Tables.load(s, dir, "events")
@@ -159,6 +191,7 @@ object Streaming {
     "stream_sliding"        -> (streamSliding _),
     "stream_session"        -> (streamSession _),
     "stream_stateful_dedup" -> (streamStatefulDedup _),
+    "stream_stream_join"    -> (streamStreamJoin _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -202,6 +235,14 @@ object Streaming {
         |       min(ts) AS session_start, max(ts) AS session_end
         |FROM z GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
+
+    "stream_stream_join" ->
+      """SELECT a.user_id, CAST(count(*) AS BIGINT) AS attributed_pairs
+        |FROM events a JOIN events b ON a.user_id = b.user_id
+        | AND a.event_type = 'click' AND b.event_type = 'purchase'
+        | AND b.ts > a.ts
+        | AND epoch_us(b.ts) - epoch_us(a.ts) <= 1800000000
+        |GROUP BY a.user_id ORDER BY a.user_id""".stripMargin,
 
     "stream_stateful_dedup" ->
       """SELECT user_id, event_type, event_id, ts AS first_ts FROM (

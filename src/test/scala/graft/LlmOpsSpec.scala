@@ -82,6 +82,67 @@ class LlmOpsSpec extends SparkSpec {
     assert(LlmOps.embedCosineNeardupCapped(spark, sf, 1).count() == 0L)
   }
 
+  test("native graft_minhash_sig is bit-identical to the exploded relational form") {
+    graft.expressions.MinHashSig.register(spark)
+    val native = LlmOps.minhashNeardup(spark, sf) // forces registration path too
+    val _ = native // (candidates computed below via signature comparison)
+    val docs = Tables.load(spark, sf, "documents")
+    val exploded = LlmOps.minhashSigExploded(spark, sf, 32).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toVector).toMap
+    import org.apache.spark.sql.functions._
+    val sig = docs.select(col("doc_id"),
+        call_function("graft_minhash_sig",
+          when(size(split(col("text"), " ")) >= 5,
+            array_distinct(transform(sequence(lit(0), size(split(col("text"), " ")) - lit(5)),
+              i => concat_ws(" ", slice(split(col("text"), " "), i + lit(1), lit(5))))))
+            .otherwise(array(col("text"))),
+          lit(32)).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toVector).toMap
+    assert(sig == exploded)
+  }
+
+  test("simhash near-dup pairs: banding is exact for hamming <= 3") {
+    val fps = LlmOps.simhash(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val expected = (for {
+      (ia, ha) <- fps; (ib, hb) <- fps if ia < ib
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 3
+    } yield (ia, ib, d.toLong)).toSet
+    val got = LlmOps.simhashNeardup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expected)
+    assert(got.nonEmpty, "no simhash near-dups in corpus — assertion vacuous")
+  }
+
+  test("chunking: full coverage, stride-4 starts, tail may be short") {
+    val chunks = LlmOps.chunk(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3)))
+    val byDoc = chunks.groupBy(_._1)
+    val texts = Tables.load(spark, sf, "documents").select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    texts.foreach { case (id, text) =>
+      val toks = text.split(" ", -1)
+      val cs = byDoc(id).sortBy(_._2)
+      assert(cs.head._2 == 0)
+      // every token position is covered by at least one chunk
+      val covered = cs.flatMap { case (_, ci, _, n) => (ci * 4) until (ci * 4 + n.toInt) }.toSet
+      assert(covered == toks.indices.toSet, s"doc $id coverage hole")
+      // chunk text matches the slice it claims
+      cs.foreach { case (_, ci, chunk, n) =>
+        assert(chunk == toks.slice(ci * 4, ci * 4 + 8).mkString(" "))
+        assert(n == math.min(8, toks.length - ci * 4).max(0) || toks.length < 8)
+      }
+    }
+  }
+
+  test("quantization: qvals in [-127,127], sign-consistent, scale positive") {
+    LlmOps.quantizeEmb(spark, sf).collect().foreach { r =>
+      val q = r.getLong(2); val sc = r.getDouble(3)
+      assert(q >= -127 && q <= 127, s"qval $q out of range")
+      assert(sc > 0.0)
+    }
+  }
+
   test("fused simhash equals the per-bit exploded formulation") {
     val fused = LlmOps.simhash(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet

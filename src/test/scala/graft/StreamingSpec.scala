@@ -138,6 +138,39 @@ class StreamingSpec extends SparkSpec {
       (2L, 3L, 1L), (2L, 5L, 2L)))
   }
 
+  test("watermarked stream-stream join equals batch interval join") {
+    val sp = spark
+    import sp.implicits._
+    implicit val ctx = sp.sqlContext
+    val clicks = Seq(
+      (1L, t("2024-01-01 10:00:00"), 100L),
+      (1L, t("2024-01-01 11:00:00"), 101L),
+      (2L, t("2024-01-01 10:00:00"), 102L))
+    val purchases = Seq(
+      (1L, t("2024-01-01 10:20:00"), 200L), // 20 min after click 100 -> match
+      (1L, t("2024-01-01 13:00:00"), 201L), // 2 h after click 101 -> no match
+      (2L, t("2024-01-01 10:29:00"), 202L)) // 29 min after click 102 -> match
+    val msC = MemoryStream[(Long, Timestamp, Long)]
+    val msP = MemoryStream[(Long, Timestamp, Long)]
+    val q = Streaming.attributionJoin(
+        msC.toDF().toDF("user_id", "cts", "click_id"),
+        msP.toDF().toDF("uid_p", "pts", "purchase_id"))
+      .writeStream.outputMode("append").format("memory").queryName("ssj").start()
+    try {
+      msC.addData(clicks: _*)
+      msP.addData(purchases: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("ssj").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = Streaming.attributionJoin(
+        clicks.toDF("user_id", "cts", "click_id"),
+        purchases.toDF("uid_p", "pts", "purchase_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed == batch)
+    assert(batch == Set((1L, 100L, 200L), (2L, 102L, 202L)))
+  }
+
   test("running seq handles a pathologically hot single user (per-batch buffering bound)") {
     val sp = spark
     import sp.implicits._
