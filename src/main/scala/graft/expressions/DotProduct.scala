@@ -113,5 +113,8 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectFunction(
       (FunctionIdentifier("graft_minhash_sig"), MinHashSig.info,
         (exprs: Seq[Expression]) => MinHashSig(exprs(0), exprs(1))))
+    ext.injectFunction(
+      (FunctionIdentifier("graft_simhash_agg"), SimHashAgg.info,
+        (exprs: Seq[Expression]) => SimHashAgg(exprs.head)))
   }
 }

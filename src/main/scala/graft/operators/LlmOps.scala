@@ -392,7 +392,10 @@ object LlmOps {
     * (xxhash64). */
   def simhashNeardup(s: SparkSession, dir: String): DataFrame = {
     val bucketCap = 1024
+    // one (doc_id, long) row per doc, referenced 4× below (bucket sizing
+    // + both self-join sides) — materialize the fingerprints once
     val sh = simhash(s, dir).select(col("doc_id"), col("simhash"))
+      .localCheckpoint(true)
     val bands = sh
       .select(col("doc_id"), col("simhash"),
         explode(sequence(lit(0), lit(3))).as("band"))
@@ -471,6 +474,22 @@ object LlmOps {
       when(col(s"o$b") * 2 > col("total"), lit(1L << b)).otherwise(lit(0L)))
       .reduce(_ + _)
     votes.select(col("doc_id"), fingerprint.as("simhash")).orderBy("doc_id")
+  }
+
+  /** Third formulation of [[simhash]] via the custom
+    * `TypedImperativeAggregate` [[graft.expressions.SimHashAgg]] — one
+    * 65-long buffer per (doc × partition) reaches the shuffle, mutated
+    * in place per token. Test-only (LlmOpsSpec pins all three
+    * formulations equal); the `llm_simhash` query keeps the 64-sum form
+    * because it stays inside whole-stage codegen. */
+  def simhashViaAgg(s: SparkSession, dir: String): DataFrame = {
+    graft.expressions.SimHashAgg.register(s)
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
+      .groupBy("doc_id")
+      .agg(call_function("graft_simhash_agg", col("h")).as("simhash"))
+      .orderBy("doc_id")
   }
 
   /** Reference formulation of [[simhash]] via per-bit row explosion —

@@ -143,12 +143,15 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
-  test("fused simhash equals the per-bit exploded formulation") {
+  test("simhash: fused sums ≡ per-bit explosion ≡ TypedImperativeAggregate") {
     val fused = LlmOps.simhash(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val exploded = LlmOps.simhashExploded(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaAgg = LlmOps.simhashViaAgg(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(fused == exploded)
+    assert(fused == viaAgg)
   }
 
   test("dedup clusters equal driver-computed connected components") {
