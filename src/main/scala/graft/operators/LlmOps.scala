@@ -416,6 +416,43 @@ object LlmOps {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** PII scrubbing (training-data hygiene): email addresses → <EMAIL>,
+    * digit runs → <NUM>. The synthetic corpus contains neither (probed:
+    * zero digit hits), so the op scrubs a deterministic audit line
+    * appended per doc — the regex plumbing and hash-verified arithmetic
+    * are real; the patterns are the ones a production scrubber starts
+    * with. Regex subset chosen to behave identically in Java regex and
+    * RE2 (character classes, +, no backtracking constructs). */
+  def piiScrub(s: SparkSession, dir: String): DataFrame = {
+    val line = concat(col("text"), lit(" uid="), col("doc_id"),
+      lit(" mail=user"), col("doc_id"), lit("@example.com"))
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), line.as("raw"))
+      .select(col("doc_id"),
+        regexp_replace(
+          regexp_replace(col("raw"), "[a-z0-9.]+@[a-z0-9.]+", "<EMAIL>"),
+          "[0-9]+", "<NUM>").as("scrubbed"),
+        length(col("raw")).cast("long").as("raw_len"))
+      .orderBy("doc_id")
+  }
+
+  /** Contiguous sequence packing (training-batch assembly): per lang,
+    * docs in doc_id order are packed into ~512-token bins by prefix-sum
+    * sharding — bin = floor(tokens_before / 512). Deterministic, one
+    * shuffle by lang; the window is a running sum, not a buffer. */
+  def packSequences(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("tok_cnt"))
+      .withColumn("cum", sum(col("tok_cnt")).over(w))
+      .select(col("doc_id"), col("lang"), col("tok_cnt"),
+        floor((col("cum") - col("tok_cnt")).cast("double") / 512.0).cast("long").as("bin"))
+      .orderBy("doc_id")
+  }
+
   /** Language-ID heuristic (stopword-hit scoring). NOTE: the synthetic
     * corpus uses one shared 31-token vocabulary for every `lang` value, so
     * no content-based detector can beat chance here — this demonstrates
@@ -717,6 +754,8 @@ object LlmOps {
     "llm_tfidf"              -> (tfidf _),
     "llm_quantize_emb"       -> (quantizeEmb _),
     "llm_simhash_neardup"    -> (simhashNeardup _),
+    "llm_pii_scrub"          -> (piiScrub _),
+    "llm_pack_sequences"     -> (packSequences _),
     "llm_hash_sample"        -> (hashSample _),
     "llm_decode_stub"        -> (decodeStub _),
     "llm_tokenize_wordcount" -> (tokenizeWordcount _),
@@ -835,6 +874,33 @@ object LlmOps {
         |            x -> CAST(x AS DOUBLE))) * scale + 0.5) AS BIGINT) AS qval,
         |       scale
         |FROM sc ORDER BY vec_id, pos""".stripMargin,
+
+    "llm_pii_scrub" ->
+      """WITH r AS (
+        |  SELECT doc_id,
+        |         text || ' uid=' || CAST(doc_id AS VARCHAR)
+        |              || ' mail=user' || CAST(doc_id AS VARCHAR) || '@example.com' AS raw
+        |  FROM documents)
+        |SELECT doc_id,
+        |       regexp_replace(
+        |         regexp_replace(raw, '[a-z0-9.]+@[a-z0-9.]+', '<EMAIL>', 'g'),
+        |         '[0-9]+', '<NUM>', 'g') AS scrubbed,
+        |       CAST(length(raw) AS BIGINT) AS raw_len
+        |FROM r ORDER BY doc_id""".stripMargin,
+
+    "llm_pack_sequences" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS tok_cnt
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, lang, tok_cnt,
+        |         sum(tok_cnt) OVER (PARTITION BY lang ORDER BY doc_id
+        |                            ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM d)
+        |SELECT doc_id, lang, tok_cnt,
+        |       CAST(floor(CAST(cum - tok_cnt AS DOUBLE) / 512.0) AS BIGINT) AS bin
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     "llm_dedup_clusters" ->
       """WITH RECURSIVE toks AS (

@@ -65,6 +65,26 @@ object SqlSurface {
       |                   FROM orders WHERE o_custkey = c_custkey)
       |ORDER BY c_custkey""".stripMargin
 
+  /** GROUPING SETS with grouping() indicator bits — the grouping-set
+    * surface beyond rollup/cube (Expand-based plan in Spark); the two
+    * one-dimension sets plus the grand total. NULL group cells sorted
+    * explicitly so both engines agree on total order. */
+  private val groupingSetsSql =
+    """SELECT o_orderpriority, o_orderstatus,
+      |       CAST(grouping(o_orderpriority) AS BIGINT) AS g_prio,
+      |       CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+      |       CAST(count(*) AS BIGINT) AS cnt,
+      |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+      |ORDER BY g_prio, g_status,
+      |         o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin
+
+  def sqlGroupingSets(s: SparkSession, dir: String): DataFrame = {
+    views(s, dir, "orders")
+    s.sql(groupingSetsSql)
+  }
+
   def sqlCorr(s: SparkSession, dir: String): DataFrame = {
     views(s, dir, "customer", "orders")
     s.sql(corrSql)
@@ -81,14 +101,16 @@ object SqlSurface {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "sql_tpch_q3"       -> (sqlQ3 _),
-    "sql_tpch_q5"       -> (sqlQ5 _),
-    "sql_corr_subquery" -> (sqlCorr _),
+    "sql_tpch_q3"        -> (sqlQ3 _),
+    "sql_tpch_q5"        -> (sqlQ5 _),
+    "sql_corr_subquery"  -> (sqlCorr _),
+    "sql_grouping_sets"  -> (sqlGroupingSets _),
   )
 
   val oracle: Map[String, String] = Map(
-    "sql_tpch_q3"       -> q3Sql,
-    "sql_tpch_q5"       -> q5Sql,
-    "sql_corr_subquery" -> corrSql,
+    "sql_tpch_q3"        -> q3Sql,
+    "sql_tpch_q5"        -> q5Sql,
+    "sql_corr_subquery"  -> corrSql,
+    "sql_grouping_sets"  -> groupingSetsSql,
   )
 }

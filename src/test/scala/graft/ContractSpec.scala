@@ -59,6 +59,21 @@ class ContractSpec extends SparkSpec {
     assert(jsonBack.collect().map(_.toSeq).toSet == expect)
   }
 
+  test("orc source round-trips embeddings including the float-array column") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val path = s"/tmp/graft-orc-${System.nanoTime()}"
+    emb.write.mode("overwrite").orc(path)
+    val back = spark.read.orc(path)
+    assert(back.schema == emb.schema)
+    val a = emb.orderBy("vec_id").collect().map(_.toSeq.map {
+      case s: Seq[_] => s.toVector; case x => x
+    })
+    val b = back.orderBy("vec_id").collect().map(_.toSeq.map {
+      case s: Seq[_] => s.toVector; case x => x
+    })
+    assert(a.sameElements(b))
+  }
+
   test("FIMI text source round-trips the mining baskets") {
     val baskets = operators.Mining.baskets(spark, sf)
       .orderBy("tid").select("items")
