@@ -85,6 +85,15 @@ object Streaming {
       .select(col("user_id"), col("click_id"), col("purchase_id"),
         col("cts"), col("pts"))
 
+  /** Stream-static enrichment join: a (possibly streaming) event frame
+    * joined to a static broadcast dimension — stateless on the stream
+    * side, the standard fact→dim enrichment. Works identically batch
+    * and streaming (StreamingSpec). */
+  def enrichJoin(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(broadcast(dim), events("user_id") === dim("c_custkey"))
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"),
+        col("c_mktsegment"))
+
   /** Arbitrary stateful processing via `flatMapGroupsWithState`: per-user
     * running sequence numbers carried in explicit GroupState. The same
     * function runs over a batch Dataset (the declared oracle-checked
@@ -176,6 +185,18 @@ object Streaming {
       .orderBy("user_id")
   }
 
+  /** Declared batch equivalent of [[enrichJoin]] + segment rollup. */
+  def streamStaticJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+    val cust = Tables.load(s, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    enrichJoin(ev, cust)
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("val_sum"))
+      .orderBy("c_mktsegment")
+  }
+
   def streamStatefulDedup(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
     Tables.load(s, dir, "events")
@@ -192,6 +213,7 @@ object Streaming {
     "stream_session"        -> (streamSession _),
     "stream_stateful_dedup" -> (streamStatefulDedup _),
     "stream_stream_join"    -> (streamStreamJoin _),
+    "stream_static_join"    -> (streamStaticJoin _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -243,6 +265,12 @@ object Streaming {
         | AND b.ts > a.ts
         | AND epoch_us(b.ts) - epoch_us(a.ts) <= 1800000000
         |GROUP BY a.user_id ORDER BY a.user_id""".stripMargin,
+
+    "stream_static_join" ->
+      """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS events,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS val_sum
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     "stream_stateful_dedup" ->
       """SELECT user_id, event_type, event_id, ts AS first_ts FROM (

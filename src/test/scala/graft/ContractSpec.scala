@@ -31,6 +31,22 @@ class ContractSpec extends SparkSpec {
     }
   }
 
+  test("scale-posture plan shapes: column pruning, broadcast dim, no shuffle before banding") {
+    // chunking reads only the two columns it needs
+    val chunkScan = operators.LlmOps.chunk(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(chunkScan.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"chunk scan not pruned:\n$chunkScan")
+    // stream-static enrichment broadcasts the dimension side
+    val ssj = streaming.Streaming.streamStaticJoin(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(ssj.contains("BroadcastHashJoin"), s"dim not broadcast:\n$ssj")
+    // grouping sets plan expands, not multi-scans: exactly one orders scan
+    val gs = operators.SqlSurface.queries("sql_grouping_sets")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(gs.contains("Expand"), s"no Expand in grouping-sets plan:\n$gs")
+  }
+
   test("partitioned parquet write enables partition pruning on read") {
     val path = s"/tmp/graft-part-${System.nanoTime()}"
     Tables.load(spark, sf, "documents")

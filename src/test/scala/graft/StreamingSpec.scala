@@ -171,6 +171,29 @@ class StreamingSpec extends SparkSpec {
     assert(batch == Set((1L, 100L, 200L), (2L, 102L, 202L)))
   }
 
+  test("stream-static enrichment join: streamed events pick up dimension attributes") {
+    val sp = spark
+    import sp.implicits._
+    implicit val ctx = sp.sqlContext
+    val dim = Tables.load(spark, sf, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val someUser = dim.select("c_custkey").head.getLong(0)
+    val evs = Seq(
+      Ev(t("2024-01-01 10:00:00"), someUser, "click", 1.5, 1),
+      Ev(t("2024-01-01 10:05:00"), someUser, "view", 2.5, 2))
+    val ms = MemoryStream[Ev]
+    val q = Streaming.enrichJoin(ms.toDF(), dim)
+      .writeStream.outputMode("append").format("memory").queryName("enrich").start()
+    try { ms.addData(evs); q.processAllAvailable() } finally q.stop()
+    val streamed = spark.table("enrich").collect()
+      .map(r => (r.getLong(1), r.getString(4))).toSet
+    val batch = Streaming.enrichJoin(evs.toDF(), dim).collect()
+      .map(r => (r.getLong(1), r.getString(4))).toSet
+    assert(streamed == batch && streamed.size == 2)
+    val seg = dim.filter(col("c_custkey") === someUser).head.getString(1)
+    assert(streamed.forall(_._2 == seg))
+  }
+
   test("running seq handles a pathologically hot single user (per-batch buffering bound)") {
     val sp = spark
     import sp.implicits._
