@@ -116,5 +116,6 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectFunction(
       (FunctionIdentifier("graft_simhash_agg"), SimHashAgg.info,
         (exprs: Seq[Expression]) => SimHashAgg(exprs.head)))
+    ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
   }
 }

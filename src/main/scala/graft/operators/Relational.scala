@@ -180,6 +180,25 @@ object Relational {
       .orderBy("o_custkey", "o_orderdate", "o_orderkey")
   }
 
+  /** GROUPED top-k via the custom whole-operator extension
+    * [[graft.plans.TopKPerGroup]] (LogicalPlan + SparkStrategy +
+    * physical exec, SURVEY §4.3 tier c): bounded k-row heap per group in
+    * one pass after a single hash exchange — O(n log k) instead of the
+    * window formulation's full per-group sort. Order includes the
+    * o_orderkey tiebreak → strict total order → deterministic; the
+    * oracle states the row_number() spec, RelationalSpec pins the plan
+    * (TopKPerGroupExec present, window formulation equal). */
+  def relTopkGroup(s: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.load(s, dir, "orders")
+      .select("o_orderkey", "o_orderpriority", "o_totalprice")
+    graft.plans.TopK.perGroup(
+      orders,
+      group = Seq("o_orderpriority"),
+      order = Seq("o_totalprice" -> false, "o_orderkey" -> true),
+      k = 3)
+      .orderBy(col("o_orderpriority"), col("o_totalprice").desc, col("o_orderkey"))
+  }
+
   /** Global top-k → TakeOrderedAndProject, no full sort at scale. */
   def relSortLimit(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "lineitem")
@@ -268,6 +287,7 @@ object Relational {
     "rel_window_rank"    -> (relWindowRank _),
     "rel_window_frame"   -> (relWindowFrame _),
     "rel_sort_limit"     -> (relSortLimit _),
+    "rel_topk_group"     -> (relTopkGroup _),
     "rel_set_ops"        -> (relSetOps _),
   )
 
@@ -403,6 +423,15 @@ object Relational {
       """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
         |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
         |LIMIT 20""".stripMargin,
+
+    "rel_topk_group" ->
+      """SELECT o_orderkey, o_orderpriority, o_totalprice FROM (
+        |  SELECT o_orderkey, o_orderpriority, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_orderpriority
+        |                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders)
+        |WHERE rn <= 3
+        |ORDER BY o_orderpriority, o_totalprice DESC, o_orderkey""".stripMargin,
 
     "rel_set_ops" ->
       """WITH f AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'),

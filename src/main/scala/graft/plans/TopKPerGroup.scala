@@ -1,0 +1,125 @@
+package graft.plans
+
+import scala.collection.mutable
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Descending, Expression, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+
+/** Custom whole-operator extension — the (c) tier of SURVEY §4.3: a
+  * logical node, a planner strategy, and a physical operator, exposed
+  * through `TopK.perGroup` and registered via
+  * `spark.experimental.extraStrategies` (public hook) or
+  * `GraftExtensions.injectPlannerStrategy`.
+  *
+  * Semantics: the top `k` rows of each group under `order` (a strict
+  * total order — callers include a tiebreak column for determinism).
+  *
+  * Why a custom operator: the built-in formulation
+  * (`row_number().over(partitionBy(g).orderBy(o)) <= k`) SORTS every
+  * group in full — O(n log n) per group and the whole group's rows pass
+  * through the sort buffer. [[TopKPerGroupExec]] keeps a bounded k-row
+  * heap per group in one pass — O(n log k), memory O(groups·k) per
+  * partition — the aggregate-like shape that survives fat groups at
+  * 100 TB. (What it deliberately does NOT do: partial pre-heaps before
+  * the exchange; rows shuffled stay O(n). Adding a partial pass would
+  * mirror partial aggregation and is noted as future work.)
+  */
+case class TopKPerGroup(
+    groupExprs: Seq[Expression],
+    order: Seq[SortOrder],
+    k: Int,
+    child: LogicalPlan) extends UnaryNode {
+  override def output: Seq[Attribute] = child.output
+  override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerGroup =
+    copy(child = newChild)
+}
+
+/** Physical operator: hash of bounded per-group heaps. Declares
+  * `ClusteredDistribution(groupExprs)` so EnsureRequirements inserts the
+  * single hash exchange; each partition then holds whole groups. */
+case class TopKPerGroupExec(
+    groupExprs: Seq[Expression],
+    order: Seq[SortOrder],
+    k: Int,
+    child: SparkPlan) extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(groupExprs) :: Nil
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val kLocal = k
+    val groupExprsLocal = groupExprs
+    val orderLocal = order
+    val childOutput = child.output
+    child.execute().mapPartitions { it =>
+      val keyProj = UnsafeProjection.create(groupExprsLocal, childOutput)
+      val ord = RowOrdering.create(orderLocal, childOutput)
+      // PriorityQueue dequeues its Ordering's maximum = the WORST kept
+      // row under `ord` (ord.compare < 0 = sorts first = better).
+      val heaps = mutable.LinkedHashMap.empty[UnsafeRow, mutable.PriorityQueue[InternalRow]]
+      while (it.hasNext) {
+        val row = it.next()
+        val key = keyProj(row)
+        heaps.get(key) match {
+          case None =>
+            val pq = mutable.PriorityQueue.empty[InternalRow](ord)
+            pq.enqueue(row.copy())
+            heaps.put(key.copy(), pq)
+          case Some(pq) =>
+            if (pq.size < kLocal) pq.enqueue(row.copy())
+            else if (ord.compare(row, pq.head) < 0) { pq.dequeue(); pq.enqueue(row.copy()) }
+        }
+      }
+      heaps.iterator.flatMap { case (_, pq) => pq.dequeueAll.reverseIterator }
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: SparkPlan): TopKPerGroupExec =
+    copy(child = newChild)
+}
+
+/** Planner rule mapping the logical node to its physical operator. */
+object TopKStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case TopKPerGroup(g, o, k, child) =>
+      TopKPerGroupExec(g, o, k, planLater(child)) :: Nil
+    case _ => Nil
+  }
+}
+
+object TopK {
+
+  /** Idempotent registration through the PUBLIC experimental hook. */
+  def register(spark: SparkSession): Unit =
+    if (!spark.experimental.extraStrategies.contains(TopKStrategy)) {
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ TopKStrategy
+    }
+
+  /** Top `k` rows per group of `df`. `order` is (column, ascending?)
+    * pairs and must form a strict total order (include a tiebreak) for
+    * deterministic output. Attributes are resolved by name against the
+    * analyzed child, so the node enters the planner fully resolved. */
+  def perGroup(df: DataFrame, group: Seq[String],
+               order: Seq[(String, Boolean)], k: Int): DataFrame = {
+    val spark = df.sparkSession
+    register(spark)
+    val analyzed = df.queryExecution.analyzed
+    def attr(name: String): Attribute =
+      analyzed.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(
+          s"column $name not in ${analyzed.output.map(_.name).mkString(", ")}"))
+    val sortOrder = order.map { case (name, asc) =>
+      SortOrder(attr(name), if (asc) Ascending else Descending)
+    }
+    org.apache.spark.sql.graft.Bridge.ofRows(spark,
+      TopKPerGroup(group.map(attr), sortOrder, k, analyzed))
+  }
+}

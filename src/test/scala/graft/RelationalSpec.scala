@@ -101,6 +101,31 @@ class RelationalSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("custom TopKPerGroup: equals the window formulation, plans as one exchange + custom exec") {
+    val got = Relational.relTopkGroup(spark, sf)
+    // exact equality with the row_number() <= k spec
+    val orders = Tables.load(spark, sf, "orders")
+      .select("o_orderkey", "o_orderpriority", "o_totalprice")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_orderpriority")
+      .orderBy(org.apache.spark.sql.functions.col("o_totalprice").desc, org.apache.spark.sql.functions.col("o_orderkey"))
+    val expected = orders
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(org.apache.spark.sql.functions.col("rn") <= 3)
+      .select("o_orderkey", "o_orderpriority", "o_totalprice")
+      .orderBy(org.apache.spark.sql.functions.col("o_orderpriority"),
+        org.apache.spark.sql.functions.col("o_totalprice").desc,
+        org.apache.spark.sql.functions.col("o_orderkey"))
+      .collect().toSeq
+    assert(got.collect().toSeq == expected)
+    // plan shape: the custom exec node ran, behind a single hash exchange
+    // AQE prints Final + Initial sections; audit the final plan only
+    val plan = got.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(plan.contains("TopKPerGroup"), s"custom exec missing:\n$plan")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+      s"expected exactly one hash exchange before the heap operator:\n$plan")
+  }
+
   test("set ops: except and intersect branches are disjoint by construction") {
     val rows = Relational.relSetOps(spark, sf).collect()
     val byTag = rows.groupBy(_.getString(0)).view.mapValues(_.map(_.getLong(1)).toSet)
