@@ -636,7 +636,17 @@ object LlmOps {
     * collect of data (the loop's only actions are converged-yet counts).
     * Deterministic: cluster_id = smallest doc_id in the component.
     * Output covers every doc that appears in ≥1 near-dup pair. */
-  def dedupClusters(s: SparkSession, dir: String): DataFrame = {
+  def dedupClusters(s: SparkSession, dir: String): DataFrame =
+    clusterLabels(s, dir).orderBy("doc_id")
+
+  /** Converged (doc_id, cluster_id) labels — memoized per session+dir:
+    * `llm_dedup_clusters` and `llm_dedup_keep_best` share one label
+    * propagation, the way a pipeline materializes its cluster table
+    * once. */
+  private def clusterLabels(s: SparkSession, dir: String): DataFrame =
+    Tables.memo(s, dir, "dedupClusterLabels") { computeClusterLabels(s, dir) }
+
+  private def computeClusterLabels(s: SparkSession, dir: String): DataFrame = {
     val pairs = ngramJaccard(s, dir).select(col("doc_a"), col("doc_b"))
     // localCheckpoint (eager) rather than persist: iterative plans nest
     // the previous iteration's plan TWICE (propagate join + pointer
@@ -679,7 +689,26 @@ object LlmOps {
       labels = next
       iter += 1
     }
-    labels.select(col("doc").as("doc_id"), col("cluster_id")).orderBy("doc_id")
+    labels.select(col("doc").as("doc_id"), col("cluster_id"))
+  }
+
+  /** Canonical-survivor selection — the final stage of the dedup
+    * pipeline (exact → near-dup pairs → clusters → KEEP ONE): within
+    * each near-dup cluster keep the highest-quality doc (tiebreak
+    * doc_id). Output marks every clustered doc keep/drop with its
+    * quality score. Clusters are near-cliques, so the per-cluster
+    * window is bounded. */
+  def dedupKeepBest(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val clusters = clusterLabels(s, dir)
+    val quality = qualityScore(s, dir).select(col("doc_id"), col("quality"))
+    val w = Window.partitionBy("cluster_id")
+      .orderBy(col("quality").desc, col("doc_id"))
+    clusters.join(quality, "doc_id")
+      .withColumn("rn", row_number().over(w))
+      .select(col("doc_id"), col("cluster_id"),
+        (col("rn") === 1).as("keep"), col("quality"))
+      .orderBy("doc_id")
   }
 
   /** IVF ANN with a LEARNED codebook: k-means|| (seeded) centroids over
@@ -756,6 +785,7 @@ object LlmOps {
     "llm_simhash_neardup"    -> (simhashNeardup _),
     "llm_pii_scrub"          -> (piiScrub _),
     "llm_pack_sequences"     -> (packSequences _),
+    "llm_dedup_keep_best"    -> (dedupKeepBest _),
     "llm_hash_sample"        -> (hashSample _),
     "llm_decode_stub"        -> (decodeStub _),
     "llm_tokenize_wordcount" -> (tokenizeWordcount _),
@@ -901,6 +931,50 @@ object LlmOps {
         |SELECT doc_id, lang, tok_cnt,
         |       CAST(floor(CAST(cum - tok_cnt AS DOUBLE) / 512.0) AS BIGINT) AS bin
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    "llm_dedup_keep_best" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+        |  FROM documents),
+        |sz AS (SELECT doc_id, count(*) AS nt FROM toks GROUP BY doc_id),
+        |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |       FROM documents a JOIN documents b
+        |         ON a.lang = b.lang AND a.n_chars = b.n_chars AND a.doc_id < b.doc_id),
+        |inter AS (
+        |  SELECT doc_a, doc_b, count(*) AS i
+        |  FROM pr JOIN toks ta ON ta.doc_id = doc_a
+        |          JOIN toks tb ON tb.doc_id = doc_b AND tb.tok = ta.tok
+        |  GROUP BY doc_a, doc_b),
+        |pairs AS (
+        |  SELECT doc_a, doc_b
+        |  FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+        |  WHERE CAST(i AS DOUBLE) / (sa.nt + sb.nt - i) >= 0.5),
+        |e AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+        |      UNION ALL SELECT doc_b AS a, doc_a AS b FROM pairs),
+        |reach(doc, r) AS (
+        |  SELECT a, a FROM e
+        |  UNION
+        |  SELECT e.b, reach.r FROM reach JOIN e ON e.a = reach.doc),
+        |cl AS (SELECT doc AS doc_id, min(r) AS cluster_id FROM reach GROUP BY doc),
+        |qr AS (
+        |  SELECT doc_id,
+        |         CAST(len(string_split(text, ' ')) AS DOUBLE) AS n,
+        |         CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) AS nd,
+        |         CAST(len(list_filter(string_split(text, ' '),
+        |              t -> t = 'a' OR t = 'the')) AS DOUBLE) AS nstop,
+        |         CAST(len(list_filter(string_split(text, ' '),
+        |              t -> length(t) <= 2)) AS DOUBLE) AS nshort
+        |  FROM documents),
+        |q AS (SELECT doc_id,
+        |             (nd / n) * 0.5 + (1.0 - nstop / n) * 0.3
+        |             + (1.0 - nshort / n) * 0.2 AS quality
+        |      FROM qr)
+        |SELECT cl.doc_id, cl.cluster_id,
+        |       (row_number() OVER (PARTITION BY cluster_id
+        |                           ORDER BY quality DESC, cl.doc_id) = 1) AS keep,
+        |       quality
+        |FROM cl JOIN q ON q.doc_id = cl.doc_id
+        |ORDER BY cl.doc_id""".stripMargin,
 
     "llm_dedup_clusters" ->
       """WITH RECURSIVE toks AS (
