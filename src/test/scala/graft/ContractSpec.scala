@@ -90,6 +90,37 @@ class ContractSpec extends SparkSpec {
     assert(a.sameElements(b))
   }
 
+  test("AQE splits a skewed join partition at runtime") {
+    // one hot key owning ~200k rows vs 1k cold keys; thresholds lowered
+    // so local-scale data trips the same skew path a 100 TB hot key would
+    val sp = spark
+    import sp.implicits._
+    val conf = Map(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = conf.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    conf.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val skewed = (1 to 200000).map(i => (7L, i.toLong)) ++
+        (1 to 1000).map(i => (i.toLong + 100, i.toLong))
+      val fact = skewed.toDF("k", "v").repartition(4)
+      val dim = (1 to 2000).map(i => (i.toLong, s"d$i")).toDF("k", "name")
+      val joined = fact.join(dim, "k")
+      // collect() (not count()) so THIS QueryExecution runs and its
+      // adaptive plan is finalized
+      assert(joined.collect().length == 201000)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("isFinalPlan=true"))
+      assert(plan.contains("skew=true"),
+        s"AQE did not mark the skewed join:\n${plan.take(4000)}")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("FIMI text source round-trips the mining baskets") {
     val baskets = operators.Mining.baskets(spark, sf)
       .orderBy("tid").select("items")
