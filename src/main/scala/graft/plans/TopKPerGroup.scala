@@ -25,9 +25,10 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
   * through the sort buffer. [[TopKPerGroupExec]] keeps a bounded k-row
   * heap per group in one pass — O(n log k), memory O(groups·k) per
   * partition — the aggregate-like shape that survives fat groups at
-  * 100 TB. (What it deliberately does NOT do: partial pre-heaps before
-  * the exchange; rows shuffled stay O(n). Adding a partial pass would
-  * mirror partial aggregation and is noted as future work.)
+  * 100 TB. Like partial aggregation, the strategy plans a map-side
+  * PARTIAL heap pass before the exchange (top-k is decomposable:
+  * top-k(∪ partitions) = top-k(∪ per-partition top-k)), so the rows
+  * shuffled drop from O(n) to O(partitions·groups·k).
   */
 case class TopKPerGroup(
     groupExprs: Seq[Expression],
@@ -39,19 +40,26 @@ case class TopKPerGroup(
     copy(child = newChild)
 }
 
-/** Physical operator: hash of bounded per-group heaps. Declares
-  * `ClusteredDistribution(groupExprs)` so EnsureRequirements inserts the
-  * single hash exchange; each partition then holds whole groups. */
+/** Physical operator: hash of bounded per-group heaps. The FINAL pass
+  * declares `ClusteredDistribution(groupExprs)` so EnsureRequirements
+  * inserts the single hash exchange; the PARTIAL pass (planned below
+  * it, same operator with `partial = true`) accepts any distribution
+  * and bounds what that exchange carries. */
 case class TopKPerGroupExec(
     groupExprs: Seq[Expression],
     order: Seq[SortOrder],
     k: Int,
+    partial: Boolean,
     child: SparkPlan) extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output
 
   override def requiredChildDistribution: Seq[Distribution] =
-    ClusteredDistribution(groupExprs) :: Nil
+    if (partial) super.requiredChildDistribution
+    else ClusteredDistribution(groupExprs) :: Nil
+
+  override def nodeName: String =
+    if (partial) "TopKPerGroupPartial" else "TopKPerGroup"
 
   override protected def doExecute(): RDD[InternalRow] = {
     val kLocal = k
@@ -89,7 +97,8 @@ case class TopKPerGroupExec(
 object TopKStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case TopKPerGroup(g, o, k, child) =>
-      TopKPerGroupExec(g, o, k, planLater(child)) :: Nil
+      TopKPerGroupExec(g, o, k, partial = false,
+        TopKPerGroupExec(g, o, k, partial = true, planLater(child))) :: Nil
     case _ => Nil
   }
 }

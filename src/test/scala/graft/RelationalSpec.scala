@@ -122,6 +122,8 @@ class RelationalSpec extends SparkSpec {
     // AQE prints Final + Initial sections; audit the final plan only
     val plan = got.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
     assert(plan.contains("TopKPerGroup"), s"custom exec missing:\n$plan")
+    assert(plan.contains("TopKPerGroupPartial"),
+      s"map-side partial heap pass missing:\n$plan")
     assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
       s"expected exactly one hash exchange before the heap operator:\n$plan")
   }
