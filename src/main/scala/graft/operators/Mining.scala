@@ -269,6 +269,35 @@ object Mining {
       .orderBy("len", "pattern")
   }
 
+  /** Deeper sequential-pattern mining — `fpm_prefixspan` truncated at
+    * length 2 only so its oracle could enumerate the set; this key mines
+    * to length 4. Rows-only by design (a length-4 subsequence-support
+    * oracle is a 4-way ordered self-join per pattern — not reasonably
+    * SQL-enumerable); MiningSpec gates it: the ≤2 slice must equal the
+    * oracle-checked `fpm_prefixspan`, patterns of length ≥ 3 must exist,
+    * and every prefix of a frequent sequence must be frequent
+    * (PrefixSpan's prefix-monotonicity invariant). Length stays bounded
+    * (4) deliberately: sequential-pattern space grows ~|types|^L and the
+    * synthetic users have ~70-event streams — the knob is the same
+    * recall/cost dial as ANN nprobe. */
+  def fpmPrefixspanFull(s: SparkSession, dir: String): DataFrame = {
+    val seqs = Tables.load(s, dir, "events")
+      .groupBy("user_id")
+      .agg(transform(
+        sort_array(collect_list(struct(col("ts"), col("event_id"), col("event_type")))),
+        e => array(e.getField("event_type"))).as("sequence"))
+    new org.apache.spark.ml.fpm.PrefixSpan()
+      .setMinSupport(MinSupUsers)
+      .setMaxPatternLength(4)
+      .setSequenceCol("sequence")
+      .findFrequentSequentialPatterns(seqs)
+      .select(
+        concat_ws(">", transform(col("sequence"), a => element_at(a, 1))).as("pattern"),
+        size(col("sequence")).cast("long").as("len"),
+        col("freq"))
+      .orderBy("len", "pattern")
+  }
+
   /** Maximal frequent itemsets within the enumerated ≤3-item universe
     * (MaxMiner/MAFIA family): frequent sets with no frequent proper
     * superset. Computed by anti-joining each level against the covering
@@ -336,7 +365,8 @@ object Mining {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "fpm_closed"       -> (fpmClosed _),
     "fpm_maximal"      -> (fpmMaximal _),
-    "fpm_prefixspan"   -> (fpmPrefixspan _),
+    "fpm_prefixspan"      -> (fpmPrefixspan _),
+    "fpm_prefixspan_full" -> (fpmPrefixspanFull _),
     "fpm_basketize"    -> (fpmBasketize _),
     "fpm_freq_items"   -> (fpmFreqItems _),
     "fpm_freq_pairs"   -> (fpmFreqPairs _),

@@ -14,7 +14,8 @@ class ContractSpec extends SparkSpec {
   test("oracle coverage: only the declared sketch/LSH keys are oracle-free") {
     val oracleFree = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(oracleFree == Set("rel_agg_approx", "llm_minhash_neardup", "llm_simhash",
-      "fpm_fpgrowth_full", "llm_ann_ivf_kmeans", "llm_simhash_neardup"),
+      "fpm_fpgrowth_full", "fpm_prefixspan_full", "llm_ann_ivf_kmeans",
+      "llm_simhash_neardup"),
       s"unexpected oracle-free keys: $oracleFree")
   }
 

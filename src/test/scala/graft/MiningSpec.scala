@@ -70,6 +70,24 @@ class MiningSpec extends SparkSpec {
     }
   }
 
+  test("deep prefixspan: <=2 slice equals bounded key, depth real, prefixes frequent") {
+    val full = Mining.fpmPrefixspanFull(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val bounded = Mining.fpmPrefixspan(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(full.filter(_._2 <= 2).toSet == bounded)
+    assert(full.exists(_._2 >= 3), "no sequences of length >= 3 — depth not exercised")
+    // prefix-monotonicity: every proper prefix of a frequent sequence is
+    // frequent with support >= the sequence's
+    val byPattern = full.map(t => t._1 -> t._3).toMap
+    full.filter(_._2 >= 2).foreach { case (p, _, f) =>
+      val steps = p.split(">")
+      val prefix = steps.dropRight(1).mkString(">")
+      assert(byPattern.get(prefix).exists(_ >= f),
+        s"prefix $prefix of $p missing or under-supported")
+    }
+  }
+
   test("typed UDAF equals unfiltered per-item supports") {
     val expected = txItems.groupBy("item").agg(count(lit(1)).as("freq"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
