@@ -84,8 +84,6 @@ class LlmOpsSpec extends SparkSpec {
 
   test("native graft_minhash_sig is bit-identical to the exploded relational form") {
     graft.expressions.MinHashSig.register(spark)
-    val native = LlmOps.minhashNeardup(spark, sf) // forces registration path too
-    val _ = native // (candidates computed below via signature comparison)
     val docs = Tables.load(spark, sf, "documents")
     val exploded = LlmOps.minhashSigExploded(spark, sf, 32).collect()
       .map(r => r.getLong(0) -> r.getSeq[Long](1).toVector).toMap
