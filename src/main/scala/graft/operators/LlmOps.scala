@@ -601,6 +601,28 @@ object LlmOps {
       .orderBy("doc_id")
   }
 
+  /** Frame sampling over opaque content (the video-pipeline shape:
+    * decode → sample every Nth frame → per-frame features): content is
+    * split into fixed 16-char "frames", every 4th frame is kept, and a
+    * per-frame fingerprint + length is emitted. The content here is the
+    * text column standing in for a binary stream (same stance as
+    * [[binaryMeta]]; DuckDB 1.0 has no BLOB substring, and the corpus
+    * is ASCII so char ≡ byte) — the explode/stride/per-frame-feature
+    * plumbing is the real thing. Pure per-row explode, no shuffle. */
+  def frameSample(s: SparkSession, dir: String): DataFrame = {
+    val nFrames = ceil(length(col("text")).cast("double") / 16.0).cast("int")
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("text"), nFrames.as("nf"))
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(0), greatest(col("nf") - 1, lit(0)))).as("frame_idx"))
+      .filter(col("frame_idx") % 4 === 0)
+      .select(col("doc_id"), col("frame_idx"),
+        md5(expr("substring(text, frame_idx * 16 + 1, 16)")).as("frame_md5"),
+        length(expr("substring(text, frame_idx * 16 + 1, 16)")).cast("long")
+          .as("frame_len"))
+      .orderBy("doc_id", "frame_idx")
+  }
+
   /** Deterministic hash-based sampling (eval/train split style): keep
     * docs whose salted md5 starts with one of 2/16 hex digits — a stable
     * ~12.5% sample, identical on every engine and at every scale. */
@@ -786,6 +808,7 @@ object LlmOps {
     "llm_pii_scrub"          -> (piiScrub _),
     "llm_pack_sequences"     -> (packSequences _),
     "llm_dedup_keep_best"    -> (dedupKeepBest _),
+    "llm_frame_sample"       -> (frameSample _),
     "llm_hash_sample"        -> (hashSample _),
     "llm_decode_stub"        -> (decodeStub _),
     "llm_tokenize_wordcount" -> (tokenizeWordcount _),
@@ -904,6 +927,20 @@ object LlmOps {
         |            x -> CAST(x AS DOUBLE))) * scale + 0.5) AS BIGINT) AS qval,
         |       scale
         |FROM sc ORDER BY vec_id, pos""".stripMargin,
+
+    "llm_frame_sample" ->
+      """WITH d AS (
+        |  SELECT doc_id, text, CAST(ceil(length(text) / 16.0) AS INT) AS nf
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, text,
+        |         unnest(generate_series(0, greatest(nf - 1, 0))) AS frame_idx
+        |  FROM d)
+        |SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+        |       md5(substring(text, frame_idx * 16 + 1, 16)) AS frame_md5,
+        |       CAST(length(substring(text, frame_idx * 16 + 1, 16)) AS BIGINT) AS frame_len
+        |FROM f WHERE frame_idx % 4 = 0
+        |ORDER BY doc_id, frame_idx""".stripMargin,
 
     "llm_pii_scrub" ->
       """WITH r AS (
