@@ -65,6 +65,35 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("TopKPerGroup equals the window formulation on random data (fixed-seed samples)") {
+    val sp = spark
+    import sp.implicits._
+    val rowsGen: Gen[List[(Long, Long, Long)]] =
+      Gen.chooseNum(1, 300).flatMap { n =>
+        Gen.listOfN(n, for {
+          g <- Gen.chooseNum(0L, 5L)   // few groups -> guaranteed fat groups
+          v <- Gen.chooseNum(-50L, 50L) // narrow domain -> guaranteed ties
+        } yield (g, v))
+      }.map(_.zipWithIndex.map { case ((g, v), i) => (g, v, i.toLong) })
+    (1 to 5).foreach { i =>
+      val data = rowsGen.pureApply(Gen.Parameters.default, Seed(1000L + i))
+      val df = data.toDF("g", "v", "id").repartition(4)
+      (1 to 7 by 3).foreach { k =>
+        val custom = graft.plans.TopK
+          .perGroup(df, Seq("g"), Seq("v" -> false, "id" -> true), k)
+          .orderBy("g", "id")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("g").orderBy(col("v").desc, col("id"))
+        val windowed = df.withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= k).drop("rn")
+          .orderBy("g", "id")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+        assert(custom == windowed, s"sample $i k=$k")
+      }
+    }
+  }
+
   test("sessionization: per-user session count is within [1, events-per-user]") {
     val sessions = streaming.Streaming.streamSession(spark, sf)
       .groupBy("user_id").agg(count(lit(1)).as("n_sessions"), sum(col("cnt")).as("n_events"))
