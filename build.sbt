@@ -26,5 +26,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g default: local[32] runs 32 concurrent tasks in ONE JVM — at 8g
+  // the unified memory region (0.6 · heap) left ~150 MB/task and made the
+  // bench GC/spill-bound under load (r02's shuffle-heavy keys inflated
+  // 2–5× with unchanged code). The host has 128 GiB; a real cluster gives
+  // each executor its own heap.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )

