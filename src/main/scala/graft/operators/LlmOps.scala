@@ -107,7 +107,16 @@ object LlmOps {
     * going quadratic inside degenerate buckets at corpus scale. The
     * Jaccard estimate is a zip_with over the two signature arrays, not a
     * 32-row join. Output: candidate pairs with estimated Jaccard ≥ 0.7. */
-  def minhashNeardup(s: SparkSession, dir: String): DataFrame = {
+  def minhashNeardup(s: SparkSession, dir: String): DataFrame =
+    minhashCandidates(s, dir).orderBy("doc_a", "doc_b")
+
+  /** Memoized MinHash candidate table — shared by `llm_minhash_neardup`
+    * and the LSH-fed cluster labels, the way a pipeline materializes its
+    * candidate-pair table once per corpus snapshot. */
+  private def minhashCandidates(s: SparkSession, dir: String): DataFrame =
+    Tables.memo(s, dir, "minhashCandidates") { computeMinhashCandidates(s, dir) }
+
+  private def computeMinhashCandidates(s: SparkSession, dir: String): DataFrame = {
     val numPerm = 32
     val numBands = 4
     val rowsPerBand = numPerm / numBands
@@ -151,7 +160,6 @@ object LlmOps {
             (x, y) => when(x === y, 1).otherwise(0)),
           lit(0), (acc, v) => acc + v).cast("double") / numPerm).as("est_jaccard"))
       .filter(col("est_jaccard") >= 0.7)
-      .orderBy("doc_a", "doc_b")
   }
 
   /** Reference relational formulation of the MinHash signature (explode
@@ -666,10 +674,42 @@ object LlmOps {
     * propagation, the way a pipeline materializes its cluster table
     * once. */
   private def clusterLabels(s: SparkSession, dir: String): DataFrame =
-    Tables.memo(s, dir, "dedupClusterLabels") { computeClusterLabels(s, dir) }
+    Tables.memo(s, dir, "dedupClusterLabels") {
+      labelPropagate(ngramJaccard(s, dir).select(col("doc_a"), col("doc_b")))
+    }
 
-  private def computeClusterLabels(s: SparkSession, dir: String): DataFrame = {
-    val pairs = ngramJaccard(s, dir).select(col("doc_a"), col("doc_b"))
+  /** LSH-fed cluster labels — the feeder that survives at 100 TB. The
+    * exact blocked-Jaccard pairs stay in (they are a subset of the truth)
+    * but the MinHash LSH candidates (est_jaccard ≥ 0.7) are what scale:
+    * candidate generation is banded buckets, never all-pairs. Memoized
+    * like [[clusterLabels]] — one label table per corpus snapshot. */
+  private def lshClusterLabels(s: SparkSession, dir: String): DataFrame =
+    Tables.memo(s, dir, "dedupClusterLabelsLsh") {
+      val exact = ngramJaccard(s, dir).select(col("doc_a"), col("doc_b"))
+      val lsh = minhashCandidates(s, dir).select(col("doc_a"), col("doc_b"))
+      labelPropagate(exact.unionByName(lsh).distinct())
+    }
+
+  /** Dedup clusters over the union of exact-Jaccard and MinHash-LSH
+    * candidate edges. No SQL oracle (the LSH edges are xxhash64-derived):
+    * rows-only + LlmOpsSpec gates — LSH-fed clusters coarsen-or-equal the
+    * exact clusters, and every exact cluster maps into exactly one LSH
+    * cluster (adding edges can only merge components, never split). */
+  def dedupClustersLsh(s: SparkSession, dir: String): DataFrame =
+    lshClusterLabels(s, dir).orderBy("doc_id")
+
+  /** Connected components over an undirected edge list by iterative
+    * min-label propagation with pointer jumping (label ← label of label).
+    * Reach after t rounds grows as 2^t − 1 hops (propagate extends one
+    * hop, the jump doubles), so `ceil(log2(n)) + 1` rounds ALWAYS reach
+    * the fixpoint for n labeled nodes (diameter ≤ n − 1). The schedule is
+    * FIXED from that upfront bound — one driver count before the loop,
+    * zero per-round driver syncs beyond the eager checkpoint — then one
+    * verification round asserts the fixpoint (label sum unchanged; min-
+    * propagation only ever lowers labels) with an adaptive fallback that
+    * is provably dead but keeps correctness independent of the bound.
+    * Deterministic: cluster_id = smallest doc_id in the component. */
+  private def labelPropagate(pairs: DataFrame): DataFrame = {
     // localCheckpoint (eager) rather than persist: iterative plans nest
     // the previous iteration's plan TWICE (propagate join + pointer
     // jump), so without lineage truncation the logical plan doubles per
@@ -681,35 +721,43 @@ object LlmOps {
     var labels = edges.select(col("doc_a").as("doc")).distinct()
       .withColumn("cluster_id", col("doc"))
       .localCheckpoint(true)
-    // min-propagation only ever lowers labels, so the label sum strictly
-    // decreases until the fixpoint — one cheap aggregate per round, no
-    // change-count join.
-    def labelSum(df: DataFrame): java.math.BigDecimal = {
-      val r = df.agg(sum(col("cluster_id").cast("decimal(38,0)"))).head
-      if (r.isNullAt(0)) java.math.BigDecimal.ZERO else r.getDecimal(0)
-    }
-    var prevSum = labelSum(labels)
-    var converged = prevSum.signum == 0 // empty edge set: nothing to do
-    var iter = 0
-    while (!converged && iter < 20) {
+    def round(cur: DataFrame): DataFrame = {
       val nbrMin = edges
-        .join(labels.select(col("doc").as("doc_b"), col("cluster_id").as("nlbl")), "doc_b")
+        .join(cur.select(col("doc").as("doc_b"), col("cluster_id").as("nlbl")), "doc_b")
         .groupBy("doc_a").agg(min(col("nlbl")).as("nmin"))
         .select(col("doc_a").as("doc"), col("nmin"))
-      val propagated = labels.join(nbrMin, Seq("doc"), "left")
+      val propagated = cur.join(nbrMin, Seq("doc"), "left")
         .select(col("doc"),
           least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id"))).as("mid"))
       // pointer jump: adopt the label of my current label
-      val next = propagated
+      propagated
         .join(propagated.select(col("doc").as("mid"), col("mid").as("root")),
           Seq("mid"), "left")
         .select(col("doc"), least(col("mid"), coalesce(col("root"), col("mid"))).as("cluster_id"))
         .localCheckpoint(true)
-      val sumNow = labelSum(next)
-      converged = sumNow.compareTo(prevSum) == 0
-      prevSum = sumNow
-      labels = next
-      iter += 1
+    }
+    def labelSum(df: DataFrame): java.math.BigDecimal = {
+      val r = df.agg(sum(col("cluster_id").cast("decimal(38,0)"))).head
+      if (r.isNullAt(0)) java.math.BigDecimal.ZERO else r.getDecimal(0)
+    }
+    val n = labels.count()
+    if (n > 0) {
+      val scheduled =
+        math.ceil(math.log(n.toDouble.max(2.0)) / math.log(2.0)).toInt + 1
+      for (_ <- 1 to scheduled) labels = round(labels)
+      // fixpoint verification: one extra round + two scalar aggregates,
+      // replacing the per-round driver sync of the adaptive-only loop
+      var prevSum = labelSum(labels)
+      var converged = false
+      var guard = 0
+      while (!converged && guard < 20) {
+        val next = round(labels)
+        val sumNow = labelSum(next)
+        converged = sumNow.compareTo(prevSum) == 0
+        prevSum = sumNow
+        labels = next
+        guard += 1
+      }
     }
     labels.select(col("doc").as("doc_id"), col("cluster_id"))
   }
@@ -804,12 +852,15 @@ object LlmOps {
     * cluster table and ANN index once up front. */
   def warm(s: SparkSession, dir: String): Unit = {
     clusterLabels(s, dir).count()
+    minhashCandidates(s, dir).count()
+    lshClusterLabels(s, dir).count()
     annIvfKmeans(s, dir).count()
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_normalize_emb"      -> (normalizeEmbeddings _),
     "llm_dedup_clusters"     -> (dedupClusters _),
+    "llm_dedup_clusters_lsh" -> (dedupClustersLsh _),
     "llm_ann_ivf_kmeans"     -> (annIvfKmeans _),
     "llm_chunk"              -> (chunk _),
     "llm_tfidf"              -> (tfidf _),

@@ -268,7 +268,32 @@ object Relational {
       .orderBy("user_id", "click_id")
   }
 
+  /** Partitioned write + pruned scan — the cluster-scale storage layout
+    * pattern: events written hive-partitioned by a derived event_date,
+    * read back with a partition predicate so the scan plans only the
+    * matching date directories (partition pruning; InputPartition count
+    * asserted in ContractSpec). The oracle states the equivalent direct
+    * filter on the source table — the partitioned-parquet round-trip is
+    * a content identity, so the oracle needs no access to the written
+    * path. The write targets java.io.tmpdir, keyed by the sf dir name so
+    * concurrent SFs never collide. */
+  def relPartitionPrune(s: SparkSession, dir: String): DataFrame = {
+    val out = new java.io.File(
+      new java.io.File(sys.props("java.io.tmpdir"), "graft_prune"),
+      new java.io.File(dir).getName).getAbsolutePath
+    Tables.load(s, dir, "events")
+      .withColumn("event_date", date_format(col("ts"), "yyyy-MM-dd"))
+      .select("event_id", "user_id", "event_type", "event_date")
+      .write.mode("overwrite").partitionBy("event_date").parquet(out)
+    s.read.parquet(out)
+      .filter(col("event_date") >= "2024-01-10" && col("event_date") <= "2024-01-14")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("event_date").cast("string").as("event_date"))
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_partition_prune" -> (relPartitionPrune _),
     "rel_asof_join"      -> (relAsofJoin _),
     "rel_pivot"          -> (relPivot _),
     "rel_agg_salted"     -> (relAggSalted _),
@@ -292,6 +317,14 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "rel_partition_prune" ->
+      """SELECT event_id, user_id, event_type,
+        |       strftime(date_trunc('day', ts), '%Y-%m-%d') AS event_date
+        |FROM events
+        |WHERE strftime(date_trunc('day', ts), '%Y-%m-%d')
+        |      BETWEEN '2024-01-10' AND '2024-01-14'
+        |ORDER BY event_id""".stripMargin,
+
     "rel_asof_join" ->
       """WITH x AS (
         |  SELECT user_id, event_id, event_type, ts,

@@ -44,12 +44,28 @@ case class TopKPerGroup(
   * declares `ClusteredDistribution(groupExprs)` so EnsureRequirements
   * inserts the single hash exchange; the PARTIAL pass (planned below
   * it, same operator with `partial = true`) accepts any distribution
-  * and bounds what that exchange carries. */
+  * and bounds what that exchange carries.
+  *
+  * Memory bound: the group map is O(groups-in-partition · k) rows. The
+  * PARTIAL pass caps it at `flushThreshold` groups — on overflow it
+  * FLUSHES the map downstream and starts fresh (exactly how partial
+  * hash aggregation degrades: duplicate group keys across flushes are
+  * fine because the final pass re-merges; the pass stays a strict
+  * row-count reducer, it just stops being a perfect one under extreme
+  * map-side cardinality). The FINAL pass cannot flush (it must emit
+  * exactly k per group), but after the hash exchange its map holds at
+  * most its own input ÷ (maps · k) groups — the partial pass already
+  * bounded each group's shuffled rows to maps · k, so final-map memory
+  * is strictly smaller than the partition's shuffled input, the same
+  * envelope HashAggregateExec's in-memory map assumes before spilling.
+  * Tune `spark.graft.topk.flushThreshold` (default 1<<17 groups) so
+  * flushThreshold · k rows fit comfortably per task. */
 case class TopKPerGroupExec(
     groupExprs: Seq[Expression],
     order: Seq[SortOrder],
     k: Int,
     partial: Boolean,
+    flushThreshold: Int,
     child: SparkPlan) extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output
@@ -66,17 +82,29 @@ case class TopKPerGroupExec(
     val groupExprsLocal = groupExprs
     val orderLocal = order
     val childOutput = child.output
+    val partialLocal = partial
+    val flushLocal = flushThreshold
     child.execute().mapPartitions { it =>
       val keyProj = UnsafeProjection.create(groupExprsLocal, childOutput)
       val ord = RowOrdering.create(orderLocal, childOutput)
       // PriorityQueue dequeues its Ordering's maximum = the WORST kept
       // row under `ord` (ord.compare < 0 = sorts first = better).
-      val heaps = mutable.LinkedHashMap.empty[UnsafeRow, mutable.PriorityQueue[InternalRow]]
+      var heaps = mutable.LinkedHashMap.empty[UnsafeRow, mutable.PriorityQueue[InternalRow]]
+      var flushed: Iterator[InternalRow] = Iterator.empty
       while (it.hasNext) {
         val row = it.next()
         val key = keyProj(row)
         heaps.get(key) match {
           case None =>
+            if (partialLocal && heaps.size >= flushLocal) {
+              // overflow: hand the full map downstream and start fresh —
+              // correct for the partial pass only (final re-merges)
+              val old = heaps
+              flushed = flushed ++ old.iterator.flatMap {
+                case (_, pq) => pq.dequeueAll.reverseIterator
+              }
+              heaps = mutable.LinkedHashMap.empty
+            }
             val pq = mutable.PriorityQueue.empty[InternalRow](ord)
             pq.enqueue(row.copy())
             heaps.put(key.copy(), pq)
@@ -85,7 +113,7 @@ case class TopKPerGroupExec(
             else if (ord.compare(row, pq.head) < 0) { pq.dequeue(); pq.enqueue(row.copy()) }
         }
       }
-      heaps.iterator.flatMap { case (_, pq) => pq.dequeueAll.reverseIterator }
+      flushed ++ heaps.iterator.flatMap { case (_, pq) => pq.dequeueAll.reverseIterator }
     }
   }
 
@@ -97,8 +125,10 @@ case class TopKPerGroupExec(
 object TopKStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case TopKPerGroup(g, o, k, child) =>
-      TopKPerGroupExec(g, o, k, partial = false,
-        TopKPerGroupExec(g, o, k, partial = true, planLater(child))) :: Nil
+      val flush = org.apache.spark.sql.internal.SQLConf.get
+        .getConfString("spark.graft.topk.flushThreshold", (1 << 17).toString).toInt
+      TopKPerGroupExec(g, o, k, partial = false, flush,
+        TopKPerGroupExec(g, o, k, partial = true, flush, planLater(child))) :: Nil
     case _ => Nil
   }
 }

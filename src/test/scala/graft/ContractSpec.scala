@@ -15,7 +15,7 @@ class ContractSpec extends SparkSpec {
     val oracleFree = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(oracleFree == Set("rel_agg_approx", "llm_minhash_neardup", "llm_simhash",
       "fpm_fpgrowth_full", "fpm_prefixspan_full", "llm_ann_ivf_kmeans",
-      "llm_simhash_neardup"),
+      "llm_simhash_neardup", "fpm_assoc_rules_full", "llm_dedup_clusters_lsh"),
       s"unexpected oracle-free keys: $oracleFree")
   }
 
@@ -59,6 +59,24 @@ class ContractSpec extends SparkSpec {
     val expected = Tables.load(spark, sf, "documents")
       .filter(col("lang") === "en").count()
     assert(filtered.count() == expected)
+  }
+
+  test("rel_partition_prune: declared key scans only the predicate's date partitions") {
+    val df = operators.Relational.relPartitionPrune(spark, sf)
+    val plan = df.queryExecution.sparkPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("event_date"),
+      s"no partition pruning in:\n$plan")
+    // the scan must plan only the 5 matching date directories
+    val scans = df.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty, s"no file scan in:\n$plan")
+    assert(scans.head.relation.location.inputFiles.length > 5,
+      "fixture too small to demonstrate pruning")
+    // content identity with the direct filter on the source table
+    val expected = Tables.load(spark, sf, "events")
+      .filter(col("ts") >= "2024-01-10" && col("ts") < "2024-01-15").count()
+    assert(df.count() == expected && expected > 0)
   }
 
   test("csv and json sources round-trip a table with schema pinned") {

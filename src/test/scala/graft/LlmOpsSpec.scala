@@ -173,6 +173,27 @@ class LlmOpsSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("LSH-fed clusters coarsen-or-equal exact clusters; exact clusters never split") {
+    val exact = LlmOps.dedupClusters(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val lsh = LlmOps.dedupClustersLsh(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(exact.nonEmpty)
+    // the LSH edge set is a superset, so every exact-clustered doc is
+    // LSH-clustered, and adding edges can only MERGE components: every
+    // exact cluster maps into exactly one LSH cluster
+    assert(exact.keySet.subsetOf(lsh.keySet),
+      s"docs lost by LSH feeder: ${exact.keySet.diff(lsh.keySet)}")
+    exact.groupBy(_._2).foreach { case (cid, members) =>
+      val lshClusters = members.keys.map(lsh).toSet
+      assert(lshClusters.size == 1,
+        s"exact cluster $cid split across LSH clusters $lshClusters")
+    }
+    // coarsen-or-equal: restricted to the exact docs, LSH has no MORE clusters
+    val lshCount = exact.keySet.map(lsh).size
+    assert(lshCount <= exact.values.toSet.size)
+  }
+
   test("learned-codebook IVF: nprobe=k reproduces brute force; default recall >= 0.9") {
     val brute = LlmOps.similarityKnn(spark, sf).collect().map(_.getLong(0)).toSeq
     // probing every cell must reproduce the exact brute-force top-10

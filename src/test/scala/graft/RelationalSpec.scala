@@ -128,6 +128,27 @@ class RelationalSpec extends SparkSpec {
       s"expected exactly one hash exchange before the heap operator:\n$plan")
   }
 
+  test("TopKPerGroup: partial-map flush at high group cardinality stays exact") {
+    import org.apache.spark.sql.functions.{col, row_number}
+    // 20k distinct groups per partition >> the 64-group flush threshold,
+    // so the partial pass takes the overflow-flush path many times over
+    val df = spark.range(100000).select(
+      (col("id") % 20000).as("g"),
+      ((col("id") * 2654435761L) % 1000003L).as("v"),
+      col("id"))
+    spark.conf.set("spark.graft.topk.flushThreshold", "64")
+    try {
+      val got = plans.TopK.perGroup(df, Seq("g"), Seq(("v", false), ("id", true)), 2)
+        .orderBy("g", "id").collect().toSeq
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("g").orderBy(col("v").desc, col("id"))
+      val expected = df.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 2).select("g", "v", "id")
+        .orderBy("g", "id").collect().toSeq
+      assert(got == expected)
+    } finally spark.conf.unset("spark.graft.topk.flushThreshold")
+  }
+
   test("set ops: except and intersect branches are disjoint by construction") {
     val rows = Relational.relSetOps(spark, sf).collect()
     val byTag = rows.groupBy(_.getString(0)).view.mapValues(_.map(_.getLong(1)).toSet)
