@@ -10,6 +10,10 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 case class SeqEvent(ts: java.sql.Timestamp, user_id: Long, event_id: Long)
 case class SeqOut(user_id: Long, event_id: Long, seq: Long)
 
+/** Row shapes for the stateful streaming near-dup operator. */
+case class BandDoc(doc_id: Long, band: Int, band_key: Long, sig: Long)
+case class NearDup(doc_id: Long, band: Int, dup_of: Long)
+
 /** §E — streaming surface (SURVEY.md §2.1.E).
   *
   * Each operator exists twice:
@@ -128,6 +132,70 @@ object Streaming {
       .toDF()
   }
 
+  /** Per-row 64-bit SimHash as a PURE PROJECTION — no aggregation, so it
+    * can run ahead of a stateful streaming operator. Same majority-vote
+    * definition as the batch `llm_simhash` fused-aggregate form
+    * (StreamingSpec pins them bit-identical); O(64·tokens) per row,
+    * stays inside codegen. */
+  private[graft] val SimhashExprSql =
+    """aggregate(
+      |  transform(sequence(0, 63), b ->
+      |    CASE WHEN 2 * size(filter(split(text, ' '),
+      |                       t -> (shiftright(xxhash64(t), b) & 1) = 1))
+      |              > size(split(text, ' '))
+      |         THEN shiftleft(1L, b) ELSE 0L END),
+      |  0L, (acc, v) -> acc + v)""".stripMargin
+
+  /** Per-bucket signature-state cap — the streaming analogue of the
+    * batch near-dup bucket cap: a degenerate 16-bit bucket must not
+    * accumulate unbounded state. Docs past the cap are still CHECKED
+    * against the retained signatures, just not added (proven a no-op at
+    * test SFs — max bucket occupancy ≪ 1024; a production deployment
+    * would evict by event-time watermark instead). */
+  private val NeardupStateCap = 1024
+
+  /** Stateful streaming NEAR-dedup — the incremental analogue of the
+    * batch near-dup family, beyond exact-key `dropDuplicates`: each doc's
+    * 64-bit SimHash is banded into 4 × 16-bit bucket keys (pigeonhole:
+    * exact for hamming ≤ 3, same scheme as `llm_simhash_neardup`); the
+    * state store holds the signatures seen per bucket; an arriving doc
+    * that lands within hamming ≤ 3 of a retained prior signature emits
+    * (doc_id, band, dup_of = smallest such prior doc). Grouping is by
+    * band bucket, so state lookups touch one bucket, never the corpus —
+    * the LSH property is what makes streaming near-dup feasible at all.
+    * Batch and streaming runs agree when docs arrive in doc_id order
+    * (StreamingSpec feeds multi-batch MemoryStream and asserts equality
+    * with this transform over the static frame, and with a pure
+    * relational banded-join formulation). */
+  def neardupStream(docs: DataFrame): DataFrame = {
+    val sp = docs.sparkSession
+    import sp.implicits._
+    val banded = docs
+      .select(col("doc_id"), expr(SimhashExprSql).as("sig"))
+      .select(col("doc_id"), col("sig"),
+        explode(sequence(lit(0), lit(3))).as("band"))
+      .select(col("doc_id"), col("band").cast("int").as("band"),
+        expr("shiftright(sig, CAST(band * 16 AS INT)) & 65535").as("band_key"),
+        col("sig"))
+      .as[BandDoc]
+    banded.groupByKey(d => (d.band, d.band_key))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (key: (Int, Long), it: Iterator[BandDoc],
+         state: GroupState[List[(Long, Long)]]) => {
+          var seen = state.getOption.getOrElse(Nil)
+          val out = List.newBuilder[NearDup]
+          it.toSeq.sortBy(_.doc_id).foreach { d =>
+            val hits = seen.collect { case (pid, psig)
+              if pid < d.doc_id && java.lang.Long.bitCount(psig ^ d.sig) <= 3 => pid }
+            if (hits.nonEmpty) out += NearDup(d.doc_id, d.band, hits.min)
+            if (seen.size < NeardupStateCap) seen = (d.doc_id, d.sig) :: seen
+          }
+          state.update(seen)
+          out.result().iterator
+        })
+      .toDF()
+  }
+
   // ------------------------------------------- declared batch equivalents
 
   def streamRunningSeq(s: SparkSession, dir: String): DataFrame =
@@ -206,7 +274,16 @@ object Streaming {
       .orderBy("user_id", "event_type")
   }
 
+  /** Declared batch run of [[neardupStream]] over the static documents
+    * table. Rows-only (xxhash64 signatures — no DuckDB oracle); gated in
+    * StreamingSpec by multi-batch stream ≡ batch ≡ relational-join
+    * equivalence. */
+  def streamNeardup(s: SparkSession, dir: String): DataFrame =
+    neardupStream(Tables.load(s, dir, "documents").select("doc_id", "text"))
+      .orderBy("doc_id", "band")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_neardup"        -> (streamNeardup _),
     "stream_running_seq"    -> (streamRunningSeq _),
     "stream_tumbling"       -> (streamTumbling _),
     "stream_sliding"        -> (streamSliding _),

@@ -15,7 +15,8 @@ class ContractSpec extends SparkSpec {
     val oracleFree = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(oracleFree == Set("rel_agg_approx", "llm_minhash_neardup", "llm_simhash",
       "fpm_fpgrowth_full", "fpm_prefixspan_full", "llm_ann_ivf_kmeans",
-      "llm_simhash_neardup", "fpm_assoc_rules_full", "llm_dedup_clusters_lsh"),
+      "llm_simhash_neardup", "fpm_assoc_rules_full", "llm_dedup_clusters_lsh",
+      "stream_neardup"),
       s"unexpected oracle-free keys: $oracleFree")
   }
 

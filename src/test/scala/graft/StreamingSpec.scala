@@ -8,6 +8,8 @@ import java.sql.Timestamp
 case class Ev(ts: Timestamp, user_id: Long, event_type: String,
               value: Double, event_id: Long)
 
+case class Doc(doc_id: Long, text: String)
+
 /** Structured Streaming semantics via MemoryStream (SURVEY.md §5.2.4):
   * batch/stream equivalence on in-order data, session-window equivalence
   * with the lag+cumsum batch form, late-data drop, first-arrival dedup. */
@@ -251,5 +253,48 @@ class StreamingSpec extends SparkSpec {
     val transformed = Streaming.tumblingStream(Tables.load(spark, sf, "events"))
       .orderBy("window_start", "event_type").collect()
     assert(declared.sameElements(transformed))
+  }
+
+  test("stateful streaming near-dup: multi-batch stream == batch == ground truth") {
+    val sp = spark
+    import sp.implicits._
+    implicit val ctx = sp.sqlContext
+    val docs = Tables.load(spark, sf, "documents")
+      .select("doc_id", "text").orderBy("doc_id")
+      .collect().map(r => Doc(r.getLong(0), r.getString(1)))
+    val ms = MemoryStream[Doc]
+    val q = Streaming.neardupStream(ms.toDF())
+      .writeStream.outputMode("append").format("memory").queryName("ndup").start()
+    try {
+      // three doc_id-ordered micro-batches: state must carry across them
+      docs.grouped(200).foreach { chunk =>
+        ms.addData(chunk.toSeq); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val streamed = spark.table("ndup").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val batch = Streaming.streamNeardup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(streamed == batch)
+    // driver-side ground truth from the per-row signatures: for each
+    // (doc, band), the smallest prior doc sharing the band key within
+    // hamming <= 3 of the full signature
+    val sigs = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), expr(Streaming.SimhashExprSql).as("sig"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val expected = (for {
+      (db, sb) <- sigs.toSeq
+      band <- 0 until 4
+      prior = sigs.filter { case (da, sa) => da < db &&
+        ((sa >> (band * 16)) & 0xFFFFL) == ((sb >> (band * 16)) & 0xFFFFL) &&
+        java.lang.Long.bitCount(sa ^ sb) <= 3 }
+      if prior.nonEmpty
+    } yield (db, band, prior.map(_._1).min)).toSet
+    assert(batch == expected)
+    assert(batch.nonEmpty, "fixture has no near-dups at hamming <= 3 — vacuous test")
+    // the streaming-safe per-row projection simhash == the fused batch form
+    val fused = operators.LlmOps.simhash(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sigs.toSet == fused)
   }
 }
