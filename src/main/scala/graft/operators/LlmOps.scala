@@ -709,7 +709,7 @@ object LlmOps {
     * propagation only ever lowers labels) with an adaptive fallback that
     * is provably dead but keeps correctness independent of the bound.
     * Deterministic: cluster_id = smallest doc_id in the component. */
-  private def labelPropagate(pairs: DataFrame): DataFrame = {
+  private[graft] def labelPropagate(pairs: DataFrame): DataFrame = {
     // localCheckpoint (eager) rather than persist: iterative plans nest
     // the previous iteration's plan TWICE (propagate join + pointer
     // jump), so without lineage truncation the logical plan doubles per

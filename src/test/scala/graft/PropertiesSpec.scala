@@ -94,6 +94,44 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("label propagation: fixed-round schedule reaches the union-find fixpoint " +
+       "on long chains and random graphs") {
+    val sp = spark
+    import sp.implicits._
+    def groundTruth(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      edges.flatMap(e => Seq(e._1, e._2)).distinct.map(d => d -> find(d)).toMap
+    }
+    def run(edges: Seq[(Long, Long)]): Map[Long, Long] =
+      operators.LlmOps.labelPropagate(edges.toDF("doc_a", "doc_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // adversarial for the round bound: one 64-node chain, diameter 63 —
+    // the scheduled ceil(log2 64)+1 = 7 rounds must cover it (2^7-1 = 127)
+    val chain = (0L until 63L).map(i => (i, i + 1))
+    assert(run(chain) == groundTruth(chain))
+    // random sparse graphs: mixed chains, stars, isolated pairs
+    val edgeGen: Gen[List[(Long, Long)]] =
+      Gen.chooseNum(1, 80).flatMap { n =>
+        Gen.listOfN(n, for {
+          a <- Gen.chooseNum(0L, 40L)
+          b <- Gen.chooseNum(0L, 40L) if a != b
+        } yield (math.min(a, b), math.max(a, b)))
+      }
+    (1 to 4).foreach { i =>
+      val es = edgeGen.pureApply(Gen.Parameters.default, Seed(7000L + i))
+        .distinct.filter(e => e._1 != e._2)
+      if (es.nonEmpty) assert(run(es) == groundTruth(es), s"sample $i")
+    }
+  }
+
   test("sessionization: per-user session count is within [1, events-per-user]") {
     val sessions = streaming.Streaming.streamSession(spark, sf)
       .groupBy("user_id").agg(count(lit(1)).as("n_sessions"), sum(col("cnt")).as("n_events"))
