@@ -27,6 +27,8 @@ object Profile {
       .select(regexp_extract(col("props"), "\"k\":\\s*(-?\\d+)", 1).cast("int").as("k"))
       .groupBy((col("k") % 2).as("p")).count().count())
     time("fn_json_full")(graft.functions.Scalar.fnJson(spark, dir).count())
+    time("stream_neardup_1")(graft.streaming.Streaming.streamNeardup(spark, dir).count())
+    time("stream_neardup_2")(graft.streaming.Streaming.streamNeardup(spark, dir).count())
     time("ann_ivf")(graft.operators.LlmOps.annIvf(spark, dir).count())
     time("embed_cos")(graft.operators.LlmOps.embedCosineNeardup(spark, dir).count())
     time("knn")(graft.operators.LlmOps.similarityKnn(spark, dir).count())
