@@ -292,7 +292,54 @@ object Relational {
       .orderBy("event_id")
   }
 
+  /** Bucketed co-located join — the other half of the cluster-scale
+    * writer surface (partitioned layout = [[relPartitionPrune]], bucketed
+    * layout = here): both join sides are written `bucketBy` the join key,
+    * so the join reads pre-partitioned buckets and needs NO shuffle on
+    * either side (RelationalSpec asserts the zero-exchange sort-merge
+    * plan with broadcast disabled; at this test SF Catalyst may broadcast
+    * instead — also shuffle-free — but at 100 TB neither side broadcasts
+    * and bucketing is the layout that amortizes one shuffle across every
+    * downstream join of the key). Table names are keyed by the sf dir so
+    * scale factors never collide; the bucketed round-trip is a content
+    * identity, so the oracle is the direct join+agg. */
+  /** Drop a managed table AND its warehouse directory: a fresh session's
+    * in-memory catalog does not know about a previous JVM's table, but
+    * the previous JVM's location directory persists — `saveAsTable` then
+    * fails with LOCATION_ALREADY_EXISTS. The driver runs Verify and Bench
+    * as separate JVMs over the same working directory, so the writer key
+    * must clear both catalog entry and stale location to be idempotent. */
+  private def resetManagedTable(s: SparkSession, name: String): Unit = {
+    s.sql(s"DROP TABLE IF EXISTS $name")
+    val wh = s.conf.get("spark.sql.warehouse.dir")
+    val path = try new java.net.URI(wh).getPath catch { case _: Exception => wh }
+    val loc = new java.io.File(if (path != null) path else wh, name.toLowerCase)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) { val cs = f.listFiles(); if (cs != null) cs.foreach(rm) }
+      f.delete(): Unit
+    }
+    if (loc.exists()) rm(loc)
+  }
+
+  def relBucketedJoin(s: SparkSession, dir: String): DataFrame = {
+    val sfx = new java.io.File(dir).getName.replace('.', '_')
+    val li = s"li_bk_$sfx"; val ord = s"ord_bk_$sfx"
+    resetManagedTable(s, li); resetManagedTable(s, ord)
+    Tables.load(s, dir, "lineitem").select("l_orderkey", "l_quantity")
+      .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .mode("overwrite").saveAsTable(li)
+    Tables.load(s, dir, "orders").select("o_orderkey", "o_orderpriority")
+      .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .mode("overwrite").saveAsTable(ord)
+    s.table(li).join(s.table(ord), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("line_cnt"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("qty_sum"))
+      .orderBy("o_orderpriority")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_bucketed_join"  -> (relBucketedJoin _),
     "rel_partition_prune" -> (relPartitionPrune _),
     "rel_asof_join"      -> (relAsofJoin _),
     "rel_pivot"          -> (relPivot _),
@@ -317,6 +364,12 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "rel_bucketed_join" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS line_cnt,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty_sum
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
     "rel_partition_prune" ->
       """SELECT event_id, user_id, event_type,
         |       strftime(date_trunc('day', ts), '%Y-%m-%d') AS event_date

@@ -101,6 +101,25 @@ class RelationalSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("rel_bucketed_join: declared key joins with no shuffle on either side") {
+    // broadcast off: at test SF Catalyst would broadcast (also shuffle-
+    // free) and bypass the bucketed layout this key exists to prove
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = Relational.relBucketedJoin(spark, sf)
+      df.collect()
+      // QueryStageExec is a leaf for collect(), so audit the expanded
+      // string: the join must be SMJ and NO exchange may partition by a
+      // join key — the only legitimate exchange is the aggregate's, on
+      // o_orderpriority
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected sort-merge join:\n$plan")
+      assert(!plan.contains("Exchange hashpartitioning(l_orderkey")
+          && !plan.contains("Exchange hashpartitioning(o_orderkey"),
+        s"shuffle on a join key under the bucketed join:\n$plan")
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
   test("custom TopKPerGroup: equals the window formulation, plans as one exchange + custom exec") {
     val got = Relational.relTopkGroup(spark, sf)
     // exact equality with the row_number() <= k spec
