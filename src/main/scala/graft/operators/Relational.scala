@@ -338,7 +338,34 @@ object Relational {
       .orderBy("o_orderpriority")
   }
 
+  /** Exact discrete quantiles per group (p25/p50/p75 of extendedprice per
+    * returnflag): the value at 1-based rank ceil(p·n) in sort order — the
+    * rank-based (percentile_disc) definition, chosen over interpolating
+    * percentile_cont because rank arithmetic is INTEGER-deterministic
+    * across engines while interpolation formulas differ in final-ulp fp
+    * ((a+(b−a)·f) vs ((1−f)·a+f·b)). Ties are harmless: the value at a
+    * rank is determined by the sorted multiset regardless of tie order.
+    * One shuffle (window by group); the per-group target ranks join in as
+    * a broadcast. p ∈ {0.25, 0.5, 0.75} are exact binary fractions, so
+    * ceil(p·n) is engine-identical. */
+  def relAggQuantile(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+    val ranked = Tables.load(s, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_extendedprice"))
+      .withColumn("rn", row_number().over(w))
+    val cnts = ranked.groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+    val targets = cnts.crossJoin(Seq(0.25, 0.5, 0.75).toDF("p"))
+      .select(col("l_returnflag").as("rf"), col("p"),
+        ceil(col("p") * col("n")).cast("long").as("t"))
+    ranked.join(broadcast(targets),
+        col("l_returnflag") === col("rf") && col("rn") === col("t"))
+      .select(col("l_returnflag"), col("p"), col("l_extendedprice").as("q_value"))
+      .orderBy("l_returnflag", "p")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_agg_quantile"   -> (relAggQuantile _),
     "rel_bucketed_join"  -> (relBucketedJoin _),
     "rel_partition_prune" -> (relPartitionPrune _),
     "rel_asof_join"      -> (relAsofJoin _),
@@ -364,6 +391,18 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "rel_agg_quantile" ->
+      """WITH ranked AS (
+        |  SELECT l_returnflag, l_extendedprice,
+        |         row_number() OVER (PARTITION BY l_returnflag
+        |                            ORDER BY l_extendedprice) AS rn,
+        |         count(*) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM lineitem)
+        |SELECT l_returnflag, CAST(p AS DOUBLE) AS p, l_extendedprice AS q_value
+        |FROM ranked, (SELECT unnest([0.25, 0.5, 0.75]) AS p) ps
+        |WHERE rn = CAST(ceil(p * n) AS BIGINT)
+        |ORDER BY l_returnflag, p""".stripMargin,
+
     "rel_bucketed_join" ->
       """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS line_cnt,
         |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty_sum

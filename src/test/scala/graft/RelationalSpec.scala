@@ -101,6 +101,20 @@ class RelationalSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("rel_agg_quantile equals driver-side rank-based ground truth") {
+    val byFlag = Tables.load(spark, sf, "lineitem")
+      .select("l_returnflag", "l_extendedprice").collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getDouble(1)).sorted).toMap
+    val got = Relational.relAggQuantile(spark, sf).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    assert(got.length == byFlag.size * 3)
+    got.foreach { case (f, p, v) =>
+      val xs = byFlag(f)
+      val t = math.ceil(p * xs.length).toInt
+      assert(v == xs(t - 1), s"flag=$f p=$p got=$v want=${xs(t - 1)}")
+    }
+  }
+
   test("rel_bucketed_join: declared key joins with no shuffle on either side") {
     // broadcast off: at test SF Catalyst would broadcast (also shuffle-
     // free) and bypass the bucketed layout this key exists to prove
