@@ -641,6 +641,21 @@ object LlmOps {
       .select(col("doc_id"), col("lang"), col("n_chars"))
       .orderBy("doc_id")
 
+  /** Deterministic STRATIFIED sampling — class-balanced subsampling, the
+    * training-data mixing knob (rebalance languages/sources without a
+    * seed lottery): per-stratum keep rates applied via the same
+    * content-stable hash as [[hashSample]], so the sample is reproducible
+    * across engines, runs, and partitionings (no RNG, no seed plumbing;
+    * md5 prefix < per-lang hex threshold ⇒ keep — '4' = 4/16 = 25 %,
+    * '8' = 8/16 = 50 %). A scan-local filter: no shuffle, prunes to three
+    * columns, and composes with any downstream op. */
+  def stratifiedSample(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .filter(substring(md5(concat(lit("graft:"), col("doc_id").cast("string"))), 1, 1)
+        < when(col("lang").isin("de", "en", "es"), lit("4")).otherwise(lit("8")))
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy("doc_id")
+
   /** Unit-normalized embeddings: each component divided by the vector's
     * norm — the standard pre-step for cosine ANN indexes. The norm is
     * computed ONCE per row in its own projection (an O(d) fold), not
@@ -871,6 +886,7 @@ object LlmOps {
     "llm_dedup_keep_best"    -> (dedupKeepBest _),
     "llm_frame_sample"       -> (frameSample _),
     "llm_hash_sample"        -> (hashSample _),
+    "llm_stratified_sample"  -> (stratifiedSample _),
     "llm_decode_stub"        -> (decodeStub _),
     "llm_tokenize_wordcount" -> (tokenizeWordcount _),
     "llm_exact_dedup"        -> (exactDedup _),
@@ -904,6 +920,12 @@ object LlmOps {
     "llm_hash_sample" ->
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE substring(md5('graft:' || CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1')
+        |ORDER BY doc_id""".stripMargin,
+
+    "llm_stratified_sample" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE substring(md5('graft:' || CAST(doc_id AS VARCHAR)), 1, 1)
+        |      < CASE WHEN lang IN ('de', 'en', 'es') THEN '4' ELSE '8' END
         |ORDER BY doc_id""".stripMargin,
 
     "llm_decode_stub" ->

@@ -338,6 +338,25 @@ object Relational {
       .orderBy("o_orderpriority")
   }
 
+  /** ntile quartile assignment per group — the bucketed-rank window
+    * function (equal-size buckets, earlier buckets take the remainder —
+    * the ANSI definition both engines implement identically in integer
+    * arithmetic). Total order (totalprice desc, orderkey) makes the
+    * assignment deterministic. Rolled up to per-(priority, quartile)
+    * price sums: one shuffle for the window, one for the bounded
+    * aggregate. */
+  def relWindowNtile(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.load(s, dir, "orders")
+      .select(col("o_orderpriority"), col("o_totalprice"),
+        ntile(4).over(w).as("quartile"))
+      .groupBy("o_orderpriority", "quartile")
+      .agg(count(lit(1)).as("cnt"),
+        sum(dec("o_totalprice")).cast("double").as("price_sum"))
+      .orderBy("o_orderpriority", "quartile")
+  }
+
   /** Exact discrete quantiles per group (p25/p50/p75 of extendedprice per
     * returnflag): the value at 1-based rank ceil(p·n) in sort order — the
     * rank-based (percentile_disc) definition, chosen over interpolating
@@ -366,6 +385,7 @@ object Relational {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "rel_agg_quantile"   -> (relAggQuantile _),
+    "rel_window_ntile"   -> (relWindowNtile _),
     "rel_bucketed_join"  -> (relBucketedJoin _),
     "rel_partition_prune" -> (relPartitionPrune _),
     "rel_asof_join"      -> (relAsofJoin _),
@@ -391,6 +411,18 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "rel_window_ntile" ->
+      """SELECT o_orderpriority, CAST(quartile AS INTEGER) AS quartile,
+        |       CAST(count(*) AS BIGINT) AS cnt,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS price_sum
+        |FROM (
+        |  SELECT o_orderpriority, o_totalprice,
+        |         ntile(4) OVER (PARTITION BY o_orderpriority
+        |                        ORDER BY o_totalprice DESC, o_orderkey) AS quartile
+        |  FROM orders)
+        |GROUP BY o_orderpriority, quartile
+        |ORDER BY o_orderpriority, quartile""".stripMargin,
+
     "rel_agg_quantile" ->
       """WITH ranked AS (
         |  SELECT l_returnflag, l_extendedprice,
