@@ -796,6 +796,20 @@ object LlmOps {
       .orderBy("doc_id")
   }
 
+  /** Embedding-cosine dedup clusters — SEMANTIC dedup, the third feeder
+    * of the cluster family (token-Jaccard = [[dedupClusters]], LSH =
+    * [[dedupClustersLsh]], embedding cosine = here): connected components
+    * over the [[embedCosineNeardup]] pair graph (cos > 0.3 within label
+    * blocks), same fixed-round label propagation. Fully oracle-checked,
+    * unlike the LSH variant: the cosine pairs are deterministic IEEE
+    * left-folds in both engines (proven by llm_embed_cos_neardup's hash
+    * match) and the closure is WITH RECURSIVE reachability in DuckDB. */
+  def dedupClustersEmb(s: SparkSession, dir: String): DataFrame =
+    Tables.memo(s, dir, "dedupClusterLabelsEmb") {
+      labelPropagate(embedCosineNeardup(s, dir)
+        .select(col("va").as("doc_a"), col("vb").as("doc_b")))
+    }.select(col("doc_id").as("vec_id"), col("cluster_id")).orderBy("vec_id")
+
   /** IVF ANN with a LEARNED codebook: k-means|| (seeded) centroids over
     * the corpus, nprobe nearest cells searched. The centroid table is
     * model metadata (k rows), joined into the plan as a broadcast — the
@@ -876,6 +890,7 @@ object LlmOps {
     "llm_normalize_emb"      -> (normalizeEmbeddings _),
     "llm_dedup_clusters"     -> (dedupClusters _),
     "llm_dedup_clusters_lsh" -> (dedupClustersLsh _),
+    "llm_dedup_clusters_emb" -> (dedupClustersEmb _),
     "llm_ann_ivf_kmeans"     -> (annIvfKmeans _),
     "llm_chunk"              -> (chunk _),
     "llm_tfidf"              -> (tfidf _),
@@ -1154,6 +1169,22 @@ object LlmOps {
          |FROM assign a JOIN probe ON a.cid = probe.qcid CROSS JOIN q
          |WHERE a.vec_id <> 0
          |ORDER BY sim DESC, a.vec_id LIMIT 10""".stripMargin,
+
+    "llm_dedup_clusters_emb" ->
+      s"""WITH RECURSIVE pairs AS (
+         |  SELECT a.vec_id AS va, b.vec_id AS vb
+         |  FROM embeddings a JOIN embeddings b
+         |    ON a.label = b.label AND a.vec_id < b.vec_id
+         |  WHERE ${sqlDot("a.embedding", "b.embedding")}
+         |        / (${sqlNorm("a.embedding")} * ${sqlNorm("b.embedding")}) > 0.3),
+         |e AS (SELECT va AS a, vb AS b FROM pairs
+         |      UNION ALL SELECT vb AS a, va AS b FROM pairs),
+         |reach(doc, r) AS (
+         |  SELECT a, a FROM e
+         |  UNION
+         |  SELECT e.b, reach.r FROM reach JOIN e ON e.a = reach.doc)
+         |SELECT doc AS vec_id, min(r) AS cluster_id
+         |FROM reach GROUP BY doc ORDER BY vec_id""".stripMargin,
 
     "llm_embed_cos_neardup" ->
       s"""SELECT a.vec_id AS va, b.vec_id AS vb,
