@@ -883,6 +883,7 @@ object LlmOps {
     clusterLabels(s, dir).count()
     minhashCandidates(s, dir).count()
     lshClusterLabels(s, dir).count()
+    dedupClustersEmb(s, dir).count()
     annIvfKmeans(s, dir).count()
   }
 
