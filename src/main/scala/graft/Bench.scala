@@ -25,6 +25,7 @@ object Bench {
     // r01, 17.6 s by fpm_fpgrowth_full in r02 without this).
     step { operators.Mining.warm(spark, sfDir) }
     step { operators.LlmOps.warm(spark, sfDir) }
+    step { operators.Relational.warm(spark, sfDir) }
     // JIT/codegen warm: run EVERY query once on the tiny sf so each timed
     // measurement sees compiled code paths, not first-call JIT + codegen
     // compilation (which otherwise lands arbitrarily across the run).
