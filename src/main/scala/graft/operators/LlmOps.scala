@@ -783,9 +783,20 @@ object LlmOps {
     * doc_id). Output marks every clustered doc keep/drop with its
     * quality score. Clusters are near-cliques, so the per-cluster
     * window is bounded. */
-  def dedupKeepBest(s: SparkSession, dir: String): DataFrame = {
+  def dedupKeepBest(s: SparkSession, dir: String): DataFrame =
+    keepBestOver(s, dir, clusterLabels(s, dir))
+
+  /** Keep-best over the LSH-FED clusters — survivor selection on the
+    * feeder that scales (exact → LSH candidates → clusters → keep one):
+    * a user running the dedup pipeline at 100 TB keeps one canonical doc
+    * per LSH component, not per exact-Jaccard component. Rows-only
+    * (xxhash64 edges); LlmOpsSpec gates exactly-one-keeper-per-cluster
+    * with the cluster's max quality. */
+  def dedupKeepBestLsh(s: SparkSession, dir: String): DataFrame =
+    keepBestOver(s, dir, lshClusterLabels(s, dir))
+
+  private def keepBestOver(s: SparkSession, dir: String, clusters: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val clusters = clusterLabels(s, dir)
     val quality = qualityScore(s, dir).select(col("doc_id"), col("quality"))
     val w = Window.partitionBy("cluster_id")
       .orderBy(col("quality").desc, col("doc_id"))
@@ -900,6 +911,7 @@ object LlmOps {
     "llm_pii_scrub"          -> (piiScrub _),
     "llm_pack_sequences"     -> (packSequences _),
     "llm_dedup_keep_best"    -> (dedupKeepBest _),
+    "llm_dedup_keep_best_lsh" -> (dedupKeepBestLsh _),
     "llm_frame_sample"       -> (frameSample _),
     "llm_hash_sample"        -> (hashSample _),
     "llm_stratified_sample"  -> (stratifiedSample _),

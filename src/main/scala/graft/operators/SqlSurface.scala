@@ -36,6 +36,34 @@ object SqlSurface {
       |ORDER BY revenue DESC, l_orderkey
       |LIMIT 10""".stripMargin
 
+  /** TPC-H Q1-shaped: the canonical pricing-summary scan-aggregate.
+    * Determinism per SURVEY §2.0: every sum is an exact decimal
+    * aggregate cast to double at the END; the disc-price product is
+    * re-cast to DECIMAL(18,4) before the (1+tax) multiply so every
+    * intermediate stays inside exact 38-digit decimal arithmetic in
+    * BOTH engines (unchecked (18,2)³ products would overflow precision
+    * and round engine-specifically); averages are stated as
+    * CAST(sum AS DOUBLE)/count — one double division, identical text
+    * both sides. */
+  private val q1Sql =
+    """SELECT l_returnflag, l_linestatus,
+      |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      |       CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+      |                * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4)))
+      |            AS DOUBLE) AS sum_disc_price,
+      |       CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+      |                * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))
+      |                * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+      |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+      |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
+      |       CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_disc,
+      |       CAST(count(*) AS BIGINT) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
   /** TPC-H Q5-shaped: local-supplier volume per nation in EUROPE, 1996. */
   private val q5Sql =
     """SELECT n_name,
@@ -100,7 +128,13 @@ object SqlSurface {
     s.sql(q5Sql)
   }
 
+  def sqlQ1(s: SparkSession, dir: String): DataFrame = {
+    views(s, dir, "lineitem")
+    s.sql(q1Sql)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sql_tpch_q1"        -> (sqlQ1 _),
     "sql_tpch_q3"        -> (sqlQ3 _),
     "sql_tpch_q5"        -> (sqlQ5 _),
     "sql_corr_subquery"  -> (sqlCorr _),
@@ -108,6 +142,7 @@ object SqlSurface {
   )
 
   val oracle: Map[String, String] = Map(
+    "sql_tpch_q1"        -> q1Sql,
     "sql_tpch_q3"        -> q3Sql,
     "sql_tpch_q5"        -> q5Sql,
     "sql_corr_subquery"  -> corrSql,

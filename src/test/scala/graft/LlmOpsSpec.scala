@@ -194,6 +194,21 @@ class LlmOpsSpec extends SparkSpec {
     assert(lshCount <= exact.values.toSet.size)
   }
 
+  test("LSH keep-best: exactly one keeper per LSH cluster, at the cluster's max quality") {
+    val rows = LlmOps.dedupKeepBestLsh(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._2).foreach { case (cid, rs) =>
+      val keepers = rs.filter(_._3)
+      assert(keepers.length == 1, s"cluster $cid has ${keepers.length} keepers")
+      assert(keepers.head._4 == rs.map(_._4).max, s"cluster $cid keeper not max-quality")
+    }
+    // membership matches the LSH cluster table exactly
+    val lsh = LlmOps.dedupClustersLsh(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.map(r => r._1 -> r._2).toMap == lsh)
+  }
+
   test("learned-codebook IVF: nprobe=k reproduces brute force; default recall >= 0.9") {
     val brute = LlmOps.similarityKnn(spark, sf).collect().map(_.getLong(0)).toSeq
     // probing every cell must reproduce the exact brute-force top-10
