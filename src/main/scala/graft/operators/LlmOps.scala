@@ -885,6 +885,135 @@ object LlmOps {
       .limit(10)
   }
 
+  /** Gopher-style repetition signals per document: the fraction of
+    * bigram occurrences taken by the single most frequent bigram
+    * (`top_frac`), the fraction that are repeat occurrences beyond each
+    * bigram's first (`dup_frac`), and the distinct-token ratio — the
+    * classic "remove boilerplate / degenerate repetition" filter of a
+    * training-data quality pipeline.
+    *
+    * Scale shape: bigrams are exploded then partially aggregated on
+    * (doc_id, bigram) — map-side combine absorbs the in-doc repeats, so
+    * the shuffle carries at most one row per distinct bigram per doc;
+    * both groupBys key on doc_id-derived keys (no global hotspot). All
+    * ratios are single IEEE divisions of exact integer counts
+    * (engine-identical). Documents shorter than two tokens have no
+    * bigrams and drop out (same semantics both engines). */
+  def repetition(s: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val base = Tables.load(s, dir, "documents").select(
+      col("doc_id"),
+      (size(array_distinct(toks)).cast("double") / size(toks).cast("double"))
+        .as("distinct_ratio"),
+      when(size(toks) >= 2,
+        transform(sequence(lit(1), size(toks) - 1),
+          i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+        .otherwise(array().cast("array<string>"))
+        .as("bigrams"))
+    val counts = base.select(col("doc_id"), explode(col("bigrams")).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+    val agg = counts.groupBy("doc_id").agg(
+      sum("c").as("n_bigrams"),
+      max("c").as("top"),
+      (sum("c") - count(lit(1))).as("dup"))
+    base.select("doc_id", "distinct_ratio").join(agg, "doc_id")
+      .select(
+        col("doc_id"),
+        col("n_bigrams").cast("long").as("n_bigrams"),
+        (col("top").cast("double") / col("n_bigrams").cast("double")).as("top_frac"),
+        (col("dup").cast("double") / col("n_bigrams").cast("double")).as("dup_frac"),
+        col("distinct_ratio"))
+      .orderBy("doc_id")
+  }
+
+  /** Benchmark-contamination check: for every document outside the
+    * benchmark slice (source = 'src0' stands in for an eval set), the
+    * count and fraction of its distinct 3-token shingles that appear
+    * anywhere in the benchmark — the decontamination step every
+    * training-data pipeline runs before a corpus ships.
+    *
+    * Scale shape: the benchmark shingle set is dim-table-sized relative
+    * to the corpus (eval suites are tiny), so it is broadcast and the
+    * probe side never shuffles for the join; per-doc hit counting then
+    * partially aggregates on doc_id. */
+  def contamination(s: SparkSession, dir: String): DataFrame = {
+    val sh = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("source"), explode(shingles(col("text"), 3)).as("g"))
+    val bench = sh.filter(col("source") === "src0")
+      .select("g").distinct().withColumn("hit", lit(1))
+    sh.filter(col("source") =!= "src0")
+      .join(broadcast(bench), Seq("g"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("hit"), lit(0))).as("n_hit"))
+      .select(
+        col("doc_id"),
+        col("n_shingles").cast("long").as("n_shingles"),
+        col("n_hit").cast("long").as("n_hit"),
+        (col("n_hit").cast("double") / col("n_shingles").cast("double"))
+          .as("contamination"))
+      .orderBy("doc_id")
+  }
+
+  /** Corpus token-distribution (Zipf) table: per-token frequency, rank
+    * by descending frequency, and share of all token occurrences — the
+    * corpus statistics a pipeline reads before choosing stopword lists,
+    * vocabulary cutoffs, and sampling temperatures.
+    *
+    * Scale shape: the only full-corpus pass is the vocabulary-bounded
+    * token count (map-side combine shrinks it to one row per token per
+    * partition before the shuffle); the rank window then runs over the
+    * vocabulary-sized aggregate, not the corpus. */
+  def zipfStats(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = Tables.load(s, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("freq"))
+    tf.select(
+        col("token"),
+        col("freq"),
+        rank().over(Window.orderBy(col("freq").desc, col("token"))).cast("long").as("rnk"),
+        (col("freq").cast("double")
+          / sum(col("freq")).over(Window.partitionBy()).cast("double")).as("freq_frac"))
+      .orderBy("rnk")
+  }
+
+  /** Containment near-dup candidates via an inverted shingle index: the
+    * asymmetric complement of [[ngramJaccard]] — `shared / min(|A|,|B|)`
+    * catches a short document embedded inside a longer one, which
+    * Jaccard's union denominator dilutes away.
+    *
+    * Scale shape: candidate generation is the classic inverted-index
+    * self-join — explode 3-token shingles, drop "stop shingles" whose
+    * document frequency exceeds `dfCap` (the join-bucket bound that keeps
+    * degenerate shingles from going quadratic), then pair documents that
+    * share a surviving shingle. Each shuffle keys on the shingle or the
+    * pair, never the full cross product. */
+  def containmentDedup(s: SparkSession, dir: String): DataFrame = {
+    val dfCap = 50
+    val sh = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), explode(shingles(col("text"), 3)).as("g"))
+    val stopFree = sh.groupBy("g").agg(count(lit(1)).as("d"))
+      .filter(col("d") <= dfCap)
+    val kept = sh.join(stopFree.select("g"), "g")
+    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val pairs = kept.as("a")
+      .join(kept.as("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+    pairs
+      .join(sz.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sz.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(
+        col("doc_a"), col("doc_b"),
+        col("shared").cast("long").as("shared"),
+        (col("shared").cast("double")
+          / least(col("sa.n"), col("sb.n")).cast("double")).as("containment"))
+      .filter(col("containment") >= 0.5)
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Materialize the shared memoized artifacts (cluster-label table, IVF
     * codebook + its assignment scan) so their one-time cost is not
     * attributed to whichever query happens to run first — Bench calls
@@ -931,9 +1060,91 @@ object LlmOps {
     "llm_simhash"            -> (simhash _),
     "llm_multimodal_join"    -> (multimodalJoin _),
     "llm_binary_meta"        -> (binaryMeta _),
+    "llm_repetition"         -> (repetition _),
+    "llm_contamination"      -> (contamination _),
+    "llm_zipf_stats"         -> (zipfStats _),
+    "llm_containment_dedup"  -> (containmentDedup _),
   )
 
   val oracle: Map[String, String] = Map(
+    "llm_repetition" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |base AS (
+        |  SELECT doc_id,
+        |         CAST(len(list_distinct(t)) AS DOUBLE) / CAST(len(t) AS DOUBLE)
+        |           AS distinct_ratio
+        |  FROM toks),
+        |bg AS (
+        |  SELECT doc_id,
+        |         unnest(list_transform(generate_series(1, len(t) - 1),
+        |                               i -> t[i] || ' ' || t[i+1])) AS g
+        |  FROM toks WHERE len(t) >= 2),
+        |cnt AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY doc_id, g),
+        |agg AS (
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+        |         CAST(max(c) AS BIGINT) AS top,
+        |         CAST(sum(c) - count(*) AS BIGINT) AS dup
+        |  FROM cnt GROUP BY doc_id)
+        |SELECT a.doc_id, a.n_bigrams,
+        |       CAST(a.top AS DOUBLE) / CAST(a.n_bigrams AS DOUBLE) AS top_frac,
+        |       CAST(a.dup AS DOUBLE) / CAST(a.n_bigrams AS DOUBLE) AS dup_frac,
+        |       b.distinct_ratio
+        |FROM agg a JOIN base b ON b.doc_id = a.doc_id
+        |ORDER BY a.doc_id""".stripMargin,
+
+    "llm_contamination" ->
+      """WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+        |sh AS (
+        |  SELECT doc_id, source,
+        |         unnest(CASE WHEN len(t) >= 3
+        |                THEN list_distinct(list_transform(generate_series(1, len(t) - 2),
+        |                       i -> array_to_string(t[i:i+2], ' ')))
+        |                ELSE [array_to_string(t, ' ')] END) AS g
+        |  FROM toks),
+        |bench AS (SELECT DISTINCT g FROM sh WHERE source = 'src0'),
+        |hits AS (
+        |  SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+        |         CAST(sum(CASE WHEN b.g IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_hit
+        |  FROM sh s LEFT JOIN bench b ON b.g = s.g
+        |  WHERE s.source <> 'src0'
+        |  GROUP BY s.doc_id)
+        |SELECT doc_id, n_shingles, n_hit,
+        |       CAST(n_hit AS DOUBLE) / CAST(n_shingles AS DOUBLE) AS contamination
+        |FROM hits ORDER BY doc_id""".stripMargin,
+
+    "llm_zipf_stats" ->
+      """WITH tf AS (
+        |  SELECT token, CAST(count(*) AS BIGINT) AS freq
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |  GROUP BY token)
+        |SELECT token, freq,
+        |       CAST(rank() OVER (ORDER BY freq DESC, token) AS BIGINT) AS rnk,
+        |       CAST(freq AS DOUBLE) / CAST(sum(freq) OVER () AS DOUBLE) AS freq_frac
+        |FROM tf ORDER BY rnk""".stripMargin,
+
+    "llm_containment_dedup" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |         unnest(CASE WHEN len(t) >= 3
+        |                THEN list_distinct(list_transform(generate_series(1, len(t) - 2),
+        |                       i -> array_to_string(t[i:i+2], ' ')))
+        |                ELSE [array_to_string(t, ' ')] END) AS g
+        |  FROM toks),
+        |kept AS (
+        |  SELECT doc_id, g FROM sh
+        |  WHERE g IN (SELECT g FROM sh GROUP BY g HAVING count(*) <= 50)),
+        |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS shared
+        |  FROM kept a JOIN kept b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id)
+        |SELECT doc_a, doc_b, shared,
+        |       CAST(shared AS DOUBLE) / CAST(least(sa.n, sb.n) AS DOUBLE) AS containment
+        |FROM pairs JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+        |WHERE CAST(shared AS DOUBLE) / CAST(least(sa.n, sb.n) AS DOUBLE) >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
     "llm_normalize_emb" ->
       s"""WITH n AS (
          |  SELECT vec_id,

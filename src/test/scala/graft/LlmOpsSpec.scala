@@ -273,6 +273,72 @@ class LlmOpsSpec extends SparkSpec {
     assert(base == perm)
   }
 
+  test("text-quality family: repetition/contamination/zipf/containment match driver-side ground truth") {
+    val docs = Tables.load(spark, sf, "documents")
+      .select("doc_id", "text", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+
+    // repetition: exact bigram stats recomputed per doc
+    val rep = LlmOps.repetition(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    for ((id, text, _) <- docs) {
+      val toks = text.split(" ", -1)
+      if (toks.length >= 2) {
+        val bgs = toks.sliding(2).map(_.mkString(" ")).toSeq
+        val counts = bgs.groupBy(identity).map(_._2.size)
+        val (n, top, dup, dr) = rep(id)
+        assert(n == bgs.size.toLong)
+        assert(math.abs(top - counts.max.toDouble / bgs.size) < 1e-12)
+        assert(math.abs(dup - (bgs.size - counts.size).toDouble / bgs.size) < 1e-12)
+        assert(math.abs(dr - toks.distinct.length.toDouble / toks.length) < 1e-12)
+      }
+    }
+
+    // contamination: 3-shingle hits vs the src0 benchmark set
+    def sh3(text: String): Set[String] = {
+      val t = text.split(" ", -1)
+      if (t.length < 3) Set(text) else t.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val benchIds = docs.filter(_._3 == "src0").map(_._1).toSet
+    val benchSh = docs.filter(_._3 == "src0").flatMap(d => sh3(d._2)).toSet
+    val cont = LlmOps.contamination(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(cont.keySet.intersect(benchIds).isEmpty, "benchmark docs must not score themselves")
+    for ((id, text, src) <- docs if src != "src0") {
+      val s = sh3(text)
+      val (n, hit) = cont(id)
+      assert(n == s.size.toLong && hit == s.count(benchSh).toLong)
+    }
+
+    // zipf: dense ranks in (freq desc, token) order, shares sum to 1
+    val z = LlmOps.zipfStats(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val totalToks = docs.map(_._2.split(" ", -1).length.toLong).sum
+    assert(z.map(_._2).sum == totalToks)
+    assert(z.map(_._3).toSeq == (1 to z.length).map(_.toLong))
+    assert(math.abs(z.map(_._4).sum - 1.0) < 1e-9)
+    assert(z.sortBy(t => (-t._2, t._1)).map(_._3).toSeq == (1 to z.length).map(_.toLong))
+
+    // containment: exact recompute incl. the df-cap stop-shingle filter
+    val shAll = docs.map(d => d._1 -> sh3(d._2)).toMap
+    val df = shAll.values.flatten.groupBy(identity).map { case (g, o) => g -> o.size }
+    val keptSh = shAll.map { case (id, s) => id -> s.filter(g => df(g) <= 50) }
+    val expected = (for {
+      (a, sa) <- shAll.toSeq; (b, sb) <- shAll.toSeq if a < b
+      shared = keptSh(a).intersect(keptSh(b)).size
+      if shared > 0
+      c = shared.toDouble / math.min(sa.size, sb.size)
+      if c >= 0.5
+    } yield (a, b) -> (shared.toLong, c)).toMap
+    val got = LlmOps.containmentDedup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(got.keySet == expected.keySet)
+    got.foreach { case (k, (s, c)) =>
+      assert(s == expected(k)._1 && math.abs(c - expected(k)._2) < 1e-12)
+    }
+  }
+
   test("quality score stays within [0,1] and language scores are consistent") {
     LlmOps.qualityScore(spark, sf).collect().foreach { r =>
       val q = r.getAs[Double]("quality")
