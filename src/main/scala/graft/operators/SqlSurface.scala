@@ -108,6 +108,96 @@ object SqlSurface {
       |ORDER BY g_prio, g_status,
       |         o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin
 
+  /** TPC-H Q6-shaped: the forecasting-revenue-change filter-aggregate —
+    * pure scan + predicate + one-group agg, the pushdown/codegen
+    * benchmark (no join, no shuffle beyond the final single-group
+    * combine). Discount bounds are double literals compared against the
+    * raw double column — identical bits both engines. */
+  private val q6Sql =
+    """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+      |              * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      |       CAST(count(*) AS BIGINT) AS cnt
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |  AND l_shipdate <  TIMESTAMP '1997-01-01'
+      |  AND l_discount BETWEEN 0.05 AND 0.07
+      |  AND l_quantity < 24
+      |ORDER BY revenue""".stripMargin
+
+  /** TPC-H Q10-shaped: returned-item revenue ranking — the classic
+    * "top complaining customers" report; fact-side shuffle join under
+    * broadcast customer/nation dims, bounded top-20. */
+  private val q10Sql =
+    """SELECT c_custkey, c_name,
+      |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+      |                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+      |       c_acctbal, n_name
+      |FROM customer
+      |JOIN orders   ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |JOIN nation   ON c_nationkey = n_nationkey
+      |WHERE o_orderdate >= TIMESTAMP '1996-10-01'
+      |  AND o_orderdate <  TIMESTAMP '1997-01-01'
+      |  AND l_returnflag = 'R'
+      |GROUP BY c_custkey, c_name, c_acctbal, n_name
+      |ORDER BY revenue DESC, c_custkey
+      |LIMIT 20""".stripMargin
+
+  /** TPC-H Q14-shaped: promo revenue share — conditional aggregation
+    * over a fact⋈dim join; both sums stay in exact DECIMAL(18,4) (Q1's
+    * overflow-safe pattern) and the share is ONE double division of the
+    * two exact sums. */
+  private val q14Sql =
+    """SELECT CAST(sum(CASE WHEN p_type = 'PROMO'
+      |                THEN CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+      |                          * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))
+      |                ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+      |       / CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+      |                       * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4)))
+      |              AS DOUBLE) AS promo_frac,
+      |       CAST(count(*) AS BIGINT) AS cnt
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey
+      |WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+      |  AND l_shipdate <  TIMESTAMP '1996-10-01'
+      |ORDER BY promo_frac""".stripMargin
+
+  /** TPC-H Q18-shaped: large-volume-order customers — the IN-subquery
+    * over a grouped HAVING (Catalyst decorrelates to a semi-join against
+    * the re-aggregated fact), quantity sums exact in decimal. */
+  private val q18Sql =
+    """SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+      |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+      |FROM customer
+      |JOIN orders   ON c_custkey = o_custkey
+      |JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+      |                     GROUP BY l_orderkey
+      |                     HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 300)
+      |GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
+      |ORDER BY o_totalprice DESC, o_orderkey
+      |LIMIT 100""".stripMargin
+
+  def sqlQ6(s: SparkSession, dir: String): DataFrame = {
+    views(s, dir, "lineitem")
+    s.sql(q6Sql)
+  }
+
+  def sqlQ10(s: SparkSession, dir: String): DataFrame = {
+    views(s, dir, "customer", "orders", "lineitem", "nation")
+    s.sql(q10Sql)
+  }
+
+  def sqlQ14(s: SparkSession, dir: String): DataFrame = {
+    views(s, dir, "lineitem", "part")
+    s.sql(q14Sql)
+  }
+
+  def sqlQ18(s: SparkSession, dir: String): DataFrame = {
+    views(s, dir, "customer", "orders", "lineitem")
+    s.sql(q18Sql)
+  }
+
   def sqlGroupingSets(s: SparkSession, dir: String): DataFrame = {
     views(s, dir, "orders")
     s.sql(groupingSetsSql)
@@ -137,6 +227,10 @@ object SqlSurface {
     "sql_tpch_q1"        -> (sqlQ1 _),
     "sql_tpch_q3"        -> (sqlQ3 _),
     "sql_tpch_q5"        -> (sqlQ5 _),
+    "sql_tpch_q6"        -> (sqlQ6 _),
+    "sql_tpch_q10"       -> (sqlQ10 _),
+    "sql_tpch_q14"       -> (sqlQ14 _),
+    "sql_tpch_q18"       -> (sqlQ18 _),
     "sql_corr_subquery"  -> (sqlCorr _),
     "sql_grouping_sets"  -> (sqlGroupingSets _),
   )
@@ -145,6 +239,10 @@ object SqlSurface {
     "sql_tpch_q1"        -> q1Sql,
     "sql_tpch_q3"        -> q3Sql,
     "sql_tpch_q5"        -> q5Sql,
+    "sql_tpch_q6"        -> q6Sql,
+    "sql_tpch_q10"       -> q10Sql,
+    "sql_tpch_q14"       -> q14Sql,
+    "sql_tpch_q18"       -> q18Sql,
     "sql_corr_subquery"  -> corrSql,
     "sql_grouping_sets"  -> groupingSetsSql,
   )

@@ -47,6 +47,18 @@ class ContractSpec extends SparkSpec {
     val gs = operators.SqlSurface.queries("sql_grouping_sets")(spark, sf)
       .queryExecution.executedPlan.toString
     assert(gs.contains("Expand"), s"no Expand in grouping-sets plan:\n$gs")
+    // Q6 is a pure pushed-filter scan-aggregate: predicates reach parquet,
+    // no join anywhere in the plan
+    val q6 = operators.SqlSurface.queries("sql_tpch_q6")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(q6.contains("PushedFilters: [IsNotNull(l_shipdate)"),
+      s"Q6 filters not pushed:\n$q6")
+    assert(!q6.contains("Join"), s"Q6 plan has a join:\n$q6")
+    // Q18's IN-subquery must plan as a (semi) join against the
+    // re-aggregated fact, not a per-row subquery
+    val q18 = operators.SqlSurface.queries("sql_tpch_q18")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(q18.contains("LeftSemi"), s"Q18 IN-subquery not decorrelated:\n$q18")
   }
 
   test("partitioned parquet write enables partition pruning on read") {
