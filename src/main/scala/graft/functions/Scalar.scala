@@ -82,6 +82,19 @@ object Scalar {
         coalesce(nullif(col("o_orderstatus"), lit("P")), lit("was_p")).as("status2"))
       .orderBy("o_orderkey")
 
+  /** Cryptographic hash surface (content addressing / dedup keys /
+    * deterministic sampling all hang off these): md5 and sha256 of
+    * UTF-8 text, plus a composite-key hash — all codegen'd built-ins,
+    * lowercase hex in both engines. */
+  def fnHash(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "customer")
+      .select(
+        col("c_custkey"),
+        md5(col("c_name")).as("h_md5"),
+        sha2(col("c_name"), 256).as("h_sha256"),
+        md5(concat_ws("|", col("c_name"), col("c_mktsegment"))).as("h_combo"))
+      .orderBy("c_custkey")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "fn_string"      -> (fnString _),
     "fn_datetime"    -> (fnDatetime _),
@@ -89,6 +102,7 @@ object Scalar {
     "fn_array"       -> (fnArray _),
     "fn_json"        -> (fnJson _),
     "fn_conditional" -> (fnConditional _),
+    "fn_hash"        -> (fnHash _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -146,5 +160,12 @@ object Scalar {
         |            ELSE 'low' END AS tier,
         |       coalesce(nullif(o_orderstatus, 'P'), 'was_p') AS status2
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "fn_hash" ->
+      """SELECT c_custkey,
+        |       md5(c_name) AS h_md5,
+        |       sha256(c_name) AS h_sha256,
+        |       md5(c_name || '|' || c_mktsegment) AS h_combo
+        |FROM customer ORDER BY c_custkey""".stripMargin,
   )
 }

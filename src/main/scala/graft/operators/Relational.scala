@@ -180,6 +180,24 @@ object Relational {
       .orderBy("o_custkey", "o_orderdate", "o_orderkey")
   }
 
+  /** lead/lag offset windows over the event stream — per-user previous
+    * value, next event type, and value delta (sessionization's basic
+    * move). One shuffle on user_id, deterministic (ts, event_id) window
+    * order; the delta is a single IEEE subtraction of the same operands
+    * in both engines. Timestamps exported as epoch µs bigints. */
+  def relWindowLeadLag(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables.load(s, dir, "events")
+      .select(
+        col("user_id"), col("event_id"),
+        expr("unix_micros(ts)").as("ts_us"),
+        col("event_type"), col("value"),
+        lag("value", 1).over(w).as("prev_value"),
+        lead("event_type", 1).over(w).as("next_type"),
+        (col("value") - lag("value", 1).over(w)).as("delta"))
+      .orderBy("user_id", "event_id")
+  }
+
   /** GROUPED top-k via the custom whole-operator extension
     * [[graft.plans.TopKPerGroup]] (LogicalPlan + SparkStrategy +
     * physical exec, SURVEY §4.3 tier c): bounded k-row heap per group in
@@ -422,6 +440,7 @@ object Relational {
     "rel_join_range"     -> (relJoinRange _),
     "rel_window_rank"    -> (relWindowRank _),
     "rel_window_frame"   -> (relWindowFrame _),
+    "rel_window_leadlag" -> (relWindowLeadLag _),
     "rel_sort_limit"     -> (relSortLimit _),
     "rel_topk_group"     -> (relTopkGroup _),
     "rel_set_ops"        -> (relSetOps _),
@@ -578,6 +597,15 @@ object Relational {
         |                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
         |  FROM orders)
         |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+
+    "rel_window_leadlag" ->
+      """SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type, value,
+        |       lag(value, 1) OVER w AS prev_value,
+        |       lead(event_type, 1) OVER w AS next_type,
+        |       value - lag(value, 1) OVER w AS delta
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, event_id""".stripMargin,
 
     "rel_window_frame" ->
       """SELECT o_custkey, o_orderkey, o_orderdate,
