@@ -1014,6 +1014,85 @@ object LlmOps {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Incremental corpus refresh: new documents (source ≠ 'src0' stands in
+    * for the fresh crawl) that do NOT duplicate any existing corpus
+    * document (source = 'src0') by canonical token-bag fingerprint — the
+    * anti-join every pipeline runs before appending a crawl snapshot to
+    * the training set.
+    *
+    * Scale shape: a fingerprint anti-join — both sides reduce to one
+    * bounded-width hash row per doc before the shuffle; Catalyst plans
+    * broadcast-anti when the existing-corpus side is small and
+    * shuffle-anti otherwise (both correct here). */
+  def incrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    val existing = docs.filter(col("source") === "src0")
+      .select(fpCol.as("fp")).distinct()
+    docs.filter(col("source") =!= "src0")
+      .select(col("doc_id"), fpCol.as("fp"), col("source"))
+      .join(existing, Seq("fp"), "left_anti")
+      .select("doc_id", "fp", "source")
+      .orderBy("doc_id")
+  }
+
+  /** Multilingual temperature-resampling weights (T = 2, i.e. w ∝ √n —
+    * sqrt is IEEE-correctly-rounded so it is engine-safe where pow() is
+    * not): per-language document share, resampling weight, and the
+    * upsample/downsample boost factor — the mixing knob used to keep
+    * low-resource languages represented in a training mix.
+    *
+    * Determinism: the denominator Σ√n is a LEFT-FOLD over the per-lang
+    * counts in lang order (sort_array of (lang, n) structs ≡ DuckDB
+    * `list(n ORDER BY lang)`), not a float aggregate — the one place a
+    * naive sum(double) would be partition-order-dependent. */
+  def temperatureWeights(s: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.load(s, dir, "documents")
+      .groupBy("lang").agg(count(lit(1)).as("n_docs"))
+    val denom = counts
+      .agg(sort_array(collect_list(struct(col("lang"), col("n_docs")))).as("ls"))
+      .select(
+        aggregate(col("ls"), lit(0.0),
+          (acc, x) => acc + sqrt(x.getField("n_docs").cast("double"))).as("denom"),
+        aggregate(col("ls"), lit(0L),
+          (acc, x) => acc + x.getField("n_docs")).as("n_total"))
+    val share = col("n_docs").cast("double") / col("n_total").cast("double")
+    val weight = sqrt(col("n_docs").cast("double")) / col("denom")
+    counts.crossJoin(broadcast(denom))
+      .select(
+        col("lang"),
+        col("n_docs").cast("long").as("n_docs"),
+        share.as("share"),
+        weight.as("weight"),
+        (weight / share).as("boost"))
+      .orderBy("lang")
+  }
+
+  /** Blocked fuzzy similarity scoring via edit distance: levenshtein
+    * distance and normalized similarity for every (lang, n_chars)-blocked
+    * pair — the character-level complement of the token-set and shingle
+    * near-dup family (catches typo-level mutations token sets miss).
+    * Unthresholded: on this corpus char-level similarity tops out ≈0.32
+    * (measured), so the key scores pairs rather than gating them; the
+    * blocking bound is what matters at scale (same shape as
+    * `llm_ngram_jaccard`, O(block²) never O(corpus²)). Levenshtein is
+    * unit-cost edit distance in both engines — identical integers. */
+  def fuzzyEditdist(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(s, dir, "documents")
+      .select("doc_id", "lang", "n_chars", "text")
+    val a = d.select(col("doc_id").as("doc_a"), col("lang"),
+      col("n_chars"), col("text").as("ta"))
+    val b = d.select(col("doc_id").as("doc_b"), col("lang").as("lang_b"),
+      col("n_chars").as("nc_b"), col("text").as("tb"))
+    a.join(b, col("lang") === col("lang_b") && col("n_chars") === col("nc_b")
+        && col("doc_a") < col("doc_b"))
+      .select(
+        col("doc_a"), col("doc_b"),
+        levenshtein(col("ta"), col("tb")).cast("long").as("edit_dist"),
+        (lit(1.0) - levenshtein(col("ta"), col("tb")).cast("double")
+          / greatest(length(col("ta")), length(col("tb"))).cast("double")).as("sim"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Materialize the shared memoized artifacts (cluster-label table, IVF
     * codebook + its assignment scan) so their one-time cost is not
     * attributed to whichever query happens to run first — Bench calls
@@ -1064,9 +1143,41 @@ object LlmOps {
     "llm_contamination"      -> (contamination _),
     "llm_zipf_stats"         -> (zipfStats _),
     "llm_containment_dedup"  -> (containmentDedup _),
+    "llm_incremental_dedup"  -> (incrementalDedup _),
+    "llm_temperature_weights" -> (temperatureWeights _),
+    "llm_fuzzy_editdist"     -> (fuzzyEditdist _),
   )
 
   val oracle: Map[String, String] = Map(
+    "llm_incremental_dedup" ->
+      s"""SELECT doc_id, $fpSql AS fp, source FROM documents
+         |WHERE source <> 'src0'
+         |  AND $fpSql NOT IN (SELECT $fpSql FROM documents WHERE source = 'src0')
+         |ORDER BY doc_id""".stripMargin,
+
+    "llm_temperature_weights" ->
+      """WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+        |           FROM documents GROUP BY lang),
+        |d AS (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |        list_transform(list(n_docs ORDER BY lang),
+        |                       x -> sqrt(CAST(x AS DOUBLE)))), (a,b) -> a + b) AS denom,
+        |      CAST(sum(n_docs) AS BIGINT) AS n_total FROM c)
+        |SELECT lang, n_docs,
+        |       CAST(n_docs AS DOUBLE) / CAST(n_total AS DOUBLE) AS share,
+        |       sqrt(CAST(n_docs AS DOUBLE)) / denom AS weight,
+        |       sqrt(CAST(n_docs AS DOUBLE)) / denom
+        |         / (CAST(n_docs AS DOUBLE) / CAST(n_total AS DOUBLE)) AS boost
+        |FROM c, d ORDER BY lang""".stripMargin,
+
+    "llm_fuzzy_editdist" ->
+      """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist,
+        |       1.0 - CAST(levenshtein(a.text, b.text) AS DOUBLE)
+        |             / CAST(greatest(length(a.text), length(b.text)) AS DOUBLE) AS sim
+        |FROM documents a JOIN documents b
+        |  ON a.lang = b.lang AND a.n_chars = b.n_chars AND a.doc_id < b.doc_id
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
     "llm_repetition" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |base AS (

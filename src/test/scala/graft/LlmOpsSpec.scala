@@ -339,6 +339,56 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("incremental dedup / temperature weights / edit distance match driver-side recompute") {
+    val docs = Tables.load(spark, sf, "documents")
+      .select("doc_id", "text", "source", "lang").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+
+    // incremental dedup: survivors = new docs whose token-bag fp is unseen in src0
+    def fp(text: String): String = text.split(" ", -1).distinct.sorted.mkString(" ")
+    val existing = docs.filter(_._3 == "src0").map(d => fp(d._2)).toSet
+    val expectedSurvivors = docs.filter(d => d._3 != "src0" && !existing.contains(fp(d._2)))
+      .map(_._1).toSet
+    val got = LlmOps.incrementalDedup(spark, sf).collect().map(_.getLong(0)).toSet
+    assert(got == expectedSurvivors)
+
+    // temperature weights: weights sum to 1, boost = weight/share, sqrt flattening
+    val w = LlmOps.temperatureWeights(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    assert(math.abs(w.map(_._4).sum - 1.0) < 1e-9)
+    assert(math.abs(w.map(_._3).sum - 1.0) < 1e-9)
+    w.foreach { case (_, n, share, weight, boost) =>
+      assert(math.abs(boost - weight / share) < 1e-12)
+    }
+    // sqrt temperature flattens: smaller langs get boost > larger langs
+    val sorted = w.sortBy(_._2)
+    assert(sorted.head._5 >= sorted.last._5)
+
+    // edit distance: exact DP recompute per emitted pair
+    def lev(a: String, b: String): Int = {
+      val prev = Array.tabulate(b.length + 1)(identity)
+      for (i <- 1 to a.length) {
+        var diag = prev(0); prev(0) = i
+        for (j <- 1 to b.length) {
+          val cost = if (a(i - 1) == b(j - 1)) diag else diag + 1
+          diag = prev(j)
+          prev(j) = math.min(math.min(prev(j) + 1, prev(j - 1) + 1), cost)
+        }
+      }
+      prev(b.length)
+    }
+    val text = docs.map(d => d._1 -> d._2).toMap
+    val pairs = LlmOps.fuzzyEditdist(spark, sf).collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { r =>
+      val (a, b, d, sim) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+      val expected = lev(text(a), text(b))
+      assert(d == expected.toLong, s"pair ($a,$b)")
+      assert(sim >= 0.0 && sim <= 1.0)
+      assert((d == 0L) == (text(a) == text(b)))
+    }
+  }
+
   test("quality score stays within [0,1] and language scores are consistent") {
     LlmOps.qualityScore(spark, sf).collect().foreach { r =>
       val q = r.getAs[Double]("quality")
