@@ -166,6 +166,34 @@ object Mining {
       .select(concat_ws(",", col("ia"), col("ib")).as("itemset"), col("freq"))
       .orderBy("itemset")
 
+  /** Frequent pairs by ECLAT's vertical format — the third algorithm
+    * family next to the relational Apriori joins and ml.fpm's PFP:
+    * one sorted tidset (transaction-id list) per item, pair support =
+    * |tidset ∩ tidset|. Same thresholds and output schema as
+    * `fpm_freq_pairs`, so the two algorithms are mutually checking
+    * (MiningSpec pins them equal row-for-row; the oracle is the same
+    * pair-count SQL).
+    *
+    * Scale posture: the vertical layout is the in-group representation
+    * PFP uses after sharding — tidsets here are bounded by the
+    * transaction count per item and the 25-item vocabulary bounds the
+    * pair loop to ≤ C(25,2) intersections; at genuinely unbounded item
+    * cardinality you shard items by prefix (PFP's group-id move) before
+    * building tidsets. */
+  def fpmEclat(s: SparkSession, dir: String): DataFrame = {
+    val vert = txItems(s, dir).groupBy("item")
+      .agg(sort_array(collect_list(col("tid"))).as("tids"))
+    val a = vert.select(col("item").as("ia"), col("tids").as("ta"))
+    val b = vert.select(col("item").as("ib"), col("tids").as("tb"))
+    a.join(b, col("ia") < col("ib"))
+      .select(col("ia"), col("ib"),
+        size(array_intersect(col("ta"), col("tb"))).cast("long").as("freq"))
+      .crossJoin(broadcast(basketCount(s, dir)))
+      .filter(col("freq") >= col("n") * MinSupPairs)
+      .select(concat_ws(",", col("ia"), col("ib")).as("itemset"), col("freq"))
+      .orderBy("itemset")
+  }
+
   def fpmFreqTriples(s: SparkSession, dir: String): DataFrame = {
     tripleSupports(s, dir)
       .crossJoin(broadcast(basketCount(s, dir)))
@@ -427,6 +455,7 @@ object Mining {
     "fpm_basketize"    -> (fpmBasketize _),
     "fpm_freq_items"   -> (fpmFreqItems _),
     "fpm_freq_pairs"   -> (fpmFreqPairs _),
+    "fpm_eclat"        -> (fpmEclat _),
     "fpm_freq_triples" -> (fpmFreqTriples _),
     "fpm_fpgrowth"      -> (fpmFpgrowth _),
     "fpm_fpgrowth_full" -> (fpmFpgrowthFull _),
@@ -539,6 +568,14 @@ object Mining {
         |FROM tx GROUP BY item
         |HAVING count(*) >= 0.05 * (SELECT n FROM nb)
         |ORDER BY item""".stripMargin),
+
+    "fpm_eclat" -> (txCte +
+      """
+        |SELECT a.item || ',' || b.item AS itemset, CAST(count(*) AS BIGINT) AS freq
+        |FROM tx a JOIN tx b ON a.tid = b.tid AND a.item < b.item
+        |GROUP BY a.item, b.item
+        |HAVING count(*) >= 0.02 * (SELECT n FROM nb)
+        |ORDER BY itemset""".stripMargin),
 
     "fpm_freq_pairs" -> (txCte +
       """

@@ -198,6 +198,34 @@ object Relational {
       .orderBy("user_id", "event_id")
   }
 
+  /** Gap-based sessionization — the batch analogue of the streaming
+    * session windows: a new session starts when a user's inter-event gap
+    * exceeds 30 minutes (lag + running conditional sum), then sessions
+    * aggregate to (user, session_seq, n_events, start/end, duration).
+    * One shuffle on user_id; both windows share the same (ts, event_id)
+    * sort so Spark plans a single exchange+sort. All outputs are exact
+    * integers (µs epochs), engine-identical. */
+  def relSessionize(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val gapped = Tables.load(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("ts"),
+        lag(col("ts"), 1).over(w).as("pts"))
+      .withColumn("new_sess",
+        when(col("pts").isNull ||
+          col("ts") > col("pts") + expr("INTERVAL 30 MINUTES"), 1L).otherwise(0L))
+      .withColumn("session_seq", sum(col("new_sess")).over(run))
+    gapped.groupBy("user_id", "session_seq")
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(expr("unix_micros(ts)")).as("start_us"),
+        max(expr("unix_micros(ts)")).as("end_us"))
+      .select(col("user_id"), col("session_seq"), col("n_events"),
+        col("start_us"), col("end_us"),
+        (col("end_us") - col("start_us")).as("duration_us"))
+      .orderBy("user_id", "session_seq")
+  }
+
   /** GROUPED top-k via the custom whole-operator extension
     * [[graft.plans.TopKPerGroup]] (LogicalPlan + SparkStrategy +
     * physical exec, SURVEY §4.3 tier c): bounded k-row heap per group in
@@ -441,6 +469,7 @@ object Relational {
     "rel_window_rank"    -> (relWindowRank _),
     "rel_window_frame"   -> (relWindowFrame _),
     "rel_window_leadlag" -> (relWindowLeadLag _),
+    "rel_sessionize"     -> (relSessionize _),
     "rel_sort_limit"     -> (relSortLimit _),
     "rel_topk_group"     -> (relTopkGroup _),
     "rel_set_ops"        -> (relSetOps _),
@@ -597,6 +626,27 @@ object Relational {
         |                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
         |  FROM orders)
         |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+
+    "rel_sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, ts,
+        |         lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts
+        |  FROM events),
+        |n AS (
+        |  SELECT user_id, event_id, ts,
+        |         CASE WHEN pts IS NULL OR ts > pts + INTERVAL 30 MINUTE
+        |              THEN 1 ELSE 0 END AS new_sess
+        |  FROM g),
+        |x AS (
+        |  SELECT user_id, ts,
+        |         CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+        |  FROM n)
+        |SELECT user_id, session_seq, CAST(count(*) AS BIGINT) AS n_events,
+        |       min(epoch_us(ts)) AS start_us, max(epoch_us(ts)) AS end_us,
+        |       max(epoch_us(ts)) - min(epoch_us(ts)) AS duration_us
+        |FROM x GROUP BY user_id, session_seq
+        |ORDER BY user_id, session_seq""".stripMargin,
 
     "rel_window_leadlag" ->
       """SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type, value,

@@ -188,6 +188,14 @@ class MiningSpec extends SparkSpec {
     assert(full.length > pairRules.size)
   }
 
+  test("eclat vertical mining reproduces the relational pair counts exactly") {
+    val eclat = Mining.fpmEclat(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val pairs = Mining.fpmFreqPairs(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(eclat == pairs && eclat.nonEmpty)
+  }
+
   test("association rule bounds: 0 <= confidence <= 1, support <= antecedent share") {
     Mining.fpmAssocRules(spark, sf).collect().foreach { r =>
       val conf = r.getAs[Double]("confidence")

@@ -182,6 +182,33 @@ class RelationalSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.topk.flushThreshold")
   }
 
+  test("sessionize matches a driver-side gap recompute and one exchange serves both windows") {
+    val ev = Tables.load(spark, sf, "events")
+      .select("user_id", "event_id", "ts").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2).getTime * 1000L +
+        r.getTimestamp(2).getNanos / 1000 % 1000))
+    val gapUs = 30L * 60 * 1000000
+    val expected = ev.groupBy(_._1).flatMap { case (uid, rows) =>
+      val sorted = rows.sortBy(r => (r._3, r._2))
+      var seq = 0L; var prev = Long.MinValue
+      val sess = scala.collection.mutable.Map[Long, List[Long]]().withDefaultValue(Nil)
+      sorted.foreach { r =>
+        if (prev == Long.MinValue || r._3 - prev > gapUs) seq += 1
+        sess(seq) = r._3 :: sess(seq); prev = r._3
+      }
+      sess.map { case (sq, ts) =>
+        (uid, sq) -> (ts.length.toLong, ts.min, ts.max)
+      }
+    }
+    val got = Relational.relSessionize(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(got == expected.toMap)
+    // one exchange feeds both the lag window and the running sum
+    val plan = Relational.relSessionize(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.split("Exchange hashpartitioning").length - 1 <= 2, plan)
+  }
+
   test("set ops: except and intersect branches are disjoint by construction") {
     val rows = Relational.relSetOps(spark, sf).collect()
     val byTag = rows.groupBy(_.getString(0)).view.mapValues(_.map(_.getLong(1)).toSet)
