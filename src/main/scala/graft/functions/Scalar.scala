@@ -95,6 +95,21 @@ object Scalar {
         md5(concat_ws("|", col("c_name"), col("c_mktsegment"))).as("h_combo"))
       .orderBy("c_custkey")
 
+  /** Bitwise operator surface over the integer keys (hash partitioners,
+    * bloom/bitset code, flag fields all live here): and/or/xor, shifts,
+    * popcount — two's-complement on 64-bit in both engines. */
+  def fnBitwise(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "lineitem")
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        (col("l_orderkey").bitwiseAND(col("l_partkey"))).as("b_and"),
+        (col("l_orderkey").bitwiseOR(col("l_partkey"))).as("b_or"),
+        (col("l_orderkey").bitwiseXOR(col("l_partkey"))).as("b_xor"),
+        shiftleft(col("l_linenumber"), 3).cast("long").as("b_shl"),
+        shiftright(col("l_orderkey"), 2).as("b_shr"),
+        bit_count(col("l_orderkey")).cast("long").as("b_pop"))
+      .orderBy("l_orderkey", "l_linenumber")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "fn_string"      -> (fnString _),
     "fn_datetime"    -> (fnDatetime _),
@@ -103,6 +118,7 @@ object Scalar {
     "fn_json"        -> (fnJson _),
     "fn_conditional" -> (fnConditional _),
     "fn_hash"        -> (fnHash _),
+    "fn_bitwise"     -> (fnBitwise _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -160,6 +176,16 @@ object Scalar {
         |            ELSE 'low' END AS tier,
         |       coalesce(nullif(o_orderstatus, 'P'), 'was_p') AS status2
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "fn_bitwise" ->
+      """SELECT l_orderkey, l_linenumber,
+        |       l_orderkey & l_partkey AS b_and,
+        |       l_orderkey | l_partkey AS b_or,
+        |       xor(l_orderkey, l_partkey) AS b_xor,
+        |       CAST(l_linenumber << 3 AS BIGINT) AS b_shl,
+        |       l_orderkey >> 2 AS b_shr,
+        |       CAST(bit_count(l_orderkey) AS BIGINT) AS b_pop
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     "fn_hash" ->
       """SELECT c_custkey,

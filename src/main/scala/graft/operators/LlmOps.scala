@@ -1106,6 +1106,33 @@ object LlmOps {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Perplexity-proxy quality score: each document's mean corpus
+    * frequency of its tokens — the cheap unigram-LM stand-in for "how
+    * generic is this text" (high = common boilerplate tokens, low = rare
+    * vocabulary). log-free for engine parity (`ln` is libm-dependent):
+    * the per-doc numerator Σ corpus-freq(token) stays an exact INTEGER
+    * sum — order-independent where a sum of per-token log-probs would
+    * not be — and the only float op is one final division.
+    *
+    * Scale shape: the token-frequency table is vocabulary-bounded →
+    * broadcast; the probe side is explode + one doc-keyed partial
+    * aggregation. */
+  def perplexityProxy(s: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+    val tf = tok.groupBy("t").agg(count(lit(1)).as("f"))
+    tok.join(broadcast(tf), "t")
+      .groupBy("doc_id")
+      .agg(sum(col("f")).as("sum_freq"), count(lit(1)).as("n_tokens"))
+      .select(
+        col("doc_id"),
+        col("sum_freq").cast("long").as("sum_freq"),
+        col("n_tokens").cast("long").as("n_tokens"),
+        (col("sum_freq").cast("double") / col("n_tokens").cast("double"))
+          .as("mean_tok_freq"))
+      .orderBy("doc_id")
+  }
+
   /** Materialize the shared memoized artifacts (cluster-label table, IVF
     * codebook + its assignment scan) so their one-time cost is not
     * attributed to whichever query happens to run first — Bench calls
@@ -1159,9 +1186,20 @@ object LlmOps {
     "llm_incremental_dedup"  -> (incrementalDedup _),
     "llm_temperature_weights" -> (temperatureWeights _),
     "llm_fuzzy_editdist"     -> (fuzzyEditdist _),
+    "llm_perplexity_proxy"   -> (perplexityProxy _),
   )
 
   val oracle: Map[String, String] = Map(
+    "llm_perplexity_proxy" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+        |tf AS (SELECT t, CAST(count(*) AS BIGINT) AS f FROM tok GROUP BY t)
+        |SELECT doc_id, CAST(sum(f) AS BIGINT) AS sum_freq,
+        |       CAST(count(*) AS BIGINT) AS n_tokens,
+        |       CAST(CAST(sum(f) AS BIGINT) AS DOUBLE)
+        |         / CAST(count(*) AS DOUBLE) AS mean_tok_freq
+        |FROM tok JOIN tf USING (t)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     "llm_incremental_dedup" ->
       s"""SELECT doc_id, $fpSql AS fp, source FROM documents
          |WHERE source <> 'src0'

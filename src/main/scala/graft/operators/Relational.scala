@@ -288,6 +288,50 @@ object Relational {
         col("O").as("cnt_o"), col("P").as("cnt_p"))
       .orderBy("o_orderpriority")
 
+  /** Unpivot (melt): wide → long over two order metrics via the native
+    * `Dataset.unpivot` operator (plans as Expand, one pass, no shuffle);
+    * value columns share the double type as unpivot requires. */
+  def relUnpivot(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"),
+        col("o_custkey").cast("double").as("o_custkey_d"))
+      .unpivot(
+        Array(col("o_orderkey")),
+        Array(col("o_totalprice"), col("o_custkey_d")),
+        "metric", "val")
+      .orderBy("o_orderkey", "metric")
+
+  /** Multi-format writer/reader round-trip as a declared key: the same
+    * projection written to ORC, CSV, and JSON, read back through each
+    * reader (explicit schema for the text formats — no inference pass),
+    * and aggregated per (format, lang). The round-trip is a content
+    * identity, so the oracle is the direct per-lang aggregate crossed
+    * with the three format names — any reader/writer corruption breaks
+    * the hash match. Writes target java.io.tmpdir keyed by the sf dir
+    * name (same convention as [[relPartitionPrune]]). */
+  def relFormatRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val base = new java.io.File(
+      new java.io.File(sys.props("java.io.tmpdir"), "graft_fmt"),
+      new java.io.File(dir).getName).getAbsolutePath
+    val docs = Tables.load(s, dir, "documents").select("doc_id", "lang", "n_chars")
+    docs.write.mode("overwrite").orc(s"$base/orc")
+    docs.write.mode("overwrite").option("header", "true").csv(s"$base/csv")
+    docs.write.mode("overwrite").json(s"$base/json")
+    val schema = "doc_id LONG, lang STRING, n_chars LONG"
+    val back = Seq(
+      "orc"  -> s.read.orc(s"$base/orc"),
+      "csv"  -> s.read.option("header", "true").schema(schema).csv(s"$base/csv"),
+      "json" -> s.read.schema(schema).json(s"$base/json"))
+    back.map { case (fmt, df) =>
+        df.groupBy("lang").agg(count(lit(1)).as("cnt"),
+            sum(col("n_chars")).as("sum_chars"))
+          .select(lit(fmt).as("fmt"), col("lang"), col("cnt"),
+            col("sum_chars").cast("long").as("sum_chars"))
+      }
+      .reduce(_ unionByName _)
+      .orderBy("fmt", "lang")
+  }
+
   /** As-of join: for each click, the most recent prior view (strictly
     * earlier in (ts, event_id) order, same user, within 1 hour) and its
     * value — the time-series operator family (merge_asof).
@@ -470,6 +514,8 @@ object Relational {
     "rel_window_frame"   -> (relWindowFrame _),
     "rel_window_leadlag" -> (relWindowLeadLag _),
     "rel_sessionize"     -> (relSessionize _),
+    "rel_unpivot"        -> (relUnpivot _),
+    "rel_format_roundtrip" -> (relFormatRoundtrip _),
     "rel_sort_limit"     -> (relSortLimit _),
     "rel_topk_group"     -> (relTopkGroup _),
     "rel_set_ops"        -> (relSetOps _),
@@ -626,6 +672,20 @@ object Relational {
         |                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
         |  FROM orders)
         |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+
+    "rel_unpivot" ->
+      """SELECT o_orderkey, 'o_totalprice' AS metric, o_totalprice AS val FROM orders
+        |UNION ALL
+        |SELECT o_orderkey, 'o_custkey_d', CAST(o_custkey AS DOUBLE) FROM orders
+        |ORDER BY o_orderkey, metric""".stripMargin,
+
+    "rel_format_roundtrip" ->
+      """SELECT f.fmt, d.lang, CAST(count(*) AS BIGINT) AS cnt,
+        |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents d
+        |CROSS JOIN (SELECT unnest(['csv','json','orc']) AS fmt) f
+        |GROUP BY f.fmt, d.lang
+        |ORDER BY f.fmt, d.lang""".stripMargin,
 
     "rel_sessionize" ->
       """WITH g AS (

@@ -59,6 +59,22 @@ class ContractSpec extends SparkSpec {
     val q18 = operators.SqlSurface.queries("sql_tpch_q18")(spark, sf)
       .queryExecution.executedPlan.toString
     assert(q18.contains("LeftSemi"), s"Q18 IN-subquery not decorrelated:\n$q18")
+    // unpivot plans as a one-pass Expand, not a multi-scan union
+    val up = operators.Relational.relUnpivot(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(up.contains("Expand"), s"unpivot not Expand-based:\n$up")
+    assert(up.split("FileScan").length - 1 == 1, s"unpivot re-scans:\n$up")
+  }
+
+  test("format round-trip preserves content exactly per format") {
+    val rt = operators.Relational.relFormatRoundtrip(spark, sf).collect()
+      .groupBy(_.getString(0))
+      .view.mapValues(_.map(r => (r.getString(1), r.getLong(2), r.getLong(3))).toSet).toMap
+    val direct = Tables.load(spark, sf, "documents")
+      .groupBy("lang").agg(count(lit(1)).as("cnt"), sum("n_chars").as("sc"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rt.keySet == Set("orc", "csv", "json"))
+    rt.foreach { case (fmt, rows) => assert(rows == direct, s"$fmt round-trip diverged") }
   }
 
   test("partitioned parquet write enables partition pruning on read") {

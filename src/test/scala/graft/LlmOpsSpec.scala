@@ -389,6 +389,23 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("perplexity proxy equals driver-side unigram recompute") {
+    val docs = Tables.load(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val corpusFreq = docs.flatMap(_._2.split(" ", -1)).groupBy(identity)
+      .map { case (t, o) => t -> o.length.toLong }
+    val got = LlmOps.perplexityProxy(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    docs.foreach { case (id, text) =>
+      val toks = text.split(" ", -1)
+      val (sumF, nT, mean) = got(id)
+      assert(nT == toks.length.toLong)
+      assert(sumF == toks.map(corpusFreq).sum)
+      assert(math.abs(mean - sumF.toDouble / nT) < 1e-12)
+    }
+  }
+
   test("quality score stays within [0,1] and language scores are consistent") {
     LlmOps.qualityScore(spark, sf).collect().foreach { r =>
       val q = r.getAs[Double]("quality")
