@@ -1133,6 +1133,65 @@ object LlmOps {
       .orderBy("doc_id")
   }
 
+  /** Deterministic mean-pooling of embeddings per label — class
+    * centroids / document-set pooling, the aggregation every
+    * embedding-space pipeline needs. A naive per-dimension float SUM is
+    * partition-order-dependent; instead each label's vectors are
+    * collected in vec_id order and LEFT-FOLDED elementwise (the same
+    * fold discipline as the dot product), then divided by the count
+    * once — bit-identical across engines and partitionings. Output is
+    * exploded to scalar (label, pos, component) rows.
+    *
+    * Scale: per-label state is the 64-double accumulator, but the
+    * collect_list is O(group size) — the documented bound is groups
+    * that fit an executor (labels here are a classifier's class space,
+    * i.e. dim-table-sized); past that you shard the fold by a salt and
+    * fold the per-salt partials in salt order. */
+  def meanPoolEmb(s: SparkSession, dir: String): DataFrame = {
+    val dim = 64 // embeddings table dimension (TESTDATA.md)
+    val zeros = array((0 until dim).map(_ => lit(0.0)): _*)
+    val pooled = Tables.load(s, dir, "embeddings")
+      .groupBy("label")
+      .agg(sort_array(collect_list(struct(col("vec_id"), col("embedding")))).as("vs"),
+        count(lit(1)).as("n"))
+      .select(col("label"), col("n"),
+        aggregate(col("vs"), zeros,
+          (acc, v) => zip_with(acc, v.getField("embedding"),
+            (a, x) => a + x.cast("double"))).as("sums"))
+    pooled
+      .select(col("label"), col("n"),
+        transform(col("sums"), x => x / col("n")).as("mean"))
+      .select(col("label"), col("n").cast("long").as("n"),
+        posexplode(col("mean")).as(Seq("pos", "component")))
+      .select(col("label"), col("n"), col("pos").cast("int").as("pos"), col("component"))
+      .orderBy("label", "pos")
+  }
+
+  /** Bloom-filter prefilter for incremental dedup — the sketch that
+    * makes [[incrementalDedup]]'s anti-join cheap at 100 TB: build one
+    * Bloom filter over the existing corpus' fingerprints (a bounded
+    * bitset, not data, on the driver — same artifact class as the
+    * k-means codebook), broadcast it, and flag each new document whose
+    * fingerprint the filter might contain. Only flagged docs (a few %
+    * at a 1% fpp) need the exact anti-join; a Bloom NEGATIVE is
+    * definitive, so unflagged docs ship straight to the corpus.
+    *
+    * Bloom bitsets are deterministic (bits OR in, insertion-order
+    * independent; fixed size/fpp) but not SQL-enumerable → rows-only;
+    * LlmOpsSpec gates zero false negatives and the false-positive
+    * bound. */
+  def bloomPrefilter(s: SparkSession, dir: String): DataFrame = {
+    val existing = Tables.load(s, dir, "documents")
+      .filter(col("source") === "src0").select(fpCol.as("fp"))
+    val bloom = existing.stat.bloomFilter("fp", 4096L, 0.01)
+    val mightContain = udf((fp: String) => bloom.mightContain(fp))
+    Tables.load(s, dir, "documents")
+      .filter(col("source") =!= "src0")
+      .select(col("doc_id"), fpCol.as("fp"))
+      .withColumn("bloom_hit", mightContain(col("fp")))
+      .orderBy("doc_id")
+  }
+
   /** Materialize the shared memoized artifacts (cluster-label table, IVF
     * codebook + its assignment scan) so their one-time cost is not
     * attributed to whichever query happens to run first — Bench calls
@@ -1187,9 +1246,28 @@ object LlmOps {
     "llm_temperature_weights" -> (temperatureWeights _),
     "llm_fuzzy_editdist"     -> (fuzzyEditdist _),
     "llm_perplexity_proxy"   -> (perplexityProxy _),
+    "llm_mean_pool_emb"      -> (meanPoolEmb _),
+    "llm_bloom_prefilter"    -> (bloomPrefilter _),
   )
 
   val oracle: Map[String, String] = Map(
+    "llm_mean_pool_emb" ->
+      """WITH z AS (SELECT label, list(embedding ORDER BY vec_id) AS vs,
+        |                  CAST(count(*) AS BIGINT) AS n
+        |           FROM embeddings GROUP BY label),
+        |m AS (SELECT label, n,
+        |        list_reduce(
+        |          list_prepend(list_transform(generate_series(1, 64),
+        |                                      i -> CAST(0.0 AS DOUBLE)),
+        |            list_transform(vs, v -> list_transform(v, x -> CAST(x AS DOUBLE)))),
+        |          (acc, e) -> list_transform(generate_series(1, 64),
+        |                                     i -> acc[i] + e[i])) AS sums
+        |      FROM z)
+        |SELECT label, n,
+        |       CAST(unnest(generate_series(1, 64)) - 1 AS INTEGER) AS pos,
+        |       unnest(list_transform(sums, x -> x / n)) AS component
+        |FROM m ORDER BY label, pos""".stripMargin,
+
     "llm_perplexity_proxy" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
         |tf AS (SELECT t, CAST(count(*) AS BIGINT) AS f FROM tok GROUP BY t)

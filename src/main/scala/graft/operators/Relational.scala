@@ -332,6 +332,29 @@ object Relational {
       .orderBy("fmt", "lang")
   }
 
+  /** Calendar-spine join — the reporting idiom that guarantees one row
+    * per day over a FIXED window regardless of data presence: a
+    * generated date spine left-joined to the daily purchase aggregate,
+    * absent days zero-filled (the spine deliberately extends past the
+    * data's last day so the fill path is live, not vacuous). Spine is
+    * generated in-plan (sequence + explode, broadcast-sized); the fact
+    * side partial-aggregates before the join. */
+  def relDateSpine(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.load(s, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .groupBy(to_date(date_trunc("day", col("ts"))).as("day"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("value").cast("decimal(18,2)")).as("rev"))
+    val spine = s.range(1).select(explode(sequence(
+      to_date(lit("2024-01-01")), to_date(lit("2024-02-04")),
+      expr("interval 1 day"))).as("day"))
+    spine.join(daily, Seq("day"), "left")
+      .select(col("day"),
+        coalesce(col("cnt"), lit(0L)).as("cnt"),
+        coalesce(col("rev").cast("double"), lit(0.0)).as("rev"))
+      .orderBy("day")
+  }
+
   /** As-of join: for each click, the most recent prior view (strictly
     * earlier in (ts, event_id) order, same user, within 1 hour) and its
     * value — the time-series operator family (merge_asof).
@@ -516,6 +539,7 @@ object Relational {
     "rel_sessionize"     -> (relSessionize _),
     "rel_unpivot"        -> (relUnpivot _),
     "rel_format_roundtrip" -> (relFormatRoundtrip _),
+    "rel_date_spine"     -> (relDateSpine _),
     "rel_sort_limit"     -> (relSortLimit _),
     "rel_topk_group"     -> (relTopkGroup _),
     "rel_set_ops"        -> (relSetOps _),
@@ -672,6 +696,19 @@ object Relational {
         |                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
         |  FROM orders)
         |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+
+    "rel_date_spine" ->
+      """WITH d AS (
+        |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+        |         CAST(count(*) AS BIGINT) AS cnt,
+        |         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS rev
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |spine AS (
+        |  SELECT CAST(unnest(generate_series(DATE '2024-01-01', DATE '2024-02-04',
+        |                                     INTERVAL 1 DAY)) AS DATE) AS day)
+        |SELECT spine.day, coalesce(cnt, 0) AS cnt, coalesce(rev, 0.0) AS rev
+        |FROM spine LEFT JOIN d ON d.day = spine.day
+        |ORDER BY spine.day""".stripMargin,
 
     "rel_unpivot" ->
       """SELECT o_orderkey, 'o_totalprice' AS metric, o_totalprice AS val FROM orders

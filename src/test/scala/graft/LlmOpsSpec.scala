@@ -406,6 +406,53 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("bloom prefilter: zero false negatives, fp rate bounded, pipeline equivalence") {
+    val docs = Tables.load(spark, sf, "documents")
+      .select("doc_id", "text", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def fp(text: String): String = text.split(" ", -1).distinct.sorted.mkString(" ")
+    val existing = docs.filter(_._3 == "src0").map(d => fp(d._2)).toSet
+    val flags = LlmOps.bloomPrefilter(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    val newDocs = docs.filter(_._3 != "src0")
+    assert(flags.keySet == newDocs.map(_._1).toSet)
+    var fpCount = 0
+    newDocs.foreach { case (id, text, _) =>
+      if (existing.contains(fp(text)))
+        assert(flags(id), s"FALSE NEGATIVE on doc $id — bloom contract broken")
+      else if (flags(id)) fpCount += 1
+    }
+    // fpp=0.01 at 4096 capacity; corpus is far below capacity — allow 5x slack
+    assert(fpCount.toDouble / newDocs.length <= 0.05, s"fp rate $fpCount/${newDocs.length}")
+    // bloom-negative docs are exactly the incremental-dedup survivors minus fp'd ones:
+    // survivors == all new docs that are not true dups
+    val survivors = LlmOps.incrementalDedup(spark, sf).collect().map(_.getLong(0)).toSet
+    newDocs.foreach { case (id, text, _) =>
+      if (!flags(id)) assert(survivors.contains(id), s"bloom-negative doc $id not a survivor")
+    }
+  }
+
+  test("mean pooling equals driver-side fold in vec_id order") {
+    val embs = Tables.load(spark, sf, "embeddings")
+      .select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2).toArray))
+    val expected = embs.groupBy(_._2).map { case (label, rows) =>
+      val sorted = rows.sortBy(_._1)
+      val acc = new Array[Double](64)
+      sorted.foreach(r => for (i <- 0 until 64) acc(i) += r._3(i).toDouble)
+      label -> (rows.length.toLong, acc.map(_ / rows.length))
+    }
+    val got = LlmOps.meanPoolEmb(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+      .groupBy(_._1)
+    assert(got.keySet == expected.keySet)
+    got.foreach { case (label, rows) =>
+      val (n, mean) = expected(label)
+      assert(rows.head._2 == n)
+      rows.foreach { case (_, _, pos, c) => assert(c == mean(pos), s"label $label pos $pos") }
+    }
+  }
+
   test("quality score stays within [0,1] and language scores are consistent") {
     LlmOps.qualityScore(spark, sf).collect().foreach { r =>
       val q = r.getAs[Double]("quality")
