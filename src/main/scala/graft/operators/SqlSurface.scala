@@ -178,6 +178,28 @@ object SqlSurface {
       |ORDER BY o_totalprice DESC, o_orderkey
       |LIMIT 100""".stripMargin
 
+  /** TPC-H Q19-shaped: discounted revenue under an OR-of-ANDs predicate
+    * — the disjunctive-pushdown benchmark (Catalyst factors the common
+    * join key and pushes brand/size/quantity bounds below the join). */
+  private val q19Sql =
+    """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+      |              * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+      |       CAST(count(*) AS BIGINT) AS cnt
+      |FROM lineitem
+      |JOIN part ON p_partkey = l_partkey
+      |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+      |       AND l_quantity BETWEEN 1 AND 11)
+      |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+      |       AND l_quantity BETWEEN 10 AND 20)
+      |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+      |       AND l_quantity BETWEEN 20 AND 30)
+      |ORDER BY revenue""".stripMargin
+
+  def sqlQ19(s: SparkSession, dir: String): DataFrame = {
+    views(s, dir, "lineitem", "part")
+    s.sql(q19Sql)
+  }
+
   def sqlQ6(s: SparkSession, dir: String): DataFrame = {
     views(s, dir, "lineitem")
     s.sql(q6Sql)
@@ -231,6 +253,7 @@ object SqlSurface {
     "sql_tpch_q10"       -> (sqlQ10 _),
     "sql_tpch_q14"       -> (sqlQ14 _),
     "sql_tpch_q18"       -> (sqlQ18 _),
+    "sql_tpch_q19"       -> (sqlQ19 _),
     "sql_corr_subquery"  -> (sqlCorr _),
     "sql_grouping_sets"  -> (sqlGroupingSets _),
   )
@@ -243,6 +266,7 @@ object SqlSurface {
     "sql_tpch_q10"       -> q10Sql,
     "sql_tpch_q14"       -> q14Sql,
     "sql_tpch_q18"       -> q18Sql,
+    "sql_tpch_q19"       -> q19Sql,
     "sql_corr_subquery"  -> corrSql,
     "sql_grouping_sets"  -> groupingSetsSql,
   )

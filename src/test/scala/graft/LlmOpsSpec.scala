@@ -453,6 +453,18 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("mean pooling is bit-invariant under input row permutation") {
+    val base = LlmOps.meanPoolEmb(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSeq
+    val tmp = s"/tmp/graft-mp-perm-${System.nanoTime()}"
+    Tables.load(spark, sf, "embeddings").orderBy(rand(7))
+      .repartition(7)
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val perm = LlmOps.meanPoolEmb(spark, tmp).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSeq
+    assert(base == perm, "ordered fold must make pooling partition/order independent")
+  }
+
   test("quality score stays within [0,1] and language scores are consistent") {
     LlmOps.qualityScore(spark, sf).collect().foreach { r =>
       val q = r.getAs[Double]("quality")
