@@ -116,6 +116,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectFunction(
       (FunctionIdentifier("graft_simhash_agg"), SimHashAgg.info,
         (exprs: Seq[Expression]) => SimHashAgg(exprs.head)))
+    ext.injectFunction(
+      (FunctionIdentifier("graft_top_run"), TopRun.info,
+        (exprs: Seq[Expression]) => TopRun(exprs.head)))
     ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
   }
 }

@@ -40,6 +40,20 @@ object LlmOps {
     * LlmOpsSpec. */
   private def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
 
+  /** Interpreted-HOF formulation of `graft_top_run` — test-only
+    * equivalence anchor (LlmOpsSpec pins it bit-equal to the native
+    * expression over the real corpus arrays). */
+  def topRunHof(sorted: Column): Column =
+    aggregate(sorted,
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"), acc.getField("run") + 1)
+          .otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+
   def dotHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
@@ -914,16 +928,12 @@ object LlmOps {
         .as("bg"))
       .select(col("doc_id"), col("distinct_ratio"), col("bg"),
         sort_array(col("bg")).as("sbg"))
-    // longest equal-run of the sorted bigram array = max bigram multiplicity
-    val top = aggregate(col("sbg"),
-      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
-      (acc, x) => {
-        val run = when(x === acc.getField("prev"), acc.getField("run") + 1)
-          .otherwise(lit(1L))
-        struct(x.as("prev"), run.as("run"),
-          greatest(acc.getField("best"), run).as("best"))
-      },
-      acc => acc.getField("best"))
+    // longest equal-run of the sorted bigram array = max bigram
+    // multiplicity — native codegen'd expression (the interpreted HOF
+    // fold it replaces is kept as topRunHof, pinned bit-equal in
+    // LlmOpsSpec)
+    graft.expressions.TopRun.register(s)
+    val top = call_function("graft_top_run", col("sbg"))
     staged.select(
         col("doc_id"),
         size(col("bg")).cast("long").as("n_bigrams"),

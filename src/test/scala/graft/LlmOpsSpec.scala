@@ -465,6 +465,37 @@ class LlmOpsSpec extends SparkSpec {
     assert(base == perm, "ordered fold must make pooling partition/order independent")
   }
 
+  test("native graft_top_run is bit-identical to the HOF fold on real bigram arrays") {
+    graft.expressions.TopRun.register(spark)
+    val toks = split(col("text"), " ")
+    val arrays = Tables.load(spark, sf, "documents").select(
+      col("doc_id"),
+      sort_array(when(size(toks) >= 2,
+        transform(sequence(lit(1), size(toks) - 1),
+          i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+        .otherwise(array().cast("array<string>"))).as("sbg"))
+    val both = arrays.select(col("doc_id"),
+        call_function("graft_top_run", col("sbg")).as("native"),
+        LlmOps.topRunHof(col("sbg")).as("hof"),
+        size(col("sbg")).as("n"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2), s"doc ${r.getLong(0)}")
+      if (r.getInt(3) == 0) assert(r.getLong(1) == 0L)
+    }
+    // degenerate cases: empty, all-equal, all-distinct
+    val sp = spark
+    import sp.implicits._
+    val edge = Seq(
+      (Seq.empty[String], 0L),
+      (Seq("a", "a", "a"), 3L),
+      (Seq("a", "b", "c"), 1L),
+      (Seq("a", "a", "b", "b", "b"), 3L)).toDF("arr", "expect")
+    edge.select(call_function("graft_top_run", col("arr")).as("got"), col("expect"))
+      .collect().foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
   test("quality score stays within [0,1] and language scores are consistent") {
     LlmOps.qualityScore(spark, sf).collect().foreach { r =>
       val q = r.getAs[Double]("quality")
