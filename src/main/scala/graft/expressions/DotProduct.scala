@@ -119,6 +119,12 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectFunction(
       (FunctionIdentifier("graft_top_run"), TopRun.info,
         (exprs: Seq[Expression]) => TopRun(exprs.head)))
+    ext.injectFunction(
+      (FunctionIdentifier("graft_ngrams"), NGrams.info,
+        (exprs: Seq[Expression]) => NGrams(exprs(0),
+          exprs(1).eval(null).asInstanceOf[Int],
+          exprs(2).eval(null).asInstanceOf[Boolean],
+          exprs(3).eval(null).asInstanceOf[Boolean])))
     ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
   }
 }

@@ -99,8 +99,16 @@ object LlmOps {
   /** k-token shingles (k=5) of a document — the real near-dup unit:
     * word ORDER matters, so re-ordered documents stop looking identical
     * (unigram token sets can't tell them apart). Documents shorter than
-    * k tokens contribute their whole text as one shingle. */
-  private def shingles(text: Column, k: Int = 5): Column = {
+    * k tokens contribute their whole text as one shingle. Built by the
+    * native one-pass [[graft.expressions.NGrams]] kernel (each shingle
+    * is a byte-range view of the row — no interpreted lambda, no
+    * per-token allocation); the HOF formulation is retained as
+    * [[shinglesHof]] and pinned bit-equal in LlmOpsSpec. */
+  private def shingles(s: SparkSession, text: Column, k: Int = 5): Column =
+    graft.expressions.NGrams.ngrams(s, text, k, keepDistinct = true, shortWhole = true)
+
+  /** Interpreted-HOF shingle formulation — test-only equivalence anchor. */
+  def shinglesHof(text: Column, k: Int = 5): Column = {
     val toks = split(text, " ")
     when(size(toks) >= k,
       array_distinct(transform(sequence(lit(0), size(toks) - lit(k)),
@@ -147,7 +155,7 @@ object LlmOps {
     // pipeline would persist anyway.
     val sigArr = Tables.load(s, dir, "documents")
       .select(col("doc_id"),
-        call_function("graft_minhash_sig", shingles(col("text")), lit(numPerm)).as("sig"))
+        call_function("graft_minhash_sig", shingles(s, col("text")), lit(numPerm)).as("sig"))
       .localCheckpoint(true)
     val bandRows = sigArr.select(col("doc_id"),
         explode(sequence(lit(0), lit(numBands - 1))).as("band"), col("sig"))
@@ -182,7 +190,7 @@ object LlmOps {
     * `graft_minhash_sig` expression used by [[minhashNeardup]]. */
   def minhashSigExploded(s: SparkSession, dir: String, numPerm: Int): DataFrame =
     Tables.load(s, dir, "documents")
-      .select(col("doc_id"), explode(shingles(col("text"))).as("tok"))
+      .select(col("doc_id"), explode(shingles(s, col("text"))).as("tok"))
       .select(col("doc_id"), explode(sequence(lit(0), lit(numPerm - 1))).as("perm"), col("tok"))
       .select(col("doc_id"), col("perm"),
         xxhash64(col("tok"), col("perm").cast("long")).as("h"))
@@ -921,11 +929,8 @@ object LlmOps {
       col("doc_id"),
       (size(array_distinct(toks)).cast("double") / size(toks).cast("double"))
         .as("distinct_ratio"),
-      when(size(toks) >= 2,
-        transform(sequence(lit(1), size(toks) - 1),
-          i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
-        .otherwise(array().cast("array<string>"))
-        .as("bg"))
+      graft.expressions.NGrams.ngrams(s, col("text"), 2,
+        keepDistinct = false, shortWhole = false).as("bg"))
       .select(col("doc_id"), col("distinct_ratio"), col("bg"),
         sort_array(col("bg")).as("sbg"))
     // longest equal-run of the sorted bigram array = max bigram
@@ -957,7 +962,7 @@ object LlmOps {
     * partially aggregates on doc_id. */
   def contamination(s: SparkSession, dir: String): DataFrame = {
     val sh = Tables.load(s, dir, "documents")
-      .select(col("doc_id"), col("source"), explode(shingles(col("text"), 3)).as("g"))
+      .select(col("doc_id"), col("source"), explode(shingles(s, col("text"), 3)).as("g"))
     val bench = sh.filter(col("source") === "src0")
       .select("g").distinct().withColumn("hit", lit(1))
     sh.filter(col("source") =!= "src0")
@@ -1013,7 +1018,7 @@ object LlmOps {
   def containmentDedup(s: SparkSession, dir: String): DataFrame = {
     val dfCap = 50
     val sh = Tables.load(s, dir, "documents")
-      .select(col("doc_id"), explode(shingles(col("text"), 3)).as("g"))
+      .select(col("doc_id"), explode(shingles(s, col("text"), 3)).as("g"))
     val byShingle = sh.groupBy("g")
       .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
       .filter(size(col("ds")) <= dfCap && size(col("ds")) >= 2)

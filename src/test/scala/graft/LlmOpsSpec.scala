@@ -465,6 +465,47 @@ class LlmOpsSpec extends SparkSpec {
     assert(base == perm, "ordered fold must make pooling partition/order independent")
   }
 
+  test("native graft_ngrams is element-identical to the HOF shingle/bigram forms") {
+    graft.expressions.NGrams.register(spark)
+    // distinct shingles, k=3 and k=5, incl. short-doc whole-text branch
+    for (k <- Seq(3, 5)) {
+      val both = Tables.load(spark, sf, "documents").select(
+          call_function("graft_ngrams", col("text"), lit(k), lit(true), lit(true)).as("native"),
+          LlmOps.shinglesHof(col("text"), k).as("hof"))
+        .collect()
+      both.foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1), s"k=$k"))
+    }
+    // non-distinct bigrams, short docs -> empty
+    val toks = split(col("text"), " ")
+    val bg = Tables.load(spark, sf, "documents").select(
+        call_function("graft_ngrams", col("text"), lit(2), lit(false), lit(false)).as("native"),
+        when(size(toks) >= 2,
+          transform(sequence(lit(1), size(toks) - 1),
+            i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+          .otherwise(array().cast("array<string>")).as("hof"))
+      .collect()
+    bg.foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1)))
+    // edge cases: empty string, single token, doubled/leading/trailing spaces
+    val sp = spark
+    import sp.implicits._
+    val edges = Seq("", "solo", "a b", "a  b", " a b ", "a a a a a a")
+      .toDF("text")
+    val eq = edges.select(col("text"),
+        call_function("graft_ngrams", col("text"), lit(2), lit(false), lit(false)).as("n2"),
+        when(size(split(col("text"), " ")) >= 2,
+          transform(sequence(lit(1), size(split(col("text"), " ")) - 1),
+            i => concat_ws(" ", element_at(split(col("text"), " "), i),
+              element_at(split(col("text"), " "), i + 1))))
+          .otherwise(array().cast("array<string>")).as("h2"),
+        call_function("graft_ngrams", col("text"), lit(5), lit(true), lit(true)).as("n5"),
+        LlmOps.shinglesHof(col("text"), 5).as("h5"))
+      .collect()
+    eq.foreach { r =>
+      assert(r.getSeq[String](1) == r.getSeq[String](2), s"bigrams of '${r.getString(0)}'")
+      assert(r.getSeq[String](3) == r.getSeq[String](4), s"shingles of '${r.getString(0)}'")
+    }
+  }
+
   test("native graft_top_run is bit-identical to the HOF fold on real bigram arrays") {
     graft.expressions.TopRun.register(spark)
     val toks = split(col("text"), " ")
