@@ -1207,6 +1207,45 @@ object LlmOps {
       .orderBy("doc_id")
   }
 
+  /** Text normalization — the canonical pre-tokenization cleanup stage:
+    * lowercase, collapse whitespace runs, trim, strip the corpus'
+    * punctuation class, plus the before/after length delta. Pure
+    * projection (regex class subset behaves identically in Java regex
+    * and RE2; 'g'-flag replace on the DuckDB side). */
+  def normalizeText(s: SparkSession, dir: String): DataFrame = {
+    val cleaned = trim(regexp_replace(regexp_replace(lower(col("text")),
+      "[.,!?;:]", ""), " +", " "))
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), cleaned.as("norm_text"),
+        length(col("text")).cast("long").as("len_raw"),
+        length(cleaned).cast("long").as("len_norm"))
+      .orderBy("doc_id")
+  }
+
+  /** END-TO-END corpus export — the query a pipeline actually ships: the
+    * training slice (source ≠ src0, the benchmark slice excluded by
+    * construction) filtered to quality ≥ 0.65 (Q1 of the corpus,
+    * measured), benchmark contamination < 0.5, and dedup-surviving
+    * (keep-best winner of its near-dup cluster; unclustered docs
+    * survive by default). Composes the oracle-checked quality /
+    * contamination / keep-best operators — each join is doc_id-keyed
+    * against frames that are themselves bounded aggregations, and the
+    * cluster labels come from the session-memoized label table. */
+  def corpusExport(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents").select("doc_id", "lang", "source")
+    val quality = qualityScore(s, dir).select(col("doc_id"), col("quality"))
+    val cont = contamination(s, dir).select(col("doc_id"), col("contamination"))
+    val keep = dedupKeepBest(s, dir).select(col("doc_id"), col("keep"))
+    docs.filter(col("source") =!= "src0")
+      .join(quality, "doc_id")
+      .join(cont, "doc_id")
+      .join(keep, Seq("doc_id"), "left")
+      .filter(col("quality") >= 0.65 && col("contamination") < 0.5
+        && coalesce(col("keep"), lit(true)))
+      .select("doc_id", "lang", "quality", "contamination")
+      .orderBy("doc_id")
+  }
+
   /** Materialize the shared memoized artifacts (cluster-label table, IVF
     * codebook + its assignment scan) so their one-time cost is not
     * attributed to whichever query happens to run first — Bench calls
@@ -1263,9 +1302,87 @@ object LlmOps {
     "llm_perplexity_proxy"   -> (perplexityProxy _),
     "llm_mean_pool_emb"      -> (meanPoolEmb _),
     "llm_bloom_prefilter"    -> (bloomPrefilter _),
+    "llm_normalize_text"     -> (normalizeText _),
+    "llm_corpus_export"      -> (corpusExport _),
   )
 
   val oracle: Map[String, String] = Map(
+    "llm_normalize_text" ->
+      """SELECT doc_id,
+        |       trim(regexp_replace(regexp_replace(lower(text),
+        |            '[.,!?;:]', '', 'g'), ' +', ' ', 'g')) AS norm_text,
+        |       CAST(length(text) AS BIGINT) AS len_raw,
+        |       CAST(length(trim(regexp_replace(regexp_replace(lower(text),
+        |            '[.,!?;:]', '', 'g'), ' +', ' ', 'g'))) AS BIGINT) AS len_norm
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "llm_corpus_export" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+        |  FROM documents),
+        |sz AS (SELECT doc_id, count(*) AS nt FROM toks GROUP BY doc_id),
+        |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |       FROM documents a JOIN documents b
+        |         ON a.lang = b.lang AND a.n_chars = b.n_chars AND a.doc_id < b.doc_id),
+        |inter AS (
+        |  SELECT doc_a, doc_b, count(*) AS i
+        |  FROM pr JOIN toks ta ON ta.doc_id = doc_a
+        |          JOIN toks tb ON tb.doc_id = doc_b AND tb.tok = ta.tok
+        |  GROUP BY doc_a, doc_b),
+        |pairs AS (
+        |  SELECT doc_a, doc_b
+        |  FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+        |  WHERE CAST(i AS DOUBLE) / (sa.nt + sb.nt - i) >= 0.5),
+        |e AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+        |      UNION ALL SELECT doc_b AS a, doc_a AS b FROM pairs),
+        |reach(doc, r) AS (
+        |  SELECT a, a FROM e
+        |  UNION
+        |  SELECT e.b, reach.r FROM reach JOIN e ON e.a = reach.doc),
+        |cl AS (SELECT doc AS doc_id, min(r) AS cluster_id FROM reach GROUP BY doc),
+        |qr AS (
+        |  SELECT doc_id,
+        |         CAST(len(string_split(text, ' ')) AS DOUBLE) AS n,
+        |         CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) AS nd,
+        |         CAST(len(list_filter(string_split(text, ' '),
+        |              t -> t = 'a' OR t = 'the')) AS DOUBLE) AS nstop,
+        |         CAST(len(list_filter(string_split(text, ' '),
+        |              t -> length(t) <= 2)) AS DOUBLE) AS nshort
+        |  FROM documents),
+        |q AS (SELECT doc_id,
+        |             (nd / n) * 0.5 + (1.0 - nstop / n) * 0.3
+        |             + (1.0 - nshort / n) * 0.2 AS quality
+        |      FROM qr),
+        |keep AS (
+        |  SELECT cl.doc_id,
+        |         (row_number() OVER (PARTITION BY cluster_id
+        |                             ORDER BY quality DESC, cl.doc_id) = 1) AS keep
+        |  FROM cl JOIN q ON q.doc_id = cl.doc_id),
+        |tk3 AS (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT doc_id, source,
+        |         unnest(CASE WHEN len(t) >= 3
+        |                THEN list_distinct(list_transform(generate_series(1, len(t) - 2),
+        |                       i -> array_to_string(t[i:i+2], ' ')))
+        |                ELSE [array_to_string(t, ' ')] END) AS g
+        |       FROM tk3),
+        |bench AS (SELECT DISTINCT g FROM sh WHERE source = 'src0'),
+        |cont AS (
+        |  SELECT s.doc_id,
+        |         CAST(sum(CASE WHEN b.g IS NULL THEN 0 ELSE 1 END) AS DOUBLE)
+        |           / count(*) AS contamination
+        |  FROM sh s LEFT JOIN bench b ON b.g = s.g
+        |  WHERE s.source <> 'src0' GROUP BY s.doc_id)
+        |SELECT d.doc_id, d.lang, q.quality, cont.contamination
+        |FROM documents d
+        |JOIN q ON q.doc_id = d.doc_id
+        |JOIN cont ON cont.doc_id = d.doc_id
+        |LEFT JOIN keep ON keep.doc_id = d.doc_id
+        |WHERE d.source <> 'src0'
+        |  AND q.quality >= 0.65
+        |  AND cont.contamination < 0.5
+        |  AND coalesce(keep.keep, TRUE)
+        |ORDER BY d.doc_id""".stripMargin,
+
     "llm_mean_pool_emb" ->
       """WITH z AS (SELECT label, list(embedding ORDER BY vec_id) AS vs,
         |                  CAST(count(*) AS BIGINT) AS n

@@ -537,6 +537,24 @@ class LlmOpsSpec extends SparkSpec {
       .collect().foreach(r => assert(r.getLong(0) == r.getLong(1)))
   }
 
+  test("corpus export is consistent with its component operators") {
+    val exported = LlmOps.corpusExport(spark, sf).collect().map(_.getLong(0)).toSet
+    val srcOf = Tables.load(spark, sf, "documents").select("doc_id", "source")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val quality = LlmOps.qualityScore(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("quality")).toMap
+    val cont = LlmOps.contamination(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val keep = LlmOps.dedupKeepBest(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    val expected = srcOf.keySet.filter { id =>
+      srcOf(id) != "src0" && quality(id) >= 0.65 &&
+        cont(id) < 0.5 && keep.getOrElse(id, true)
+    }
+    assert(exported == expected && exported.nonEmpty)
+    assert(exported.forall(id => srcOf(id) != "src0"))
+  }
+
   test("quality score stays within [0,1] and language scores are consistent") {
     LlmOps.qualityScore(spark, sf).collect().foreach { r =>
       val q = r.getAs[Double]("quality")
