@@ -142,4 +142,34 @@ class PropertiesSpec extends SparkSpec {
       assert(ns >= 1 && ns <= ne)
     }
   }
+  test("graft_ngrams matches a reference implementation on random strings") {
+    graft.expressions.NGrams.register(spark)
+    val sp = spark
+    import sp.implicits._
+    // random texts over a tiny alphabet with deliberate doubled/leading/
+    // trailing spaces so empty tokens are exercised
+    val charGen = Gen.frequency(6 -> Gen.oneOf('x', 'y', 'z'), 3 -> Gen.const(' '))
+    val textGen = Gen.chooseNum(0, 30).flatMap(n => Gen.listOfN(n, charGen)).map(_.mkString)
+    val texts = (1 to 200).map(i => textGen.pureApply(Gen.Parameters.default, Seed(7L + i)))
+
+    def reference(text: String, k: Int, distinct: Boolean, shortWhole: Boolean): Seq[String] = {
+      val toks = text.split(" ", -1)
+      if (toks.length < k) { if (shortWhole) Seq(text) else Seq.empty }
+      else {
+        val grams = toks.sliding(k).map(_.mkString(" ")).toSeq
+        if (distinct) grams.distinct else grams
+      }
+    }
+
+    val df = texts.toDF("text")
+    for ((k, d, w) <- Seq((2, false, false), (3, true, true), (5, true, true), (1, true, false))) {
+      val got = df.select(col("text"),
+          call_function("graft_ngrams", col("text"), lit(k), lit(d), lit(w)).as("g"))
+        .collect().map(r => r.getString(0) -> r.getSeq[String](1).toSeq).toMap
+      texts.distinct.foreach { t =>
+        assert(got(t) == reference(t, k, d, w), s"text='$t' k=$k distinct=$d whole=$w")
+      }
+    }
+  }
+
 }
