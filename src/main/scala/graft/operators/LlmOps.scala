@@ -1246,6 +1246,45 @@ object LlmOps {
       .orderBy("doc_id")
   }
 
+  /** One-row corpus dashboard — the observability summary a pipeline
+    * reports after every snapshot: doc/token/char totals, language and
+    * fingerprint cardinalities, duplicate count, quality extremes.
+    * Every statistic is an exact integer aggregate or an order-
+    * independent min/max (no float sums). */
+  def datasetStats(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    val quality = qualityScore(s, dir).select(col("doc_id"), col("quality"))
+    docs.select(col("doc_id"), col("lang"), col("n_chars"),
+        size(split(col("text"), " ")).cast("long").as("n_toks"), fpCol.as("fp"))
+      .join(quality, "doc_id")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("n_tokens"),
+        sum(col("n_chars")).as("n_chars"),
+        countDistinct(col("lang")).as("n_langs"),
+        countDistinct(col("fp")).as("n_distinct_fp"),
+        (count(lit(1)) - countDistinct(col("fp"))).as("n_dup_docs"),
+        min(col("quality")).as("min_quality"),
+        max(col("quality")).as("max_quality"))
+  }
+
+  /** Deterministic shard assignment — the output-layout planner for a
+    * 100 TB corpus write: content-stable md5-derived shard id (mod 16)
+    * per document, summarized to per-shard doc and char budgets. The
+    * same salted-md5 identity as [[hashSample]]/[[stratifiedSample]],
+    * so shard membership is reproducible across engines, runs, and
+    * repartitionings. */
+  def shardAssign(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("n_chars"),
+        (conv(substring(md5(concat(lit("graft:"), col("doc_id"))), 1, 8), 16, 10)
+          .cast("long") % 16).as("shard"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .select(col("shard"), col("n_docs"),
+        col("sum_chars").cast("long").as("sum_chars"))
+      .orderBy("shard")
+
   /** Materialize the shared memoized artifacts (cluster-label table, IVF
     * codebook + its assignment scan) so their one-time cost is not
     * attributed to whichever query happens to run first — Bench calls
@@ -1304,9 +1343,48 @@ object LlmOps {
     "llm_bloom_prefilter"    -> (bloomPrefilter _),
     "llm_normalize_text"     -> (normalizeText _),
     "llm_corpus_export"      -> (corpusExport _),
+    "llm_dataset_stats"      -> (datasetStats _),
+    "llm_shard_assign"       -> (shardAssign _),
   )
 
   val oracle: Map[String, String] = Map(
+    "llm_dataset_stats" ->
+      """WITH qr AS (
+        |  SELECT doc_id,
+        |         CAST(len(string_split(text, ' ')) AS DOUBLE) AS n,
+        |         CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) AS nd,
+        |         CAST(len(list_filter(string_split(text, ' '),
+        |              t -> t = 'a' OR t = 'the')) AS DOUBLE) AS nstop,
+        |         CAST(len(list_filter(string_split(text, ' '),
+        |              t -> length(t) <= 2)) AS DOUBLE) AS nshort
+        |  FROM documents),
+        |q AS (SELECT doc_id,
+        |             (nd / n) * 0.5 + (1.0 - nstop / n) * 0.3
+        |             + (1.0 - nshort / n) * 0.2 AS quality
+        |      FROM qr),
+        |d AS (SELECT doc_id, lang, n_chars,
+        |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+        |             md5(array_to_string(list_sort(list_distinct(
+        |               string_split(text, ' '))), ' ')) AS fp
+        |      FROM documents)
+        |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+        |       CAST(sum(n_chars) AS BIGINT) AS n_chars,
+        |       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        |       CAST(count(DISTINCT fp) AS BIGINT) AS n_distinct_fp,
+        |       CAST(count(*) - count(DISTINCT fp) AS BIGINT) AS n_dup_docs,
+        |       min(quality) AS min_quality,
+        |       max(quality) AS max_quality
+        |FROM d JOIN q USING (doc_id)""".stripMargin,
+
+    "llm_shard_assign" ->
+      """SELECT CAST(CAST('0x' || substring(md5('graft:' || CAST(doc_id AS VARCHAR)), 1, 8)
+        |            AS UBIGINT) % 16 AS BIGINT) AS shard,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents
+        |GROUP BY shard ORDER BY shard""".stripMargin,
+
     "llm_normalize_text" ->
       """SELECT doc_id,
         |       trim(regexp_replace(regexp_replace(lower(text),

@@ -288,6 +288,41 @@ object Relational {
         col("O").as("cnt_o"), col("P").as("cnt_p"))
       .orderBy("o_orderpriority")
 
+  /** Outer-join surface — the null-generating join family (left outer
+    * with a REAL null side: 203/1500 customers have no urgent order at
+    * sf0.01): per-customer urgent-order counts with nulls coalesced and
+    * surfaced as a flag. The aggregate side reduces before the join
+    * (bounded rows per key), so the outer join is shuffle-safe at any
+    * scale. */
+  def relJoinOuter(s: SparkSession, dir: String): DataFrame = {
+    val urgent = Tables.load(s, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .groupBy("o_custkey").agg(count(lit(1)).as("urgent_cnt"))
+    Tables.load(s, dir, "customer")
+      .join(urgent, col("c_custkey") === col("o_custkey"), "left_outer")
+      .select(col("c_custkey"), col("c_name"),
+        coalesce(col("urgent_cnt"), lit(0L)).as("urgent_cnt"),
+        col("urgent_cnt").isNotNull.as("has_urgent"))
+      .orderBy("c_custkey")
+  }
+
+  /** Deterministic per-group MODE (most frequent value, lexical
+    * tiebreak): count + one bounded window over the (status, priority)
+    * aggregate — the statistical-mode aggregate the built-in `mode()`
+    * cannot make deterministic under ties. */
+  def relAggMode(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.load(s, dir, "orders")
+      .groupBy("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("o_orderstatus")
+      .orderBy(col("n").desc, col("o_orderpriority"))
+    c.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("o_orderstatus"),
+        col("o_orderpriority").as("mode_priority"), col("n"))
+      .orderBy("o_orderstatus")
+  }
+
   /** Unpivot (melt): wide → long over two order metrics via the native
     * `Dataset.unpivot` operator (plans as Expand, one pass, no shuffle);
     * value columns share the double type as unpivot requires. */
@@ -540,6 +575,8 @@ object Relational {
     "rel_unpivot"        -> (relUnpivot _),
     "rel_format_roundtrip" -> (relFormatRoundtrip _),
     "rel_date_spine"     -> (relDateSpine _),
+    "rel_join_outer"     -> (relJoinOuter _),
+    "rel_agg_mode"       -> (relAggMode _),
     "rel_sort_limit"     -> (relSortLimit _),
     "rel_topk_group"     -> (relTopkGroup _),
     "rel_set_ops"        -> (relSetOps _),
@@ -696,6 +733,27 @@ object Relational {
         |                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
         |  FROM orders)
         |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+
+    "rel_join_outer" ->
+      """SELECT c_custkey, c_name,
+        |       coalesce(u.urgent_cnt, 0) AS urgent_cnt,
+        |       u.urgent_cnt IS NOT NULL AS has_urgent
+        |FROM customer
+        |LEFT JOIN (SELECT o_custkey, CAST(count(*) AS BIGINT) AS urgent_cnt
+        |           FROM orders WHERE o_orderpriority = '1-URGENT'
+        |           GROUP BY o_custkey) u
+        |  ON c_custkey = u.o_custkey
+        |ORDER BY c_custkey""".stripMargin,
+
+    "rel_agg_mode" ->
+      """WITH c AS (SELECT o_orderstatus, o_orderpriority,
+        |                  CAST(count(*) AS BIGINT) AS n
+        |           FROM orders GROUP BY 1, 2)
+        |SELECT o_orderstatus, o_orderpriority AS mode_priority, n
+        |FROM (SELECT *, row_number() OVER (PARTITION BY o_orderstatus
+        |                                   ORDER BY n DESC, o_orderpriority) AS rn
+        |      FROM c)
+        |WHERE rn = 1 ORDER BY o_orderstatus""".stripMargin,
 
     "rel_date_spine" ->
       """WITH d AS (
