@@ -1246,6 +1246,27 @@ object LlmOps {
       .orderBy("doc_id")
   }
 
+  /** Bigram language-model estimation — the classic count-based LM
+    * table: conditional probability P(w2 | w1) = c(w1 w2) / c(w1 ·)
+    * over the corpus, where the denominator is the bigram-start count
+    * (so rows per w1 sum to exactly 1). Counts stay exact integers;
+    * the probability is one final division. Vocabulary-bounded output
+    * (≤ |V|² rows); bigrams come from the native `graft_ngrams`
+    * kernel. */
+  def bigramLm(s: SparkSession, dir: String): DataFrame = {
+    val bg = Tables.load(s, dir, "documents")
+      .select(explode(graft.expressions.NGrams.ngrams(s, col("text"), 2,
+        keepDistinct = false, shortWhole = false)).as("bg"))
+      .select(split(col("bg"), " ").getItem(0).as("w1"),
+        split(col("bg"), " ").getItem(1).as("w2"))
+    val c12 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("cnt"))
+    val c1 = c12.groupBy("w1").agg(sum(col("cnt")).as("cnt1"))
+    c12.join(c1, "w1")
+      .select(col("w1"), col("w2"), col("cnt").cast("long").as("cnt"),
+        (col("cnt").cast("double") / col("cnt1").cast("double")).as("p"))
+      .orderBy("w1", "w2")
+  }
+
   /** One-row corpus dashboard — the observability summary a pipeline
     * reports after every snapshot: doc/token/char totals, language and
     * fingerprint cardinalities, duplicate count, quality extremes.
@@ -1344,10 +1365,25 @@ object LlmOps {
     "llm_normalize_text"     -> (normalizeText _),
     "llm_corpus_export"      -> (corpusExport _),
     "llm_dataset_stats"      -> (datasetStats _),
+    "llm_bigram_lm"          -> (bigramLm _),
     "llm_shard_assign"       -> (shardAssign _),
   )
 
   val oracle: Map[String, String] = Map(
+    "llm_bigram_lm" ->
+      """WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+        |bg AS (
+        |  SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+        |                               i -> t[i] || ' ' || t[i+1])) AS g
+        |  FROM toks WHERE len(t) >= 2),
+        |sp AS (SELECT string_split(g, ' ')[1] AS w1, string_split(g, ' ')[2] AS w2 FROM bg),
+        |c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS cnt FROM sp GROUP BY w1, w2),
+        |c1 AS (SELECT w1, CAST(sum(cnt) AS BIGINT) AS cnt1 FROM c12 GROUP BY w1)
+        |SELECT c12.w1, c12.w2, c12.cnt,
+        |       CAST(c12.cnt AS DOUBLE) / CAST(c1.cnt1 AS DOUBLE) AS p
+        |FROM c12 JOIN c1 ON c1.w1 = c12.w1
+        |ORDER BY c12.w1, c12.w2""".stripMargin,
+
     "llm_dataset_stats" ->
       """WITH qr AS (
         |  SELECT doc_id,

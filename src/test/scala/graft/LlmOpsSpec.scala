@@ -555,6 +555,19 @@ class LlmOpsSpec extends SparkSpec {
     assert(exported.forall(id => srcOf(id) != "src0"))
   }
 
+  test("bigram LM: conditional probabilities per w1 sum to 1, counts match corpus") {
+    val rows = LlmOps.bigramLm(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (w1, grp) =>
+      assert(math.abs(grp.map(_._4).sum - 1.0) < 1e-9, s"P(*|$w1) does not sum to 1")
+    }
+    val totalBigrams = Tables.load(spark, sf, "documents")
+      .select("text").collect()
+      .map(r => math.max(0, r.getString(0).split(" ", -1).length - 1).toLong).sum
+    assert(rows.map(_._3).sum == totalBigrams)
+  }
+
   test("quality score stays within [0,1] and language scores are consistent") {
     LlmOps.qualityScore(spark, sf).collect().foreach { r =>
       val q = r.getAs[Double]("quality")
