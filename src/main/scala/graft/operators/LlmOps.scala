@@ -1246,6 +1246,37 @@ object LlmOps {
       .orderBy("doc_id")
   }
 
+  /** KNN-graph builder — per-vector top-3 cosine neighbors within the
+    * label block: the batch similarity graph under graph-based dedup,
+    * recommendation, and label propagation ([[similarityKnn]] is the
+    * single-probe lookup; this is the all-vectors materialization).
+    * Same blocked-pair + hoisted-norm shape as [[embedCosineNeardup]]
+    * (each ordered pair costs one dot fold), then a bounded per-source
+    * window keeps k=3. At scale the block cap bounds the per-label
+    * O(n²); an IVF-assignment block swap (cells for labels) is the
+    * same plan. */
+  def knnGraph(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    DotProduct.register(s)
+    val emb = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"), x => x.cast("double")).as("ed"),
+        norm(col("embedding")).as("nrm"))
+    val a = emb.select(col("vec_id").as("src"), col("label"),
+      col("ed").as("ea"), col("nrm").as("na"))
+    val b = emb.select(col("vec_id").as("dst"), col("label").as("label_b"),
+      col("ed").as("eb"), col("nrm").as("nb"))
+    val w = Window.partitionBy("src").orderBy(col("sim").desc, col("dst"))
+    a.join(b, col("label") === col("label_b") && col("src") =!= col("dst"))
+      .select(col("src"), col("dst"),
+        (dot(col("ea"), col("eb")) / (col("na") * col("nb"))).as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("src"), col("rank").cast("long").as("rank"),
+        col("dst"), col("sim"))
+      .orderBy("src", "rank")
+  }
+
   /** Bigram language-model estimation — the classic count-based LM
     * table: conditional probability P(w2 | w1) = c(w1 w2) / c(w1 ·)
     * over the corpus, where the denominator is the bigram-start count
@@ -1366,10 +1397,28 @@ object LlmOps {
     "llm_corpus_export"      -> (corpusExport _),
     "llm_dataset_stats"      -> (datasetStats _),
     "llm_bigram_lm"          -> (bigramLm _),
+    "llm_knn_graph"          -> (knnGraph _),
     "llm_shard_assign"       -> (shardAssign _),
   )
 
   val oracle: Map[String, String] = Map(
+    "llm_knn_graph" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, label,
+         |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ed,
+         |         ${sqlNorm("embedding")} AS nrm
+         |  FROM embeddings),
+         |p AS (
+         |  SELECT a.vec_id AS src, b.vec_id AS dst,
+         |         ${sqlDot("a.ed", "b.ed")} / (a.nrm * b.nrm) AS sim
+         |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id),
+         |r AS (SELECT src, dst, sim,
+         |             CAST(row_number() OVER (PARTITION BY src
+         |                                     ORDER BY sim DESC, dst) AS BIGINT) AS rank
+         |      FROM p)
+         |SELECT src, rank, dst, sim FROM r WHERE rank <= 3
+         |ORDER BY src, rank""".stripMargin,
+
     "llm_bigram_lm" ->
       """WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
         |bg AS (

@@ -568,6 +568,27 @@ class LlmOpsSpec extends SparkSpec {
     assert(rows.map(_._3).sum == totalBigrams)
   }
 
+  test("knn graph equals driver-side per-source top-3 within label blocks") {
+    val embs = Tables.load(spark, sf, "embeddings")
+      .select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2).map(_.toDouble).toArray))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val expected = embs.flatMap { case (src, lab, ea) =>
+      embs.filter(o => o._2 == lab && o._1 != src)
+        .map(o => (o._1, cos(ea, o._3)))
+        .sortBy { case (dst, sim) => (-sim, dst) }
+        .take(3).zipWithIndex
+        .map { case ((dst, _), i) => (src, i + 1L, dst) }
+    }.toSet
+    val got = LlmOps.knnGraph(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expected)
+  }
+
   test("quality score stays within [0,1] and language scores are consistent") {
     LlmOps.qualityScore(spark, sf).collect().foreach { r =>
       val q = r.getAs[Double]("quality")
