@@ -1277,6 +1277,94 @@ object LlmOps {
       .orderBy("src", "rank")
   }
 
+  /** Per-(session, corpus) product-quantization codebooks: M=8 seeded
+    * k-means models, one per 8-dim subspace of the unit-normalized
+    * vectors — trained once like the IVF codebook (warm() absorbs the
+    * fits), then reused by every encode/search call. */
+  private val pqCache =
+    scala.collection.concurrent.TrieMap[(Int, String),
+      Seq[org.apache.spark.ml.clustering.KMeansModel]]()
+
+  private val PqM = 8          // subspaces
+  private val PqSubDim = 8     // dims per subspace (8×8 = 64)
+  private val PqK = 16         // centroids per subspace
+
+  /** ANN via PRODUCT QUANTIZATION — the fourth index of the ANN family
+    * (brute [[similarityKnn]], fixed-codebook [[annIvf]], learned IVF
+    * [[annIvfKmeans]], PQ here): each unit vector compresses to M=8
+    * 4-bit-ish codes (one per 8-dim subspace, 16-centroid codebooks),
+    * and search is asymmetric distance computation — the query's
+    * 8×16 subspace-distance table is computed once driver-side from
+    * the codebook (a sketch, not data), broadcast as literals, and
+    * each candidate costs 8 array lookups + 7 adds instead of a
+    * 64-dim fold. The compressed code table is 8 bytes/vector — the
+    * representation that lets 100 TB of vectors fit an ANN tier.
+    * Rows-only (learned codebooks are not SQL-enumerable); LlmOpsSpec
+    * gates recall vs brute-force and the lookup-vs-exact-ADC identity.
+    */
+  def annPq(s: SparkSession, dir: String): DataFrame = annPqShortlist(s, dir, 150)
+
+  def annPqShortlist(s: SparkSession, dir: String, shortlistN: Int): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val unit = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double") / col("nrm")).as("u"))
+    val subCols = (0 until PqM).map(m =>
+      slice(col("u"), m * PqSubDim + 1, PqSubDim).as(s"sub$m"))
+    val subbed = unit.select(col("vec_id") +: subCols: _*)
+    val models = pqCache.getOrElseUpdate((System.identityHashCode(s), dir),
+      (0 until PqM).map { m =>
+        new KMeans().setK(PqK).setSeed(42L + m).setMaxIter(20)
+          .setFeaturesCol("fv").setPredictionCol("code")
+          .fit(subbed.select(array_to_vector(col(s"sub$m")).as("fv")))
+      })
+    // encode: one assignment column per subspace
+    val encoded = (0 until PqM).foldLeft(subbed) { (df, m) =>
+      models(m).setFeaturesCol(s"fv$m").setPredictionCol(s"code$m")
+        .transform(df.withColumn(s"fv$m", array_to_vector(col(s"sub$m"))))
+        .drop(s"fv$m")
+    }
+    // query = vec_id 0; its subspace-distance tables from the codebook
+    val q = subbed.filter(col("vec_id") === 0)
+      .select((0 until PqM).map(m => col(s"sub$m")): _*).head()
+    val dt: Seq[Seq[Double]] = (0 until PqM).map { m =>
+      val qm = q.getSeq[Double](m)
+      models(m).clusterCenters.toSeq.map { c =>
+        var d = 0.0
+        var i = 0
+        while (i < PqSubDim) {
+          val diff = qm(i) - c(i); d += diff * diff; i += 1
+        }
+        d
+      }
+    }
+    // ADC: 8 literal-table lookups summed in fixed subspace order
+    val adc = (0 until PqM).map(m =>
+        element_at(typedlit(dt(m)), col(s"code$m") + 1))
+      .reduce(_ + _)
+    val shortlist = encoded.filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), adc.as("approx_dist"))
+      .orderBy(col("approx_dist"), col("vec_id"))
+      .limit(shortlistN)
+    // exact rerank of the ADC shortlist — the production PQ shape:
+    // compressed codes prune the corpus to a shortlist, exact cosine
+    // ranks the survivors. Shortlist 150 is calibrated on this
+    // synthetic ISOTROPIC corpus (ANN's worst case — distances
+    // concentrate, so ADC needs a deep shortlist for recall 9/10;
+    // measured 50→4, 100→7, 150→9 of the true top-10 at sf0.001);
+    // clustered real embeddings need a far shallower one.
+    DotProduct.register(s)
+    val qv = unit.filter(col("vec_id") === 0).select(col("u").as("qu"))
+    unit.join(shortlist, "vec_id")
+      .crossJoin(broadcast(qv))
+      .select(col("vec_id"), col("approx_dist"),
+        dot(col("u"), col("qu")).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(10)
+  }
+
   /** Bigram language-model estimation — the classic count-based LM
     * table: conditional probability P(w2 | w1) = c(w1 w2) / c(w1 ·)
     * over the corpus, where the denominator is the bigram-start count
@@ -1348,6 +1436,7 @@ object LlmOps {
     lshClusterLabels(s, dir).count()
     dedupClustersEmb(s, dir).count()
     annIvfKmeans(s, dir).count()
+    annPq(s, dir).count()
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1398,6 +1487,7 @@ object LlmOps {
     "llm_dataset_stats"      -> (datasetStats _),
     "llm_bigram_lm"          -> (bigramLm _),
     "llm_knn_graph"          -> (knnGraph _),
+    "llm_ann_pq"             -> (annPq _),
     "llm_shard_assign"       -> (shardAssign _),
   )
 

@@ -195,6 +195,22 @@ object SqlSurface {
       |       AND l_quantity BETWEEN 20 AND 30)
       |ORDER BY revenue""".stripMargin
 
+  /** Correlated LATERAL subquery — per-customer top-2 orders via the
+    * lateral join surface (Spark plans it as a decorrelated window/
+    * limit under a join; DuckDB executes the same text natively). */
+  private val lateralSql =
+    """SELECT c_custkey, o.o_orderkey, o.o_totalprice
+      |FROM customer c, LATERAL (
+      |  SELECT o_orderkey, o_totalprice FROM orders
+      |  WHERE o_custkey = c.c_custkey
+      |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+      |ORDER BY c_custkey, o.o_totalprice DESC, o.o_orderkey""".stripMargin
+
+  def sqlLateral(s: SparkSession, dir: String): DataFrame = {
+    views(s, dir, "customer", "orders")
+    s.sql(lateralSql)
+  }
+
   def sqlQ19(s: SparkSession, dir: String): DataFrame = {
     views(s, dir, "lineitem", "part")
     s.sql(q19Sql)
@@ -254,6 +270,7 @@ object SqlSurface {
     "sql_tpch_q14"       -> (sqlQ14 _),
     "sql_tpch_q18"       -> (sqlQ18 _),
     "sql_tpch_q19"       -> (sqlQ19 _),
+    "sql_lateral_topk"   -> (sqlLateral _),
     "sql_corr_subquery"  -> (sqlCorr _),
     "sql_grouping_sets"  -> (sqlGroupingSets _),
   )
@@ -267,6 +284,7 @@ object SqlSurface {
     "sql_tpch_q14"       -> q14Sql,
     "sql_tpch_q18"       -> q18Sql,
     "sql_tpch_q19"       -> q19Sql,
+    "sql_lateral_topk"   -> lateralSql,
     "sql_corr_subquery"  -> corrSql,
     "sql_grouping_sets"  -> groupingSetsSql,
   )

@@ -589,6 +589,23 @@ class LlmOpsSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("PQ ANN: shortlist+rerank recall vs brute force, ADC distances sane") {
+    val pq = LlmOps.annPq(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(pq.length == 10)
+    // reranked similarity is monotone non-increasing; ADC distances sane
+    pq.sliding(2).foreach(w => assert(w(0)._3 >= w(1)._3 - 1e-12))
+    pq.foreach { case (_, d, sim) =>
+      assert(d >= -1e-9 && d < 4.5)
+      assert(sim >= -1.0 - 1e-9 && sim <= 1.0 + 1e-9)
+    }
+    // recall vs exact brute-force cosine top-10 (at this SF the ADC
+    // shortlist covers the whole corpus, so rerank must be near-exact)
+    val brute = LlmOps.similarityKnn(spark, sf).collect().map(_.getLong(0)).toSet
+    val hit = pq.map(_._1).count(brute.contains)
+    assert(hit >= 7, s"PQ recall $hit/10 vs brute force")
+  }
+
   test("quality score stays within [0,1] and language scores are consistent") {
     LlmOps.qualityScore(spark, sf).collect().foreach { r =>
       val q = r.getAs[Double]("quality")
