@@ -323,6 +323,19 @@ object Relational {
       .orderBy("o_orderstatus")
   }
 
+  /** Fixed-width histogram aggregate: order totals bucketed by
+    * floor(price / 50k) (explicit arithmetic — `width_bucket` has
+    * engine-specific edge conventions), per-bucket counts and exact
+    * decimal sums. The bucketing is a pure projection, so the
+    * aggregation partial-combines map-side like any groupBy count. */
+  def relAggHistogram(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "orders")
+      .groupBy(least(floor(col("o_totalprice") / 50000), lit(11))
+        .cast("long").as("bucket"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sum_price"))
+      .orderBy("bucket")
+
   /** Unpivot (melt): wide → long over two order metrics via the native
     * `Dataset.unpivot` operator (plans as Expand, one pass, no shuffle);
     * value columns share the double type as unpivot requires. */
@@ -577,6 +590,7 @@ object Relational {
     "rel_date_spine"     -> (relDateSpine _),
     "rel_join_outer"     -> (relJoinOuter _),
     "rel_agg_mode"       -> (relAggMode _),
+    "rel_agg_histogram"  -> (relAggHistogram _),
     "rel_sort_limit"     -> (relSortLimit _),
     "rel_topk_group"     -> (relTopkGroup _),
     "rel_set_ops"        -> (relSetOps _),
@@ -733,6 +747,12 @@ object Relational {
         |                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
         |  FROM orders)
         |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+
+    "rel_agg_histogram" ->
+      """SELECT CAST(least(floor(o_totalprice / 50000), 11) AS BIGINT) AS bucket,
+        |       CAST(count(*) AS BIGINT) AS cnt,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY bucket ORDER BY bucket""".stripMargin,
 
     "rel_join_outer" ->
       """SELECT c_custkey, c_name,

@@ -230,6 +230,31 @@ object Streaming {
         col("cnt"), col("val_sum"))
       .orderBy("window_start", "event_type")
 
+  /** Per-window top-k: tumbling 1-day counts ranked within each window
+    * (top-2 event types per day) — the trending-items query. In a live
+    * stream the rank runs per micro-batch over the windowed aggregate
+    * (foreachBatch; chained streaming aggregations are unsupported) —
+    * StreamingSpec proves the foreachBatch form reproduces this batch
+    * equivalent. */
+  def streamWindowTopk(s: SparkSession, dir: String): DataFrame =
+    windowTopk(Tables.load(s, dir, "events"))
+      .orderBy("window_start", "rnk")
+
+  /** The window-topk transform over any events frame (batch or a
+    * foreachBatch sink table). */
+  def windowTopk(events: DataFrame): DataFrame = {
+    val counts = events
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("cnt"))
+    val w = Window.partitionBy("window_start")
+      .orderBy(col("cnt").desc, col("event_type"))
+    counts.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 2)
+      .select(col("window_start"), col("rnk").cast("long").as("rnk"),
+        col("event_type"), col("cnt"))
+  }
+
   def streamSliding(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "events")
       .groupBy(window(col("ts"), "1 hour", "30 minutes"))
@@ -302,6 +327,7 @@ object Streaming {
       .orderBy("doc_id", "band")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_window_topk"   -> (streamWindowTopk _),
     "stream_neardup"        -> (streamNeardup _),
     "stream_running_seq"    -> (streamRunningSeq _),
     "stream_tumbling"       -> (streamTumbling _),
@@ -318,6 +344,18 @@ object Streaming {
         |       CAST(row_number() OVER (PARTITION BY user_id
         |                               ORDER BY ts, event_id) AS BIGINT) AS seq
         |FROM events ORDER BY user_id, seq""".stripMargin,
+
+    "stream_window_topk" ->
+      """WITH w AS (
+        |  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
+        |         event_type, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1, 2)
+        |SELECT window_start,
+        |       CAST(row_number() OVER (PARTITION BY window_start
+        |                               ORDER BY cnt DESC, event_type) AS BIGINT) AS rnk,
+        |       event_type, cnt
+        |FROM w QUALIFY rnk <= 2
+        |ORDER BY window_start, rnk""".stripMargin,
 
     "stream_tumbling" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,

@@ -247,6 +247,43 @@ class StreamingSpec extends SparkSpec {
       Array("cnt", "event_type", "val_sum", "window_start")))
   }
 
+  test("window topk: streaming windowed counts + per-batch rank reproduce the declared key") {
+    val sp = spark
+    import sp.implicits._
+    implicit val ctx = sp.sqlContext
+    import org.apache.spark.sql.functions._
+    // stream the real events table through the windowed-count aggregate
+    // (complete mode), then rank in the sink — the foreachBatch topk shape
+    val events = Tables.load(spark, sf, "events")
+      .select("ts", "user_id", "event_type", "value", "event_id")
+      .as[(Timestamp, Long, String, Double, Long)].collect()
+    val ms = MemoryStream[(Timestamp, Long, String, Double, Long)]
+    val counts = ms.toDF().toDF("ts", "user_id", "event_type", "value", "event_id")
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("cnt"))
+    val q = counts.writeStream.outputMode("complete")
+      .format("memory").queryName("wtk").start()
+    try {
+      ms.addData(events.take(events.length / 2): _*)
+      q.processAllAvailable()
+      ms.addData(events.drop(events.length / 2): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("window_start").orderBy(col("cnt").desc, col("event_type"))
+    val streamed = spark.table("wtk")
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 2)
+      .select(col("window_start"), col("rnk").cast("long").as("rnk"),
+        col("event_type"), col("cnt"))
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      .toSet
+    val declared = Streaming.streamWindowTopk(spark, sf).collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1), r.getString(2), r.getLong(3))).toSet
+    assert(streamed == declared && declared.nonEmpty)
+  }
+
   test("batch-equivalent declared queries are consistent with stream transforms") {
     // tumbling declared query == tumblingStream applied to the static table
     val declared = Streaming.streamTumbling(spark, sf).collect()
