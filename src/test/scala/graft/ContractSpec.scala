@@ -77,6 +77,30 @@ class ContractSpec extends SparkSpec {
     rt.foreach { case (fmt, rows) => assert(rows == direct, s"$fmt round-trip diverged") }
   }
 
+  test("native graft functions resolve and evaluate through SQL text") {
+    graft.expressions.DotProduct.register(spark)
+    graft.expressions.NGrams.register(spark)
+    graft.expressions.TopRun.register(spark)
+    graft.expressions.MinHashSig.register(spark)
+    val r = spark.sql(
+      """SELECT graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d,
+        |       graft_top_run(array('a', 'a', 'b')) AS t,
+        |       graft_ngrams('x y z', 2, false, false) AS n,
+        |       size(graft_minhash_sig(array('x y'), 8)) AS m""".stripMargin).head()
+    assert(r.getDouble(0) == 11.0)
+    assert(r.getLong(1) == 2L)
+    assert(r.getSeq[String](2) == Seq("x y", "y z"))
+    assert(r.getInt(3) == 8)
+  }
+
+  test("GraftExtensions applies cleanly to a fresh SparkSessionExtensions") {
+    // the spark.sql.extensions route a library user configures at
+    // session build — injection must not throw and must register all
+    // six extension points (5 functions + the TopK planner strategy)
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.expressions.GraftExtensions().apply(ext)
+  }
+
   test("partitioned parquet write enables partition pruning on read") {
     val path = s"/tmp/graft-part-${System.nanoTime()}"
     Tables.load(spark, sf, "documents")
