@@ -95,6 +95,21 @@ object Scalar {
         md5(concat_ws("|", col("c_name"), col("c_mktsegment"))).as("h_combo"))
       .orderBy("c_custkey")
 
+  /** TYPED JSON parsing — `from_json` with an explicit schema (the
+    * structured complement of `fn_json`'s path-string extraction):
+    * parse once into a struct, read fields as columns. At scale this
+    * is the semi-structured ingestion shape — one parse per row,
+    * schema enforced at the scan, not per-path re-parsing. */
+  def fnJsonTyped(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+      .select(col("event_id"),
+        from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k INT")).as("p"))
+      .select(col("event_id"),
+        col("p.k").cast("long").as("k"),
+        (col("p.k") % 7 === 0).as("k_div7"))
+      .orderBy("event_id")
+
   /** Bitwise operator surface over the integer keys (hash partitioners,
     * bloom/bitset code, flag fields all live here): and/or/xor, shifts,
     * popcount — two's-complement on 64-bit in both engines. */
@@ -119,6 +134,7 @@ object Scalar {
     "fn_conditional" -> (fnConditional _),
     "fn_hash"        -> (fnHash _),
     "fn_bitwise"     -> (fnBitwise _),
+    "fn_json_typed"  -> (fnJsonTyped _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -176,6 +192,12 @@ object Scalar {
         |            ELSE 'low' END AS tier,
         |       coalesce(nullif(o_orderstatus, 'P'), 'was_p') AS status2
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "fn_json_typed" ->
+      """SELECT event_id,
+        |       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        |       CAST(json_extract_string(props, '$.k') AS INTEGER) % 7 = 0 AS k_div7
+        |FROM events ORDER BY event_id""".stripMargin,
 
     "fn_bitwise" ->
       """SELECT l_orderkey, l_linenumber,
