@@ -284,6 +284,43 @@ object Mining {
       .orderBy("antecedent", "consequent")
   }
 
+  /** Rule INTERESTINGNESS metrics beyond confidence/lift — leverage
+    * (support(A,B) − support(A)·support(B), the additive dependence
+    * measure) and conviction ((1 − supp(B)) / (1 − conf), the
+    * implication-strength odds; NULL at conf = 1 where conviction is
+    * undefined) — over the same thresholded rule set as
+    * [[fpmAssocRules]]. All metrics derive from exact integer supports
+    * in a fixed operation order, so both engines produce identical
+    * doubles. */
+  def fpmRuleMetrics(s: SparkSession, dir: String): DataFrame = {
+    val supp1 = txItems(s, dir).groupBy("item").agg(count(lit(1)).as("sup"))
+    val pairs = pairSupports(s, dir)
+      .withColumnRenamed("freq", "sab")
+      .crossJoin(broadcast(basketCount(s, dir)))
+      .filter(col("sab") >= col("n") * MinSupPairs)
+    val directed = pairs
+      .select(col("ia").as("antecedent"), col("ib").as("consequent"), col("sab"), col("n"))
+      .unionByName(pairs.select(col("ib").as("antecedent"), col("ia").as("consequent"),
+        col("sab"), col("n")))
+    val joined = directed
+      .join(broadcast(supp1.withColumnRenamed("item", "antecedent")
+        .withColumnRenamed("sup", "s_ante")), "antecedent")
+      .join(broadcast(supp1.withColumnRenamed("item", "consequent")
+        .withColumnRenamed("sup", "s_cons")), "consequent")
+    val conf = col("sab").cast("double") / col("s_ante")
+    val suppC = col("s_cons").cast("double") / col("n")
+    joined
+      .filter(conf >= MinConf)
+      .select(
+        col("antecedent"), col("consequent"),
+        conf.as("confidence"),
+        (col("sab").cast("double") / col("n")
+          - (col("s_ante").cast("double") / col("n")) * suppC).as("leverage"),
+        when(conf === 1.0, lit(null).cast("double"))
+          .otherwise((lit(1.0) - suppC) / (lit(1.0) - conf)).as("conviction"))
+      .orderBy("antecedent", "consequent")
+  }
+
   /** Persisted multi-antecedent rule table of the full-depth model. */
   private def fullAssocRules(s: SparkSession, dir: String): DataFrame =
     Tables.memo(s, dir, "fpFullRules") {
@@ -456,6 +493,7 @@ object Mining {
     "fpm_freq_items"   -> (fpmFreqItems _),
     "fpm_freq_pairs"   -> (fpmFreqPairs _),
     "fpm_eclat"        -> (fpmEclat _),
+    "fpm_rule_metrics" -> (fpmRuleMetrics _),
     "fpm_freq_triples" -> (fpmFreqTriples _),
     "fpm_fpgrowth"      -> (fpmFpgrowth _),
     "fpm_fpgrowth_full" -> (fpmFpgrowthFull _),
@@ -617,6 +655,32 @@ object Mining {
         |SELECT itemset, CAST(sz AS BIGINT) AS size, CAST(freq AS BIGINT) AS freq
         |FROM (SELECT * FROM l1 UNION ALL SELECT * FROM l2 UNION ALL SELECT * FROM l3)
         |ORDER BY size, itemset""".stripMargin),
+
+    "fpm_rule_metrics" -> (txCte +
+      """, s1 AS (SELECT item, CAST(count(*) AS BIGINT) AS s FROM tx GROUP BY item),
+        |p AS (
+        |  SELECT a.item AS ia, b.item AS ib, CAST(count(*) AS BIGINT) AS sab
+        |  FROM tx a JOIN tx b ON a.tid = b.tid AND a.item < b.item
+        |  GROUP BY a.item, b.item
+        |  HAVING count(*) >= 0.02 * (SELECT n FROM nb)
+        |), d AS (
+        |  SELECT ia AS antecedent, ib AS consequent, sab FROM p
+        |  UNION ALL
+        |  SELECT ib AS antecedent, ia AS consequent, sab FROM p
+        |)
+        |SELECT d.antecedent, d.consequent,
+        |       CAST(d.sab AS DOUBLE) / sa.s AS confidence,
+        |       CAST(d.sab AS DOUBLE) / (SELECT n FROM nb)
+        |         - (CAST(sa.s AS DOUBLE) / (SELECT n FROM nb))
+        |           * (CAST(sc.s AS DOUBLE) / (SELECT n FROM nb)) AS leverage,
+        |       CASE WHEN CAST(d.sab AS DOUBLE) / sa.s = 1.0 THEN CAST(NULL AS DOUBLE)
+        |            ELSE (1.0 - CAST(sc.s AS DOUBLE) / (SELECT n FROM nb))
+        |                 / (1.0 - CAST(d.sab AS DOUBLE) / sa.s) END AS conviction
+        |FROM d
+        |JOIN s1 sa ON sa.item = d.antecedent
+        |JOIN s1 sc ON sc.item = d.consequent
+        |WHERE CAST(d.sab AS DOUBLE) / sa.s >= 0.15
+        |ORDER BY antecedent, consequent""".stripMargin),
 
     "fpm_assoc_rules" -> (txCte +
       """, s1 AS (SELECT item, CAST(count(*) AS BIGINT) AS s FROM tx GROUP BY item),

@@ -196,6 +196,22 @@ class MiningSpec extends SparkSpec {
     assert(eclat == pairs && eclat.nonEmpty)
   }
 
+  test("rule metrics: leverage bounded, conviction positive, consistent with assoc rules") {
+    val rules = Mining.fpmAssocRules(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Double]("confidence")).toMap
+    val metrics = Mining.fpmRuleMetrics(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getDouble(2), r.getDouble(3), if (r.isNullAt(4)) None else Some(r.getDouble(4))))
+      .toMap
+    assert(metrics.keySet == rules.keySet && metrics.nonEmpty)
+    metrics.foreach { case (k, (conf, lev, convic)) =>
+      assert(math.abs(conf - rules(k)) < 1e-12)
+      assert(lev >= -0.25 - 1e-12 && lev <= 0.25 + 1e-12, s"$k leverage $lev")
+      convic.foreach(c => assert(c > 0.0, s"$k conviction $c"))
+      if (conf == 1.0) assert(convic.isEmpty)
+    }
+  }
+
   test("association rule bounds: 0 <= confidence <= 1, support <= antecedent share") {
     Mining.fpmAssocRules(spark, sf).collect().foreach { r =>
       val conf = r.getAs[Double]("confidence")
