@@ -198,6 +198,20 @@ object Relational {
       .orderBy("user_id", "event_id")
   }
 
+  /** Distribution windows — percent_rank ((rank−1)/(n−1)) and
+    * cume_dist (rank/n) per customer over order totals: both are
+    * single divisions of exact integer ranks, engine-identical; the
+    * (o_totalprice, o_orderkey) window order is total so ranks are
+    * deterministic. */
+  def relWindowPercent(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    Tables.load(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
   /** Gap-based sessionization — the batch analogue of the streaming
     * session windows: a new session starts when a user's inter-event gap
     * exceeds 30 minutes (lag + running conditional sum), then sessions
@@ -584,6 +598,7 @@ object Relational {
     "rel_window_rank"    -> (relWindowRank _),
     "rel_window_frame"   -> (relWindowFrame _),
     "rel_window_leadlag" -> (relWindowLeadLag _),
+    "rel_window_percent" -> (relWindowPercent _),
     "rel_sessionize"     -> (relSessionize _),
     "rel_unpivot"        -> (relUnpivot _),
     "rel_format_roundtrip" -> (relFormatRoundtrip _),
@@ -822,6 +837,14 @@ object Relational {
         |       max(epoch_us(ts)) - min(epoch_us(ts)) AS duration_us
         |FROM x GROUP BY user_id, session_seq
         |ORDER BY user_id, session_seq""".stripMargin,
+
+    "rel_window_percent" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |       percent_rank() OVER w AS pr,
+        |       cume_dist() OVER w AS cd
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
 
     "rel_window_leadlag" ->
       """SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type, value,
