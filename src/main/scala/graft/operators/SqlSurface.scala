@@ -195,6 +195,196 @@ object SqlSurface {
       |       AND l_quantity BETWEEN 20 AND 30)
       |ORDER BY revenue""".stripMargin
 
+  /** TPC-H Q4-shaped: order-priority checking. The testdata has no
+    * l_commitdate/l_receiptdate, so "late" is shipped > 90 days after
+    * the order date — same plan shape as the spec query: a correlated
+    * EXISTS over the fact table that Catalyst turns into a left
+    * semi-join on l_orderkey with the date inequality carried in the
+    * join condition. */
+  private val q4Sql =
+    """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+      |  AND o_orderdate <  TIMESTAMP '1996-10-01'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey
+      |                AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  /** TPC-H Q7-shaped: volume shipping between two nations, by supplier
+    * nation, customer nation, and ship year — the two-role dimension
+    * join (nation joined twice under different keys) plus a
+    * year-extraction group. EXTRACT cast to BIGINT so both engines
+    * agree on the column type. */
+  private val q7Sql =
+    """SELECT supp_nation, cust_nation, l_year,
+      |       CAST(sum(volume) AS DOUBLE) AS revenue
+      |FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |             CAST(EXTRACT(YEAR FROM l_shipdate) AS BIGINT) AS l_year,
+      |             CAST(l_extendedprice AS DECIMAL(18,2))
+      |             * (1 - CAST(l_discount AS DECIMAL(18,2))) AS volume
+      |      FROM supplier
+      |      JOIN lineitem ON s_suppkey = l_suppkey
+      |      JOIN orders   ON o_orderkey = l_orderkey
+      |      JOIN customer ON c_custkey = o_custkey
+      |      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      |      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      |      WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      |          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      |        AND l_shipdate >= TIMESTAMP '1996-01-01'
+      |        AND l_shipdate <  TIMESTAMP '1998-01-01') shipping
+      |GROUP BY supp_nation, cust_nation, l_year
+      |ORDER BY supp_nation, cust_nation, l_year""".stripMargin
+
+  /** TPC-H Q8-shaped: a nation's market share inside one region's
+    * market for one part type — the deepest star join in the surface
+    * (7 tables, nation twice). Both the share numerator and
+    * denominator are exact DECIMAL(18,4) sums (Q1's overflow-safe
+    * pattern); the share is ONE double division. */
+  private val q8Sql =
+    """SELECT o_year,
+      |       CAST(sum(CASE WHEN nation = 'NATION_3' THEN volume
+      |                     ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+      |       / CAST(sum(volume) AS DOUBLE) AS mkt_share
+      |FROM (SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+      |             CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+      |                  * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4)) AS volume,
+      |             n2.n_name AS nation
+      |      FROM part
+      |      JOIN lineitem ON p_partkey = l_partkey
+      |      JOIN supplier ON s_suppkey = l_suppkey
+      |      JOIN orders   ON l_orderkey = o_orderkey
+      |      JOIN customer ON o_custkey = c_custkey
+      |      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      |      JOIN region   ON n1.n_regionkey = r_regionkey
+      |      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      |      WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+      |        AND o_orderdate >= TIMESTAMP '1996-01-01'
+      |        AND o_orderdate <  TIMESTAMP '1998-01-01') all_nations
+      |GROUP BY o_year
+      |ORDER BY o_year""".stripMargin
+
+  /** TPC-H Q12-shaped: priority counts by lateness class. No
+    * l_shipmode in the testdata, so the report groups by l_returnflag;
+    * "late" is shipped > 60 days after order date. The conditional
+    * counts are integer CASE sums — exact in both engines. */
+  private val q12Sql =
+    """SELECT l_returnflag,
+      |       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+      |                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+      |                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+      |FROM orders
+      |JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+      |  AND l_shipdate >= TIMESTAMP '1996-01-01'
+      |  AND l_shipdate <  TIMESTAMP '1997-01-01'
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
+  /** TPC-H Q13-shaped: the customer order-count distribution — a
+    * LEFT OUTER join with an extra join-side predicate (kept orders
+    * only), then a histogram of the per-customer counts. Customers
+    * with zero kept orders survive the outer join and land in the
+    * c_count = 0 bucket in both engines. */
+  private val q13Sql =
+    """SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+      |FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+      |      FROM customer
+      |      LEFT OUTER JOIN orders
+      |        ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+      |      GROUP BY c_custkey) c_orders
+      |GROUP BY c_count
+      |ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  /** TPC-H Q15-shaped: top supplier by quarter revenue — the CTE is
+    * referenced twice (join feed + scalar max), exercising
+    * WithCTE/CTERelationRef planning; revenue stays an exact decimal
+    * through the max comparison and is cast to double only on
+    * output. Ties (none at this seed, possible in general) all
+    * surface, ordered by s_suppkey. */
+  private val q15Sql =
+    """WITH revenue AS (
+      |  SELECT l_suppkey AS supplier_no,
+      |         sum(CAST(l_extendedprice AS DECIMAL(18,2))
+      |             * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS total_rev
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |    AND l_shipdate <  TIMESTAMP '1996-04-01'
+      |  GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_revenue
+      |FROM supplier
+      |JOIN revenue ON s_suppkey = supplier_no
+      |WHERE total_rev = (SELECT max(total_rev) FROM revenue)
+      |ORDER BY s_suppkey""".stripMargin
+
+  /** TPC-H Q17-shaped: small-quantity-order revenue. The correlated
+    * per-part average is stated decimal-sum-over-count (ONE double
+    * division) so the comparison threshold is bit-identical in both
+    * engines — a bare avg(double) would accumulate in
+    * engine-specific order and could flip boundary rows. No
+    * p_container in the testdata; the part slice is brand + size. */
+  private val q17Sql =
+    """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly,
+      |       CAST(count(*) AS BIGINT) AS cnt
+      |FROM lineitem
+      |JOIN part ON p_partkey = l_partkey
+      |WHERE p_brand = 'Brand#23' AND p_size < 15
+      |  AND l_quantity < (SELECT (0.5 * CAST(sum(CAST(l2.l_quantity AS DECIMAL(18,2))) AS DOUBLE))
+      |                           / count(*)
+      |                    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+      |ORDER BY avg_yearly""".stripMargin
+
+  /** TPC-H Q21-shaped: suppliers who kept orders waiting. Without
+    * commit/receipt dates, the straggler condition is "shipped > 60
+    * days after order date AND no co-supplier shipped later" — the
+    * same EXISTS + NOT-EXISTS double-correlation the spec query
+    * exercises (Catalyst plans them as a semi- and anti-join on
+    * l_orderkey with the non-equi shipdate predicate in the anti-join
+    * condition). */
+  private val q21Sql =
+    """SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+      |FROM supplier
+      |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+      |JOIN orders   ON o_orderkey = l1.l_orderkey
+      |JOIN nation   ON s_nationkey = n_nationkey
+      |WHERE o_orderstatus = 'F' AND n_name = 'NATION_5'
+      |  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+      |  AND EXISTS (SELECT 1 FROM lineitem l2
+      |              WHERE l2.l_orderkey = l1.l_orderkey
+      |                AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+      |                  WHERE l3.l_orderkey = l1.l_orderkey
+      |                    AND l3.l_suppkey <> l1.l_suppkey
+      |                    AND l3.l_shipdate > l1.l_shipdate)
+      |GROUP BY s_name
+      |ORDER BY numwait DESC, s_name
+      |LIMIT 100""".stripMargin
+
+  /** TPC-H Q22-shaped: wealthy inactive customers per country code.
+    * No c_phone in the testdata, so cntrycode = c_nationkey % 10;
+    * "inactive" = no order since 2000 (every synthetic customer has
+    * SOME order, so the spec's bare NOT EXISTS would be empty). The
+    * positive-balance average threshold is the decimal-sum-over-count
+    * form (one double division, identical both engines). */
+  private val q22Sql =
+    """SELECT cntrycode, CAST(count(*) AS BIGINT) AS numcust,
+      |       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+      |FROM (SELECT CAST(c_nationkey % 10 AS BIGINT) AS cntrycode, c_acctbal, c_custkey
+      |      FROM customer
+      |      WHERE c_nationkey % 10 IN (1,3,5,7,9)
+      |        AND c_acctbal > (SELECT CAST(sum(CAST(c2.c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+      |                                / count(*)
+      |                         FROM customer c2
+      |                         WHERE c2.c_acctbal > 0.0
+      |                           AND c2.c_nationkey % 10 IN (1,3,5,7,9))
+      |        AND NOT EXISTS (SELECT 1 FROM orders
+      |                        WHERE o_custkey = c_custkey
+      |                          AND o_orderdate >= TIMESTAMP '2000-01-01')) custsale
+      |GROUP BY cntrycode
+      |ORDER BY cntrycode""".stripMargin
+
   /** Correlated LATERAL subquery — per-customer top-2 orders via the
     * lateral join surface (Spark plans it as a decorrelated window/
     * limit under a join; DuckDB executes the same text natively). */
@@ -261,15 +451,69 @@ object SqlSurface {
     s.sql(q1Sql)
   }
 
+  def sqlQ4(s: SparkSession, dir: String): DataFrame = {
+    views(s, dir, "orders", "lineitem")
+    s.sql(q4Sql)
+  }
+
+  def sqlQ7(s: SparkSession, dir: String): DataFrame = {
+    views(s, dir, "supplier", "lineitem", "orders", "customer", "nation")
+    s.sql(q7Sql)
+  }
+
+  def sqlQ8(s: SparkSession, dir: String): DataFrame = {
+    views(s, dir, "part", "lineitem", "supplier", "orders", "customer", "nation", "region")
+    s.sql(q8Sql)
+  }
+
+  def sqlQ12(s: SparkSession, dir: String): DataFrame = {
+    views(s, dir, "orders", "lineitem")
+    s.sql(q12Sql)
+  }
+
+  def sqlQ13(s: SparkSession, dir: String): DataFrame = {
+    views(s, dir, "customer", "orders")
+    s.sql(q13Sql)
+  }
+
+  def sqlQ15(s: SparkSession, dir: String): DataFrame = {
+    views(s, dir, "lineitem", "supplier")
+    s.sql(q15Sql)
+  }
+
+  def sqlQ17(s: SparkSession, dir: String): DataFrame = {
+    views(s, dir, "lineitem", "part")
+    s.sql(q17Sql)
+  }
+
+  def sqlQ21(s: SparkSession, dir: String): DataFrame = {
+    views(s, dir, "supplier", "lineitem", "orders", "nation")
+    s.sql(q21Sql)
+  }
+
+  def sqlQ22(s: SparkSession, dir: String): DataFrame = {
+    views(s, dir, "customer", "orders")
+    s.sql(q22Sql)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sql_tpch_q1"        -> (sqlQ1 _),
     "sql_tpch_q3"        -> (sqlQ3 _),
+    "sql_tpch_q4"        -> (sqlQ4 _),
     "sql_tpch_q5"        -> (sqlQ5 _),
     "sql_tpch_q6"        -> (sqlQ6 _),
+    "sql_tpch_q7"        -> (sqlQ7 _),
+    "sql_tpch_q8"        -> (sqlQ8 _),
     "sql_tpch_q10"       -> (sqlQ10 _),
+    "sql_tpch_q12"       -> (sqlQ12 _),
+    "sql_tpch_q13"       -> (sqlQ13 _),
     "sql_tpch_q14"       -> (sqlQ14 _),
+    "sql_tpch_q15"       -> (sqlQ15 _),
+    "sql_tpch_q17"       -> (sqlQ17 _),
     "sql_tpch_q18"       -> (sqlQ18 _),
     "sql_tpch_q19"       -> (sqlQ19 _),
+    "sql_tpch_q21"       -> (sqlQ21 _),
+    "sql_tpch_q22"       -> (sqlQ22 _),
     "sql_lateral_topk"   -> (sqlLateral _),
     "sql_corr_subquery"  -> (sqlCorr _),
     "sql_grouping_sets"  -> (sqlGroupingSets _),
@@ -278,12 +522,21 @@ object SqlSurface {
   val oracle: Map[String, String] = Map(
     "sql_tpch_q1"        -> q1Sql,
     "sql_tpch_q3"        -> q3Sql,
+    "sql_tpch_q4"        -> q4Sql,
     "sql_tpch_q5"        -> q5Sql,
     "sql_tpch_q6"        -> q6Sql,
+    "sql_tpch_q7"        -> q7Sql,
+    "sql_tpch_q8"        -> q8Sql,
     "sql_tpch_q10"       -> q10Sql,
+    "sql_tpch_q12"       -> q12Sql,
+    "sql_tpch_q13"       -> q13Sql,
     "sql_tpch_q14"       -> q14Sql,
+    "sql_tpch_q15"       -> q15Sql,
+    "sql_tpch_q17"       -> q17Sql,
     "sql_tpch_q18"       -> q18Sql,
     "sql_tpch_q19"       -> q19Sql,
+    "sql_tpch_q21"       -> q21Sql,
+    "sql_tpch_q22"       -> q22Sql,
     "sql_lateral_topk"   -> lateralSql,
     "sql_corr_subquery"  -> corrSql,
     "sql_grouping_sets"  -> groupingSetsSql,
