@@ -166,6 +166,23 @@ object Mining {
       .select(concat_ws(",", col("ia"), col("ib")).as("itemset"), col("freq"))
       .orderBy("itemset")
 
+  /** TOP-K PATTERNS per leading item: the pattern-browsing query every
+    * mining UI runs ("strongest partners of item X") — top-3 partner
+    * items per antecedent among frequent pairs, by support. Runs
+    * through the custom `TopKPerGroup` whole-operator (bounded per-group
+    * heaps behind one hash exchange) rather than a window sort; on the
+    * ≤C(25,2) pair frame both are trivial, but at an unbounded pattern
+    * vocabulary the heap form is the one that survives. */
+  def fpmTopkPatterns(s: SparkSession, dir: String): DataFrame = {
+    val pairs = pairSupports(s, dir)
+      .crossJoin(broadcast(basketCount(s, dir)))
+      .filter(col("freq") >= col("n") * MinSupPairs)
+      .select(col("ia"), col("ib"), col("freq"))
+    graft.plans.TopK.perGroup(pairs,
+        group = Seq("ia"), order = Seq("freq" -> false, "ib" -> true), k = 3)
+      .orderBy(col("ia"), col("freq").desc, col("ib"))
+  }
+
   /** Frequent pairs by ECLAT's vertical format — the third algorithm
     * family next to the relational Apriori joins and ml.fpm's PFP:
     * one sorted tidset (transaction-id list) per item, pair support =
@@ -492,6 +509,7 @@ object Mining {
     "fpm_basketize"    -> (fpmBasketize _),
     "fpm_freq_items"   -> (fpmFreqItems _),
     "fpm_freq_pairs"   -> (fpmFreqPairs _),
+    "fpm_topk_patterns" -> (fpmTopkPatterns _),
     "fpm_eclat"        -> (fpmEclat _),
     "fpm_rule_metrics" -> (fpmRuleMetrics _),
     "fpm_freq_triples" -> (fpmFreqTriples _),
@@ -622,6 +640,20 @@ object Mining {
         |GROUP BY a.item, b.item
         |HAVING count(*) >= 0.02 * (SELECT n FROM nb)
         |ORDER BY itemset""".stripMargin),
+
+    "fpm_topk_patterns" -> (txCte +
+      """, fp AS (
+        |  SELECT a.item AS ia, b.item AS ib, CAST(count(*) AS BIGINT) AS freq
+        |  FROM tx a JOIN tx b ON a.tid = b.tid AND a.item < b.item
+        |  GROUP BY a.item, b.item
+        |  HAVING count(*) >= 0.02 * (SELECT n FROM nb))
+        |SELECT ia, ib, freq
+        |FROM (SELECT ia, ib, freq,
+        |             row_number() OVER (PARTITION BY ia
+        |                                ORDER BY freq DESC, ib) AS rn
+        |      FROM fp) ranked
+        |WHERE rn <= 3
+        |ORDER BY ia, freq DESC, ib""".stripMargin),
 
     "fpm_freq_triples" -> (txCte +
       """

@@ -291,6 +291,47 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  /** Skew-safe SALTED JOIN — the join-side companion of
+    * [[relAggSalted]]: when one fact key is hot enough that AQE's
+    * skew-split can't help (a single key's rows exceed one task), the
+    * classic fix replicates the build side across N salts and scatters
+    * the fact side by a per-row salt, so the hot key's rows spread over
+    * N tasks instead of one. Result is identical to the plain join
+    * (every fact row meets exactly the one replica sharing its salt).
+    * Salt count 8 matches [[relAggSalted]]; the replicated side is the
+    * already-reduced orders projection, so replication cost is 8× a
+    * 2-column key frame, not 8× the fact. */
+  def relJoinSkewSalted(s: SparkSession, dir: String): DataFrame = {
+    val nSalt = 8
+    val fact = Tables.load(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"),
+        col("l_discount"))
+      .withColumn("salt", pmod(hash(col("l_orderkey"), col("l_linenumber")), lit(nSalt)))
+    val dim = Tables.load(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"))
+      .withColumn("salt", explode(array((0 until nSalt).map(lit(_)): _*)))
+    fact.join(dim,
+        fact("l_orderkey") === dim("o_orderkey") && fact("salt") === dim("salt"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("line_cnt"),
+        sum(discPrice).cast("double").as("revenue"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** Uniform k-sample without replacement as BOTTOM-K BY HASH — the
+    * distributed-reservoir shape: rank every row by a content-stable
+    * md5 and keep the k smallest. Unlike rate-based hash sampling
+    * (llm_hash_sample) this yields EXACTLY k rows, is independent of
+    * corpus size, and plans as TakeOrderedAndProject — per-partition
+    * k-row heaps, no global sort, no RNG/seed plumbing. */
+  def relSampleBottomk(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        md5(concat(lit("sample:"), col("o_orderkey").cast("string"))).as("h"))
+      .orderBy(col("h"), col("o_orderkey"))
+      .limit(200)
+      .orderBy("o_orderkey")
+
   /** Pivot: order counts per priority × status, absent cells as 0. */
   def relPivot(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "orders")
@@ -581,6 +622,8 @@ object Relational {
     "rel_bucketed_join"  -> (relBucketedJoin _),
     "rel_partition_prune" -> (relPartitionPrune _),
     "rel_asof_join"      -> (relAsofJoin _),
+    "rel_join_skew_salted" -> (relJoinSkewSalted _),
+    "rel_sample_bottomk" -> (relSampleBottomk _),
     "rel_pivot"          -> (relPivot _),
     "rel_agg_salted"     -> (relAggSalted _),
     "rel_scan_project"   -> (relScanProject _),
@@ -612,6 +655,22 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "rel_join_skew_salted" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS line_cnt,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "rel_sample_bottomk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, h
+        |FROM (SELECT o_orderkey, o_custkey, o_totalprice,
+        |             md5(concat('sample:', CAST(o_orderkey AS VARCHAR))) AS h
+        |      FROM orders
+        |      ORDER BY h, o_orderkey LIMIT 200) t
+        |ORDER BY o_orderkey""".stripMargin,
+
     "rel_window_ntile" ->
       """SELECT o_orderpriority, CAST(quartile AS INTEGER) AS quartile,
         |       CAST(count(*) AS BIGINT) AS cnt,
