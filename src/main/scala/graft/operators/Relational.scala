@@ -458,6 +458,57 @@ object Relational {
       .orderBy("day")
   }
 
+  /** EWMA (α = 0.5) of purchase values per user — the time-series
+    * smoothing fold. A recurrence (each output depends on the previous)
+    * can't be a built-in aggregate, but it CAN be an ordered
+    * higher-order-function fold over the collected per-user sequence:
+    * one shuffle by user, then a codegen'd `aggregate` lambda — no UDF,
+    * no driver loop. α = 0.5 keeps every multiply exact in binary, and
+    * the fold order is pinned by sort_array over (ts, event_id), so the
+    * double result is bit-identical across engines and partitionings
+    * (the DuckDB oracle folds the same ordered list via list_reduce).
+    * Per-user sequences are bounded by user activity; a truly unbounded
+    * key would sessionize or window first. */
+  def relEwma(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .groupBy("user_id")
+      .agg(sort_array(collect_list(struct(col("ts"), col("event_id"), col("value"))))
+        .as("seq"))
+      .select(col("user_id"),
+        size(col("seq")).cast("long").as("n"),
+        expr("aggregate(slice(seq, 2, greatest(size(seq) - 1, 0)), seq[0].value," +
+          " (acc, x) -> acc * 0.5D + x.value * 0.5D)").as("ewma"))
+      .orderBy("user_id")
+
+  /** GAP FILL with forward carry — the missing-data repair every
+    * time-series pipeline runs before modeling: per-user daily revenue
+    * on a fixed January spine, absent days carrying the last observed
+    * value forward (not zero — that's [[relDateSpine]]'s convention).
+    * The carried value is the exact DECIMAL(18,2) daily sum, so the
+    * fill introduces no float drift; `observed` marks real vs filled
+    * rows. One shuffle for the daily aggregate, one window pass per
+    * user for the fill; the user set is the bounded dimension (spine
+    * rows = users × days, never a function of event volume). */
+  def relGapFill(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.load(s, dir, "events")
+      .filter(col("event_type") === "purchase" && col("user_id") < 20)
+      .groupBy(col("user_id"), to_date(date_trunc("day", col("ts"))).as("day"))
+      .agg(sum(col("value").cast("decimal(18,2)")).as("rev"))
+    val spine = daily.select("user_id").distinct()
+      .crossJoin(s.range(1).select(explode(sequence(
+        to_date(lit("2024-01-01")), to_date(lit("2024-01-30")),
+        expr("interval 1 day"))).as("day")))
+    val w = Window.partitionBy("user_id").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(daily, Seq("user_id", "day"), "left")
+      .select(col("user_id"), col("day"),
+        col("rev").isNotNull.as("observed"),
+        coalesce(last(col("rev"), ignoreNulls = true).over(w),
+          lit(0).cast("decimal(18,2)")).cast("double").as("rev_filled"))
+      .orderBy("user_id", "day")
+  }
+
   /** As-of join: for each click, the most recent prior view (strictly
     * earlier in (ts, event_id) order, same user, within 1 hour) and its
     * value — the time-series operator family (merge_asof).
@@ -643,6 +694,8 @@ object Relational {
     "rel_window_leadlag" -> (relWindowLeadLag _),
     "rel_window_percent" -> (relWindowPercent _),
     "rel_sessionize"     -> (relSessionize _),
+    "rel_ewma"           -> (relEwma _),
+    "rel_gap_fill"       -> (relGapFill _),
     "rel_unpivot"        -> (relUnpivot _),
     "rel_format_roundtrip" -> (relFormatRoundtrip _),
     "rel_date_spine"     -> (relDateSpine _),
@@ -670,6 +723,34 @@ object Relational {
         |      FROM orders
         |      ORDER BY h, o_orderkey LIMIT 200) t
         |ORDER BY o_orderkey""".stripMargin,
+
+    "rel_ewma" ->
+      """WITH z AS (SELECT user_id, list(value ORDER BY ts, event_id) AS vs,
+        |                  CAST(count(*) AS BIGINT) AS n
+        |           FROM events WHERE event_type = 'purchase'
+        |           GROUP BY user_id)
+        |SELECT user_id, n,
+        |       list_reduce(vs, (acc, x) -> acc * 0.5 + x * 0.5) AS ewma
+        |FROM z ORDER BY user_id""".stripMargin,
+
+    "rel_gap_fill" ->
+      """WITH daily AS (
+        |  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |         sum(CAST(value AS DECIMAL(18,2))) AS rev
+        |  FROM events WHERE event_type = 'purchase' AND user_id < 20
+        |  GROUP BY 1, 2),
+        |spine AS (
+        |  SELECT u.user_id,
+        |         CAST(unnest(generate_series(DATE '2024-01-01', DATE '2024-01-30',
+        |                                     INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM (SELECT DISTINCT user_id FROM daily) u)
+        |SELECT s.user_id, s.day, d.rev IS NOT NULL AS observed,
+        |       CAST(coalesce(last_value(d.rev IGNORE NULLS)
+        |              OVER (PARTITION BY s.user_id ORDER BY s.day
+        |                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |            CAST(0 AS DECIMAL(18,2))) AS DOUBLE) AS rev_filled
+        |FROM spine s LEFT JOIN daily d ON d.user_id = s.user_id AND d.day = s.day
+        |ORDER BY s.user_id, s.day""".stripMargin,
 
     "rel_window_ntile" ->
       """SELECT o_orderpriority, CAST(quartile AS INTEGER) AS quartile,
