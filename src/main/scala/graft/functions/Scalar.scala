@@ -110,6 +110,23 @@ object Scalar {
         (col("p.k") % 7 === 0).as("k_div7"))
       .orderBy("event_id")
 
+  /** Regex surface — extract / replace-all / match / extract-all-count,
+    * all codegen'd built-ins. Patterns stay inside the Java-regex ∩
+    * RE2 common subset (character classes, quantifiers, anchors — no
+    * lookaround/backrefs) so Spark and DuckDB agree; DuckDB's
+    * regexp_replace needs the explicit 'g' flag to match Spark's
+    * replace-ALL default (stated in the oracle text). */
+  def fnRegexp(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "customer")
+      .select(
+        col("c_custkey"),
+        regexp_extract(col("c_name"), "([0-9]+)", 1).as("digits"),
+        regexp_replace(col("c_name"), "[aeiou]", "_").as("devoweled"),
+        col("c_name").rlike("^Customer#[0-9]+$").as("canonical"),
+        size(regexp_extract_all(col("c_mktsegment"), lit("[A-Z]+"), lit(0)))
+          .cast("long").as("n_segs"))
+      .orderBy("c_custkey")
+
   /** Bitwise operator surface over the integer keys (hash partitioners,
     * bloom/bitset code, flag fields all live here): and/or/xor, shifts,
     * popcount — two's-complement on 64-bit in both engines. */
@@ -134,6 +151,7 @@ object Scalar {
     "fn_conditional" -> (fnConditional _),
     "fn_hash"        -> (fnHash _),
     "fn_bitwise"     -> (fnBitwise _),
+    "fn_regexp"      -> (fnRegexp _),
     "fn_json_typed"  -> (fnJsonTyped _),
   )
 
@@ -214,6 +232,14 @@ object Scalar {
         |       md5(c_name) AS h_md5,
         |       sha256(c_name) AS h_sha256,
         |       md5(c_name || '|' || c_mktsegment) AS h_combo
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "fn_regexp" ->
+      """SELECT c_custkey,
+        |       regexp_extract(c_name, '([0-9]+)', 1) AS digits,
+        |       regexp_replace(c_name, '[aeiou]', '_', 'g') AS devoweled,
+        |       regexp_matches(c_name, '^Customer#[0-9]+$') AS canonical,
+        |       CAST(len(regexp_extract_all(c_mktsegment, '[A-Z]+')) AS BIGINT) AS n_segs
         |FROM customer ORDER BY c_custkey""".stripMargin,
   )
 }

@@ -663,6 +663,23 @@ object LlmOps {
       .select(col("doc_id"), col("lang"), col("n_chars"))
       .orderBy("doc_id")
 
+  /** Deterministic TRAIN/VAL/TEST split — the three-way DISJOINT
+    * partition every training corpus needs (vs [[hashSample]]'s
+    * keep-or-drop rate): membership hangs off the first hex digit of a
+    * salted md5, so it is stable under re-partitioning, re-ingestion,
+    * appends (a doc's split never changes when the corpus grows), and
+    * identical in every engine. 12/16 train, 2/16 val, 2/16 test; a
+    * scan-local projection, no shuffle. */
+  def datasetSplit(s: SparkSession, dir: String): DataFrame = {
+    val h = substring(md5(concat(lit("split:"), col("doc_id").cast("string"))), 1, 1)
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        when(h.isin("c", "d"), "val")
+          .when(h.isin("e", "f"), "test")
+          .otherwise("train").as("split"))
+      .orderBy("doc_id")
+  }
+
   /** Deterministic STRATIFIED sampling — class-balanced subsampling, the
     * training-data mixing knob (rebalance languages/sources without a
     * seed lottery): per-stratum keep rates applied via the same
@@ -1455,6 +1472,7 @@ object LlmOps {
     "llm_dedup_keep_best_lsh" -> (dedupKeepBestLsh _),
     "llm_frame_sample"       -> (frameSample _),
     "llm_hash_sample"        -> (hashSample _),
+    "llm_dataset_split"      -> (datasetSplit _),
     "llm_stratified_sample"  -> (stratifiedSample _),
     "llm_decode_stub"        -> (decodeStub _),
     "llm_tokenize_wordcount" -> (tokenizeWordcount _),
@@ -1785,6 +1803,15 @@ object LlmOps {
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE substring(md5('graft:' || CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1')
         |ORDER BY doc_id""".stripMargin,
+
+    "llm_dataset_split" ->
+      """SELECT doc_id, lang,
+        |       CASE WHEN substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 1)
+        |                 IN ('c', 'd') THEN 'val'
+        |            WHEN substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 1)
+        |                 IN ('e', 'f') THEN 'test'
+        |            ELSE 'train' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "llm_stratified_sample" ->
       """SELECT doc_id, lang, source FROM documents

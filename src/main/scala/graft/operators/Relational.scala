@@ -458,6 +458,36 @@ object Relational {
       .orderBy("day")
   }
 
+  /** MERGE/UPSERT semantics expressed engine-agnostically — the
+    * Delta/Iceberg MERGE INTO shape as a FULL OUTER join + coalesce:
+    * target = pre-2000 per-customer order summary, source = the 2000+
+    * delta batch; matched keys UPDATE (sums combine exactly in
+    * decimal), source-only keys INSERT, target-only keys KEEP, with
+    * the action surfaced per row. At scale this is one shuffle on the
+    * merge key (both sides pre-reduced), the same plan a table-format
+    * MERGE compiles to before its file rewrite. */
+  def relMergeUpsert(s: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.load(s, dir, "orders")
+    val cutoff = lit("2000-01-01").cast("timestamp")
+    val target = orders.filter(col("o_orderdate") < cutoff)
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("t_cnt"), sum(dec("o_totalprice")).as("t_total"))
+    val source = orders.filter(col("o_orderdate") >= cutoff)
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("s_cnt"), sum(dec("o_totalprice")).as("s_total"))
+    target.join(source, Seq("o_custkey"), "full_outer")
+      .select(col("o_custkey"),
+        when(col("t_cnt").isNull, "insert")
+          .when(col("s_cnt").isNull, "keep")
+          .otherwise("update").as("action"),
+        (coalesce(col("t_cnt"), lit(0L)) + coalesce(col("s_cnt"), lit(0L)))
+          .as("order_cnt"),
+        (coalesce(col("t_total"), lit(0).cast("decimal(18,2)"))
+          + coalesce(col("s_total"), lit(0).cast("decimal(18,2)")))
+          .cast("double").as("total_spend"))
+      .orderBy("o_custkey")
+  }
+
   /** EWMA (α = 0.5) of purchase values per user — the time-series
     * smoothing fold. A recurrence (each output depends on the previous)
     * can't be a built-in aggregate, but it CAN be an ordered
@@ -696,6 +726,7 @@ object Relational {
     "rel_sessionize"     -> (relSessionize _),
     "rel_ewma"           -> (relEwma _),
     "rel_gap_fill"       -> (relGapFill _),
+    "rel_merge_upsert"   -> (relMergeUpsert _),
     "rel_unpivot"        -> (relUnpivot _),
     "rel_format_roundtrip" -> (relFormatRoundtrip _),
     "rel_date_spine"     -> (relDateSpine _),
@@ -723,6 +754,27 @@ object Relational {
         |      FROM orders
         |      ORDER BY h, o_orderkey LIMIT 200) t
         |ORDER BY o_orderkey""".stripMargin,
+
+    "rel_merge_upsert" ->
+      """WITH target AS (
+        |  SELECT o_custkey, CAST(count(*) AS BIGINT) AS t_cnt,
+        |         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS t_total
+        |  FROM orders WHERE o_orderdate < TIMESTAMP '2000-01-01'
+        |  GROUP BY o_custkey),
+        |source AS (
+        |  SELECT o_custkey, CAST(count(*) AS BIGINT) AS s_cnt,
+        |         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS s_total
+        |  FROM orders WHERE o_orderdate >= TIMESTAMP '2000-01-01'
+        |  GROUP BY o_custkey)
+        |SELECT coalesce(t.o_custkey, s.o_custkey) AS o_custkey,
+        |       CASE WHEN t.t_cnt IS NULL THEN 'insert'
+        |            WHEN s.s_cnt IS NULL THEN 'keep'
+        |            ELSE 'update' END AS action,
+        |       coalesce(t.t_cnt, 0) + coalesce(s.s_cnt, 0) AS order_cnt,
+        |       CAST(coalesce(t.t_total, CAST(0 AS DECIMAL(18,2)))
+        |            + coalesce(s.s_total, CAST(0 AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
+        |FROM target t FULL OUTER JOIN source s ON t.o_custkey = s.o_custkey
+        |ORDER BY o_custkey""".stripMargin,
 
     "rel_ewma" ->
       """WITH z AS (SELECT user_id, list(value ORDER BY ts, event_id) AS vs,
