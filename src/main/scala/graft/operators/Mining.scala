@@ -392,6 +392,33 @@ object Mining {
       .orderBy("eta", "etb")
   }
 
+  /** Sequential ASSOCIATION RULES a→b — [[fpmSeqPairs]]'s ordered-pair
+    * supports upgraded to rules: confidence = users(a→b) / users(a),
+    * one double division of exact distinct-user counts (deterministic
+    * both engines). The antecedent support frame is O(event-types) and
+    * broadcast; everything else is the seq-pairs plan unchanged. */
+  def fpmSeqRules(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+      .select(col("user_id"), col("event_type"),
+        struct(col("ts"), col("event_id")).as("k"))
+    val perType = ev.groupBy("user_id", "event_type")
+      .agg(min(col("k")).as("first_k"), max(col("k")).as("last_k"))
+    val users = ev.select(countDistinct(col("user_id")).as("n_users"))
+    val aSup = perType.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("a_users"))
+      .select(col("event_type").as("eta2"), col("a_users"))
+    val a = perType.select(col("user_id"), col("event_type").as("eta"), col("first_k"))
+    val b = perType.select(col("user_id").as("uid_b"), col("event_type").as("etb"), col("last_k"))
+    a.join(b, col("user_id") === col("uid_b") && col("first_k") < col("last_k"))
+      .groupBy("eta", "etb").agg(countDistinct(col("user_id")).as("users"))
+      .crossJoin(broadcast(users))
+      .filter(col("users") >= col("n_users") * MinSupUsers)
+      .join(broadcast(aSup), col("eta") === col("eta2"))
+      .select(col("eta"), col("etb"), col("users"),
+        (col("users").cast("double") / col("a_users").cast("double")).as("conf"))
+      .orderBy("eta", "etb")
+  }
+
   /** Full sequential-pattern mining via ml.fpm.PrefixSpan (PrefixSpan,
     * Pei et al., ICDE 2001 — the reference family's sequence-mining
     * variant), bounded to pattern length ≤ 2 so the oracle can enumerate
@@ -518,6 +545,7 @@ object Mining {
     "fpm_assoc_rules"  -> (fpmAssocRules _),
     "fpm_assoc_rules_full" -> (fpmAssocRulesFull _),
     "fpm_seq_pairs"    -> (fpmSeqPairs _),
+    "fpm_seq_rules"    -> (fpmSeqRules _),
   )
 
   private val txCte =
@@ -735,6 +763,23 @@ object Mining {
         |JOIN s1 sc ON sc.item = d.consequent
         |WHERE CAST(d.sab AS DOUBLE) / sa.s >= 0.15
         |ORDER BY antecedent, consequent""".stripMargin),
+
+    "fpm_seq_rules" ->
+      """WITH ab AS (
+        |  SELECT a.event_type AS eta, b.event_type AS etb,
+        |         CAST(count(DISTINCT a.user_id) AS BIGINT) AS users
+        |  FROM events a JOIN events b ON a.user_id = b.user_id
+        |   AND (a.ts < b.ts OR (a.ts = b.ts AND a.event_id < b.event_id))
+        |  GROUP BY 1, 2
+        |  HAVING count(DISTINCT a.user_id) >=
+        |         0.05 * (SELECT count(DISTINCT user_id) FROM events)),
+        |asup AS (SELECT event_type AS eta,
+        |                CAST(count(DISTINCT user_id) AS BIGINT) AS a_users
+        |         FROM events GROUP BY 1)
+        |SELECT ab.eta, ab.etb, ab.users,
+        |       CAST(ab.users AS DOUBLE) / CAST(asup.a_users AS DOUBLE) AS conf
+        |FROM ab JOIN asup ON ab.eta = asup.eta
+        |ORDER BY ab.eta, ab.etb""".stripMargin,
 
     "fpm_seq_pairs" ->
       """SELECT a.event_type AS eta, b.event_type AS etb,

@@ -458,6 +458,35 @@ object Relational {
       .orderBy("day")
   }
 
+  /** Z-ORDER (Morton) clustering key — the multi-dimensional data-layout
+    * primitive behind Delta OPTIMIZE ZORDER / data-skipping indexes:
+    * interleave the bits of two bounded dimensions (p_size, 6 bits;
+    * price bucket, 6 bits) so rows sorted by the z-value are LOCAL in
+    * both dimensions at once. The declared query groups by the 64-wide
+    * z-tile and reports per-tile min/max of both dims — the bounds a
+    * file-skipping reader would keep as column stats; tight per-tile
+    * ranges ARE the skipping win. Pure integer bit arithmetic
+    * (shift/and/add), identical in both engines. */
+  def relZorder(s: SparkSession, dir: String): DataFrame = {
+    val a = col("p_size").cast("long")
+    val b = least(floor(col("p_retailprice") / 50).cast("long"), lit(63L))
+    def bit(c: org.apache.spark.sql.Column, i: Int) =
+      shiftright(c, i).bitwiseAND(lit(1L))
+    val z = (0 until 6).map(i =>
+      shiftleft(bit(a, i), 2 * i + 1) + shiftleft(bit(b, i), 2 * i))
+      .reduce(_ + _)
+    Tables.load(s, dir, "part")
+      .select(col("p_partkey"), col("p_size"), z.as("zval"),
+        b.as("price_bucket"))
+      .groupBy(shiftright(col("zval"), 6).as("tile"))
+      .agg(count(lit(1)).as("cnt"),
+        min(col("p_size")).cast("long").as("size_min"),
+        max(col("p_size")).cast("long").as("size_max"),
+        min(col("price_bucket")).as("pb_min"),
+        max(col("price_bucket")).as("pb_max"))
+      .orderBy("tile")
+  }
+
   /** MERGE/UPSERT semantics expressed engine-agnostically — the
     * Delta/Iceberg MERGE INTO shape as a FULL OUTER join + coalesce:
     * target = pre-2000 per-customer order summary, source = the 2000+
@@ -727,6 +756,7 @@ object Relational {
     "rel_ewma"           -> (relEwma _),
     "rel_gap_fill"       -> (relGapFill _),
     "rel_merge_upsert"   -> (relMergeUpsert _),
+    "rel_zorder"         -> (relZorder _),
     "rel_unpivot"        -> (relUnpivot _),
     "rel_format_roundtrip" -> (relFormatRoundtrip _),
     "rel_date_spine"     -> (relDateSpine _),
@@ -754,6 +784,30 @@ object Relational {
         |      FROM orders
         |      ORDER BY h, o_orderkey LIMIT 200) t
         |ORDER BY o_orderkey""".stripMargin,
+
+    "rel_zorder" ->
+      """WITH z AS (
+        |  SELECT p_partkey, p_size,
+        |         least(CAST(floor(p_retailprice / 50) AS BIGINT), 63) AS price_bucket,
+        |         (((CAST(p_size AS BIGINT) >> 0) & 1) << 1)
+        |       + (((least(CAST(floor(p_retailprice / 50) AS BIGINT), 63) >> 0) & 1) << 0)
+        |       + (((CAST(p_size AS BIGINT) >> 1) & 1) << 3)
+        |       + (((least(CAST(floor(p_retailprice / 50) AS BIGINT), 63) >> 1) & 1) << 2)
+        |       + (((CAST(p_size AS BIGINT) >> 2) & 1) << 5)
+        |       + (((least(CAST(floor(p_retailprice / 50) AS BIGINT), 63) >> 2) & 1) << 4)
+        |       + (((CAST(p_size AS BIGINT) >> 3) & 1) << 7)
+        |       + (((least(CAST(floor(p_retailprice / 50) AS BIGINT), 63) >> 3) & 1) << 6)
+        |       + (((CAST(p_size AS BIGINT) >> 4) & 1) << 9)
+        |       + (((least(CAST(floor(p_retailprice / 50) AS BIGINT), 63) >> 4) & 1) << 8)
+        |       + (((CAST(p_size AS BIGINT) >> 5) & 1) << 11)
+        |       + (((least(CAST(floor(p_retailprice / 50) AS BIGINT), 63) >> 5) & 1) << 10)
+        |         AS zval
+        |  FROM part)
+        |SELECT zval >> 6 AS tile, CAST(count(*) AS BIGINT) AS cnt,
+        |       CAST(min(p_size) AS BIGINT) AS size_min,
+        |       CAST(max(p_size) AS BIGINT) AS size_max,
+        |       min(price_bucket) AS pb_min, max(price_bucket) AS pb_max
+        |FROM z GROUP BY tile ORDER BY tile""".stripMargin,
 
     "rel_merge_upsert" ->
       """WITH target AS (

@@ -14,6 +14,10 @@ case class SeqOut(user_id: Long, event_id: Long, seq: Long)
 case class BandDoc(doc_id: Long, band: Int, band_key: Long, sig: Long)
 case class NearDup(doc_id: Long, band: Int, dup_of: Long)
 
+/** Row/state shapes for the incremental EWMA operator. */
+case class EwmaEvent(ts: java.sql.Timestamp, user_id: Long, event_id: Long, value: Double)
+case class EwmaOut(user_id: Long, event_id: Long, ewma: Double)
+
 /** §E — streaming surface (SURVEY.md §2.1.E).
   *
   * Each operator exists twice:
@@ -215,6 +219,39 @@ object Streaming {
       .toDF()
   }
 
+  /** Incremental EWMA (α = 0.5) per user via `flatMapGroupsWithState` —
+    * the streaming form of the `rel_ewma` fold: state is one
+    * (seeded?, current) pair per user, each arriving event emits the
+    * updated smoothed value. The recurrence is associative-free (order
+    * matters), so events are sorted (µs, event_id) inside each batch
+    * buffer and correctness across batches follows from the carried
+    * state — StreamingSpec proves a multi-batch MemoryStream run is
+    * row-identical to this same function over the static frame. Same
+    * per-batch buffering envelope as [[runningSeq]] (bounded by
+    * events-per-user-per-batch). α = 0.5 multiplies exactly, so batch,
+    * stream, and the DuckDB prefix-fold oracle agree bit-for-bit. */
+  def ewmaStream(events: DataFrame): DataFrame = {
+    val sp = events.sparkSession
+    import sp.implicits._
+    def micros(t: java.sql.Timestamp): Long =
+      math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+    events.select(col("ts"), col("user_id"), col("event_id"), col("value"))
+      .as[EwmaEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (uid: Long, it: Iterator[EwmaEvent], state: GroupState[(Boolean, Double)]) => {
+          var (seeded, cur) = state.getOption.getOrElse((false, 0.0))
+          val out = it.toSeq.sortBy(e => (micros(e.ts), e.event_id)).map { e =>
+            cur = if (seeded) cur * 0.5 + e.value * 0.5 else e.value
+            seeded = true
+            EwmaOut(uid, e.event_id, cur)
+          }
+          state.update((seeded, cur))
+          out.iterator
+        })
+      .toDF()
+  }
+
   // ------------------------------------------- declared batch equivalents
 
   def streamRunningSeq(s: SparkSession, dir: String): DataFrame =
@@ -326,7 +363,14 @@ object Streaming {
     neardupStream(Tables.load(s, dir, "documents").select("doc_id", "text"))
       .orderBy("doc_id", "band")
 
+  /** Declared batch run of [[ewmaStream]] — per-event smoothed values
+    * over the static events table, ordered for the hash compare. */
+  def streamEwma(s: SparkSession, dir: String): DataFrame =
+    ewmaStream(Tables.load(s, dir, "events"))
+      .orderBy("user_id", "event_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_ewma"          -> (streamEwma _),
     "stream_window_topk"   -> (streamWindowTopk _),
     "stream_neardup"        -> (streamNeardup _),
     "stream_running_seq"    -> (streamRunningSeq _),
@@ -339,6 +383,17 @@ object Streaming {
   )
 
   val oracle: Map[String, String] = Map(
+    "stream_ewma" ->
+      """WITH pre AS (
+        |  SELECT user_id, event_id,
+        |         list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                           ROWS BETWEEN UNBOUNDED PRECEDING
+        |                           AND CURRENT ROW) AS vs
+        |  FROM events)
+        |SELECT user_id, event_id,
+        |       list_reduce(vs, (acc, x) -> acc * 0.5 + x * 0.5) AS ewma
+        |FROM pre ORDER BY user_id, event_id""".stripMargin,
+
     "stream_running_seq" ->
       """SELECT user_id, event_id,
         |       CAST(row_number() OVER (PARTITION BY user_id

@@ -140,6 +140,33 @@ class StreamingSpec extends SparkSpec {
       (2L, 3L, 1L), (2L, 5L, 2L)))
   }
 
+  test("flatMapGroupsWithState EWMA: incremental stream equals batch bit-for-bit") {
+    val sp = spark
+    import sp.implicits._
+    implicit val ctx = sp.sqlContext
+    val batch1 = Seq(
+      Ev(t("2024-01-01 10:00:00"), 1, "click", 3.0, 1),
+      Ev(t("2024-01-01 10:05:00"), 1, "view", 5.0, 2),
+      Ev(t("2024-01-01 10:00:00"), 2, "view", 7.0, 3))
+    val batch2 = Seq( // user 1's state (ewma=4.0) must carry across batches
+      Ev(t("2024-01-01 10:10:00"), 1, "click", 8.0, 4),
+      Ev(t("2024-01-01 10:20:00"), 2, "click", 1.0, 5))
+    val ms = MemoryStream[Ev]
+    val q = Streaming.ewmaStream(ms.toDF())
+      .writeStream.outputMode("append").format("memory").queryName("ewma").start()
+    try {
+      ms.addData(batch1); q.processAllAvailable()
+      ms.addData(batch2); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("ewma")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val batchRes = Streaming.ewmaStream((batch1 ++ batch2).toDF())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(streamed == batchRes) // exact ==: alpha=0.5 arithmetic is bit-stable
+    assert(streamed == Set((1L, 1L, 3.0), (1L, 2L, 4.0), (1L, 4L, 6.0),
+      (2L, 3L, 7.0), (2L, 5L, 4.0)))
+  }
+
   test("watermarked stream-stream join equals batch interval join") {
     val sp = spark
     import sp.implicits._
