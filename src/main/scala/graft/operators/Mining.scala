@@ -392,6 +392,47 @@ object Mining {
       .orderBy("eta", "etb")
   }
 
+  /** PAGERANK over the brand CO-OCCURRENCE graph (nodes = items in ≥1
+    * frequent pair, undirected edges = frequent pairs) — "item
+    * importance" for the mining family, and the iterative-convergence
+    * operator shape next to connected components (LlmOps.labelPropagate).
+    *
+    * Every arithmetic step is INTEGER (ranks in millionths; damping as
+    * `(85·x) div 100`; contributions as `rank div degree` — floor
+    * division), so 5 fixed iterations are bit-deterministic in any
+    * engine and the DuckDB oracle can state the same five rounds as
+    * unrolled CTEs. Float PageRank could not be oracle-checked:
+    * cross-partition double summation order is unspecified.
+    *
+    * Scale posture: each round is one join + one aggregate keyed by
+    * node — the vocabulary bounds frames here, and at true graph scale
+    * the round becomes the standard edge-partitioned join (same plan,
+    * bigger exchange) with localCheckpoint lineage truncation as in
+    * labelPropagate. */
+  def fpmPagerank(s: SparkSession, dir: String): DataFrame = {
+    val pairs = pairSupports(s, dir)
+      .crossJoin(broadcast(basketCount(s, dir)))
+      .filter(col("freq") >= col("n") * MinSupPairs)
+      .select(col("ia"), col("ib"))
+    val edges = pairs.select(col("ia").as("src"), col("ib").as("dst"))
+      .unionByName(pairs.select(col("ib").as("src"), col("ia").as("dst")))
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("d"))
+    val nodes = edges.select(col("src").as("node")).distinct()
+    var rank = nodes.withColumn("rank", lit(1000000L))
+    for (_ <- 1 to 5) {
+      val contrib = edges
+        .join(rank.withColumnRenamed("node", "src"), "src")
+        .join(deg, "src")
+        .select(col("dst").as("node"), expr("rank div d").as("c"))
+        .groupBy("node").agg(sum(col("c")).as("s"))
+      rank = nodes.join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          expr("CAST(150000 + (85 * coalesce(s, CAST(0 AS BIGINT))) div 100 AS BIGINT)")
+            .as("rank"))
+    }
+    rank.select(col("node").as("item"), col("rank")).orderBy("item")
+  }
+
   /** Sequential ASSOCIATION RULES a→b — [[fpmSeqPairs]]'s ordered-pair
     * supports upgraded to rules: confidence = users(a→b) / users(a),
     * one double division of exact distinct-user counts (deterministic
@@ -546,6 +587,7 @@ object Mining {
     "fpm_assoc_rules_full" -> (fpmAssocRulesFull _),
     "fpm_seq_pairs"    -> (fpmSeqPairs _),
     "fpm_seq_rules"    -> (fpmSeqRules _),
+    "fpm_pagerank"     -> (fpmPagerank _),
   )
 
   private val txCte =
@@ -763,6 +805,26 @@ object Mining {
         |JOIN s1 sc ON sc.item = d.consequent
         |WHERE CAST(d.sab AS DOUBLE) / sa.s >= 0.15
         |ORDER BY antecedent, consequent""".stripMargin),
+
+    "fpm_pagerank" -> (txCte + """, fp AS (
+        |  SELECT a.item AS ia, b.item AS ib
+        |  FROM tx a JOIN tx b ON a.tid = b.tid AND a.item < b.item
+        |  GROUP BY a.item, b.item
+        |  HAVING count(*) >= 0.02 * (SELECT n FROM nb)),
+        |e AS (SELECT ia AS src, ib AS dst FROM fp UNION ALL SELECT ib, ia FROM fp),
+        |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY src),
+        |nodes AS (SELECT DISTINCT src AS node FROM e),
+        |pr0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank FROM nodes),
+        |""".stripMargin
+      + (0 until 5).map { i =>
+          s"""pr${i + 1} AS (
+             |  SELECT n.node, CAST(150000 + (85 * COALESCE(c.s, 0)) // 100 AS BIGINT) AS rank
+             |  FROM nodes n LEFT JOIN (
+             |    SELECT e.dst AS node, CAST(sum(p.rank // deg.d) AS BIGINT) AS s
+             |    FROM e JOIN pr$i p ON p.node = e.src JOIN deg ON deg.src = e.src
+             |    GROUP BY e.dst) c ON c.node = n.node)""".stripMargin
+        }.mkString(",\n")
+      + "\nSELECT node AS item, rank FROM pr5 ORDER BY item"),
 
     "fpm_seq_rules" ->
       """WITH ab AS (

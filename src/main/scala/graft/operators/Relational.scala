@@ -458,6 +458,41 @@ object Relational {
       .orderBy("day")
   }
 
+  /** CDC APPLY — materialize current state from a change log, the
+    * consumer side of change-data-capture: events per user_id applied
+    * in (ts, event_id) order, LATEST-WINS; a final `error` event is a
+    * tombstone (the key is deleted from the materialized state). One
+    * window pass per key — rank descending, keep rn=1, drop tombstones
+    * — the exact plan a table-format MERGE of a CDC feed reduces to
+    * before its file rewrite. */
+  def relCdcApply(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    Tables.load(s, dir, "events")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("event_type") =!= "error")
+      .select(col("user_id"), col("event_id").as("last_event_id"),
+        col("event_type").as("last_op"), col("value").as("cur_value"))
+      .orderBy("user_id")
+  }
+
+  /** SCD TYPE 2 — the slowly-changing-dimension history build: each
+    * purchase event opens a new version of the user's attribute; its
+    * validity interval closes when the next version arrives
+    * ([valid_from, valid_to), half-open; the newest row stays open with
+    * valid_to NULL and is_current = true). One lead() window per key —
+    * the standard warehouse dimension-history pattern. */
+  def relScd2(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("valid_from", "event_id")
+    Tables.load(s, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("valid_from"), col("event_id"),
+        col("value"))
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+      .orderBy("user_id", "valid_from", "event_id")
+  }
+
   /** Z-ORDER (Morton) clustering key — the multi-dimensional data-layout
     * primitive behind Delta OPTIMIZE ZORDER / data-skipping indexes:
     * interleave the bits of two bounded dimensions (p_size, 6 bits;
@@ -757,6 +792,8 @@ object Relational {
     "rel_gap_fill"       -> (relGapFill _),
     "rel_merge_upsert"   -> (relMergeUpsert _),
     "rel_zorder"         -> (relZorder _),
+    "rel_cdc_apply"      -> (relCdcApply _),
+    "rel_scd2"           -> (relScd2 _),
     "rel_unpivot"        -> (relUnpivot _),
     "rel_format_roundtrip" -> (relFormatRoundtrip _),
     "rel_date_spine"     -> (relDateSpine _),
@@ -784,6 +821,27 @@ object Relational {
         |      FROM orders
         |      ORDER BY h, o_orderkey LIMIT 200) t
         |ORDER BY o_orderkey""".stripMargin,
+
+    "rel_cdc_apply" ->
+      """SELECT user_id, event_id AS last_event_id,
+        |       event_type AS last_op, value AS cur_value
+        |FROM (SELECT user_id, event_id, event_type, value,
+        |             row_number() OVER (PARTITION BY user_id
+        |                                ORDER BY ts DESC, event_id DESC) AS rn
+        |      FROM events) t
+        |WHERE rn = 1 AND event_type <> 'error'
+        |ORDER BY user_id""".stripMargin,
+
+    "rel_scd2" ->
+      """SELECT user_id, valid_from, event_id, value,
+        |       lead(valid_from, 1) OVER (PARTITION BY user_id
+        |                                 ORDER BY valid_from, event_id) AS valid_to,
+        |       lead(valid_from, 1) OVER (PARTITION BY user_id
+        |                                 ORDER BY valid_from, event_id) IS NULL
+        |         AS is_current
+        |FROM (SELECT user_id, ts AS valid_from, event_id, value
+        |      FROM events WHERE event_type = 'purchase') t
+        |ORDER BY user_id, valid_from, event_id""".stripMargin,
 
     "rel_zorder" ->
       """WITH z AS (
