@@ -385,6 +385,118 @@ object SqlSurface {
       |GROUP BY cntrycode
       |ORDER BY cntrycode""".stripMargin
 
+  /** The testdata ships no `partsupp` table, so the five
+    * partsupp-dependent TPC-H queries (Q2/Q9/Q11/Q16/Q20) run over this
+    * DERIVED part-supplier table: one row per (part, supplier) pair
+    * observed in lineitem, supplycost = the pair's minimum exact-decimal
+    * extended price, availqty = the pair's total shipped quantity. The
+    * derivation is stated in the query text itself (identical in both
+    * engines), keeps every aggregate in exact decimal, and preserves
+    * each query's characteristic plan shape — which is what these
+    * queries are here to exercise. */
+  private val psCte =
+    """WITH ps AS (
+      |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+      |         min(CAST(l_extendedprice AS DECIMAL(18,2))) AS ps_supplycost,
+      |         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS BIGINT) AS ps_availqty
+      |  FROM lineitem GROUP BY 1, 2)""".stripMargin
+
+  /** TPC-H Q2-shaped: min-cost supplier per part in a region — the
+    * correlated scalar-min subquery over the same derived table it
+    * feeds from, re-joined through supplier→nation→region inside the
+    * correlation (the deepest correlated plan in the surface). */
+  private val q2Sql = psCte + """
+    |SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+    |       CAST(ps_supplycost AS DOUBLE) AS supplycost
+    |FROM part
+    |JOIN ps ON p_partkey = ps_partkey
+    |JOIN supplier ON s_suppkey = ps_suppkey
+    |JOIN nation ON s_nationkey = n_nationkey
+    |JOIN region ON n_regionkey = r_regionkey
+    |WHERE p_size IN (5, 15, 25) AND p_type = 'LARGE' AND r_name = 'EUROPE'
+    |  AND ps_supplycost = (SELECT min(ps2.ps_supplycost)
+    |                       FROM ps ps2
+    |                       JOIN supplier s2 ON s2.s_suppkey = ps2.ps_suppkey
+    |                       JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+    |                       JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+    |                       WHERE ps2.ps_partkey = p_partkey
+    |                         AND r2.r_name = 'EUROPE')
+    |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    |LIMIT 100""".stripMargin
+
+  /** TPC-H Q9-shaped: product-type profit by nation and year — the
+    * 6-table expression-heavy join; amount stays an exact DECIMAL(18,4)
+    * difference (revenue − cost·qty), summed exactly, double only at
+    * output. The cost proxy can exceed revenue (amounts go negative) —
+    * irrelevant to the plan, which is the point of the query. */
+  private val q9Sql = psCte + """
+    |SELECT nation, o_year, CAST(sum(amount) AS DOUBLE) AS sum_profit
+    |FROM (SELECT n_name AS nation,
+    |             CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+    |             CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+    |                  * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))
+    |             - CAST(ps_supplycost * CAST(l_quantity AS DECIMAL(18,2))
+    |                    AS DECIMAL(18,4)) AS amount
+    |      FROM part
+    |      JOIN lineitem ON p_partkey = l_partkey
+    |      JOIN supplier ON s_suppkey = l_suppkey
+    |      JOIN ps ON ps_suppkey = l_suppkey AND ps_partkey = l_partkey
+    |      JOIN orders ON o_orderkey = l_orderkey
+    |      JOIN nation ON s_nationkey = n_nationkey
+    |      WHERE p_name LIKE '%ring%') profit
+    |GROUP BY nation, o_year
+    |ORDER BY nation, o_year DESC""".stripMargin
+
+  /** TPC-H Q11-shaped: important stock identification — grouped value
+    * sums HAVING-compared against a scalar fraction of the global sum
+    * (two aggregations of the same exact-decimal product; the threshold
+    * multiply stays in decimal in both engines). */
+  private val q11Sql = psCte + """
+    |SELECT ps_partkey, CAST(val AS DOUBLE) AS value
+    |FROM (SELECT ps_partkey,
+    |             sum(ps_supplycost * ps_availqty) AS val
+    |      FROM ps JOIN supplier ON ps_suppkey = s_suppkey
+    |      JOIN nation ON s_nationkey = n_nationkey
+    |      WHERE n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+    |      GROUP BY ps_partkey) t
+    |WHERE val > (SELECT sum(ps_supplycost * ps_availqty) * 0.001
+    |             FROM ps JOIN supplier ON ps_suppkey = s_suppkey
+    |             JOIN nation ON s_nationkey = n_nationkey
+    |             WHERE n_name IN ('NATION_1', 'NATION_2', 'NATION_3'))
+    |ORDER BY value DESC, ps_partkey""".stripMargin
+
+  /** TPC-H Q16-shaped: parts/supplier relationship count — distinct
+    * supplier counts per (brand, type, size) slice with a NOT-IN
+    * anti-join excluding negative-balance suppliers. */
+  private val q16Sql = psCte + """
+    |SELECT p_brand, p_type, p_size,
+    |       CAST(count(DISTINCT ps_suppkey) AS BIGINT) AS supplier_cnt
+    |FROM ps JOIN part ON p_partkey = ps_partkey
+    |WHERE p_brand <> 'Brand#13' AND p_type NOT IN ('PROMO', 'ECONOMY')
+    |  AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+    |  AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    |GROUP BY p_brand, p_type, p_size
+    |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
+
+  /** TPC-H Q20-shaped: suppliers with excess availability of parts in a
+    * name slice — nested IN-subqueries with a doubly-correlated scalar
+    * (per part AND supplier) availability threshold. */
+  private val q20Sql = psCte + """
+    |SELECT s_name, s_suppkey
+    |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    |WHERE n_name = 'NATION_4'
+    |  AND s_suppkey IN (
+    |    SELECT ps_suppkey FROM ps
+    |    WHERE ps_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+    |      AND ps_availqty > (SELECT 0.5 * CAST(sum(CAST(l_quantity AS DECIMAL(18,2)))
+    |                                           AS DOUBLE)
+    |                         FROM lineitem
+    |                         WHERE l_partkey = ps_partkey
+    |                           AND l_suppkey = ps_suppkey
+    |                           AND l_shipdate >= TIMESTAMP '1996-01-01'
+    |                           AND l_shipdate <  TIMESTAMP '1997-01-01'))
+    |ORDER BY s_suppkey""".stripMargin
+
   /** Correlated LATERAL subquery — per-customer top-2 orders via the
     * lateral join surface (Spark plans it as a decorrelated window/
     * limit under a join; DuckDB executes the same text natively). */
@@ -451,6 +563,31 @@ object SqlSurface {
     s.sql(q1Sql)
   }
 
+  def sqlQ2(s: SparkSession, dir: String): DataFrame = {
+    views(s, dir, "lineitem", "part", "supplier", "nation", "region")
+    s.sql(q2Sql)
+  }
+
+  def sqlQ9(s: SparkSession, dir: String): DataFrame = {
+    views(s, dir, "lineitem", "part", "supplier", "orders", "nation")
+    s.sql(q9Sql)
+  }
+
+  def sqlQ11(s: SparkSession, dir: String): DataFrame = {
+    views(s, dir, "lineitem", "supplier", "nation")
+    s.sql(q11Sql)
+  }
+
+  def sqlQ16(s: SparkSession, dir: String): DataFrame = {
+    views(s, dir, "lineitem", "part", "supplier")
+    s.sql(q16Sql)
+  }
+
+  def sqlQ20(s: SparkSession, dir: String): DataFrame = {
+    views(s, dir, "lineitem", "part", "supplier", "nation")
+    s.sql(q20Sql)
+  }
+
   def sqlQ4(s: SparkSession, dir: String): DataFrame = {
     views(s, dir, "orders", "lineitem")
     s.sql(q4Sql)
@@ -498,20 +635,25 @@ object SqlSurface {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sql_tpch_q1"        -> (sqlQ1 _),
+    "sql_tpch_q2"        -> (sqlQ2 _),
     "sql_tpch_q3"        -> (sqlQ3 _),
     "sql_tpch_q4"        -> (sqlQ4 _),
     "sql_tpch_q5"        -> (sqlQ5 _),
     "sql_tpch_q6"        -> (sqlQ6 _),
     "sql_tpch_q7"        -> (sqlQ7 _),
     "sql_tpch_q8"        -> (sqlQ8 _),
+    "sql_tpch_q9"        -> (sqlQ9 _),
     "sql_tpch_q10"       -> (sqlQ10 _),
+    "sql_tpch_q11"       -> (sqlQ11 _),
     "sql_tpch_q12"       -> (sqlQ12 _),
     "sql_tpch_q13"       -> (sqlQ13 _),
     "sql_tpch_q14"       -> (sqlQ14 _),
     "sql_tpch_q15"       -> (sqlQ15 _),
+    "sql_tpch_q16"       -> (sqlQ16 _),
     "sql_tpch_q17"       -> (sqlQ17 _),
     "sql_tpch_q18"       -> (sqlQ18 _),
     "sql_tpch_q19"       -> (sqlQ19 _),
+    "sql_tpch_q20"       -> (sqlQ20 _),
     "sql_tpch_q21"       -> (sqlQ21 _),
     "sql_tpch_q22"       -> (sqlQ22 _),
     "sql_lateral_topk"   -> (sqlLateral _),
@@ -521,20 +663,25 @@ object SqlSurface {
 
   val oracle: Map[String, String] = Map(
     "sql_tpch_q1"        -> q1Sql,
+    "sql_tpch_q2"        -> q2Sql,
     "sql_tpch_q3"        -> q3Sql,
     "sql_tpch_q4"        -> q4Sql,
     "sql_tpch_q5"        -> q5Sql,
     "sql_tpch_q6"        -> q6Sql,
     "sql_tpch_q7"        -> q7Sql,
     "sql_tpch_q8"        -> q8Sql,
+    "sql_tpch_q9"        -> q9Sql,
     "sql_tpch_q10"       -> q10Sql,
+    "sql_tpch_q11"       -> q11Sql,
     "sql_tpch_q12"       -> q12Sql,
     "sql_tpch_q13"       -> q13Sql,
     "sql_tpch_q14"       -> q14Sql,
     "sql_tpch_q15"       -> q15Sql,
+    "sql_tpch_q16"       -> q16Sql,
     "sql_tpch_q17"       -> q17Sql,
     "sql_tpch_q18"       -> q18Sql,
     "sql_tpch_q19"       -> q19Sql,
+    "sql_tpch_q20"       -> q20Sql,
     "sql_tpch_q21"       -> q21Sql,
     "sql_tpch_q22"       -> q22Sql,
     "sql_lateral_topk"   -> lateralSql,
