@@ -212,6 +212,34 @@ class MiningSpec extends SparkSpec {
     }
   }
 
+  test("topk patterns: runs through TopKPerGroupExec and equals the window form") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val df = Mining.fpmTopkPatterns(spark, sf)
+    df.collect()
+    assert(df.queryExecution.executedPlan.toString.contains("TopKPerGroup"),
+      "custom operator missing from the plan")
+    val pairs = Mining.fpmFreqPairs(spark, sf)
+      .select(split(col("itemset"), ",").getItem(0).as("ia"),
+        split(col("itemset"), ",").getItem(1).as("ib"), col("freq"))
+    val w = Window.partitionBy("ia").orderBy(col("freq").desc, col("ib"))
+    val windowForm = pairs.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3).select("ia", "ib", "freq")
+      .orderBy(col("ia"), col("freq").desc, col("ib"))
+    assert(df.collect().toSeq == windowForm.collect().toSeq)
+  }
+
+  test("integer pagerank: ranks positive, damping floor respected, mass bounded") {
+    val rows = Mining.fpmPagerank(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val rank = r.getAs[Long]("rank")
+      assert(rank >= 150000L, s"${r.getAs[String]("item")} below damping floor")
+    }
+    // total integer mass can only LOSE to floor division vs n * 1e6
+    assert(rows.map(_.getAs[Long]("rank")).sum <= rows.length * 1000000L)
+  }
+
   test("association rule bounds: 0 <= confidence <= 1, support <= antecedent share") {
     Mining.fpmAssocRules(spark, sf).collect().foreach { r =>
       val conf = r.getAs[Double]("confidence")

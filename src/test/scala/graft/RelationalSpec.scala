@@ -26,6 +26,29 @@ class RelationalSpec extends SparkSpec {
     assert(!plan.contains("l_shipdate"), "projection not pruned")
   }
 
+  test("bottom-k hash sample plans as TakeOrderedAndProject, no global sort") {
+    // the inner orderBy(h).limit(200) must become per-partition heaps;
+    // only the 200 survivors may hit the final presentation sort
+    val plan = Relational.relSampleBottomk(spark, sf).queryExecution
+      .sparkPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"full sort in:\n$plan")
+  }
+
+  test("salted skew join equals the plain join bit-for-bit") {
+    import org.apache.spark.sql.functions._
+    val got = Relational.relJoinSkewSalted(spark, sf).collect().toSeq
+    val plain = graft.Tables.load(spark, sf, "lineitem")
+      .join(graft.Tables.load(spark, sf, "orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("line_cnt"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")
+          * (lit(1) - col("l_discount").cast("decimal(18,2)")))
+          .cast("double").as("revenue"))
+      .orderBy("o_orderpriority").collect().toSeq
+    assert(got == plain)
+  }
+
   test("dimension join is a broadcast hash join") {
     assert(planOf(Relational.relJoinBroadcast(spark, sf))
       .contains("BroadcastHashJoin"))
