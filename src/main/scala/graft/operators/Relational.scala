@@ -180,6 +180,26 @@ object Relational {
       .orderBy("o_custkey", "o_orderdate", "o_orderkey")
   }
 
+  /** RANGE-interval window frame — the TIME-based rolling aggregate
+    * ([[relWindowFrame]] is the ROWS-based sibling): per customer, the
+    * trailing-7-day order revenue and count at each order. RANGE frames
+    * include ALL peer rows of the current order-date, so the frame
+    * content (and the exact decimal sum) is deterministic without a
+    * tiebreak in the frame ordering; output rows are keyed uniquely by
+    * o_orderkey. Same one-exchange-per-key shape as every window here. */
+  def relWindowRange(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        expr("""CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+                 PARTITION BY o_custkey ORDER BY o_orderdate
+                 RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW)
+                AS DOUBLE)""").as("rev_7d"),
+        expr("""CAST(count(*) OVER (
+                 PARTITION BY o_custkey ORDER BY o_orderdate
+                 RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW)
+                AS BIGINT)""").as("cnt_7d"))
+      .orderBy("o_custkey", "o_orderkey")
+
   /** lead/lag offset windows over the event stream — per-user previous
     * value, next event type, and value delta (sessionization's basic
     * move). One shuffle on user_id, deterministic (ts, event_id) window
@@ -786,6 +806,7 @@ object Relational {
     "rel_window_rank"    -> (relWindowRank _),
     "rel_window_frame"   -> (relWindowFrame _),
     "rel_window_leadlag" -> (relWindowLeadLag _),
+    "rel_window_range"   -> (relWindowRange _),
     "rel_window_percent" -> (relWindowPercent _),
     "rel_sessionize"     -> (relSessionize _),
     "rel_ewma"           -> (relEwma _),
@@ -821,6 +842,18 @@ object Relational {
         |      FROM orders
         |      ORDER BY h, o_orderkey LIMIT 200) t
         |ORDER BY o_orderkey""".stripMargin,
+
+    "rel_window_range" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |         PARTITION BY o_custkey ORDER BY o_orderdate
+        |         RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW)
+        |            AS DOUBLE) AS rev_7d,
+        |       CAST(count(*) OVER (
+        |         PARTITION BY o_custkey ORDER BY o_orderdate
+        |         RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW)
+        |            AS BIGINT) AS cnt_7d
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
 
     "rel_cdc_apply" ->
       """SELECT user_id, event_id AS last_event_id,
