@@ -663,6 +663,34 @@ object LlmOps {
       .select(col("doc_id"), col("lang"), col("n_chars"))
       .orderBy("doc_id")
 
+  /** VOCABULARY BUILD + TOKEN-ID ENCODING — the tokenizer-training
+    * shape: rank tokens by corpus frequency (stable ids: freq desc, tok
+    * asc), keep the top-64 as the vocabulary, encode every document as
+    * its position-ordered id sequence with 0 as the OOV id. The ranking
+    * window is global but runs over the DISTINCT-TOKEN frame (vocabulary
+    * ≪ corpus — the same bounded-frame argument as the mining
+    * supports); the encode side is a broadcast join against the tiny
+    * vocab, so the corpus-sized path is one shuffle (doc_id regroup).
+    * Ids emitted as a comma string for a canonical hashable value. */
+  def vocabEncode(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("freq"))
+      .withColumn("tok_id",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("freq").desc, col("tok"))).cast("long"))
+      .filter(col("tok_id") <= 64)
+      .select(col("tok"), col("tok_id"))
+    toks.join(broadcast(vocab), Seq("tok"), "left")
+      .select(col("doc_id"), col("pos"), coalesce(col("tok_id"), lit(0L)).as("id"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_toks"),
+        concat_ws(",", transform(
+          sort_array(collect_list(struct(col("pos"), col("id")))),
+          x => x.getField("id").cast("string"))).as("ids"))
+      .orderBy("doc_id")
+  }
+
   /** Deterministic TRAIN/VAL/TEST split — the three-way DISJOINT
     * partition every training corpus needs (vs [[hashSample]]'s
     * keep-or-drop rate): membership hangs off the first hex digit of a
@@ -1473,6 +1501,7 @@ object LlmOps {
     "llm_frame_sample"       -> (frameSample _),
     "llm_hash_sample"        -> (hashSample _),
     "llm_dataset_split"      -> (datasetSplit _),
+    "llm_vocab_encode"       -> (vocabEncode _),
     "llm_stratified_sample"  -> (stratifiedSample _),
     "llm_decode_stub"        -> (decodeStub _),
     "llm_tokenize_wordcount" -> (tokenizeWordcount _),
@@ -1803,6 +1832,25 @@ object LlmOps {
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE substring(md5('graft:' || CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1')
         |ORDER BY doc_id""".stripMargin,
+
+    "llm_vocab_encode" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |vocab AS (
+        |  SELECT tok,
+        |         CAST(row_number() OVER (ORDER BY count(*) DESC, tok) AS BIGINT) AS tok_id
+        |  FROM tok GROUP BY tok
+        |  QUALIFY row_number() OVER (ORDER BY count(*) DESC, tok) <= 64),
+        |pos AS (
+        |  SELECT doc_id, p.pos, t[p.pos] AS tok
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents) z,
+        |       LATERAL (SELECT unnest(generate_series(1, len(t))) AS pos) p),
+        |ids AS (
+        |  SELECT doc_id, pos, coalesce(v.tok_id, 0) AS id
+        |  FROM pos LEFT JOIN vocab v USING (tok))
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+        |       array_to_string(list(id ORDER BY pos), ',') AS ids
+        |FROM ids GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "llm_dataset_split" ->
       """SELECT doc_id, lang,
