@@ -127,6 +127,26 @@ object Scalar {
           .cast("long").as("n_segs"))
       .orderBy("c_custkey")
 
+  /** Higher-order-function surface over array columns — transform /
+    * filter / aggregate as first-class codegen'd lambdas (the API tier
+    * every vector op in LlmOps builds on, declared here in isolation):
+    * positive-component count, L1 norm, and sum of squares per
+    * embedding. Folds are LEFT folds from an explicit 0.0 seed in both
+    * engines (DuckDB list_prepend + list_reduce), so the float results
+    * are bit-identical — the SURVEY §2.0 fixed-operation-order rule. */
+  def fnHof(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings")
+      .select(
+        col("vec_id"),
+        size(filter(col("embedding"), x => x.cast("double") > 0))
+          .cast("long").as("n_pos"),
+        aggregate(transform(col("embedding"), x => abs(x.cast("double"))),
+          lit(0.0), (acc, v) => acc + v).as("l1"),
+        aggregate(transform(col("embedding"),
+            x => x.cast("double") * x.cast("double")),
+          lit(0.0), (acc, v) => acc + v).as("sumsq"))
+      .orderBy("vec_id")
+
   /** Bitwise operator surface over the integer keys (hash partitioners,
     * bloom/bitset code, flag fields all live here): and/or/xor, shifts,
     * popcount — two's-complement on 64-bit in both engines. */
@@ -152,6 +172,7 @@ object Scalar {
     "fn_hash"        -> (fnHash _),
     "fn_bitwise"     -> (fnBitwise _),
     "fn_regexp"      -> (fnRegexp _),
+    "fn_hof"         -> (fnHof _),
     "fn_json_typed"  -> (fnJsonTyped _),
   )
 
@@ -233,6 +254,18 @@ object Scalar {
         |       sha256(c_name) AS h_sha256,
         |       md5(c_name || '|' || c_mktsegment) AS h_combo
         |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "fn_hof" ->
+      """SELECT vec_id,
+        |       CAST(len(list_filter(embedding, x -> CAST(x AS DOUBLE) > 0))
+        |            AS BIGINT) AS n_pos,
+        |       list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |         list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))),
+        |         (acc, v) -> acc + v) AS l1,
+        |       list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |         list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+        |         (acc, v) -> acc + v) AS sumsq
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
 
     "fn_regexp" ->
       """SELECT c_custkey,
