@@ -38,10 +38,27 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def fmt(v: Double): String = f"$v%.3f"
+    def json(rs: Iterable[(String, Double)]): String =
+      rs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val full =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${json(results)},"sf":"$sfDir"}"""
+    println(full)
+    // The harness that collects this output keeps only a bounded tail of
+    // stdout, and the full per-query line (~160 keys) overflows it — so the
+    // complete JSON also goes to a repo file, and the LAST stdout line is a
+    // compact summary (total + the slowest keys) guaranteed to fit whole
+    // inside a 2000-char tail window and parse as standalone JSON.
+    try {
+      val w = new java.io.PrintWriter("BENCH_FULL.json")
+      try w.println(full) finally w.close()
+    } catch { case _: Throwable => () }
+    val slowest = results.toSeq.sortBy(-_._2).take(40)
+    println(
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${json(slowest)},""" +
+      s""""queries_shown":${slowest.size},"queries_total":${results.size},""" +
+      s""""full_per_query":"BENCH_FULL.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }

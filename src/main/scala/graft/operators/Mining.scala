@@ -266,6 +266,7 @@ object Mining {
     pairSupports(s, dir).count()
     tripleSupports(s, dir).count()
     basketCount(s, dir).count()
+    utilityItems(s, dir).count()
     // index builds: PFP mining at both support levels + the rule table +
     // the per-user sequence frame (one-time model/materialization costs,
     // not per-query costs — same policy as the IVF codebook)
@@ -569,7 +570,125 @@ object Mining {
     c1.unionByName(c2).unionByName(c3).orderBy("size", "itemset")
   }
 
+  /** Item–item JACCARD similarity over the basket co-occurrence matrix —
+    * the "related items" similarity a pattern-browsing UI ranks by
+    * (collaborative-filtering shape): |tx(a)∩tx(b)| / |tx(a)∪tx(b)| from
+    * the memoized UNthresholded pair/item supports. Exact integer counts,
+    * one double division per pair, vocabulary-bounded (≤ C(25,2) rows
+    * regardless of corpus size — the support frames, not the corpus, feed
+    * this plan). Threshold 0.08 sits mid-distribution (corpus pair
+    * Jaccard spans 0.061–0.103 at sf0.01, measured) away from any tie
+    * cluster. */
+  def fpmJaccardItems(s: SparkSession, dir: String): DataFrame = {
+    val sa = itemSupports(s, dir).select(col("item").as("ja"), col("freq").as("na"))
+    val sb = itemSupports(s, dir).select(col("item").as("jb"), col("freq").as("nb"))
+    pairSupports(s, dir)
+      .join(broadcast(sa), col("ia") === col("ja"))
+      .join(broadcast(sb), col("ib") === col("jb"))
+      .select(col("ia"), col("ib"), col("freq").as("cnt_ab"),
+        (col("freq").cast("double") / (col("na") + col("nb") - col("freq")))
+          .as("jaccard"))
+      .filter(col("jaccard") >= 0.08)
+      .orderBy("ia", "ib")
+  }
+
+  /** NEGATIVE association rules (Wu, Zhang & Zhang, ACM TOIS 2004):
+    * a ⇒ ¬b for frequent item pairs co-occurring BELOW independence
+    * (lift < 0.9) — "customers of a avoid b", the complement the positive
+    * rule family cannot express. The all-pairs frame is vocabulary-
+    * bounded (25² rows); the left-outer join against observed pair
+    * supports keeps zero-co-occurrence pairs live (pairSupports only
+    * stores seen pairs). All inputs exact integers; lift and negative
+    * confidence are single fixed-order double expressions. */
+  def fpmNegativeRules(s: SparkSession, dir: String): DataFrame = {
+    val ants = itemSupports(s, dir)
+      .select(col("item").as("antecedent"), col("freq").as("s_ante"))
+    val cons = itemSupports(s, dir)
+      .select(col("item").as("consequent"), col("freq").as("s_cons"))
+    val ps = pairSupports(s, dir).select(col("ia"), col("ib"), col("freq").as("pf"))
+    ants.crossJoin(cons)
+      .filter(col("antecedent") =!= col("consequent"))
+      .join(broadcast(ps),
+        least(col("antecedent"), col("consequent")) === col("ia")
+          && greatest(col("antecedent"), col("consequent")) === col("ib"),
+        "left_outer")
+      .crossJoin(broadcast(basketCount(s, dir)))
+      .withColumn("cnt_ab", coalesce(col("pf"), lit(0L)))
+      .withColumn("lift",
+        col("cnt_ab").cast("double") * col("n") / (col("s_ante") * col("s_cons")))
+      .filter(col("lift") < 0.9
+        && col("s_ante") >= col("n") * MinSupItems
+        && col("s_cons") >= col("n") * MinSupItems)
+      .select(col("antecedent"), col("consequent"), col("s_ante"), col("s_cons"),
+        col("cnt_ab"), col("lift"),
+        (lit(1.0) - col("cnt_ab").cast("double") / col("s_ante")).as("conf_neg"))
+      .orderBy("antecedent", "consequent")
+  }
+
+  /** TRIANGLE COUNT over the co-occurrence graph (nodes = items, edges =
+    * frequent pairs): per-node triangle participation. The oriented-edge
+    * formulation — every edge stored once as a<b, a wedge a<b<c closes
+    * iff (a,c) is also an edge — is the standard distributed algorithm
+    * (Suri & Vassilvitskii, WWW 2011): two equi-joins shuffling on the
+    * wedge endpoints, each triangle found exactly once. The edge frame is
+    * vocabulary-bounded here; at web-graph scale the identical plan
+    * shuffles on edge keys and degree-orienting bounds wedge fan-out. */
+  def fpmTriangleCount(s: SparkSession, dir: String): DataFrame = {
+    val e = pairSupports(s, dir)
+      .crossJoin(broadcast(basketCount(s, dir)))
+      .filter(col("freq") >= col("n") * MinSupPairs)
+      .select(col("ia").as("x"), col("ib").as("y"))
+    val tri = e.as("ab")
+      .join(e.as("bc"), col("ab.y") === col("bc.x"))
+      .join(e.as("ac"), col("ab.x") === col("ac.x") && col("bc.y") === col("ac.y"))
+      .select(col("ab.x").as("a"), col("ab.y").as("b"), col("bc.y").as("c"))
+    tri.select(explode(array(col("a"), col("b"), col("c"))).as("item"))
+      .groupBy("item").agg(count(lit(1)).as("triangles"))
+      .orderBy("item")
+  }
+
+  /** Per-(transaction, item) revenue — the utility table of high-utility
+    * itemset mining; memoized like the support frames (bounded by
+    * transactions × vocabulary, reduced before any pair join). */
+  private def utilityItems(s: SparkSession, dir: String): DataFrame =
+    Tables.memo(s, dir, "utilityItems") {
+      val li = Tables.load(s, dir, "lineitem")
+        .select("l_orderkey", "l_partkey", "l_extendedprice")
+      val pt = Tables.load(s, dir, "part").select("p_partkey", "p_brand")
+      li.join(broadcast(pt), li("l_partkey") === pt("p_partkey"))
+        .groupBy(col("l_orderkey").as("tid"), col("p_brand").as("item"))
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)")).as("util"))
+    }
+
+  /** HIGH-UTILITY itemset mining, pairs tier (HUI-Miner / EFIM family):
+    * frequency treats a $2 basket like a $2,000 one — utility mining
+    * thresholds on VALUE instead. Pair utility = Σ over supporting
+    * transactions of (revenue on a + revenue on b); keep pairs with
+    * ≥ 1.2 % of total corpus utility (pair utilities span 0.67–1.66 % of
+    * total at sf0.01, measured — mid-gap). Exact decimal end to end, one
+    * double cast at the comparison/output boundary; the per-(tid, item)
+    * utility table is reduced BEFORE the pair self-join, so the join
+    * input is bounded by baskets × vocabulary, not line items. */
+  def fpmHuiPairs(s: SparkSession, dir: String): DataFrame = {
+    val u = utilityItems(s, dir)
+    val a = u.select(col("tid"), col("item").as("ia"), col("util").as("ua"))
+    val b = u.select(col("tid").as("tid_b"), col("item").as("ib"), col("util").as("ub"))
+    val pu = a.join(b, a("tid") === b("tid_b") && col("ia") < col("ib"))
+      .groupBy("ia", "ib")
+      .agg(sum(col("ua") + col("ub")).as("putil"), count(lit(1)).as("freq"))
+    val tot = u.agg(sum(col("util")).cast("double").as("tot"))
+    pu.crossJoin(broadcast(tot))
+      .filter(col("putil").cast("double") >= lit(0.012) * col("tot"))
+      .select(concat_ws(",", col("ia"), col("ib")).as("itemset"), col("freq"),
+        col("putil").cast("double").as("utility"))
+      .orderBy("itemset")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fpm_jaccard_items" -> (fpmJaccardItems _),
+    "fpm_negative_rules" -> (fpmNegativeRules _),
+    "fpm_triangle_count" -> (fpmTriangleCount _),
+    "fpm_hui_pairs"    -> (fpmHuiPairs _),
     "fpm_closed"       -> (fpmClosed _),
     "fpm_maximal"      -> (fpmMaximal _),
     "fpm_prefixspan"      -> (fpmPrefixspan _),
@@ -597,6 +716,70 @@ object Mining {
       |), nb AS (SELECT count(DISTINCT tid) AS n FROM tx)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "fpm_jaccard_items" -> (txCte +
+      """, sup AS (SELECT item, count(*) AS s FROM tx GROUP BY item),
+        |p AS (SELECT a.item AS ia, b.item AS ib, count(*) AS c
+        |      FROM tx a JOIN tx b ON a.tid = b.tid AND a.item < b.item
+        |      GROUP BY 1, 2)
+        |SELECT ia, ib, CAST(c AS BIGINT) AS cnt_ab,
+        |       CAST(c AS DOUBLE) / (sa.s + sb.s - c) AS jaccard
+        |FROM p JOIN sup sa ON ia = sa.item JOIN sup sb ON ib = sb.item
+        |WHERE CAST(c AS DOUBLE) / (sa.s + sb.s - c) >= 0.08
+        |ORDER BY ia, ib""".stripMargin),
+
+    "fpm_negative_rules" -> (txCte +
+      """, sup AS (SELECT item, count(*) AS s FROM tx GROUP BY item),
+        |p AS (SELECT a.item AS ia, b.item AS ib, count(*) AS c
+        |      FROM tx a JOIN tx b ON a.tid = b.tid AND a.item < b.item
+        |      GROUP BY 1, 2)
+        |SELECT sa.item AS antecedent, sb.item AS consequent,
+        |       CAST(sa.s AS BIGINT) AS s_ante, CAST(sb.s AS BIGINT) AS s_cons,
+        |       CAST(coalesce(p.c, 0) AS BIGINT) AS cnt_ab,
+        |       CAST(coalesce(p.c, 0) AS DOUBLE) * (SELECT n FROM nb)
+        |         / (sa.s * sb.s) AS lift,
+        |       1.0 - CAST(coalesce(p.c, 0) AS DOUBLE) / sa.s AS conf_neg
+        |FROM sup sa JOIN sup sb ON sa.item <> sb.item
+        |LEFT JOIN p ON least(sa.item, sb.item) = p.ia
+        |           AND greatest(sa.item, sb.item) = p.ib
+        |WHERE CAST(coalesce(p.c, 0) AS DOUBLE) * (SELECT n FROM nb)
+        |        / (sa.s * sb.s) < 0.9
+        |  AND sa.s >= 0.05 * (SELECT n FROM nb)
+        |  AND sb.s >= 0.05 * (SELECT n FROM nb)
+        |ORDER BY antecedent, consequent""".stripMargin),
+
+    "fpm_triangle_count" -> (txCte +
+      """, e AS (SELECT a.item AS x, b.item AS y
+        |        FROM tx a JOIN tx b ON a.tid = b.tid AND a.item < b.item
+        |        GROUP BY 1, 2
+        |        HAVING count(*) >= 0.02 * (SELECT n FROM nb)),
+        |tri AS (SELECT ab.x AS a, ab.y AS b, bc.y AS c
+        |        FROM e ab JOIN e bc ON ab.y = bc.x
+        |        JOIN e ac ON ab.x = ac.x AND bc.y = ac.y)
+        |SELECT item, CAST(count(*) AS BIGINT) AS triangles
+        |FROM (SELECT a AS item FROM tri UNION ALL
+        |      SELECT b FROM tri UNION ALL
+        |      SELECT c FROM tri) nodes
+        |GROUP BY item
+        |ORDER BY item""".stripMargin),
+
+    "fpm_hui_pairs" ->
+      """WITH u AS (
+        |  SELECT l_orderkey AS tid, p_brand AS item,
+        |         sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS util
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  GROUP BY 1, 2),
+        |pu AS (
+        |  SELECT a.item AS ia, b.item AS ib,
+        |         sum(a.util + b.util) AS putil, count(*) AS c
+        |  FROM u a JOIN u b ON a.tid = b.tid AND a.item < b.item
+        |  GROUP BY 1, 2),
+        |t AS (SELECT CAST(sum(util) AS DOUBLE) AS tot FROM u)
+        |SELECT ia || ',' || ib AS itemset, CAST(c AS BIGINT) AS freq,
+        |       CAST(putil AS DOUBLE) AS utility
+        |FROM pu, t
+        |WHERE CAST(putil AS DOUBLE) >= 0.012 * tot
+        |ORDER BY itemset""".stripMargin,
+
     "fpm_closed" -> (txCte +
       """, l1 AS (
         |  SELECT item, CAST(count(*) AS BIGINT) AS freq FROM tx GROUP BY item

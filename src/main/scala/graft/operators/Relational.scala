@@ -232,6 +232,50 @@ object Relational {
       .orderBy("o_custkey", "o_orderkey")
   }
 
+  /** Boundary-value window family — first_value / last_value /
+    * nth_value over each customer's order history in date order: the
+    * "first purchase, latest purchase, second purchase" enrichment every
+    * customer-360 projection carries. Frames are stated EXPLICITLY
+    * (first over the default running frame, last/nth over the full
+    * partition) because last_value's default frame ends at CURRENT ROW —
+    * the classic silent-wrong-answer; the oracle states the identical
+    * frames. Row selections, not accumulations: no fp-order concerns. */
+  def relWindowFirstLast(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+    val running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.load(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        first(col("o_totalprice")).over(running).as("first_price"),
+        last(col("o_totalprice")).over(full).as("last_price"),
+        nth_value(col("o_totalprice"), 2).over(full).as("second_price"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** Pearson CORRELATION per group, deterministically: the built-in
+    * `corr` accumulates doubles in partition order (never hash-matchable
+    * across engines), so the moments are gathered as EXACT decimal sums
+    * (n, Σx, Σy, Σxy, Σx², Σy²) — associative, partial-aggregable
+    * map-side, order-independent — and the textbook formula
+    * (nΣxy−ΣxΣy)/(√(nΣx²−(Σx)²)·√(nΣy²−(Σy)²)) is applied once per
+    * group in a fixed double op order. Statistical aggregates at 100 TB
+    * are exactly this shape: exact moments partial-combined on the map
+    * side, the fp formula evaluated once per group at the boundary. */
+  def relAggCorr(s: SparkSession, dir: String): DataFrame = {
+    val x = dec("l_quantity"); val y = dec("l_extendedprice")
+    def d(c: String) = col(c).cast("double")
+    Tables.load(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(x).as("sx"), sum(y).as("sy"),
+        sum(x * y).as("sxy"), sum(x * x).as("sxx"), sum(y * y).as("syy"))
+      .select(col("l_returnflag"), col("n_rows"),
+        ((d("n_rows") * d("sxy") - d("sx") * d("sy"))
+          / (sqrt(d("n_rows") * d("sxx") - d("sx") * d("sx"))
+            * sqrt(d("n_rows") * d("syy") - d("sy") * d("sy")))).as("corr_xy"))
+      .orderBy("l_returnflag")
+  }
+
   /** Gap-based sessionization — the batch analogue of the streaming
     * session windows: a new session starts when a user's inter-event gap
     * exceeds 30 minutes (lag + running conditional sum), then sessions
@@ -808,6 +852,8 @@ object Relational {
     "rel_window_leadlag" -> (relWindowLeadLag _),
     "rel_window_range"   -> (relWindowRange _),
     "rel_window_percent" -> (relWindowPercent _),
+    "rel_window_firstlast" -> (relWindowFirstLast _),
+    "rel_agg_corr"       -> (relAggCorr _),
     "rel_sessionize"     -> (relSessionize _),
     "rel_ewma"           -> (relEwma _),
     "rel_gap_fill"       -> (relGapFill _),
@@ -827,6 +873,41 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "rel_window_firstlast" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |       first_value(o_totalprice) OVER (
+        |         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_price,
+        |       last_value(o_totalprice) OVER (
+        |         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_price,
+        |       nth_value(o_totalprice, 2) OVER (
+        |         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_price
+        |FROM orders
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "rel_agg_corr" ->
+      """WITH t AS (
+        |  SELECT l_returnflag,
+        |         CAST(l_quantity AS DECIMAL(18,2)) AS x,
+        |         CAST(l_extendedprice AS DECIMAL(18,2)) AS y
+        |  FROM lineitem),
+        |a AS (
+        |  SELECT l_returnflag, count(*) AS n_rows,
+        |         sum(x) AS sx, sum(y) AS sy,
+        |         sum(x*y) AS sxy, sum(x*x) AS sxx, sum(y*y) AS syy
+        |  FROM t GROUP BY l_returnflag)
+        |SELECT l_returnflag, CAST(n_rows AS BIGINT) AS n_rows,
+        |       (CAST(n_rows AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |       / (sqrt(CAST(n_rows AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |          * sqrt(CAST(n_rows AS DOUBLE) * CAST(syy AS DOUBLE)
+        |            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS corr_xy
+        |FROM a
+        |ORDER BY l_returnflag""".stripMargin,
+
     "rel_join_skew_salted" ->
       """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS line_cnt,
         |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
