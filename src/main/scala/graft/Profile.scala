@@ -29,6 +29,25 @@ object Profile {
     time("fn_json_full")(graft.functions.Scalar.fnJson(spark, dir).count())
     time("stream_neardup_1")(graft.streaming.Streaming.streamNeardup(spark, dir).count())
     time("stream_neardup_2")(graft.streaming.Streaming.streamNeardup(spark, dir).count())
+    // skew-salted join: hinted (shipped) vs sort-merge formulation
+    def saltedVariant(hint: Boolean): Long = {
+      val nSalt = 8
+      val fact = Tables.load(spark, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"), col("l_discount"))
+        .withColumn("salt", pmod(hash(col("l_orderkey"), col("l_linenumber")), lit(nSalt)))
+      val dim0 = Tables.load(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"))
+        .withColumn("salt", explode(array((0 until nSalt).map(lit(_)): _*)))
+      val dim = if (hint) dim0.hint("SHUFFLE_HASH") else dim0
+      fact.join(dim, fact("l_orderkey") === dim0("o_orderkey") && fact("salt") === dim0("salt"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("line_cnt"))
+        .count()
+    }
+    time("salted_smj_1")(saltedVariant(false))
+    time("salted_smj_2")(saltedVariant(false))
+    time("salted_shj_1")(saltedVariant(true))
+    time("salted_shj_2")(saltedVariant(true))
     time("ann_ivf")(graft.operators.LlmOps.annIvf(spark, dir).count())
     time("embed_cos")(graft.operators.LlmOps.embedCosineNeardup(spark, dir).count())
     time("knn")(graft.operators.LlmOps.similarityKnn(spark, dir).count())

@@ -1470,6 +1470,197 @@ object LlmOps {
         col("sum_chars").cast("long").as("sum_chars"))
       .orderBy("shard")
 
+  /** Memoized (vec_id, embedding, cid) k-means cell assignment off the
+    * cached spherical codebook — shared by the IVF search and SemDedup
+    * (a deployment materializes the assignment scan once per corpus
+    * snapshot alongside the codebook). */
+  private def kmeansAssign(s: SparkSession, dir: String): DataFrame =
+    Tables.memo(s, dir, "kmeansAssign") {
+      import org.apache.spark.ml.clustering.KMeans
+      import org.apache.spark.ml.functions.array_to_vector
+      DotProduct.register(s)
+      val unit = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+        .select(col("vec_id"), col("embedding"),
+          transform(col("embedding"), x => x.cast("double") / col("nrm")).as("u"))
+      val feat = unit.select(col("vec_id"), col("embedding"),
+        array_to_vector(col("u")).as("fv"))
+      val model = kmeansCache.getOrElseUpdate((System.identityHashCode(s), dir),
+        new KMeans().setK(8).setSeed(42L).setMaxIter(20)
+          .setFeaturesCol("fv").setPredictionCol("cid")
+          .fit(feat))
+      model.transform(feat).select(col("vec_id"), col("embedding"), col("cid"))
+    }
+
+  /** SEMANTIC deduplication (SemDedup — Abbas et al., 2023, arXiv
+    * 2303.09540): k-means the embedding space, then look for
+    * near-duplicates ONLY within each cluster and keep the lowest-id
+    * representative of every duplicate pair group. The clusters bound
+    * the quadratic — at corpus scale all-pairs cosine is impossible and
+    * label blocks don't exist for unlabeled crawl data; the learned
+    * cells are the blocking key that scales (the paper runs exactly this
+    * shape over LAION). Reuses the cached spherical codebook and the
+    * memoized assignment scan. Rows-only (learned codebook, like the IVF
+    * keys); LlmOpsSpec gates: every reported pair is a true cosine
+    * near-dup pair (precision 1.0), dropped rows point at a kept
+    * lower-id partner in the same cell, recall vs the brute-force pair
+    * set is measured and bounded. */
+  def semDedup(s: SparkSession, dir: String): DataFrame = {
+    DotProduct.register(s)
+    val assign = kmeansAssign(s, dir)
+      .select(col("vec_id"), col("cid"),
+        transform(col("embedding"), x => x.cast("double")).as("ed"),
+        norm(col("embedding")).as("nrm"))
+    val a = assign.select(col("vec_id").as("va"), col("cid"),
+      col("ed").as("ea"), col("nrm").as("na"))
+    val b = assign.select(col("vec_id").as("vb"), col("cid").as("cid_b"),
+      col("ed").as("eb"), col("nrm").as("nb"))
+    val pairs = a.join(b, col("cid") === col("cid_b") && col("va") < col("vb"))
+      .select(col("va"), col("vb"),
+        (dot(col("ea"), col("eb")) / (col("na") * col("nb"))).as("cos"))
+      .filter(col("cos") > 0.3)
+    val dupOf = pairs.groupBy(col("vb").as("vec_id")).agg(min(col("va")).as("dup_of"))
+    assign.select(col("vec_id"), col("cid"))
+      .join(dupOf, Seq("vec_id"), "left_outer")
+      .select(col("vec_id"), col("cid"), col("dup_of"),
+        col("dup_of").isNull.as("kept"))
+      .orderBy("vec_id")
+  }
+
+  /** BATCH KNN serving — the multi-probe generalization of
+    * `llm_similarity_knn` (one probe) and the lookup half of
+    * `llm_knn_graph` (all-pairs): a small probe SET (a query batch, a
+    * seed set for retrieval-augmented sampling) broadcast against the
+    * corpus, top-3 per probe by cosine. The probe batch rides the
+    * broadcast — the corpus scans ONCE for the whole batch instead of
+    * once per query, and the per-probe ranking is one bounded window
+    * behind the projection; swap the scan for the IVF cell semi-join and
+    * this is the production ANN serving plan. */
+  def knnBatch(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    DotProduct.register(s)
+    val emb = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("ed"),
+        norm(col("embedding")).as("nrm"))
+    val probes = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("ed").as("qe"), col("nrm").as("qn"))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id"))
+    emb.filter(col("vec_id") >= 5)
+      .crossJoin(broadcast(probes))
+      .select(col("qid"), col("vec_id"),
+        (dot(col("ed"), col("qe")) / (col("nrm") * col("qn"))).as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("qid"), col("rank").cast("long").as("rank"),
+        col("vec_id"), col("sim"))
+      .orderBy("qid", "rank")
+  }
+
+  /** WINNOWING document fingerprints (Schleimer, Wilkerson & Aiken,
+    * SIGMOD 2003 — the MOSS local fingerprinting algorithm): hash every
+    * positional 5-token shingle, slide a window of w=4 hashes, keep each
+    * window's MINIMUM — the guarantee is every shared run of ≥ w+k−1
+    * tokens between two documents shares ≥ 1 selected fingerprint, at
+    * ~2/(w+1) the density of full shingling. Entirely a per-row
+    * projection off the scan (native n-gram kernel → md5 → window-min
+    * transform) — NO shuffle until the final per-doc distinct explode;
+    * the selected-fingerprint inverted index, not the full shingle set,
+    * is what a plagiarism/near-dup pipeline stores at corpus scale.
+    * md5 hex min = lexicographic byte compare in both engines. */
+  def winnowing(s: SparkSession, dir: String): DataFrame = {
+    val k = 5; val w = 4
+    val sh = graft.expressions.NGrams.ngrams(
+      s, col("text"), k, keepDistinct = false, shortWhole = true)
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), transform(sh, g => md5(g)).as("hs"))
+      .select(col("doc_id"),
+        array_distinct(transform(
+          sequence(lit(1), greatest(lit(1), size(col("hs")) - lit(w - 1))),
+          i => array_min(slice(col("hs"), i, lit(w))))).as("fps"))
+      .select(col("doc_id"), explode(col("fps")).as("fp"))
+      .orderBy("doc_id", "fp")
+  }
+
+  /** Duplicated-SUBSTRING detection, fixed-span tier (the scalable
+    * approximation of Lee et al., ACL 2022 "Deduplicating Training Data
+    * Makes Language Models Better", which dedups exact ≥50-token
+    * substrings via a suffix array): a doc's 8-token spans are checked
+    * against an inverted span index; `dup_frac` = fraction of the doc's
+    * distinct spans appearing in ≥ 2 documents — the memorization-risk
+    * signal sequence-level dedup misses (Jaccard dilutes a short doc
+    * quoted inside a long one; a shared paragraph inside two otherwise
+    * different docs moves neither's fingerprint). Span generation is the
+    * native n-gram kernel off the scan; the index is one groupBy on the
+    * span key — the same plan a 100 TB run shards by span hash. */
+  def substringDedup(s: SparkSession, dir: String): DataFrame = {
+    val spans = graft.expressions.NGrams.ngrams(
+      s, col("text"), 8, keepDistinct = true, shortWhole = true)
+    val ex = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), explode(spans).as("span"))
+    val counts = ex.groupBy("span").agg(countDistinct(col("doc_id")).as("ndocs"))
+    ex.join(counts, "span")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("ndocs") >= 2, 1L).otherwise(0L)).as("dup_spans"))
+      .select(col("doc_id"), col("n_spans"), col("dup_spans"),
+        (col("dup_spans").cast("double") / col("n_spans")).as("dup_frac"))
+      .orderBy("doc_id")
+  }
+
+  /** Data-selection IMPORTANCE WEIGHTS (the DSIR shape — Xie et al.,
+    * NeurIPS 2023, which importance-resamples raw data toward a target
+    * domain by a hashed-n-gram LM likelihood ratio): target = the
+    * 'src0' slice, features = unigrams; a doc's weight is the ratio of
+    * its average per-token frequency under the target LM vs the corpus
+    * LM. Log-free for engine parity: both numerator and denominator stay
+    * EXACT integer sums of vocabulary counts (Σ f_tgt(t), Σ f_all(t)),
+    * normalized by each LM's total mass in one final double expression —
+    * where Σ log p would be fp-order-dependent. Vocab frame is
+    * dim-table-sized (broadcast); one shuffle, keyed by doc. */
+  def importanceWeights(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        explode(split(col("text"), " ")).as("tok"))
+    val allF = toks.groupBy("tok").agg(count(lit(1)).as("f_all"))
+    val tgtF = toks.filter(col("source") === "src0")
+      .groupBy("tok").agg(count(lit(1)).as("f_tgt"))
+    val vocab = allF.join(tgtF, Seq("tok"), "left_outer")
+      .select(col("tok"), col("f_all"), coalesce(col("f_tgt"), lit(0L)).as("f_tgt"))
+    val totals = vocab.agg(sum("f_all").as("n_all"), sum("f_tgt").as("n_tgt"))
+    toks.join(broadcast(vocab), "tok")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_toks"),
+        sum("f_tgt").as("num"), sum("f_all").as("den"))
+      .crossJoin(broadcast(totals))
+      .select(col("doc_id"), col("n_toks"),
+        ((col("num").cast("double") * col("n_all"))
+          / (col("den").cast("double") * col("n_tgt"))).as("weight"))
+      .orderBy("doc_id")
+  }
+
+  /** BPE merge statistics — the counting step of byte-pair-encoding
+    * tokenizer training (Sennrich, Haddow & Birch, ACL 2016): adjacent
+    * symbol-pair frequencies over the corpus, at the character tier
+    * (iteration 1, where every symbol is one char). The corpus-sized
+    * pass is the token count (already vocab-bounded here and in any
+    * tokenizer-training pipeline after the first word-count job); pair
+    * explosion runs on the VOCABULARY frame weighted by token frequency
+    * — the reason real BPE trainers count words first. Positional
+    * bigrams (not distinct): 'aaa' contributes 'aa' twice. */
+  def bpePairs(s: SparkSession, dir: String): DataFrame = {
+    val vocab = Tables.load(s, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("f"))
+    vocab
+      .filter(length(col("tok")) >= 2)
+      .select(col("f"), explode(transform(
+        sequence(lit(1), length(col("tok")) - 1),
+        i => col("tok").substr(i, lit(2)))).as("pair"))
+      .groupBy("pair").agg(sum(col("f")).as("occurrences"))
+      .orderBy(col("occurrences").desc, col("pair"))
+  }
+
   /** Materialize the shared memoized artifacts (cluster-label table, IVF
     * codebook + its assignment scan) so their one-time cost is not
     * attributed to whichever query happens to run first — Bench calls
@@ -1482,6 +1673,7 @@ object LlmOps {
     dedupClustersEmb(s, dir).count()
     annIvfKmeans(s, dir).count()
     annPq(s, dir).count()
+    kmeansAssign(s, dir).count()
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1536,9 +1728,94 @@ object LlmOps {
     "llm_knn_graph"          -> (knnGraph _),
     "llm_ann_pq"             -> (annPq _),
     "llm_shard_assign"       -> (shardAssign _),
+    "llm_winnowing"          -> (winnowing _),
+    "llm_substring_dedup"    -> (substringDedup _),
+    "llm_importance_weights" -> (importanceWeights _),
+    "llm_bpe_pairs"          -> (bpePairs _),
+    "llm_semdedup"           -> (semDedup _),
+    "llm_knn_batch"          -> (knnBatch _),
   )
 
   val oracle: Map[String, String] = Map(
+    "llm_knn_batch" ->
+      s"""WITH p AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
+         |sims AS (
+         |  SELECT p.qid, e.vec_id,
+         |         ${sqlDot("e.embedding", "p.qe")}
+         |         / (${sqlNorm("e.embedding")} * ${sqlNorm("p.qe")}) AS sim
+         |  FROM embeddings e CROSS JOIN p
+         |  WHERE e.vec_id >= 5),
+         |rk AS (
+         |  SELECT qid, vec_id, sim,
+         |         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
+         |  FROM sims)
+         |SELECT qid, CAST(rank AS BIGINT) AS rank, vec_id, sim
+         |FROM rk WHERE rank <= 3
+         |ORDER BY qid, rank""".stripMargin,
+
+    "llm_winnowing" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t, text FROM documents),
+        |hs AS (
+        |  SELECT doc_id,
+        |         CASE WHEN len(t) >= 5
+        |           THEN list_transform(generate_series(1, len(t) - 4),
+        |                  i -> md5(array_to_string(t[i:i+4], ' ')))
+        |           ELSE [md5(text)] END AS h
+        |  FROM toks),
+        |fps AS (
+        |  SELECT doc_id,
+        |         unnest(list_distinct(list_transform(
+        |           generate_series(1, greatest(1, len(h) - 3)),
+        |           i -> list_aggregate(h[i:i+3], 'min')))) AS fp
+        |  FROM hs)
+        |SELECT doc_id, fp FROM fps ORDER BY doc_id, fp""".stripMargin,
+
+    "llm_substring_dedup" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t, text FROM documents),
+        |sp AS (
+        |  SELECT doc_id,
+        |         unnest(CASE WHEN len(t) >= 8
+        |           THEN list_distinct(list_transform(generate_series(1, len(t) - 7),
+        |                  i -> array_to_string(t[i:i+7], ' ')))
+        |           ELSE [text] END) AS span
+        |  FROM toks),
+        |c AS (SELECT span, count(DISTINCT doc_id) AS ndocs FROM sp GROUP BY span)
+        |SELECT sp.doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+        |       CAST(sum(CASE WHEN c.ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_spans,
+        |       CAST(sum(CASE WHEN c.ndocs >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+        |         / count(*) AS dup_frac
+        |FROM sp JOIN c USING (span)
+        |GROUP BY sp.doc_id
+        |ORDER BY doc_id""".stripMargin,
+
+    "llm_importance_weights" ->
+      """WITH tk AS (
+        |  SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |fa AS (SELECT tok, count(*) AS f_all FROM tk GROUP BY tok),
+        |ft AS (SELECT tok, count(*) AS f_tgt FROM tk WHERE source = 'src0' GROUP BY tok),
+        |v AS (SELECT fa.tok, f_all, coalesce(f_tgt, 0) AS f_tgt
+        |      FROM fa LEFT JOIN ft ON fa.tok = ft.tok),
+        |tot AS (SELECT sum(f_all) AS n_all, sum(f_tgt) AS n_tgt FROM v),
+        |d AS (SELECT tk.doc_id, count(*) AS n_toks,
+        |             sum(v.f_tgt) AS num, sum(v.f_all) AS den
+        |      FROM tk JOIN v ON tk.tok = v.tok
+        |      GROUP BY tk.doc_id)
+        |SELECT doc_id, CAST(n_toks AS BIGINT) AS n_toks,
+        |       (CAST(num AS DOUBLE) * n_all) / (CAST(den AS DOUBLE) * n_tgt) AS weight
+        |FROM d, tot ORDER BY doc_id""".stripMargin,
+
+    "llm_bpe_pairs" ->
+      """WITH tk AS (
+        |  SELECT tok, count(*) AS f
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        |  GROUP BY tok),
+        |bp AS (
+        |  SELECT unnest(list_transform(generate_series(1, length(tok) - 1),
+        |           i -> substr(tok, CAST(i AS INT), 2))) AS pair, f
+        |  FROM tk WHERE length(tok) >= 2)
+        |SELECT pair, CAST(sum(f) AS BIGINT) AS occurrences
+        |FROM bp GROUP BY pair
+        |ORDER BY occurrences DESC, pair""".stripMargin,
     "llm_knn_graph" ->
       s"""WITH e AS (
          |  SELECT vec_id, label,

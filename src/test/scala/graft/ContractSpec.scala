@@ -16,7 +16,8 @@ class ContractSpec extends SparkSpec {
     assert(oracleFree == Set("rel_agg_approx", "llm_minhash_neardup", "llm_simhash",
       "fpm_fpgrowth_full", "fpm_prefixspan_full", "llm_ann_ivf_kmeans",
       "llm_simhash_neardup", "fpm_assoc_rules_full", "llm_dedup_clusters_lsh",
-      "stream_neardup", "llm_dedup_keep_best_lsh", "llm_bloom_prefilter", "llm_ann_pq"),
+      "stream_neardup", "llm_dedup_keep_best_lsh", "llm_bloom_prefilter", "llm_ann_pq",
+      "llm_semdedup"),
       s"unexpected oracle-free keys: $oracleFree")
   }
 
@@ -64,6 +65,26 @@ class ContractSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(up.contains("Expand"), s"unpivot not Expand-based:\n$up")
     assert(up.split("FileScan").length - 1 == 1, s"unpivot re-scans:\n$up")
+    // winnowing's fingerprint selection is a pure projection: the only
+    // exchange in the plan is the final presentation sort
+    val win = operators.LlmOps.winnowing(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(win.split("Exchange").length - 1 == 1,
+      s"winnowing shuffles before the explode:\n$win")
+    assert(win.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"winnowing scan not pruned:\n$win")
+    // importance weights broadcast the vocabulary LM table; the probe
+    // side never shuffles for that join
+    val iw = operators.LlmOps.importanceWeights(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(iw.contains("BroadcastHashJoin"), s"vocab LM not broadcast:\n$iw")
+    // high-utility pair mining reads exactly the three lineitem columns
+    // its utility table needs
+    val hui = operators.Mining.fpmHuiPairs(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(hui.contains(
+      "ReadSchema: struct<l_orderkey:bigint,l_partkey:bigint,l_extendedprice:double>"),
+      s"hui scan not pruned:\n$hui")
   }
 
   test("format round-trip preserves content exactly per format") {

@@ -617,4 +617,129 @@ class LlmOpsSpec extends SparkSpec {
       assert((sc > 0.0) == (pred == "en"))
     }
   }
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  private lazy val docTexts: Map[Long, String] =
+    Tables.load(spark, sf, "documents").select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+
+  test("winnowing equals a driver-side recompute and respects the window-min guarantee") {
+    val expected = docTexts.map { case (id, text) =>
+      val toks = text.split(" ", -1)
+      val shingles =
+        if (toks.length < 5) Seq(text)
+        else toks.sliding(5).map(_.mkString(" ")).toSeq
+      val hs = shingles.map(md5hex)
+      val nw = math.max(1, hs.length - 3)
+      id -> (1 to nw).map(i => hs.slice(i - 1, i - 1 + 4).min).distinct.toSet
+    }
+    val got = LlmOps.winnowing(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(got == expected)
+    // density: winnowing keeps strictly fewer fingerprints than full
+    // shingling on any doc long enough to slide a window
+    val fullCounts = docTexts.map { case (id, t) =>
+      id -> t.split(" ", -1).sliding(5).map(_.mkString(" ")).toSet.size
+    }
+    assert(expected.exists { case (id, fps) => fps.size < fullCounts(id) })
+  }
+
+  test("substring dedup equals a driver-side inverted-index recompute") {
+    val spans = docTexts.map { case (id, text) =>
+      val toks = text.split(" ", -1)
+      id -> (if (toks.length < 8) Set(text)
+             else toks.sliding(8).map(_.mkString(" ")).toSet)
+    }
+    val docsPerSpan = spans.toSeq.flatMap { case (id, ss) => ss.map(_ -> id) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct.size).toMap
+    val expected = spans.map { case (id, ss) =>
+      val dup = ss.count(docsPerSpan(_) >= 2).toLong
+      (id, ss.size.toLong, dup, dup.toDouble / ss.size)
+    }.toSet
+    val got = LlmOps.substringDedup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got == expected)
+    assert(got.exists(_._3 > 0), "no duplicated spans found at this sf")
+  }
+
+  test("importance weights equal an exact integer-ratio recompute") {
+    val docSrc: Map[Long, String] =
+      Tables.load(spark, sf, "documents").select("doc_id", "source")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val toks = docTexts.toSeq.map { case (id, t) => id -> t.split(" ", -1).toSeq }
+    val fAll = toks.flatMap(_._2).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val fTgt = toks.filter(t => docSrc(t._1) == "src0").flatMap(_._2)
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap.withDefaultValue(0L)
+    val nAll = fAll.values.sum
+    val nTgt = fTgt.values.sum
+    val expected = toks.map { case (id, ts) =>
+      val num = ts.map(fTgt(_)).sum
+      val den = ts.map(fAll(_)).sum
+      (id, ts.length.toLong, (num.toDouble * nAll) / (den.toDouble * nTgt))
+    }.toSet
+    val got = LlmOps.importanceWeights(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == expected,
+      s"spark-only: ${(got -- expected).take(3)}; gt-only: ${(expected -- got).take(3)}")
+    // target-slice docs must on average up-weight vs the corpus LM
+    val tgtIds = docSrc.collect { case (id, "src0") => id }.toSet
+    val byId = expected.map(t => t._1 -> t._3).toMap
+    val tgtMean = tgtIds.iterator.map(byId).sum / tgtIds.size
+    val restIds = docSrc.keySet -- tgtIds
+    val restMean = restIds.iterator.map(byId).sum / restIds.size
+    assert(tgtMean > restMean, s"target mean $tgtMean <= rest mean $restMean")
+  }
+
+  test("bpe pair statistics equal a driver-side frequency-weighted recompute") {
+    val vocab = docTexts.values.flatMap(_.split(" ", -1)).groupBy(identity)
+      .view.mapValues(_.size.toLong).toMap
+    val expected = vocab.toSeq.filter(_._1.length >= 2)
+      .flatMap { case (tok, f) =>
+        (0 until tok.length - 1).map(i => tok.substring(i, i + 2) -> f)
+      }
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val got = LlmOps.bpePairs(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+  }
+
+  test("semdedup: reported pairs are true near-dups in the same cell; recall vs brute force bounded") {
+    val embs = Tables.load(spark, sf, "embeddings").select("vec_id", "embedding")
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+      .toMap
+    def dot(a: Array[Float], b: Array[Float]): Double =
+      a.indices.foldLeft(0.0)((acc, i) => acc + a(i).toDouble * b(i).toDouble)
+    def cos(a: Array[Float], b: Array[Float]): Double =
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    val ids = embs.keys.toSeq.sorted
+    val bruteDropped = (for {
+      i <- ids.indices; j <- (i + 1) until ids.length
+      if cos(embs(ids(i)), embs(ids(j))) > 0.3
+    } yield ids(j)).toSet
+    val rows = LlmOps.semDedup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), Option(r.get(2)).map(_.asInstanceOf[Long]),
+        r.getBoolean(3)))
+    assert(rows.length == embs.size)
+    val cidOf = rows.map(t => t._1 -> t._2).toMap
+    val dropped = rows.filter(!_._4)
+    dropped.foreach { case (vid, cid, dupOf, _) =>
+      val d = dupOf.get
+      assert(d < vid, "survivor must be the lower id")
+      assert(cidOf(d) == cid, "dup partner must share the k-means cell")
+      assert(cos(embs(d), embs(vid)) > 0.3, "reported dup is not a true near-dup pair")
+    }
+    // kept rows carry no partner
+    assert(rows.filter(_._4).forall(_._3.isEmpty))
+    // cell blocking only ever MISSES pairs (precision 1.0): dropped ⊆ brute
+    val droppedIds = dropped.map(_._1).toSet
+    assert(droppedIds.subsetOf(bruteDropped))
+    val recall = droppedIds.size.toDouble / bruteDropped.size
+    info(s"semdedup recall vs brute force: $recall (${droppedIds.size}/${bruteDropped.size})")
+    assert(recall >= 0.5, s"recall $recall collapsed (measured 0.67 on this corpus)")
+  }
 }

@@ -250,4 +250,89 @@ class MiningSpec extends SparkSpec {
       assert(lift > 0.0)
     }
   }
+
+  // Shared driver-side ground truth for the similarity/graph keys:
+  // basket membership per item, pair co-occurrence counts, basket count.
+  private lazy val (gtItemTids, gtPairCnt, gtN) = {
+    val rows = txItems.collect().map(r => (r.getLong(0), r.getString(1)))
+    val byItem = rows.groupBy(_._2).map { case (i, xs) => i -> xs.map(_._1).toSet }
+    val pairs = rows.groupBy(_._1).values.flatMap { tx =>
+      val items = tx.map(_._2).sorted
+      for (i <- items.indices; j <- (i + 1) until items.length)
+        yield (items(i), items(j))
+    }.groupBy(identity).map { case (p, xs) => p -> xs.size.toLong }
+    (byItem, pairs, rows.map(_._1).distinct.length.toLong)
+  }
+
+  test("item jaccard equals driver-side set arithmetic exactly") {
+    val expected = gtPairCnt.flatMap { case ((a, b), c) =>
+      val (na, nb) = (gtItemTids(a).size.toLong, gtItemTids(b).size.toLong)
+      val jac = c.toDouble / (na + nb - c)
+      if (jac >= 0.08) Some((a, b, c, jac)) else None
+    }.toSet
+    val got = Mining.fpmJaccardItems(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got == expected)
+    assert(got.nonEmpty, "jaccard threshold selected nothing at this sf")
+  }
+
+  test("negative rules: exact lift/conf_neg recompute, symmetric membership, zero-pair rows live") {
+    val sup = gtItemTids.map { case (i, t) => i -> t.size.toLong }
+    val items = sup.keys.toSeq
+    val expected = (for {
+      a <- items; b <- items if a != b
+      sa = sup(a); sb = sup(b)
+      if sa >= 0.05 * gtN && sb >= 0.05 * gtN
+      c = gtPairCnt.getOrElse(if (a < b) (a, b) else (b, a), 0L)
+      lift = c.toDouble * gtN / (sa * sb)
+      if lift < 0.9
+    } yield (a, b, sa, sb, c, lift, 1.0 - c.toDouble / sa)).toSet
+    val got = Mining.fpmNegativeRules(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6))).toSet
+    assert(got == expected)
+    // lift is symmetric: a=>not-b present iff b=>not-a present
+    val dirs = got.map(t => (t._1, t._2))
+    assert(dirs.forall { case (a, b) => dirs.contains((b, a)) })
+  }
+
+  test("triangle counts equal driver-side enumeration over the frequent-pair graph") {
+    // NB: collect directly on the Map would re-key by edge source and
+    // silently collapse parallel edges — go through an iterator.
+    val edges = gtPairCnt.iterator.collect {
+      case ((a, b), c) if c >= 0.02 * gtN => (a, b)
+    }.toSet
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+    val triCnt = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    for {
+      (a, b) <- edges
+      c <- nodes if b < c && edges.contains((b, c)) && edges.contains((a, c))
+    } { triCnt(a) += 1; triCnt(b) += 1; triCnt(c) += 1 }
+    val got = Mining.fpmTriangleCount(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got == triCnt.toMap)
+    assert(got.values.sum > 0, "frequent-pair graph has no triangles at this sf")
+  }
+
+  test("high-utility pairs equal a driver-side exact-decimal recompute") {
+    val li = Tables.load(spark, sf, "lineitem").select("l_orderkey", "l_partkey", "l_extendedprice")
+      .collect().map(r => (r.getLong(0), r.getLong(1), BigDecimal(r.getDouble(2)).setScale(2, BigDecimal.RoundingMode.HALF_UP)))
+    val brand = Tables.load(spark, sf, "part").select("p_partkey", "p_brand")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val util = li.groupBy(x => (x._1, brand(x._2)))
+      .map { case (k, xs) => k -> xs.map(_._3).sum }
+    val total = util.values.sum.toDouble
+    val pairUtil = util.groupBy(_._1._1).values.flatMap { tx =>
+      val items = tx.map { case ((_, item), u) => (item, u) }.toSeq.sortBy(_._1)
+      for (i <- items.indices; j <- (i + 1) until items.length)
+        yield ((items(i)._1, items(j)._1), items(i)._2 + items(j)._2)
+    }.groupBy(_._1).map { case (p, xs) => (p, xs.map(_._2).sum, xs.size.toLong) }
+    val expected = pairUtil.collect {
+      case ((a, b), u, f) if u.toDouble >= 0.012 * total => (s"$a,$b", f, u.toDouble)
+    }.toSet
+    val got = Mining.fpmHuiPairs(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == expected)
+    assert(got.nonEmpty, "utility threshold selected nothing at this sf")
+  }
 }

@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.Relational
+import org.apache.spark.sql.functions.{col, expr}
 
 /** Physical-plan assertions (SURVEY.md §4.2): the declarative queries must
   * actually produce the scale-correct plans — pushdown reaching parquet,
@@ -238,5 +239,42 @@ class RelationalSpec extends SparkSpec {
     val ex = byTag.getOrElse("except", Set.empty)
     val in = byTag.getOrElse("intersect", Set.empty)
     assert(ex.intersect(in).isEmpty && (ex.nonEmpty || in.nonEmpty))
+  }
+
+  test("first/last/nth windows equal a driver-side per-customer sort") {
+    val orders = Tables.load(spark, sf, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        expr("unix_micros(CAST(o_orderdate AS TIMESTAMP))").as("od"), col("o_totalprice"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val byCust = orders.groupBy(_._1).view.mapValues(_.sortBy(t => (t._3, t._2)).toIndexedSeq)
+    val got = Relational.relWindowFirstLast(spark, sf).collect()
+    assert(got.length == orders.length)
+    got.foreach { r =>
+      val hist = byCust(r.getLong(0))
+      assert(r.getDouble(3) == hist.head._4, "first_price")
+      assert(r.getDouble(4) == hist.last._4, "last_price")
+      val second = if (hist.length >= 2) Some(hist(1)._4) else None
+      assert(Option(r.get(5)).map(_.asInstanceOf[Double]) == second, "second_price")
+    }
+  }
+
+  test("decimal-moment correlation matches a naive double corr to 1e-9 and stays in [-1,1]") {
+    val li = Tables.load(spark, sf, "lineitem")
+      .select("l_returnflag", "l_quantity", "l_extendedprice")
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    val got = Relational.relAggCorr(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    li.groupBy(_._1).foreach { case (rf, xs) =>
+      val n = xs.length.toDouble
+      val (sx, sy) = (xs.map(_._2).sum, xs.map(_._3).sum)
+      val sxy = xs.map(t => t._2 * t._3).sum
+      val (sxx, syy) = (xs.map(t => t._2 * t._2).sum, xs.map(t => t._3 * t._3).sum)
+      val naive = (n * sxy - sx * sy) /
+        (math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy))
+      val c = got(rf)
+      assert(c >= -1.0 && c <= 1.0)
+      assert(math.abs(c - naive) < 1e-9, s"$rf: $c vs naive $naive")
+    }
   }
 }
