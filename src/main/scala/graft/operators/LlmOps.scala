@@ -1572,13 +1572,20 @@ object LlmOps {
     val k = 5; val w = 4
     val sh = graft.expressions.NGrams.ngrams(
       s, col("text"), k, keepDistinct = false, shortWhole = true)
+    // The window positions are exploded BEFORE the per-window min so the
+    // md5 hash array materializes once per document: with both stages in
+    // one projection chain, CollapseProject inlines the hash-array alias
+    // into every window's slice and the row recomputes all ~|tokens|
+    // md5s per window — O(windows · tokens) hashes/row, measured 30 s at
+    // sf0.1 vs 0.5 s for this shape (a Generate is a collapse barrier,
+    // its child projection evaluates exactly once per input row).
     Tables.load(s, dir, "documents")
       .select(col("doc_id"), transform(sh, g => md5(g)).as("hs"))
-      .select(col("doc_id"),
-        array_distinct(transform(
-          sequence(lit(1), greatest(lit(1), size(col("hs")) - lit(w - 1))),
-          i => array_min(slice(col("hs"), i, lit(w))))).as("fps"))
-      .select(col("doc_id"), explode(col("fps")).as("fp"))
+      .select(col("doc_id"), col("hs"),
+        explode(sequence(lit(1), greatest(lit(1), size(col("hs")) - lit(w - 1))))
+          .as("i"))
+      .select(col("doc_id"), array_min(slice(col("hs"), col("i"), lit(w))).as("fp"))
+      .distinct()
       .orderBy("doc_id", "fp")
   }
 

@@ -65,12 +65,16 @@ class ContractSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(up.contains("Expand"), s"unpivot not Expand-based:\n$up")
     assert(up.split("FileScan").length - 1 == 1, s"unpivot re-scans:\n$up")
-    // winnowing's fingerprint selection is a pure projection: the only
-    // exchange in the plan is the final presentation sort
+    // winnowing's fingerprint selection is projection + generate off the
+    // scan: the only exchanges are the per-doc distinct and the final
+    // presentation sort — nothing shuffles before the explode, and the
+    // hash array materializes once per document (Generate barrier)
     val win = operators.LlmOps.winnowing(spark, sf)
       .queryExecution.executedPlan.toString
-    assert(win.split("Exchange").length - 1 == 1,
-      s"winnowing shuffles before the explode:\n$win")
+    assert(win.split("Exchange").length - 1 <= 2,
+      s"winnowing has extra shuffles:\n$win")
+    assert(win.contains("Generate explode"),
+      s"winnowing window positions not exploded (projection-collapse risk):\n$win")
     assert(win.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
       s"winnowing scan not pruned:\n$win")
     // importance weights broadcast the vocabulary LM table; the probe
