@@ -1527,6 +1527,41 @@ object LlmOps {
       .orderBy("vec_id")
   }
 
+  /** GOPHER-style rule-based quality filtering (Rae et al., 2021, arXiv
+    * 2112.11446 §A1.1): the hard-threshold document filters a pipeline
+    * runs BEFORE any model-based scoring — word-count bounds, mean-word-
+    * length bounds, minimum stopword evidence, distinct-token ratio —
+    * with every rule's verdict surfaced as its own flag so downstream
+    * can audit WHY a document dropped (the paper reports per-rule
+    * removal rates; that requires per-rule flags, not one boolean).
+    * Pure per-row projection (HOF folds off the scan, no shuffle);
+    * thresholds adapted to this corpus so every rule discriminates
+    * (word count p10 ≈ 21, mean token length 3.7–5.3, stopword hits
+    * p20 = 1, distinct ratio 0.28–1.0 — measured at sf0.01). */
+  def gopherRules(s: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val nWords = size(toks)
+    val meanLen = aggregate(
+      transform(toks, t => length(t).cast("long")), lit(0L), (a, x) => a + x)
+      .cast("double") / nWords
+    val stops = size(filter(toks, t => t === "a" || t === "the"))
+    val dratio = size(array_distinct(toks)).cast("double") / nWords
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        nWords.cast("long").as("n_words"),
+        meanLen.as("mean_word_len"),
+        stops.cast("long").as("stop_hits"),
+        dratio.as("distinct_ratio"))
+      .withColumn("ok_words", col("n_words") >= 20)
+      .withColumn("ok_mean_len",
+        col("mean_word_len") >= 3.0 && col("mean_word_len") < 5.0)
+      .withColumn("ok_stops", col("stop_hits") >= 2)
+      .withColumn("ok_distinct", col("distinct_ratio") > 0.3)
+      .withColumn("keep", col("ok_words") && col("ok_mean_len")
+        && col("ok_stops") && col("ok_distinct"))
+      .orderBy("doc_id")
+  }
+
   /** BATCH KNN serving — the multi-probe generalization of
     * `llm_similarity_knn` (one probe) and the lookup half of
     * `llm_knn_graph` (all-pairs): a small probe SET (a query batch, a
@@ -1741,9 +1776,29 @@ object LlmOps {
     "llm_bpe_pairs"          -> (bpePairs _),
     "llm_semdedup"           -> (semDedup _),
     "llm_knn_batch"          -> (knnBatch _),
+    "llm_gopher_rules"       -> (gopherRules _),
   )
 
   val oracle: Map[String, String] = Map(
+    "llm_gopher_rules" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |m AS (SELECT doc_id,
+        |        CAST(len(tk) AS BIGINT) AS n_words,
+        |        CAST(list_aggregate(list_transform(tk, x -> length(x)), 'sum')
+        |          AS DOUBLE) / len(tk) AS mean_word_len,
+        |        CAST(len(list_filter(tk, x -> x = 'a' OR x = 'the')) AS BIGINT)
+        |          AS stop_hits,
+        |        CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk) AS distinct_ratio
+        |      FROM t)
+        |SELECT doc_id, n_words, mean_word_len, stop_hits, distinct_ratio,
+        |       n_words >= 20 AS ok_words,
+        |       mean_word_len >= 3.0 AND mean_word_len < 5.0 AS ok_mean_len,
+        |       stop_hits >= 2 AS ok_stops,
+        |       distinct_ratio > 0.3 AS ok_distinct,
+        |       (n_words >= 20 AND mean_word_len >= 3.0 AND mean_word_len < 5.0
+        |        AND stop_hits >= 2 AND distinct_ratio > 0.3) AS keep
+        |FROM m ORDER BY doc_id""".stripMargin,
+
     "llm_knn_batch" ->
       s"""WITH p AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
          |sims AS (

@@ -276,6 +276,22 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  /** MULTIPLE DISTINCT aggregates in one statement — the plan shape
+    * matters: Catalyst rewrites n distinct aggregates over one input
+    * into ONE Expand (each row replicated per distinct group, tagged)
+    * feeding a two-phase hash aggregate, instead of n self-joined
+    * single-distinct scans. At fact-table scale that is one shuffle of
+    * n× projected rows vs n full scans + n shuffles + n−1 joins. */
+  def relAggMultidistinct(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        countDistinct(col("l_partkey")).as("d_parts"),
+        countDistinct(col("l_suppkey")).as("d_supps"),
+        count(lit(1)).as("n_rows"),
+        sum(dec("l_quantity")).cast("double").as("sum_qty"))
+      .orderBy("l_returnflag")
+
   /** Gap-based sessionization — the batch analogue of the streaming
     * session windows: a new session starts when a user's inter-event gap
     * exceeds 30 minutes (lag + running conditional sum), then sessions
@@ -860,6 +876,7 @@ object Relational {
     "rel_window_percent" -> (relWindowPercent _),
     "rel_window_firstlast" -> (relWindowFirstLast _),
     "rel_agg_corr"       -> (relAggCorr _),
+    "rel_agg_multidistinct" -> (relAggMultidistinct _),
     "rel_sessionize"     -> (relSessionize _),
     "rel_ewma"           -> (relEwma _),
     "rel_gap_fill"       -> (relGapFill _),
@@ -879,6 +896,16 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "rel_agg_multidistinct" ->
+      """SELECT l_returnflag,
+        |       CAST(count(DISTINCT l_partkey) AS BIGINT) AS d_parts,
+        |       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS d_supps,
+        |       CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
     "rel_window_firstlast" ->
       """SELECT o_custkey, o_orderkey, o_totalprice,
         |       first_value(o_totalprice) OVER (

@@ -18,6 +18,12 @@ case class NearDup(doc_id: Long, band: Int, dup_of: Long)
 case class EwmaEvent(ts: java.sql.Timestamp, user_id: Long, event_id: Long, value: Double)
 case class EwmaOut(user_id: Long, event_id: Long, ewma: Double)
 
+/** Row/state shapes for the streaming CDC-apply operator. */
+case class CdcEvent(ts: java.sql.Timestamp, user_id: Long, event_id: Long,
+    event_type: String, value: Double)
+case class CdcState(ts_us: Long, event_id: Long, op: String, value: Double)
+case class CdcOut(user_id: Long, last_event_id: Long, last_op: String, cur_value: Double)
+
 /** §E — streaming surface (SURVEY.md §2.1.E).
   *
   * Each operator exists twice:
@@ -369,7 +375,50 @@ object Streaming {
     ewmaStream(Tables.load(s, dir, "events"))
       .orderBy("user_id", "event_id")
 
+  /** Streaming CDC APPLY — materialize current state from a change
+    * STREAM: per-key latest-wins in (ts, event_id) order, 'error'
+    * events as tombstones; the incremental form of
+    * [[graft.operators.Relational.relCdcApply]] (which re-ranks the
+    * whole log each run). State per key is ONE (ts, event_id, op,
+    * value) tuple regardless of stream length — the CDC state a table
+    * format's continuous MERGE maintains. Each batch that touches a key
+    * re-emits that key's current row (update-style emission through the
+    * append-mode API; the spec's sink keeps the last emission per key);
+    * a tombstoned key emits nothing, and the tombstone STAYS in state so
+    * a late out-of-order pre-tombstone change cannot resurrect the key. */
+  def cdcApplyStream(events: DataFrame): DataFrame = {
+    val sp = events.sparkSession
+    import sp.implicits._
+    def micros(t: java.sql.Timestamp): Long =
+      math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+    events.select(col("ts"), col("user_id"), col("event_id"),
+        col("event_type"), col("value"))
+      .as[CdcEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (uid: Long, it: Iterator[CdcEvent], state: GroupState[CdcState]) => {
+          var cur = state.getOption.orNull
+          it.foreach { e =>
+            val tu = micros(e.ts)
+            if (cur == null || tu > cur.ts_us
+                || (tu == cur.ts_us && e.event_id > cur.event_id))
+              cur = CdcState(tu, e.event_id, e.event_type, e.value)
+          }
+          state.update(cur)
+          if (cur.op == "error") Iterator.empty
+          else Iterator.single(CdcOut(uid, cur.event_id, cur.op, cur.value))
+        })
+      .toDF()
+  }
+
+  /** Declared batch run of [[cdcApplyStream]] — equals the window-rank
+    * formulation `rel_cdc_apply` row for row (same oracle text). */
+  def streamCdcApply(s: SparkSession, dir: String): DataFrame =
+    cdcApplyStream(Tables.load(s, dir, "events"))
+      .orderBy("user_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_cdc_apply"     -> (streamCdcApply _),
     "stream_ewma"          -> (streamEwma _),
     "stream_window_topk"   -> (streamWindowTopk _),
     "stream_neardup"        -> (streamNeardup _),
@@ -383,6 +432,16 @@ object Streaming {
   )
 
   val oracle: Map[String, String] = Map(
+    "stream_cdc_apply" ->
+      """SELECT user_id, event_id AS last_event_id,
+        |       event_type AS last_op, value AS cur_value
+        |FROM (SELECT user_id, event_id, event_type, value,
+        |             row_number() OVER (PARTITION BY user_id
+        |                                ORDER BY ts DESC, event_id DESC) AS rn
+        |      FROM events) t
+        |WHERE rn = 1 AND event_type <> 'error'
+        |ORDER BY user_id""".stripMargin,
+
     "stream_ewma" ->
       """WITH pre AS (
         |  SELECT user_id, event_id,

@@ -89,6 +89,12 @@ class ContractSpec extends SparkSpec {
     assert(hui.contains(
       "ReadSchema: struct<l_orderkey:bigint,l_partkey:bigint,l_extendedprice:double>"),
       s"hui scan not pruned:\n$hui")
+    // two distinct aggregates over one input plan as one Expand feeding
+    // a shared aggregate, not as self-joined single-distinct scans
+    val md = operators.Relational.relAggMultidistinct(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(md.contains("Expand"), s"multi-distinct not Expand-planned:\n$md")
+    assert(md.split("FileScan").length - 1 == 1, s"multi-distinct re-scans:\n$md")
   }
 
   test("format round-trip preserves content exactly per format") {

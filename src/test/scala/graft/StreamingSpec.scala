@@ -361,4 +361,43 @@ class StreamingSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(sigs.toSet == fused)
   }
+
+  test("streaming CDC apply: latest-wins state across batches, tombstones hold against late changes") {
+    val sp = spark
+    import sp.implicits._
+    implicit val ctx = sp.sqlContext
+    val batch1 = Seq(
+      Ev(t("2024-01-01 10:00:00"), 1, "click", 1.0, 1),
+      Ev(t("2024-01-01 10:05:00"), 1, "view", 2.0, 2),  // user 1 current
+      Ev(t("2024-01-01 10:00:00"), 2, "click", 3.0, 3),
+      Ev(t("2024-01-01 10:00:00"), 3, "view", 4.0, 4))
+    val batch2 = Seq(
+      Ev(t("2024-01-01 10:10:00"), 2, "error", 0.0, 5), // tombstones user 2
+      Ev(t("2024-01-01 09:55:00"), 1, "purchase", 9.0, 6)) // LATE: older than user 1's state — must not win
+    val batch3 = Seq(
+      Ev(t("2024-01-01 10:01:00"), 2, "view", 7.0, 7))  // LATE pre-tombstone change — must not resurrect user 2
+    val ms = MemoryStream[Ev]
+    val q = Streaming.cdcApplyStream(ms.toDF())
+      .writeStream.outputMode("append").format("memory").queryName("cdc").start()
+    try {
+      ms.addData(batch1); q.processAllAvailable()
+      ms.addData(batch2); q.processAllAvailable()
+      ms.addData(batch3); q.processAllAvailable()
+    } finally q.stop()
+    // update-style emission: the sink's LAST row per key is the key's
+    // current state; keys whose final emission window ended tombstoned
+    // simply stop appearing after the tombstone batch
+    val perBatch = spark.table("cdc").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+    // user 1: batch1 emitted (1,2,view,2.0); batch2's late event re-emitted
+    // the UNCHANGED current row; user 2: batch1 emitted, batch2/3 nothing
+    assert(perBatch.count(_._1 == 1L) == 2)
+    assert(perBatch.filter(_._1 == 1L).toSet == Set((1L, 2L, "view", 2.0)))
+    assert(perBatch.filter(_._1 == 2L) sameElements Array((2L, 3L, "click", 3.0)))
+    // batch run over the concatenated log equals the window-rank batch key
+    val all = batch1 ++ batch2 ++ batch3
+    val streamedFinal = Streaming.cdcApplyStream(all.toDF()).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3))).toSet
+    assert(streamedFinal == Set((1L, 2L, "view", 2.0), (3L, 4L, "view", 4.0)))
+  }
 }
