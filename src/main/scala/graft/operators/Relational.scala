@@ -292,6 +292,28 @@ object Relational {
         sum(dec("l_quantity")).cast("double").as("sum_qty"))
       .orderBy("l_returnflag")
 
+  /** INCREMENTAL AGGREGATE MAINTENANCE — the materialized-view refresh
+    * shape: an existing aggregate (the view) merges with the aggregate
+    * of a newly ingested delta batch, and the merge equals re-aggregating
+    * from scratch because count and exact-decimal sum are ASSOCIATIVE
+    * partial aggregates (the same property Spark's own partial+final
+    * hash aggregation relies on — this key states it at the view level,
+    * where a 100 TB pipeline refreshes a rollup from a day's delta
+    * instead of rescanning the fact table). The oracle IS the
+    * from-scratch aggregation: any merge error breaks the hash. */
+  def relIncrementalAgg(s: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.load(s, dir, "orders")
+    def agg(df: DataFrame) = df.groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("cnt"), sum(dec("o_totalprice")).as("rev"))
+    val view = agg(orders.filter(col("o_orderkey") % 10 =!= 0))
+    val delta = agg(orders.filter(col("o_orderkey") % 10 === 0))
+    view.unionByName(delta)
+      .groupBy("o_orderpriority")
+      .agg(sum(col("cnt")).as("order_cnt"),
+        sum(col("rev")).cast("double").as("revenue"))
+      .orderBy("o_orderpriority")
+  }
+
   /** Gap-based sessionization — the batch analogue of the streaming
     * session windows: a new session starts when a user's inter-event gap
     * exceeds 30 minutes (lag + running conditional sum), then sessions
@@ -877,6 +899,7 @@ object Relational {
     "rel_window_firstlast" -> (relWindowFirstLast _),
     "rel_agg_corr"       -> (relAggCorr _),
     "rel_agg_multidistinct" -> (relAggMultidistinct _),
+    "rel_incremental_agg" -> (relIncrementalAgg _),
     "rel_sessionize"     -> (relSessionize _),
     "rel_ewma"           -> (relEwma _),
     "rel_gap_fill"       -> (relGapFill _),
@@ -896,6 +919,14 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "rel_incremental_agg" ->
+      """SELECT o_orderpriority,
+        |       CAST(count(*) AS BIGINT) AS order_cnt,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
     "rel_agg_multidistinct" ->
       """SELECT l_returnflag,
         |       CAST(count(DISTINCT l_partkey) AS BIGINT) AS d_parts,
