@@ -1149,20 +1149,39 @@ object LlmOps {
     * blocking bound is what matters at scale (same shape as
     * `llm_ngram_jaccard`, O(block²) never O(corpus²)). Levenshtein is
     * unit-cost edit distance in both engines — identical integers. */
-  def fuzzyEditdist(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables.load(s, dir, "documents")
+  def fuzzyEditdist(s: SparkSession, dir: String): DataFrame =
+    fuzzyEditdistCapped(s, dir, 1024)
+
+  /** Capped form: blocks larger than `blockCap` are dropped entirely —
+    * the SAME policy (and the same broadcast-semi-join shape) as
+    * [[ngramJaccardCapped]] and the MinHash bucket cap, because one hot
+    * (lang, n_chars) cell (en × a common length) must not go O(n²) at
+    * corpus scale. The default cap is a proven no-op at test SFs (max
+    * block = 11 rows at sf0.1, measured), so the hash oracle is
+    * unchanged; LlmOpsSpec proves the cap path is live by shrinking it.
+    * `levenshtein` is computed ONCE per pair in a projected column and
+    * both outputs derive from it (not two evaluations of the O(|ta|·|tb|)
+    * kernel racing Catalyst CSE). */
+  def fuzzyEditdistCapped(s: SparkSession, dir: String, blockCap: Int): DataFrame = {
+    val d0 = Tables.load(s, dir, "documents")
       .select("doc_id", "lang", "n_chars", "text")
+    val smallBlocks = d0.groupBy("lang", "n_chars")
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") <= blockCap)
+      .select("lang", "n_chars")
+    val d = d0.join(broadcast(smallBlocks), Seq("lang", "n_chars"), "left_semi")
     val a = d.select(col("doc_id").as("doc_a"), col("lang"),
       col("n_chars"), col("text").as("ta"))
     val b = d.select(col("doc_id").as("doc_b"), col("lang").as("lang_b"),
       col("n_chars").as("nc_b"), col("text").as("tb"))
     a.join(b, col("lang") === col("lang_b") && col("n_chars") === col("nc_b")
         && col("doc_a") < col("doc_b"))
-      .select(
-        col("doc_a"), col("doc_b"),
+      .select(col("doc_a"), col("doc_b"),
         levenshtein(col("ta"), col("tb")).cast("long").as("edit_dist"),
-        (lit(1.0) - levenshtein(col("ta"), col("tb")).cast("double")
-          / greatest(length(col("ta")), length(col("tb"))).cast("double")).as("sim"))
+        greatest(length(col("ta")), length(col("tb"))).cast("double").as("mx"))
+      .select(
+        col("doc_a"), col("doc_b"), col("edit_dist"),
+        (lit(1.0) - col("edit_dist").cast("double") / col("mx")).as("sim"))
       .orderBy("doc_a", "doc_b")
   }
 
@@ -1236,15 +1255,39 @@ object LlmOps {
     * at a 1% fpp) need the exact anti-join; a Bloom NEGATIVE is
     * definitive, so unflagged docs ship straight to the corpus.
     *
+    * SHARDED: fingerprints are partitioned by a deterministic hash into
+    * P independent blooms built in ONE corpus pass (per-partition
+    * partials, merged by bitset OR in a treeAggregate — the same
+    * execution shape `stat.bloomFilter` uses for a single sketch), so
+    * no single bitset's capacity has to grow with the corpus: at 10⁹
+    * fingerprints you raise P, not the size of one 1.2 GB monolith, and
+    * each executor probe touches exactly one fixed-size shard. A
+    * membership query hits only blooms(shard(fp)) — zero-FN is
+    * preserved per shard because shard(fp) is a pure function of fp.
+    *
     * Bloom bitsets are deterministic (bits OR in, insertion-order
     * independent; fixed size/fpp) but not SQL-enumerable → rows-only;
-    * LlmOpsSpec gates zero false negatives and the false-positive
+    * LlmOpsSpec gates zero false negatives (at more than one shard
+    * count — the property must not depend on P) and the false-positive
     * bound. */
-  def bloomPrefilter(s: SparkSession, dir: String): DataFrame = {
+  def bloomPrefilter(s: SparkSession, dir: String): DataFrame =
+    bloomPrefilterSharded(s, dir, 8)
+
+  /** String.hashCode is specified by the JLS — the shard of a
+    * fingerprint is identical on every JVM, executor, and round. */
+  private def bloomShard(fp: String, p: Int): Int = Math.floorMod(fp.hashCode, p)
+
+  def bloomPrefilterSharded(s: SparkSession, dir: String, numShards: Int): DataFrame = {
+    import org.apache.spark.util.sketch.BloomFilter
+    val perShardCapacity = math.max(1L, 4096L / numShards)
     val existing = Tables.load(s, dir, "documents")
       .filter(col("source") === "src0").select(fpCol.as("fp"))
-    val bloom = existing.stat.bloomFilter("fp", 4096L, 0.01)
-    val mightContain = udf((fp: String) => bloom.mightContain(fp))
+    val blooms = existing.rdd.map(_.getString(0)).treeAggregate(
+      Array.fill(numShards)(BloomFilter.create(perShardCapacity, 0.01)))(
+      (acc, fp) => { acc(bloomShard(fp, numShards)).putString(fp); acc },
+      (a, b) => { a.indices.foreach(i => a(i).mergeInPlace(b(i))); a })
+    val mightContain = udf((fp: String) =>
+      blooms(bloomShard(fp, blooms.length)).mightContain(fp))
     Tables.load(s, dir, "documents")
       .filter(col("source") =!= "src0")
       .select(col("doc_id"), fpCol.as("fp"))
@@ -1300,10 +1343,27 @@ object LlmOps {
     * window keeps k=3. At scale the block cap bounds the per-label
     * O(n²); an IVF-assignment block swap (cells for labels) is the
     * same plan. */
-  def knnGraph(s: SparkSession, dir: String): DataFrame = {
+  def knnGraph(s: SparkSession, dir: String): DataFrame =
+    knnGraphCapped(s, dir, 1024)
+
+  /** Capped form: each label block is truncated to its `blockCap`
+    * lowest-vec_id members (one row_number window per label) BEFORE the
+    * pair join, so per-label work is O(cap²) never O(block²). Unlike
+    * the dedup caps this keeps a deterministic SUBSET of a hot block
+    * rather than dropping it — a knn graph over a truncated block is
+    * still a knn graph (every survivor gets its k neighbors from the
+    * capped pool); dropping the block would orphan every vector in it.
+    * Default cap is a no-op at test SFs (max label block = 218 rows at
+    * sf0.1, measured) so the hash oracle is unchanged; LlmOpsSpec
+    * shrinks the cap and asserts survivors still get exactly k
+    * neighbors. */
+  def knnGraphCapped(s: SparkSession, dir: String, blockCap: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     DotProduct.register(s)
+    val capW = Window.partitionBy("label").orderBy("vec_id")
     val emb = Tables.load(s, dir, "embeddings")
+      .withColumn("brank", row_number().over(capW))
+      .filter(col("brank") <= blockCap)
       .select(col("vec_id"), col("label"),
         transform(col("embedding"), x => x.cast("double")).as("ed"),
         norm(col("embedding")).as("nrm"))
@@ -1500,11 +1560,20 @@ object LlmOps {
     * label blocks don't exist for unlabeled crawl data; the learned
     * cells are the blocking key that scales (the paper runs exactly this
     * shape over LAION). Reuses the cached spherical codebook and the
-    * memoized assignment scan. Rows-only (learned codebook, like the IVF
-    * keys); LlmOpsSpec gates: every reported pair is a true cosine
-    * near-dup pair (precision 1.0), dropped rows point at a kept
-    * lower-id partner in the same cell, recall vs the brute-force pair
-    * set is measured and bounded. */
+    * memoized assignment scan. `dup_of` is resolved to the CONNECTED-
+    * COMPONENT representative of the within-cell near-dup graph (min
+    * vec_id of the component, via the same min-label propagation the
+    * dedup-cluster keys use) — a naive min-over-my-pairs pointer can
+    * land on a row that is itself dropped in a non-transitive chain
+    * (pairs a-b, b-c without a-c leave c pointing at dropped b), and a
+    * survivor table whose dup_of targets are themselves dropped is
+    * useless to a consumer. Every dropped row therefore points at a
+    * KEPT row in the same cell (the representative has no lower-id
+    * partner, so it is never dropped). Rows-only (learned codebook,
+    * like the IVF keys); LlmOpsSpec gates: every reported pair is a
+    * true cosine near-dup pair (precision 1.0), dropped rows point at
+    * a kept lower-id representative in the same cell, recall vs the
+    * brute-force pair set is measured and bounded. */
   def semDedup(s: SparkSession, dir: String): DataFrame = {
     DotProduct.register(s)
     val assign = kmeansAssign(s, dir)
@@ -1519,11 +1588,25 @@ object LlmOps {
       .select(col("va"), col("vb"),
         (dot(col("ea"), col("eb")) / (col("na") * col("nb"))).as("cos"))
       .filter(col("cos") > 0.3)
-    val dupOf = pairs.groupBy(col("vb").as("vec_id")).agg(min(col("va")).as("dup_of"))
+    // dropped = has a DIRECT lower-id near-dup partner (unchanged rule);
+    // dup_of = that row's connected-COMPONENT representative (min vec_id
+    // of the component, ≤ every direct partner, itself never dropped).
+    // Cells bound the components (edges never cross cells), so the
+    // propagation is the in-cell iterate/min-reduce, not corpus-wide.
+    // Memoized like the doc-side cluster labels — one propagation per
+    // corpus snapshot.
+    val hasLower = pairs.select(col("vb").as("vec_id")).distinct()
+      .withColumn("is_dup", lit(true))
+    val comp = Tables.memo(s, dir, "semdedupComp") {
+      labelPropagate(
+        pairs.select(col("va").as("doc_a"), col("vb").as("doc_b")))
+    }.select(col("doc_id").as("vec_id"), col("cluster_id").as("rep"))
     assign.select(col("vec_id"), col("cid"))
-      .join(dupOf, Seq("vec_id"), "left_outer")
-      .select(col("vec_id"), col("cid"), col("dup_of"),
-        col("dup_of").isNull.as("kept"))
+      .join(hasLower, Seq("vec_id"), "left_outer")
+      .join(comp, Seq("vec_id"), "left_outer")
+      .select(col("vec_id"), col("cid"),
+        when(col("is_dup"), col("rep")).as("dup_of"))
+      .withColumn("kept", col("dup_of").isNull)
       .orderBy("vec_id")
   }
 

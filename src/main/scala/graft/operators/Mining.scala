@@ -627,17 +627,35 @@ object Mining {
 
   /** TRIANGLE COUNT over the co-occurrence graph (nodes = items, edges =
     * frequent pairs): per-node triangle participation. The oriented-edge
-    * formulation — every edge stored once as a<b, a wedge a<b<c closes
-    * iff (a,c) is also an edge — is the standard distributed algorithm
-    * (Suri & Vassilvitskii, WWW 2011): two equi-joins shuffling on the
-    * wedge endpoints, each triangle found exactly once. The edge frame is
-    * vocabulary-bounded here; at web-graph scale the identical plan
-    * shuffles on edge keys and degree-orienting bounds wedge fan-out. */
+    * formulation — every edge stored once, wedges close iff the third
+    * edge exists — is the standard distributed algorithm (Suri &
+    * Vassilvitskii, WWW 2011), two equi-joins shuffling on the wedge
+    * endpoints, each triangle found exactly once. Edges are oriented by
+    * (DEGREE, id), not lexicographically: every edge points from its
+    * lower-(degree,id) endpoint to the higher one, so a hub's wedges are
+    * enumerated at its LOW-degree neighbors and per-node wedge fan-out is
+    * O(arboricity·√m) instead of O(max-degree²) — invisible on this
+    * vocabulary-bounded graph, decisive on a skewed web graph. The
+    * orientation is a bijection on triangles (any total order is), so
+    * per-item counts — and the lexicographic DuckDB oracle — are
+    * unchanged; MiningSpec pins equality against the a<b formulation. */
   def fpmTriangleCount(s: SparkSession, dir: String): DataFrame = {
-    val e = pairSupports(s, dir)
+    val und = pairSupports(s, dir)
       .crossJoin(broadcast(basketCount(s, dir)))
       .filter(col("freq") >= col("n") * MinSupPairs)
       .select(col("ia").as("x"), col("ib").as("y"))
+    // degree of each node in the undirected frequent-pair graph
+    val deg = und.select(col("x").as("item"))
+      .unionByName(und.select(col("y").as("item")))
+      .groupBy("item").agg(count(lit(1)).as("deg"))
+    val withDeg = und
+      .join(deg.select(col("item").as("x"), col("deg").as("dx")), "x")
+      .join(deg.select(col("item").as("y"), col("deg").as("dy")), "y")
+    val e = withDeg.select(
+        when(col("dx") < col("dy") || (col("dx") === col("dy") && col("x") < col("y")),
+          struct(col("x").as("s"), col("y").as("t")))
+          .otherwise(struct(col("y").as("s"), col("x").as("t"))).as("o"))
+      .select(col("o.s").as("x"), col("o.t").as("y"))
     val tri = e.as("ab")
       .join(e.as("bc"), col("ab.y") === col("bc.x"))
       .join(e.as("ac"), col("ab.x") === col("ac.x") && col("bc.y") === col("ac.y"))

@@ -383,9 +383,13 @@ object Streaming {
     * value) tuple regardless of stream length — the CDC state a table
     * format's continuous MERGE maintains. Each batch that touches a key
     * re-emits that key's current row (update-style emission through the
-    * append-mode API; the spec's sink keeps the last emission per key);
-    * a tombstoned key emits nothing, and the tombstone STAYS in state so
-    * a late out-of-order pre-tombstone change cannot resurrect the key. */
+    * append-mode API; the sink contract is last-emission-per-key =
+    * current state). A tombstoned key EMITS ITS TOMBSTONE (a marker row
+    * with last_op='error') — suppressing emission would leave the
+    * sink's last row for the key its stale pre-delete state, so the
+    * delete would never propagate downstream; consumers drop keys whose
+    * last row is the marker. The tombstone also STAYS in state so a
+    * late out-of-order pre-tombstone change cannot resurrect the key. */
   def cdcApplyStream(events: DataFrame): DataFrame = {
     val sp = events.sparkSession
     import sp.implicits._
@@ -405,14 +409,17 @@ object Streaming {
               cur = CdcState(tu, e.event_id, e.event_type, e.value)
           }
           state.update(cur)
-          if (cur.op == "error") Iterator.empty
-          else Iterator.single(CdcOut(uid, cur.event_id, cur.op, cur.value))
+          Iterator.single(CdcOut(uid, cur.event_id, cur.op, cur.value))
         })
       .toDF()
   }
 
-  /** Declared batch run of [[cdcApplyStream]] — equals the window-rank
-    * formulation `rel_cdc_apply` row for row (same oracle text). */
+  /** Declared batch run of [[cdcApplyStream]] — the window-rank
+    * latest-event-per-key materialization INCLUDING tombstone marker
+    * rows (last_op='error'), where `rel_cdc_apply` post-filters them:
+    * the stream key is the change FEED (deletes must be observable),
+    * the relational key is the materialized TABLE (deletes are
+    * absent). */
   def streamCdcApply(s: SparkSession, dir: String): DataFrame =
     cdcApplyStream(Tables.load(s, dir, "events"))
       .orderBy("user_id")
@@ -439,7 +446,7 @@ object Streaming {
         |             row_number() OVER (PARTITION BY user_id
         |                                ORDER BY ts DESC, event_id DESC) AS rn
         |      FROM events) t
-        |WHERE rn = 1 AND event_type <> 'error'
+        |WHERE rn = 1
         |ORDER BY user_id""".stripMargin,
 
     "stream_ewma" ->

@@ -80,6 +80,35 @@ class LlmOpsSpec extends SparkSpec {
     assert(fullE > 0)
     assert(LlmOps.embedCosineNeardupCapped(spark, sf, Int.MaxValue).count() == fullE)
     assert(LlmOps.embedCosineNeardupCapped(spark, sf, 1).count() == 0L)
+    val fullF = LlmOps.fuzzyEditdist(spark, sf).count()
+    assert(fullF > 0)
+    assert(LlmOps.fuzzyEditdistCapped(spark, sf, Int.MaxValue).count() == fullF)
+    assert(LlmOps.fuzzyEditdistCapped(spark, sf, 1).count() == 0L)
+  }
+
+  test("knn graph block cap: subset-capped hot blocks still yield k neighbors per survivor") {
+    // default cap is a no-op at test SF
+    val fullG = LlmOps.knnGraph(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(fullG ==
+      LlmOps.knnGraphCapped(spark, sf, Int.MaxValue).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet)
+    // shrink the cap below every label-block size: survivors are the CAP
+    // lowest vec_ids per label (truncation, not block drop), and every
+    // survivor still gets exactly k=3 neighbors from the capped pool
+    val cap = 5
+    val byLabel = Tables.load(spark, sf, "embeddings")
+      .select("vec_id", "label").collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+      .groupBy(_._2).map { case (l, rs) => l -> rs.map(_._1).sorted.take(cap).toSet }
+    val survivors = byLabel.values.flatten.toSet
+    val capped = LlmOps.knnGraphCapped(spark, sf, cap).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(capped.map(_._1).toSet == survivors)
+    assert(capped.map(_._3).toSet.subsetOf(survivors))
+    capped.groupBy(_._1).foreach { case (src, rows) =>
+      assert(rows.map(_._2).sorted.toSeq == Seq(1L, 2L, 3L), s"src $src lost neighbors")
+    }
   }
 
   test("native graft_minhash_sig is bit-identical to the exploded relational form") {
@@ -430,6 +459,14 @@ class LlmOpsSpec extends SparkSpec {
     newDocs.foreach { case (id, text, _) =>
       if (!flags(id)) assert(survivors.contains(id), s"bloom-negative doc $id not a survivor")
     }
+    // zero-FN must hold at ANY shard count (shard(fp) is a pure function
+    // of fp — a fingerprint probes exactly the bloom it was inserted into)
+    val flags3 = LlmOps.bloomPrefilterSharded(spark, sf, 3).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    newDocs.foreach { case (id, text, _) =>
+      if (existing.contains(fp(text)))
+        assert(flags3(id), s"FALSE NEGATIVE on doc $id at numShards=3")
+    }
   }
 
   test("mean pooling equals driver-side fold in vec_id order") {
@@ -751,12 +788,25 @@ class LlmOpsSpec extends SparkSpec {
         r.getBoolean(3)))
     assert(rows.length == embs.size)
     val cidOf = rows.map(t => t._1 -> t._2).toMap
+    // driver-side union-find over the SAME within-cell pair set → exact
+    // expected component representative for every clustered vector
+    val parent = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
+    def find(x: Long): Long = { if (parent(x) != x) parent(x) = find(parent(x)); parent(x) }
+    for {
+      i <- ids.indices; j <- (i + 1) until ids.length
+      a = ids(i); b = ids(j)
+      if cidOf(a) == cidOf(b) && cos(embs(a), embs(b)) > 0.3
+    } { val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) }
+    val keptIds = rows.filter(_._4).map(_._1).toSet
     val dropped = rows.filter(!_._4)
     dropped.foreach { case (vid, cid, dupOf, _) =>
       val d = dupOf.get
-      assert(d < vid, "survivor must be the lower id")
-      assert(cidOf(d) == cid, "dup partner must share the k-means cell")
-      assert(cos(embs(d), embs(vid)) > 0.3, "reported dup is not a true near-dup pair")
+      assert(d < vid, "representative must be the lower id")
+      assert(cidOf(d) == cid, "representative must share the k-means cell")
+      assert(d == find(vid), s"dup_of must be the component representative ($vid)")
+      assert(keptIds.contains(d), s"dup_of target $d of $vid is itself dropped")
+      // droppedness is the DIRECT-partner rule, not component membership
+      assert(ids.exists(o => o < vid && cidOf(o) == cid && cos(embs(o), embs(vid)) > 0.3))
     }
     // kept rows carry no partner
     assert(rows.filter(_._4).forall(_._3.isEmpty))

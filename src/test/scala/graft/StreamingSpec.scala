@@ -385,19 +385,25 @@ class StreamingSpec extends SparkSpec {
       ms.addData(batch3); q.processAllAvailable()
     } finally q.stop()
     // update-style emission: the sink's LAST row per key is the key's
-    // current state; keys whose final emission window ended tombstoned
-    // simply stop appearing after the tombstone batch
+    // current state; a delete is OBSERVABLE as a tombstone marker row
+    // (last_op='error') — a last-emission-per-key consumer drops the key
     val perBatch = spark.table("cdc").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
     // user 1: batch1 emitted (1,2,view,2.0); batch2's late event re-emitted
-    // the UNCHANGED current row; user 2: batch1 emitted, batch2/3 nothing
+    // the UNCHANGED current row
     assert(perBatch.count(_._1 == 1L) == 2)
     assert(perBatch.filter(_._1 == 1L).toSet == Set((1L, 2L, "view", 2.0)))
-    assert(perBatch.filter(_._1 == 2L) sameElements Array((2L, 3L, "click", 3.0)))
-    // batch run over the concatenated log equals the window-rank batch key
+    // user 2: batch1 emitted live state, batch2 emitted the tombstone
+    // MARKER (not silence), batch3's late pre-tombstone change re-emitted
+    // the held tombstone — so the last row per key shows the delete
+    assert(perBatch.filter(_._1 == 2L) sameElements Array(
+      (2L, 3L, "click", 3.0), (2L, 5L, "error", 0.0), (2L, 5L, "error", 0.0)))
+    // batch run over the concatenated log: per-key latest event INCLUDING
+    // the tombstone marker (the feed contract; rel_cdc_apply filters it)
     val all = batch1 ++ batch2 ++ batch3
     val streamedFinal = Streaming.cdcApplyStream(all.toDF()).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3))).toSet
-    assert(streamedFinal == Set((1L, 2L, "view", 2.0), (3L, 4L, "view", 4.0)))
+    assert(streamedFinal == Set(
+      (1L, 2L, "view", 2.0), (2L, 5L, "error", 0.0), (3L, 4L, "view", 4.0)))
   }
 }
