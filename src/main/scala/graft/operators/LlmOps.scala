@@ -1071,7 +1071,12 @@ object LlmOps {
     val pairsOfShingle = flatten(transform(col("ds"), (x, i) =>
       transform(slice(col("ds"), i + 2, size(col("ds"))),
         y => struct(x.as("a"), y.as("b")))))
-    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    // |shingle set| is size() of the (already-distinct) shingle array —
+    // a pure projection, NOT a second explode+shuffle pass over the
+    // corpus (the posting-list build above is the only tokenize pass
+    // that shuffles; the two size-join probes read two columns each)
+    val sz = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), size(shingles(s, col("text"), 3)).cast("long").as("n"))
     val pairs = byShingle.select(explode(pairsOfShingle).as("p"))
       .groupBy(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
       .agg(count(lit(1)).as("shared"))

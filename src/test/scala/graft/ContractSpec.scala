@@ -97,6 +97,61 @@ class ContractSpec extends SparkSpec {
     assert(md.split("FileScan").length - 1 == 1, s"multi-distinct re-scans:\n$md")
   }
 
+  test("expensive-tail plan gates: audited shapes locked against regression") {
+    // The plan STRING prints each InMemoryRelation's build plan inline —
+    // those FileScans/Exchanges run once at memo-materialization, not per
+    // query, so drop every line nested under an InMemoryRelation before
+    // counting runtime operators.
+    def stripCached(p: String): String = {
+      // tree depth = leading run of the tree-drawing chars (' ', ':', '|')
+      def depth(l: String): Int =
+        l.indexWhere(c => !(c == ' ' || c == ':' || c == '|')) match {
+          case -1 => Int.MaxValue
+          case i  => i
+        }
+      var skip = -1
+      p.linesIterator.filter { l =>
+        val d = depth(l)
+        if (skip >= 0 && d > skip) false
+        else if (l.contains("InMemoryRelation")) { skip = d; false }
+        else { skip = -1; true }
+      }.mkString("\n")
+    }
+    def counts(name: String): (String, Int, Int) = {
+      val p = stripCached(SparkEntry.queries(name)(spark, sf)
+        .queryExecution.executedPlan.toString)
+      (p, p.split("FileScan").length - 1, p.split("Exchange").length - 1)
+    }
+    // hui pairs: per-(tid,item) utility table reduced BEFORE the pair
+    // self-join; the memoized utility frame materializes once, so the
+    // query-side plan has no second lineitem pass and a bounded exchange
+    // count (pair-join shuffle, pair agg, presentation sort)
+    val (hui, huiScans, huiEx) = counts("fpm_hui_pairs")
+    assert(huiScans <= 2, s"hui_pairs re-scans ($huiScans):\n$hui")
+    assert(huiEx <= 6, s"hui_pairs exchange count grew ($huiEx):\n$hui")
+    // containment dedup: inverted shingle index — exactly ONE
+    // tokenize/explode pass feeds the posting lists (plus the in-list
+    // pair explode); the two size probes are projection-only scans,
+    // never a second corpus explode+shuffle
+    val (cd, cdScans, cdEx) = counts("llm_containment_dedup")
+    assert(cdScans <= 3, s"containment_dedup re-scans ($cdScans):\n$cd")
+    assert(cd.split("Generate explode").length - 1 == 2,
+      s"containment_dedup gained an explode pass:\n$cd")
+    assert(cdEx <= 8, s"containment_dedup exchange count grew ($cdEx):\n$cd")
+    // Q9/Q11: the derived-partsupp CTE is re-aggregated once per textual
+    // reference — Q9 references ps once (+ the fact join) and Q11 twice
+    // (grouped sum + global-sum threshold), so lineitem scans are bounded
+    // by reference count, not multiplied by join planning
+    val (q9, q9Scans, _) = counts("sql_tpch_q9")
+    val q9Li = q9.split("lineitem.parquet").length - 1
+    assert(q9Li <= 2, s"Q9 lineitem scanned $q9Li times:\n$q9")
+    assert(q9Scans <= 8, s"Q9 total scans grew ($q9Scans):\n$q9")
+    val (q11, q11Scans, _) = counts("sql_tpch_q11")
+    val q11Li = q11.split("lineitem.parquet").length - 1
+    assert(q11Li <= 2, s"Q11 lineitem scanned $q11Li times:\n$q11")
+    assert(q11Scans <= 6, s"Q11 total scans grew ($q11Scans):\n$q11")
+  }
+
   test("format round-trip preserves content exactly per format") {
     val rt = operators.Relational.relFormatRoundtrip(spark, sf).collect()
       .groupBy(_.getString(0))
