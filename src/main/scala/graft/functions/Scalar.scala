@@ -162,7 +162,29 @@ object Scalar {
         bit_count(col("l_orderkey")).cast("long").as("b_pop"))
       .orderBy("l_orderkey", "l_linenumber")
 
+  /** MAP-typed column surface — build a map from parallel arrays,
+    * extract by key, cardinality, key membership (config blobs, feature
+    * bags, per-row dimension dictionaries all ride this type). Outputs
+    * project to SCALARS for the oracle: DuckDB's map extraction yields a
+    * one-element list, so the comparison surface is the extracted values
+    * and sizes, not the map value itself. Pure per-row projection. */
+  def fnMap(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        map_from_arrays(
+          array(lit("qty"), lit("price"), lit("disc")),
+          array(col("l_quantity"), col("l_extendedprice"), col("l_discount")))
+          .as("m"))
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        element_at(col("m"), "qty").as("m_qty"),
+        element_at(col("m"), "price").as("m_price"),
+        size(col("m")).cast("long").as("m_size"),
+        array_contains(map_keys(col("m")), "disc").as("has_disc"))
+      .orderBy("l_orderkey", "l_linenumber")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fn_map"         -> (fnMap _),
     "fn_string"      -> (fnString _),
     "fn_datetime"    -> (fnDatetime _),
     "fn_math"        -> (fnMath _),
@@ -177,6 +199,19 @@ object Scalar {
   )
 
   val oracle: Map[String, String] = Map(
+    "fn_map" ->
+      """WITH m AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |         map(['qty', 'price', 'disc'],
+        |             [l_quantity, l_extendedprice, l_discount]) AS m
+        |  FROM lineitem)
+        |SELECT l_orderkey, l_linenumber,
+        |       m['qty'][1] AS m_qty,
+        |       m['price'][1] AS m_price,
+        |       CAST(cardinality(m) AS BIGINT) AS m_size,
+        |       list_contains(map_keys(m), 'disc') AS has_disc
+        |FROM m ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
     "fn_string" ->
       """SELECT p_partkey, lower(p_name) AS name_lc,
         |       substring(p_brand, 7, 2) AS brand_sfx,

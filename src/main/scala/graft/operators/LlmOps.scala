@@ -1806,7 +1806,139 @@ object LlmOps {
     kmeansAssign(s, dir).count()
   }
 
+  /** Per-SOURCE duplication audit — the corpus-composition dashboard a
+    * dedup pipeline publishes: for each source, how many docs it ships
+    * and what fraction are non-canonical exact duplicates (fingerprint
+    * seen on a lower doc_id anywhere in the corpus). One shuffle on
+    * fingerprint (canonical-id reduction + fp-keyed join), one on the
+    * vocabulary-bounded source key. */
+  def dupRateBySource(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("source"), fpCol.as("fp"))
+    val canon = d.groupBy("fp").agg(min(col("doc_id")).as("canonical_id"))
+    d.join(canon, "fp")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("doc_id") =!= col("canonical_id"), 1L).otherwise(0L)).as("n_dups"))
+      .select(col("source"), col("n_docs").cast("long").as("n_docs"),
+        col("n_dups").cast("long").as("n_dups"),
+        (col("n_dups").cast("double") / col("n_docs").cast("double")).as("dup_rate"))
+      .orderBy("source")
+  }
+
+  /** PREFIX dedup — boilerplate-header removal: documents sharing the
+    * same first-8-token prefix fingerprint collapse to the lowest-id
+    * keeper (crawl pipelines run exactly this against template headers
+    * and SEO boilerplate before any shingle pass). One md5 row per doc
+    * before the shuffle; the group reduction is a window-min on the
+    * prefix key. */
+  def prefixDedup(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pfx = md5(concat_ws(" ", slice(split(col("text"), " "), 1, 8)))
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), pfx.as("prefix_fp"))
+      .withColumn("canonical_id",
+        min(col("doc_id")).over(Window.partitionBy("prefix_fp")))
+      .select(col("doc_id"), col("prefix_fp"),
+        (col("doc_id") === col("canonical_id")).as("kept"))
+      .orderBy("doc_id")
+  }
+
+  /** Document-length histogram per language — fixed power-of-two char
+    * buckets (CASE thresholds, not float log2: bucket edges must land
+    * identically in every engine), with doc and token mass per cell.
+    * The length×language composition table behind curriculum/packing
+    * decisions. Pure projection + one vocabulary-bounded aggregation. */
+  def lengthHistogram(s: SparkSession, dir: String): DataFrame = {
+    val bucket = when(col("n_chars") < 128, "a_lt128")
+      .when(col("n_chars") < 256, "b_128_255")
+      .when(col("n_chars") < 384, "c_256_383")
+      .when(col("n_chars") < 512, "d_384_511")
+      .otherwise("e_ge512")
+    Tables.load(s, dir, "documents")
+      .select(col("lang"), bucket.as("bucket"),
+        size(split(col("text"), " ")).cast("long").as("toks"))
+      .groupBy("lang", "bucket")
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"))
+      .select(col("lang"), col("bucket"), col("n_docs").cast("long").as("n_docs"),
+        col("n_tokens").cast("long").as("n_tokens"))
+      .orderBy("lang", "bucket")
+  }
+
+  /** MIXTURE PLAN — the per-language sampling table a training run
+    * materializes from [[temperatureWeights]]: given a token budget,
+    * each language's target token mass (weight × budget) and the
+    * resulting sampling rate against its available tokens (> 1 means
+    * upsampling epochs). Same ordered-fold denominator as the weights
+    * key (the one fp-order-sensitive reduction), token counts exact
+    * integers until the final divisions. */
+  def mixturePlan(s: SparkSession, dir: String): DataFrame = {
+    val budget = 100000.0
+    val counts = Tables.load(s, dir, "documents")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " "))).as("n_tokens"))
+    val denom = counts
+      .agg(sort_array(collect_list(struct(col("lang"), col("n_docs")))).as("ls"))
+      .select(
+        aggregate(col("ls"), lit(0.0),
+          (acc, x) => acc + sqrt(x.getField("n_docs").cast("double"))).as("denom"))
+    val weight = sqrt(col("n_docs").cast("double")) / col("denom")
+    counts.crossJoin(broadcast(denom))
+      .select(col("lang"),
+        col("n_docs").cast("long").as("n_docs"),
+        col("n_tokens").cast("long").as("n_tokens"),
+        weight.as("weight"),
+        (weight * budget).as("target_tokens"),
+        (weight * budget / col("n_tokens").cast("double")).as("sample_rate"))
+      .orderBy("lang")
+  }
+
+  /** QUALITY-QUANTILE selection — keep the top half of every language by
+    * [[qualityScore]]: per-language percent_rank (quantile thresholds
+    * must be within-language, or high-resource languages crowd out the
+    * rest — the reason pipelines stratify this filter). doc_id breaks
+    * quality ties, so ranks are deterministic; one window shuffle on
+    * lang. */
+  def qualityQuantile(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("lang").orderBy(col("quality").desc, col("doc_id"))
+    Tables.load(s, dir, "documents").select("doc_id", "lang")
+      .join(qualityScore(s, dir).select("doc_id", "quality"), "doc_id")
+      .withColumn("q_rank", percent_rank().over(w))
+      .withColumn("keep", col("q_rank") <= 0.5)
+      .select("doc_id", "lang", "quality", "q_rank", "keep")
+      .orderBy("doc_id")
+  }
+
+  /** Cosine RANGE search — every vector within `minSim` of the probe
+    * (threshold retrieval, the other half of the ANN API next to top-k
+    * [[similarityKnn]]): broadcast probe, one corpus scan, predicate on
+    * the same hoisted dot fold; swap the scan for the IVF cell semi-join
+    * ([[annIvf]]) and this is the production range query at scale. */
+  def annRange(s: SparkSession, dir: String): DataFrame =
+    annRangeThreshold(s, dir, 0.25)
+
+  def annRangeThreshold(s: SparkSession, dir: String, minSim: Double): DataFrame = {
+    DotProduct.register(s)
+    val emb = Tables.load(s, dir, "embeddings")
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+    emb.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        (dot(col("embedding"), col("qe")) / (norm(col("embedding")) * norm(col("qe"))))
+          .as("sim"))
+      .filter(col("sim") >= minSim)
+      .orderBy("vec_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_dup_rate_by_source" -> (dupRateBySource _),
+    "llm_prefix_dedup"       -> (prefixDedup _),
+    "llm_length_histogram"   -> (lengthHistogram _),
+    "llm_mixture_plan"       -> (mixturePlan _),
+    "llm_quality_quantile"   -> (qualityQuantile _),
+    "llm_ann_range"          -> (annRange _),
     "llm_normalize_emb"      -> (normalizeEmbeddings _),
     "llm_dedup_clusters"     -> (dedupClusters _),
     "llm_dedup_clusters_lsh" -> (dedupClustersLsh _),
@@ -1868,6 +2000,87 @@ object LlmOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "llm_dup_rate_by_source" ->
+      s"""WITH f AS (SELECT doc_id, source, $fpSql AS fp FROM documents),
+         |c AS (SELECT fp, min(doc_id) AS canonical_id FROM f GROUP BY fp)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(CASE WHEN doc_id <> canonical_id THEN 1 ELSE 0 END)
+         |            AS BIGINT) AS n_dups,
+         |       CAST(CAST(sum(CASE WHEN doc_id <> canonical_id THEN 1 ELSE 0 END)
+         |                 AS BIGINT) AS DOUBLE)
+         |         / CAST(count(*) AS DOUBLE) AS dup_rate
+         |FROM f JOIN c USING (fp)
+         |GROUP BY source ORDER BY source""".stripMargin,
+
+    "llm_prefix_dedup" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |         md5(array_to_string(string_split(text, ' ')[1:8], ' ')) AS prefix_fp
+        |  FROM documents)
+        |SELECT doc_id, prefix_fp,
+        |       doc_id = min(doc_id) OVER (PARTITION BY prefix_fp) AS kept
+        |FROM p ORDER BY doc_id""".stripMargin,
+
+    "llm_length_histogram" ->
+      """SELECT lang,
+        |       CASE WHEN n_chars < 128 THEN 'a_lt128'
+        |            WHEN n_chars < 256 THEN 'b_128_255'
+        |            WHEN n_chars < 384 THEN 'c_256_383'
+        |            WHEN n_chars < 512 THEN 'd_384_511'
+        |            ELSE 'e_ge512' END AS bucket,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |FROM documents GROUP BY 1, 2 ORDER BY lang, bucket""".stripMargin,
+
+    "llm_mixture_plan" ->
+      """WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |                  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |           FROM documents GROUP BY lang),
+        |d AS (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |        list_transform(list(n_docs ORDER BY lang),
+        |                       x -> sqrt(CAST(x AS DOUBLE)))), (a,b) -> a + b) AS denom
+        |      FROM c)
+        |SELECT lang, n_docs, n_tokens,
+        |       sqrt(CAST(n_docs AS DOUBLE)) / denom AS weight,
+        |       sqrt(CAST(n_docs AS DOUBLE)) / denom * 100000.0 AS target_tokens,
+        |       sqrt(CAST(n_docs AS DOUBLE)) / denom * 100000.0
+        |         / CAST(n_tokens AS DOUBLE) AS sample_rate
+        |FROM c, d ORDER BY lang""".stripMargin,
+
+    "llm_quality_quantile" ->
+      """WITH q AS (
+        |  SELECT doc_id,
+        |         CAST(len(string_split(text, ' ')) AS DOUBLE) AS n,
+        |         CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) AS nd,
+        |         CAST(len(list_filter(string_split(text, ' '),
+        |              t -> t = 'a' OR t = 'the')) AS DOUBLE) AS nstop,
+        |         CAST(len(list_filter(string_split(text, ' '),
+        |              t -> length(t) <= 2)) AS DOUBLE) AS nshort
+        |  FROM documents),
+        |sc AS (
+        |  SELECT doc_id,
+        |         (nd / n) * 0.5 + (1.0 - nstop / n) * 0.3
+        |           + (1.0 - nshort / n) * 0.2 AS quality
+        |  FROM q)
+        |SELECT d.doc_id, d.lang, sc.quality,
+        |       percent_rank() OVER (PARTITION BY d.lang
+        |                            ORDER BY sc.quality DESC, d.doc_id) AS q_rank,
+        |       percent_rank() OVER (PARTITION BY d.lang
+        |                            ORDER BY sc.quality DESC, d.doc_id) <= 0.5 AS keep
+        |FROM documents d JOIN sc ON sc.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "llm_ann_range" ->
+      s"""SELECT e.vec_id,
+         |       ${sqlDot("e.embedding", "q.qe")}
+         |       / (${sqlNorm("e.embedding")} * sqrt(${sqlDot("q.qe", "q.qe")})) AS sim
+         |FROM embeddings e
+         |CROSS JOIN (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) q
+         |WHERE e.vec_id <> 0
+         |  AND ${sqlDot("e.embedding", "q.qe")}
+         |      / (${sqlNorm("e.embedding")} * sqrt(${sqlDot("q.qe", "q.qe")})) >= 0.25
+         |ORDER BY e.vec_id""".stripMargin,
+
     "llm_gopher_rules" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
         |m AS (SELECT doc_id,

@@ -702,7 +702,61 @@ object Mining {
       .orderBy("itemset")
   }
 
+  /** LOCAL CLUSTERING COEFFICIENT per item over the frequent-pair graph:
+    * 2·triangles / (deg·(deg−1)) — the standard "how clique-like is this
+    * node's neighborhood" score (community detection, hub auditing);
+    * complements [[fpmTriangleCount]] (raw counts) and [[fpmPagerank]]
+    * (global centrality). Composes the degree-oriented triangle counts
+    * with the undirected degree frame: both vocabulary-bounded here; at
+    * web-graph scale each is one shuffle on node id and the coefficient
+    * is a broadcast-free equi-join of two node-keyed frames. Degree-1
+    * nodes score 0 by convention (no possible wedge). */
+  def fpmClusteringCoeff(s: SparkSession, dir: String): DataFrame = {
+    val e = pairSupports(s, dir)
+      .crossJoin(broadcast(basketCount(s, dir)))
+      .filter(col("freq") >= col("n") * MinSupPairs)
+      .select(col("ia").as("x"), col("ib").as("y"))
+    val deg = e.select(col("x").as("item"))
+      .unionByName(e.select(col("y").as("item")))
+      .groupBy("item").agg(count(lit(1)).as("deg"))
+    val tri = fpmTriangleCount(s, dir)
+    deg.join(tri, Seq("item"), "left_outer")
+      .select(col("item"), col("deg").cast("long").as("deg"),
+        coalesce(col("triangles"), lit(0L)).cast("long").as("triangles"),
+        when(col("deg") >= 2,
+          (coalesce(col("triangles"), lit(0L)) * 2).cast("double")
+            / (col("deg") * (col("deg") - 1)).cast("double"))
+          .otherwise(lit(0.0)).as("clustering_coeff"))
+      .orderBy("item")
+  }
+
+  /** CROSS-SUPPORT / H-CONFIDENCE metrics per frequent pair (hyperclique
+    * mining, Xiong et al., ICDM 2003): h-confidence = supp(ab)/max(supp)
+    * — the all-confidence lower bound that kills spurious patterns
+    * pairing a rare item with a ubiquitous one — and the support ratio
+    * min/max supp (a pair is "cross-support" when the ratio is small).
+    * Unthresholded scoring like [[fpmRuleMetrics]]; inputs are the
+    * memoized pair/item support frames, item supports broadcast
+    * (vocabulary-bounded dimension). */
+  def fpmCrossSupport(s: SparkSession, dir: String): DataFrame = {
+    val sa = itemSupports(s, dir).select(col("item").as("ia"), col("freq").as("sa"))
+    val sb = itemSupports(s, dir).select(col("item").as("ib"), col("freq").as("sb"))
+    pairSupports(s, dir)
+      .crossJoin(broadcast(basketCount(s, dir)))
+      .filter(col("freq") >= col("n") * MinSupPairs)
+      .join(broadcast(sa), "ia")
+      .join(broadcast(sb), "ib")
+      .select(col("ia"), col("ib"), col("freq"), col("sa"), col("sb"),
+        (col("freq").cast("double") / greatest(col("sa"), col("sb")).cast("double"))
+          .as("h_confidence"),
+        (least(col("sa"), col("sb")).cast("double")
+          / greatest(col("sa"), col("sb")).cast("double")).as("support_ratio"))
+      .orderBy("ia", "ib")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fpm_clustering_coeff" -> (fpmClusteringCoeff _),
+    "fpm_cross_support" -> (fpmCrossSupport _),
     "fpm_jaccard_items" -> (fpmJaccardItems _),
     "fpm_negative_rules" -> (fpmNegativeRules _),
     "fpm_triangle_count" -> (fpmTriangleCount _),
@@ -734,6 +788,43 @@ object Mining {
       |), nb AS (SELECT count(DISTINCT tid) AS n FROM tx)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "fpm_clustering_coeff" -> (txCte +
+      """, e AS (SELECT a.item AS x, b.item AS y
+        |        FROM tx a JOIN tx b ON a.tid = b.tid AND a.item < b.item
+        |        GROUP BY 1, 2
+        |        HAVING count(*) >= 0.02 * (SELECT n FROM nb)),
+        |deg AS (SELECT item, CAST(count(*) AS BIGINT) AS deg
+        |        FROM (SELECT x AS item FROM e UNION ALL SELECT y FROM e)
+        |        GROUP BY item),
+        |tri AS (SELECT ab.x AS a, ab.y AS b, bc.y AS c
+        |        FROM e ab JOIN e bc ON ab.y = bc.x
+        |        JOIN e ac ON ab.x = ac.x AND bc.y = ac.y),
+        |tcnt AS (SELECT item, CAST(count(*) AS BIGINT) AS triangles
+        |         FROM (SELECT a AS item FROM tri UNION ALL
+        |               SELECT b FROM tri UNION ALL
+        |               SELECT c FROM tri) nodes
+        |         GROUP BY item)
+        |SELECT d.item, d.deg, coalesce(t.triangles, 0) AS triangles,
+        |       CASE WHEN d.deg >= 2
+        |            THEN CAST(coalesce(t.triangles, 0) * 2 AS DOUBLE)
+        |                 / CAST(d.deg * (d.deg - 1) AS DOUBLE)
+        |            ELSE 0.0 END AS clustering_coeff
+        |FROM deg d LEFT JOIN tcnt t ON t.item = d.item
+        |ORDER BY d.item""".stripMargin),
+
+    "fpm_cross_support" -> (txCte +
+      """, sup AS (SELECT item, CAST(count(*) AS BIGINT) AS s FROM tx GROUP BY item),
+        |p AS (SELECT a.item AS ia, b.item AS ib, CAST(count(*) AS BIGINT) AS freq
+        |      FROM tx a JOIN tx b ON a.tid = b.tid AND a.item < b.item
+        |      GROUP BY 1, 2
+        |      HAVING count(*) >= 0.02 * (SELECT n FROM nb))
+        |SELECT ia, ib, freq, sa.s AS sa, sb.s AS sb,
+        |       CAST(freq AS DOUBLE) / CAST(greatest(sa.s, sb.s) AS DOUBLE) AS h_confidence,
+        |       CAST(least(sa.s, sb.s) AS DOUBLE)
+        |         / CAST(greatest(sa.s, sb.s) AS DOUBLE) AS support_ratio
+        |FROM p JOIN sup sa ON ia = sa.item JOIN sup sb ON ib = sb.item
+        |ORDER BY ia, ib""".stripMargin),
+
     "fpm_jaccard_items" -> (txCte +
       """, sup AS (SELECT item, count(*) AS s FROM tx GROUP BY item),
         |p AS (SELECT a.item AS ia, b.item AS ib, count(*) AS c

@@ -64,6 +64,25 @@ object Relational {
         count(lit(1)).as("cnt"))
       .orderBy("l_returnflag", "l_linestatus")
 
+  /** FILTER-clause aggregates — several differently-predicated measures
+    * in ONE grouped pass (the SQL `agg(...) FILTER (WHERE ...)` surface):
+    * conditional sum/count as when-guarded aggregates, so the fact table
+    * scans once and no self-join materializes per predicate. Decimal
+    * leaf-casts keep the conditional sums exact; empty filter cells
+    * coalesce to 0 the way FILTER semantics dictate. */
+  def relAggFiltered(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum(when(col("l_discount") > 0.05, lit(1L)).otherwise(lit(0L)))
+          .cast("long").as("cnt_high_disc"),
+        coalesce(sum(when(col("l_discount") > 0.05, dec("l_quantity"))), lit(0))
+          .cast("double").as("qty_high_disc"),
+        coalesce(sum(when(col("l_tax") < 0.04, dec("l_extendedprice"))), lit(0))
+          .cast("double").as("price_low_tax"))
+      .orderBy("l_returnflag")
+
   def relAggDistinct(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "lineitem")
       .groupBy("l_returnflag")
@@ -882,6 +901,7 @@ object Relational {
     "rel_scan_project"   -> (relScanProject _),
     "rel_filter_pred"    -> (relFilterPred _),
     "rel_agg_hash"       -> (relAggHash _),
+    "rel_agg_filtered"   -> (relAggFiltered _),
     "rel_agg_distinct"   -> (relAggDistinct _),
     "rel_agg_approx"     -> (relAggApprox _),
     "rel_agg_rollup"     -> (relAggRollup _),
@@ -1189,6 +1209,19 @@ object Relational {
       """SELECT l_returnflag,
         |       CAST(count(DISTINCT l_partkey) AS BIGINT) AS distinct_parts,
         |       CAST(count(*) AS BIGINT) AS cnt
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "rel_agg_filtered" ->
+      """SELECT l_returnflag,
+        |       CAST(count(*) AS BIGINT) AS cnt,
+        |       CAST(count(*) FILTER (WHERE l_discount > 0.05) AS BIGINT)
+        |         AS cnt_high_disc,
+        |       CAST(coalesce(sum(CAST(l_quantity AS DECIMAL(18,2)))
+        |                     FILTER (WHERE l_discount > 0.05), 0) AS DOUBLE)
+        |         AS qty_high_disc,
+        |       CAST(coalesce(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+        |                     FILTER (WHERE l_tax < 0.04), 0) AS DOUBLE)
+        |         AS price_low_tax
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "rel_agg_rollup" ->

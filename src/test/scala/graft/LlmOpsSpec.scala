@@ -769,6 +769,34 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("ann range search is consistent with top-k; prefix dedup keeps exactly the min per group") {
+    // every top-10 hit at sim >= threshold must appear in the range result,
+    // and every range row really clears the threshold
+    val range = LlmOps.annRange(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    range.values.foreach(s => assert(s >= 0.25))
+    LlmOps.similarityKnn(spark, sf).collect().foreach { r =>
+      if (r.getDouble(1) >= 0.25)
+        assert(range.get(r.getLong(0)).contains(r.getDouble(1)))
+    }
+    // prefix dedup: one keeper per prefix group, keeper = min doc_id
+    val rows = LlmOps.prefixDedup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getBoolean(2)))
+    rows.groupBy(_._2).foreach { case (_, g) =>
+      val keepers = g.filter(_._3).map(_._1)
+      assert(keepers.length == 1 && keepers.head == g.map(_._1).min)
+    }
+    // quality-quantile: per lang, keep-set is exactly the q_rank <= 0.5 half
+    // and keep-rate is near one half
+    val qq = LlmOps.qualityQuantile(spark, sf).collect()
+      .map(r => (r.getString(1), r.getDouble(3), r.getBoolean(4)))
+    qq.foreach { case (_, qr, keep) => assert(keep == (qr <= 0.5)) }
+    qq.groupBy(_._1).foreach { case (lang, g) =>
+      val rate = g.count(_._3).toDouble / g.size
+      assert(rate > 0.3 && rate < 0.7, s"$lang keep rate $rate")
+    }
+  }
+
   test("semdedup: reported pairs are true near-dups in the same cell; recall vs brute force bounded") {
     val embs = Tables.load(spark, sf, "embeddings").select("vec_id", "embedding")
       .collect()

@@ -314,6 +314,38 @@ class MiningSpec extends SparkSpec {
     assert(got.values.sum > 0, "frequent-pair graph has no triangles at this sf")
   }
 
+  test("clustering coefficient equals driver-side recompute; cross-support bounds hold") {
+    val edges = gtPairCnt.iterator.collect {
+      case ((a, b), c) if c >= 0.02 * gtN => (a, b)
+    }.toSet
+    val deg = (edges.toSeq.map(_._1) ++ edges.toSeq.map(_._2))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+    val triCnt = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    for {
+      (a, b) <- edges
+      c <- nodes if b < c && edges.contains((b, c)) && edges.contains((a, c))
+    } { triCnt(a) += 1; triCnt(b) += 1; triCnt(c) += 1 }
+    val got = Mining.fpmClusteringCoeff(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.map(_._1).toSet == deg.keySet)
+    got.foreach { case (item, d, t, cc) =>
+      assert(d == deg(item) && t == triCnt(item))
+      val expected = if (d >= 2) 2.0 * t / (d * (d - 1.0)) else 0.0
+      assert(math.abs(cc - expected) < 1e-15 && cc >= 0.0 && cc <= 1.0)
+    }
+    // h-confidence: supp(ab)/max(sa,sb) is a lower bound on BOTH rule
+    // confidences and lies in (0, 1]; support_ratio = min/max in (0, 1]
+    val cs = Mining.fpmCrossSupport(spark, sf).collect()
+      .map(r => (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5), r.getDouble(6)))
+    assert(cs.nonEmpty)
+    cs.foreach { case (freq, sa, sb, hconf, ratio) =>
+      assert(hconf > 0.0 && hconf <= 1.0 && ratio > 0.0 && ratio <= 1.0)
+      assert(math.abs(hconf - freq.toDouble / math.max(sa, sb)) < 1e-15)
+      assert(hconf <= freq.toDouble / sa + 1e-15 && hconf <= freq.toDouble / sb + 1e-15)
+    }
+  }
+
   test("high-utility pairs equal a driver-side exact-decimal recompute") {
     val li = Tables.load(spark, sf, "lineitem").select("l_orderkey", "l_partkey", "l_extendedprice")
       .collect().map(r => (r.getLong(0), r.getLong(1), BigDecimal(r.getDouble(2)).setScale(2, BigDecimal.RoundingMode.HALF_UP)))
