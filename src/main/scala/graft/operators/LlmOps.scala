@@ -1804,6 +1804,7 @@ object LlmOps {
     annIvfKmeans(s, dir).count()
     annPq(s, dir).count()
     kmeansAssign(s, dir).count()
+    semDedup(s, dir).count() // materializes the memoized semdedupComp propagation
   }
 
   /** Per-SOURCE duplication audit — the corpus-composition dashboard a

@@ -649,8 +649,8 @@ object Mining {
       .unionByName(und.select(col("y").as("item")))
       .groupBy("item").agg(count(lit(1)).as("deg"))
     val withDeg = und
-      .join(deg.select(col("item").as("x"), col("deg").as("dx")), "x")
-      .join(deg.select(col("item").as("y"), col("deg").as("dy")), "y")
+      .join(broadcast(deg.select(col("item").as("x"), col("deg").as("dx"))), "x")
+      .join(broadcast(deg.select(col("item").as("y"), col("deg").as("dy"))), "y")
     val e = withDeg.select(
         when(col("dx") < col("dy") || (col("dx") === col("dy") && col("x") < col("y")),
           struct(col("x").as("s"), col("y").as("t")))
@@ -720,7 +720,7 @@ object Mining {
       .unionByName(e.select(col("y").as("item")))
       .groupBy("item").agg(count(lit(1)).as("deg"))
     val tri = fpmTriangleCount(s, dir)
-    deg.join(tri, Seq("item"), "left_outer")
+    deg.join(broadcast(tri), Seq("item"), "left_outer")
       .select(col("item"), col("deg").cast("long").as("deg"),
         coalesce(col("triangles"), lit(0L)).cast("long").as("triangles"),
         when(col("deg") >= 2,
