@@ -183,7 +183,27 @@ object Scalar {
         array_contains(map_keys(col("m")), "disc").as("has_disc"))
       .orderBy("l_orderkey", "l_linenumber")
 
+  /** Interval / calendar arithmetic surface: month addition (end-of-
+    * month clamping identical in both engines), day addition, month-end,
+    * quarter and day-of-year parts, and an all-integer month distance
+    * (year·12+month arithmetic — `months_between`'s fractional 31-day
+    * convention is engine-specific, the integer form is not). Date casts
+    * on both sides keep timestamp-vs-date types aligned. */
+  def fnInterval(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "orders")
+      .select(
+        col("o_orderkey"),
+        add_months(col("o_orderdate"), 3).as("plus3m"),
+        date_add(col("o_orderdate"), 7).as("plus7d"),
+        last_day(col("o_orderdate")).as("month_end"),
+        quarter(col("o_orderdate")).cast("long").as("qtr"),
+        dayofyear(col("o_orderdate")).cast("long").as("doy"),
+        (lit(1998 * 12 + 1) - (year(col("o_orderdate")) * 12 + month(col("o_orderdate"))))
+          .cast("long").as("months_to_98"))
+      .orderBy("o_orderkey")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fn_interval"    -> (fnInterval _),
     "fn_map"         -> (fnMap _),
     "fn_string"      -> (fnString _),
     "fn_datetime"    -> (fnDatetime _),
@@ -199,6 +219,17 @@ object Scalar {
   )
 
   val oracle: Map[String, String] = Map(
+    "fn_interval" ->
+      """SELECT o_orderkey,
+        |       CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS plus3m,
+        |       CAST(o_orderdate + INTERVAL 7 DAY AS DATE) AS plus7d,
+        |       CAST(last_day(CAST(o_orderdate AS DATE)) AS DATE) AS month_end,
+        |       CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+        |       CAST(dayofyear(o_orderdate) AS BIGINT) AS doy,
+        |       CAST(23977 - (year(o_orderdate) * 12 + month(o_orderdate)) AS BIGINT)
+        |         AS months_to_98
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
     "fn_map" ->
       """WITH m AS (
         |  SELECT l_orderkey, l_linenumber,

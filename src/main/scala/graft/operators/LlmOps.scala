@@ -1933,7 +1933,82 @@ object LlmOps {
       .orderBy("vec_id")
   }
 
+  /** Top-3 TF-IDF terms per document — keyword extraction off the
+    * [[tfidf]] feature table (document tagging, sparse retrieval
+    * signatures): one bounded per-doc window behind the scored frame,
+    * term tiebreak for determinism. */
+  def tfidfTopk(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("term"))
+    tfidf(s, dir)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("doc_id"), col("rnk").cast("long").as("rnk"),
+        col("term"), col("tfidf"))
+      .orderBy("doc_id", "rnk")
+  }
+
+  /** Token CO-OCCURRENCE lift — the log-free PMI proxy (p(ab)/(p(a)p(b))
+    * as a raw ratio; ln is libm-dependent, the ratio is one fixed-order
+    * double expression) over within-document DISTINCT token pairs: the
+    * association statistic under word-embedding co-occurrence matrices
+    * and collocation extraction. Doc-frequency vectors are vocabulary-
+    * bounded → broadcast; the pair frame is the token analogue of the
+    * basket pair self-join (O(distinct-tokens² per doc), vocab² rows
+    * out). */
+  def cooccurrence(s: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("t"))
+    val dfreq = tok.groupBy("t").agg(count(lit(1)).as("c"))
+    val nd = Tables.load(s, dir, "documents")
+      .select(countDistinct(col("doc_id")).as("nd"))
+    val a = tok.select(col("doc_id"), col("t").as("ta"))
+    val b = tok.select(col("doc_id").as("db"), col("t").as("tb"))
+    a.join(b, col("doc_id") === col("db") && col("ta") < col("tb"))
+      .groupBy("ta", "tb").agg(count(lit(1)).as("c_ab"))
+      .join(broadcast(dfreq.select(col("t").as("ta"), col("c").as("c_a"))), "ta")
+      .join(broadcast(dfreq.select(col("t").as("tb"), col("c").as("c_b"))), "tb")
+      .crossJoin(broadcast(nd))
+      .select(col("ta"), col("tb"), col("c_ab"),
+        (col("c_ab").cast("double") * col("nd") / (col("c_a") * col("c_b")))
+          .as("lift_ratio"))
+      .orderBy("ta", "tb")
+  }
+
+  /** RETRIEVAL serving join — the end-to-end lookup a RAG/tagging
+    * pipeline runs: batch KNN hits ([[knnBatch]]) joined back to the hit
+    * documents' metadata through the multimodal doc_id = vec_id key. The
+    * hit table is probes × k rows → broadcast against the corpus scan;
+    * the corpus never shuffles. */
+  def retrievalJoin(s: SparkSession, dir: String): DataFrame = {
+    val hits = knnBatch(s, dir)
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id").as("vec_id"),
+        col("lang").as("hit_lang"), col("source").as("hit_source"))
+      .join(broadcast(hits), "vec_id")
+      .select(col("qid"), col("rank"), col("vec_id"), col("sim"),
+        col("hit_lang"), col("hit_source"))
+      .orderBy("qid", "rank")
+  }
+
+  /** Corpus SHINGLE statistics — top-20 5-token shingles by document
+    * frequency (boilerplate discovery: the shingles worth stop-listing
+    * before near-dup passes, cf. the containment key's stop-shingle
+    * drop). One explode off the native n-gram kernel + one
+    * count-per-shingle aggregation; top-k is a TakeOrdered, no global
+    * sort. */
+  def shingleStats(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .select(explode(shingles(s, col("text"))).as("shingle"))
+      .groupBy("shingle").agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("shingle"))
+      .limit(20)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_tfidf_topk"         -> (tfidfTopk _),
+    "llm_cooccurrence"       -> (cooccurrence _),
+    "llm_retrieval_join"     -> (retrievalJoin _),
+    "llm_shingle_stats"      -> (shingleStats _),
     "llm_dup_rate_by_source" -> (dupRateBySource _),
     "llm_prefix_dedup"       -> (prefixDedup _),
     "llm_length_histogram"   -> (lengthHistogram _),
@@ -2001,6 +2076,73 @@ object LlmOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "llm_tfidf_topk" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS cnt
+        |       FROM tok GROUP BY doc_id, term),
+        |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tok GROUP BY doc_id),
+        |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+        |nd AS (SELECT count(DISTINCT doc_id) AS nd FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term,
+        |         (CAST(tf.cnt AS DOUBLE) / dl.dl) * (CAST(nd.nd AS DOUBLE) / df.df) AS tfidf
+        |  FROM tf JOIN dl ON tf.doc_id = dl.doc_id
+        |          JOIN df ON tf.term = df.term
+        |          CROSS JOIN nd)
+        |SELECT doc_id,
+        |       CAST(row_number() OVER (PARTITION BY doc_id
+        |                               ORDER BY tfidf DESC, term) AS BIGINT) AS rnk,
+        |       term, tfidf
+        |FROM scored
+        |QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) <= 3
+        |ORDER BY doc_id, rnk""".stripMargin,
+
+    "llm_cooccurrence" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t
+        |  FROM documents),
+        |dfreq AS (SELECT t, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY t),
+        |nd AS (SELECT count(DISTINCT doc_id) AS nd FROM documents),
+        |p AS (SELECT a.t AS ta, b.t AS tb, CAST(count(*) AS BIGINT) AS c_ab
+        |      FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND a.t < b.t
+        |      GROUP BY 1, 2)
+        |SELECT ta, tb, c_ab,
+        |       CAST(c_ab AS DOUBLE) * nd.nd / (ca.c * cb.c) AS lift_ratio
+        |FROM p JOIN dfreq ca ON ca.t = ta JOIN dfreq cb ON cb.t = tb
+        |CROSS JOIN nd
+        |ORDER BY ta, tb""".stripMargin,
+
+    "llm_retrieval_join" ->
+      s"""WITH p AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
+         |sims AS (
+         |  SELECT p.qid, e.vec_id,
+         |         ${sqlDot("e.embedding", "p.qe")}
+         |         / (${sqlNorm("e.embedding")} * ${sqlNorm("p.qe")}) AS sim
+         |  FROM embeddings e CROSS JOIN p
+         |  WHERE e.vec_id >= 5),
+         |rk AS (
+         |  SELECT qid, vec_id, sim,
+         |         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
+         |  FROM sims)
+         |SELECT qid, CAST(rank AS BIGINT) AS rank, vec_id, sim,
+         |       d.lang AS hit_lang, d.source AS hit_source
+         |FROM rk JOIN documents d ON d.doc_id = rk.vec_id
+         |WHERE rank <= 3
+         |ORDER BY qid, rank""".stripMargin,
+
+    "llm_shingle_stats" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t, text FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |         unnest(CASE WHEN len(t) >= 5
+        |                THEN list_distinct(list_transform(generate_series(1, len(t) - 4),
+        |                       i -> array_to_string(t[i:i+4], ' ')))
+        |                ELSE [text] END) AS g
+        |  FROM toks)
+        |SELECT g AS shingle, CAST(count(*) AS BIGINT) AS df
+        |FROM sh GROUP BY g
+        |ORDER BY df DESC, shingle LIMIT 20""".stripMargin,
+
     "llm_dup_rate_by_source" ->
       s"""WITH f AS (SELECT doc_id, source, $fpSql AS fp FROM documents),
          |c AS (SELECT fp, min(doc_id) AS canonical_id FROM f GROUP BY fp)

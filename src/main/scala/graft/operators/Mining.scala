@@ -754,7 +754,32 @@ object Mining {
       .orderBy("ia", "ib")
   }
 
+  /** FUNNEL analysis — ordered FIRST-OCCURRENCE chains: for every ordered
+    * type triple (step1 → step2 → step3), how many users hit their first
+    * step1 before their first step2 before their first step3 (the
+    * conversion-funnel query every product-analytics engine ships; the
+    * event-level sequence keys [[fpmSeqPairs]]/[[fpmSeqRules]] count ANY
+    * ordered occurrence — funnels order the FIRSTS). The per-(user, type)
+    * first-occurrence reduction bounds everything after it: joins are
+    * over users × types rows, never events², and type triples are
+    * vocabulary-bounded. Struct min on (ts, event_id) is the same
+    * deterministic event-order key the sequence family uses. */
+  def fpmFunnel(s: SparkSession, dir: String): DataFrame = {
+    val f = Tables.load(s, dir, "events")
+      .groupBy("user_id", "event_type")
+      .agg(min(struct(col("ts"), col("event_id"))).as("k"))
+    val a = f.select(col("user_id"), col("event_type").as("step1"), col("k").as("ka"))
+    val b = f.select(col("user_id").as("ub"), col("event_type").as("step2"), col("k").as("kb"))
+    val c = f.select(col("user_id").as("uc"), col("event_type").as("step3"), col("k").as("kc"))
+    a.join(b, col("user_id") === col("ub") && col("ka") < col("kb"))
+      .join(c, col("ub") === col("uc") && col("kb") < col("kc"))
+      .groupBy("step1", "step2", "step3")
+      .agg(count(lit(1)).as("users"))
+      .orderBy("step1", "step2", "step3")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fpm_funnel" -> (fpmFunnel _),
     "fpm_clustering_coeff" -> (fpmClusteringCoeff _),
     "fpm_cross_support" -> (fpmCrossSupport _),
     "fpm_jaccard_items" -> (fpmJaccardItems _),
@@ -788,6 +813,15 @@ object Mining {
       |), nb AS (SELECT count(DISTINCT tid) AS n FROM tx)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "fpm_funnel" ->
+      """WITH f AS (SELECT user_id, event_type, min(ROW(ts, event_id)) AS k
+        |           FROM events GROUP BY 1, 2)
+        |SELECT a.event_type AS step1, b.event_type AS step2,
+        |       c.event_type AS step3, CAST(count(*) AS BIGINT) AS users
+        |FROM f a JOIN f b ON a.user_id = b.user_id AND a.k < b.k
+        |JOIN f c ON b.user_id = c.user_id AND b.k < c.k
+        |GROUP BY 1, 2, 3 ORDER BY step1, step2, step3""".stripMargin,
+
     "fpm_clustering_coeff" -> (txCte +
       """, e AS (SELECT a.item AS x, b.item AS y
         |        FROM tx a JOIN tx b ON a.tid = b.tid AND a.item < b.item

@@ -104,6 +104,22 @@ object Relational {
       .agg(count(lit(1)).as("cnt"), sum(dec("l_quantity")).cast("double").as("sum_qty"))
       .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
 
+  /** CUBE with grouping metadata — `grouping_id()` / `grouping()` expose
+    * WHICH aggregation level each output row belongs to (the column a
+    * reporting layer switches on; without it, NULL-as-total is ambiguous
+    * against genuine NULL keys). Same Expand-planned single pass as
+    * [[relAggCube]]; bit order (first cube column = MSB, 1 = rolled up)
+    * matches DuckDB's `grouping_id`. */
+  def relAggGroupingId(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "orders")
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(grouping_id().cast("long").as("gid"),
+        grouping(col("o_orderstatus")).cast("long").as("g_status"),
+        grouping(col("o_orderpriority")).cast("long").as("g_priority"),
+        count(lit(1)).as("cnt"))
+      .orderBy(col("gid"),
+        col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+
   def relAggCube(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "orders")
       .cube("o_orderstatus", "o_orderpriority")
@@ -902,6 +918,7 @@ object Relational {
     "rel_filter_pred"    -> (relFilterPred _),
     "rel_agg_hash"       -> (relAggHash _),
     "rel_agg_filtered"   -> (relAggFiltered _),
+    "rel_agg_groupingid" -> (relAggGroupingId _),
     "rel_agg_distinct"   -> (relAggDistinct _),
     "rel_agg_approx"     -> (relAggApprox _),
     "rel_agg_rollup"     -> (relAggRollup _),
@@ -1210,6 +1227,16 @@ object Relational {
         |       CAST(count(DISTINCT l_partkey) AS BIGINT) AS distinct_parts,
         |       CAST(count(*) AS BIGINT) AS cnt
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "rel_agg_groupingid" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |       CAST(grouping_id(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+        |       CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+        |       CAST(grouping(o_orderpriority) AS BIGINT) AS g_priority,
+        |       CAST(count(*) AS BIGINT) AS cnt
+        |FROM orders
+        |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
 
     "rel_agg_filtered" ->
       """SELECT l_returnflag,

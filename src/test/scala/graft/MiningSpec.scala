@@ -346,6 +346,31 @@ class MiningSpec extends SparkSpec {
     }
   }
 
+  test("funnel counts equal a driver-side first-occurrence recompute") {
+    def micros(t: java.sql.Timestamp): Long =
+      math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+    val firsts = Tables.load(spark, sf, "events")
+      .select("user_id", "event_type", "ts", "event_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), (micros(r.getTimestamp(2)), r.getLong(3))))
+      .groupBy(t => (t._1, t._2))
+      .map { case ((u, et), rows) => (u, et, rows.map(_._3).min) }
+    val byUser = firsts.groupBy(_._1)
+    val expected = scala.collection.mutable.Map.empty[(String, String, String), Long]
+      .withDefaultValue(0L)
+    byUser.values.foreach { rows =>
+      val sorted = rows.toSeq.sortBy(_._3)
+      for {
+        i <- sorted.indices; j <- (i + 1) until sorted.length
+        k <- (j + 1) until sorted.length
+      } expected((sorted(i)._2, sorted(j)._2, sorted(k)._2)) += 1
+    }
+    val got = Mining.fpmFunnel(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)) -> r.getLong(3)).toMap
+    assert(got == expected.toMap)
+    assert(got.nonEmpty && got.valuesIterator.toSet.size > 1,
+      "funnel supports are degenerate at this sf — vacuous fixture")
+  }
+
   test("high-utility pairs equal a driver-side exact-decimal recompute") {
     val li = Tables.load(spark, sf, "lineitem").select("l_orderkey", "l_partkey", "l_extendedprice")
       .collect().map(r => (r.getLong(0), r.getLong(1), BigDecimal(r.getDouble(2)).setScale(2, BigDecimal.RoundingMode.HALF_UP)))
