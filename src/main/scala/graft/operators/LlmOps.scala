@@ -2004,7 +2004,39 @@ object LlmOps {
       .orderBy(col("df").desc, col("shingle"))
       .limit(20)
 
+  /** Language-label AUDIT — rows where the n-gram language-ID signal
+    * ([[langId]]: stopword evidence ⇒ 'en', else 'unk') disagrees with
+    * the labeled lang: en-labeled docs with zero stopword evidence and
+    * non-en docs that trip the English detector. The mislabel-rate
+    * audit a corpus intake runs before trusting upstream metadata.
+    * Pure projection off the langId frame. */
+  def langMismatch(s: SparkSession, dir: String): DataFrame =
+    langId(s, dir)
+      .withColumn("mismatch",
+        (col("lang") === "en") =!= (col("pred_lang") === "en"))
+      .select("doc_id", "lang", "pred_lang", "stop_score", "mismatch")
+      .orderBy("doc_id")
+
+  /** PACKING-efficiency audit over [[packSequences]] — per language: bin
+    * count, token mass, and fill rate against the 512-token context
+    * window (wasted-pad fraction is the training-cost number packing
+    * exists to optimize). Greedy cumulative packing means every bin
+    * except possibly the last is full-ish; the rollup is
+    * vocabulary-bounded. */
+  def packStats(s: SparkSession, dir: String): DataFrame =
+    packSequences(s, dir)
+      .groupBy("lang")
+      .agg((max(col("bin")) + 1).as("n_bins"),
+        sum(col("tok_cnt")).as("n_tokens"))
+      .select(col("lang"), col("n_bins").cast("long").as("n_bins"),
+        col("n_tokens").cast("long").as("n_tokens"),
+        (col("n_tokens").cast("double") / (col("n_bins") * 512).cast("double"))
+          .as("fill_rate"))
+      .orderBy("lang")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_lang_mismatch"      -> (langMismatch _),
+    "llm_pack_stats"         -> (packStats _),
     "llm_tfidf_topk"         -> (tfidfTopk _),
     "llm_cooccurrence"       -> (cooccurrence _),
     "llm_retrieval_join"     -> (retrievalJoin _),
@@ -2076,6 +2108,40 @@ object LlmOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "llm_lang_mismatch" ->
+      """WITH l AS (
+        |  SELECT doc_id, lang,
+        |         CASE WHEN len(list_filter(string_split(text, ' '),
+        |                   t -> t = 'a' OR t = 'the')) > 0
+        |              THEN 'en' ELSE 'unk' END AS pred_lang,
+        |         CAST(len(list_filter(string_split(text, ' '),
+        |              t -> t = 'a' OR t = 'the')) AS DOUBLE)
+        |         / len(string_split(text, ' ')) AS stop_score
+        |  FROM documents)
+        |SELECT doc_id, lang, pred_lang, stop_score,
+        |       (lang = 'en') <> (pred_lang = 'en') AS mismatch
+        |FROM l ORDER BY doc_id""".stripMargin,
+
+    "llm_pack_stats" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS tok_cnt
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, lang, tok_cnt,
+        |         sum(tok_cnt) OVER (PARTITION BY lang ORDER BY doc_id
+        |                            ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM d),
+        |p AS (
+        |  SELECT lang, tok_cnt,
+        |         CAST(floor(CAST(cum - tok_cnt AS DOUBLE) / 512.0) AS BIGINT) AS bin
+        |  FROM c)
+        |SELECT lang, CAST(max(bin) + 1 AS BIGINT) AS n_bins,
+        |       CAST(sum(tok_cnt) AS BIGINT) AS n_tokens,
+        |       CAST(CAST(sum(tok_cnt) AS BIGINT) AS DOUBLE)
+        |         / CAST((max(bin) + 1) * 512 AS DOUBLE) AS fill_rate
+        |FROM p GROUP BY lang ORDER BY lang""".stripMargin,
+
     "llm_tfidf_topk" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
         |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS cnt

@@ -778,7 +778,31 @@ object Mining {
       .orderBy("step1", "step2", "step3")
   }
 
+  /** First-order MARKOV transition matrix over each user's CONSECUTIVE
+    * event stream — transition counts and row-normalized probabilities
+    * (next-action modeling; [[fpmSeqPairs]] counts ANY ordered pair,
+    * [[fpmFunnel]] orders the firsts; this is the adjacent-step chain).
+    * One lead() window per user in the deterministic (ts, event_id)
+    * order, then a type×type-bounded aggregation; the probability
+    * denominator is a window sum over the from-type row — no second
+    * scan. */
+  def fpmMarkovTransition(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val tw = Window.partitionBy("from_type")
+    Tables.load(s, dir, "events")
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("out_total", sum(col("cnt")).over(tw))
+      .select(col("from_type"), col("to_type"), col("cnt"),
+        (col("cnt").cast("double") / col("out_total").cast("double")).as("prob"))
+      .orderBy("from_type", "to_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fpm_markov_transition" -> (fpmMarkovTransition _),
     "fpm_funnel" -> (fpmFunnel _),
     "fpm_clustering_coeff" -> (fpmClusteringCoeff _),
     "fpm_cross_support" -> (fpmCrossSupport _),
@@ -813,6 +837,19 @@ object Mining {
       |), nb AS (SELECT count(DISTINCT tid) AS n FROM tx)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "fpm_markov_transition" ->
+      """WITH tr AS (
+        |  SELECT event_type AS from_type,
+        |         lead(event_type) OVER (PARTITION BY user_id
+        |                                ORDER BY ts, event_id) AS to_type
+        |  FROM events),
+        |c AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS cnt
+        |      FROM tr WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, cnt,
+        |       CAST(cnt AS DOUBLE)
+        |         / CAST(sum(cnt) OVER (PARTITION BY from_type) AS DOUBLE) AS prob
+        |FROM c ORDER BY from_type, to_type""".stripMargin,
+
     "fpm_funnel" ->
       """WITH f AS (SELECT user_id, event_type, min(ROW(ts, event_id)) AS k
         |           FROM events GROUP BY 1, 2)

@@ -120,6 +120,29 @@ object Relational {
       .orderBy(col("gid"),
         col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
 
+  /** INTER-EVENT arrival statistics per event type — gap count and mean
+    * inter-arrival seconds between consecutive same-type events of each
+    * user (rate/SLA monitoring; the time-domain complement of the
+    * sessionize key). Gaps are EXACT integer microsecond differences
+    * summed as integers (a float mean of per-gap seconds would be
+    * partition-order-dependent); the only doubles are the two final
+    * divisions in fixed order. */
+  def relInterEventStats(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    Tables.load(s, dir, "events")
+      .withColumn("next_us", lead(unix_micros(col("ts")), 1).over(w))
+      .filter(col("next_us").isNotNull)
+      .withColumn("gap_us", col("next_us") - unix_micros(col("ts")))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_gaps"), sum(col("gap_us")).as("sum_gap_us"))
+      .select(col("event_type"), col("n_gaps").cast("long").as("n_gaps"),
+        col("sum_gap_us").cast("long").as("sum_gap_us"),
+        (col("sum_gap_us").cast("double") / col("n_gaps").cast("double") / 1000000.0)
+          .as("mean_gap_sec"))
+      .orderBy("event_type")
+  }
+
   def relAggCube(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "orders")
       .cube("o_orderstatus", "o_orderpriority")
@@ -919,6 +942,7 @@ object Relational {
     "rel_agg_hash"       -> (relAggHash _),
     "rel_agg_filtered"   -> (relAggFiltered _),
     "rel_agg_groupingid" -> (relAggGroupingId _),
+    "rel_interevent_stats" -> (relInterEventStats _),
     "rel_agg_distinct"   -> (relAggDistinct _),
     "rel_agg_approx"     -> (relAggApprox _),
     "rel_agg_rollup"     -> (relAggRollup _),
@@ -1227,6 +1251,20 @@ object Relational {
         |       CAST(count(DISTINCT l_partkey) AS BIGINT) AS distinct_parts,
         |       CAST(count(*) AS BIGINT) AS cnt
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "rel_interevent_stats" ->
+      """WITH g AS (
+        |  SELECT event_type,
+        |         lead(epoch_us(ts)) OVER (PARTITION BY user_id, event_type
+        |                                  ORDER BY ts, event_id)
+        |           - epoch_us(ts) AS gap_us
+        |  FROM events)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_gaps,
+        |       CAST(sum(gap_us) AS BIGINT) AS sum_gap_us,
+        |       CAST(CAST(sum(gap_us) AS BIGINT) AS DOUBLE)
+        |         / CAST(count(*) AS DOUBLE) / 1000000.0 AS mean_gap_sec
+        |FROM g WHERE gap_us IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "rel_agg_groupingid" ->
       """SELECT o_orderstatus, o_orderpriority,
