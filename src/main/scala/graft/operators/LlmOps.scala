@@ -1899,8 +1899,16 @@ object LlmOps {
     * [[qualityScore]]: per-language percent_rank (quantile thresholds
     * must be within-language, or high-resource languages crowd out the
     * rest — the reason pipelines stratify this filter). doc_id breaks
-    * quality ties, so ranks are deterministic; one window shuffle on
-    * lang. */
+    * quality ties, so ranks are deterministic.
+    *
+    * Scale posture: percent_rank sorts each language inside ONE window
+    * partition — exact and oracle-checkable, but a per-lang global sort
+    * (the classic window-skew shape) at corpus scale. The 100 TB form of
+    * the same selection computes each language's quality threshold with
+    * `percentile_approx` (one pass, mergeable sketch), broadcasts the
+    * 5-row threshold table, and filters — identical keep-set up to
+    * sketch error, no full sort. The exact window is kept here as the
+    * verifiable spec (same policy as the exact-vs-LSH dedup pairs). */
   def qualityQuantile(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("lang").orderBy(col("quality").desc, col("doc_id"))
@@ -1952,14 +1960,28 @@ object LlmOps {
     * as a raw ratio; ln is libm-dependent, the ratio is one fixed-order
     * double expression) over within-document DISTINCT token pairs: the
     * association statistic under word-embedding co-occurrence matrices
-    * and collocation extraction. Doc-frequency vectors are vocabulary-
-    * bounded → broadcast; the pair frame is the token analogue of the
-    * basket pair self-join (O(distinct-tokens² per doc), vocab² rows
-    * out). */
-  def cooccurrence(s: SparkSession, dir: String): DataFrame = {
-    val tok = Tables.load(s, dir, "documents")
+    * and collocation extraction. */
+  def cooccurrence(s: SparkSession, dir: String): DataFrame =
+    cooccurrenceCapped(s, dir, 4096)
+
+  /** Capped form: pairs are generated only over the `vocabCap` highest-
+    * document-frequency tokens (token tiebreak) — the FIXED-VOCABULARY
+    * restriction every real co-occurrence matrix applies, because the
+    * within-doc pair explode is O(distinct-tokens² per doc) and a 100k-
+    * distinct-token document must not go quadratic over its long tail
+    * (the tail's pair statistics are noise at any corpus size anyway).
+    * The vocab frame is cap-bounded → broadcast semi-join before the
+    * pair join; default cap is a no-op at test SFs (31-token corpus
+    * vocabulary, measured) so the hash oracle is unchanged; LlmOpsSpec
+    * proves the cap path is live by shrinking it. */
+  def cooccurrenceCapped(s: SparkSession, dir: String, vocabCap: Int): DataFrame = {
+    val tok0 = Tables.load(s, dir, "documents")
       .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("t"))
-    val dfreq = tok.groupBy("t").agg(count(lit(1)).as("c"))
+    val dfreq0 = tok0.groupBy("t").agg(count(lit(1)).as("c"))
+    val vocab = dfreq0
+      .orderBy(col("c").desc, col("t")).limit(vocabCap).select("t")
+    val tok = tok0.join(broadcast(vocab), Seq("t"), "left_semi")
+    val dfreq = dfreq0.join(broadcast(vocab), Seq("t"), "left_semi")
     val nd = Tables.load(s, dir, "documents")
       .select(countDistinct(col("doc_id")).as("nd"))
     val a = tok.select(col("doc_id"), col("t").as("ta"))

@@ -84,6 +84,22 @@ class LlmOpsSpec extends SparkSpec {
     assert(fullF > 0)
     assert(LlmOps.fuzzyEditdistCapped(spark, sf, Int.MaxValue).count() == fullF)
     assert(LlmOps.fuzzyEditdistCapped(spark, sf, 1).count() == 0L)
+    // co-occurrence vocab cap: default is a no-op; shrinking it restricts
+    // pairs to exactly the top-df tokens
+    val fullC = LlmOps.cooccurrence(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(fullC ==
+      LlmOps.cooccurrenceCapped(spark, sf, Int.MaxValue).collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet)
+    val topDf = Tables.load(spark, sf, "documents")
+      .select(explode(array_distinct(split(col("text"), " "))).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("t")).limit(5)
+      .collect().map(_.getString(0)).toSet
+    val capped = LlmOps.cooccurrenceCapped(spark, sf, 5).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(capped.nonEmpty && capped.size < fullC.size)
+    capped.foreach { case (a, b) => assert(topDf(a) && topDf(b)) }
   }
 
   test("knn graph block cap: subset-capped hot blocks still yield k neighbors per survivor") {
