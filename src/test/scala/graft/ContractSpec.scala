@@ -95,6 +95,22 @@ class ContractSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(md.contains("Expand"), s"multi-distinct not Expand-planned:\n$md")
     assert(md.split("FileScan").length - 1 == 1, s"multi-distinct re-scans:\n$md")
+    // retrieval join: the probes×k hit table broadcasts — the corpus
+    // metadata scan must not shuffle for the join
+    val rj = operators.LlmOps.retrievalJoin(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(rj.contains("BroadcastHashJoin"), s"retrieval hits not broadcast:\n$rj")
+    // co-occurrence: the vocab cap rides a broadcast semi-join ahead of
+    // the pair self-join (never a shuffled semi)
+    val co = operators.LlmOps.cooccurrence(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(co.contains("BroadcastHashJoin") && co.contains("LeftSemi"),
+      s"cooccurrence vocab cap not a broadcast semi-join:\n$co")
+    // grouping-id cube still plans as one Expand pass over one scan
+    val gi = operators.Relational.relAggGroupingId(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(gi.contains("Expand"), s"grouping-id cube not Expand-planned:\n$gi")
+    assert(gi.split("FileScan").length - 1 == 1, s"grouping-id re-scans:\n$gi")
   }
 
   test("expensive-tail plan gates: audited shapes locked against regression") {
