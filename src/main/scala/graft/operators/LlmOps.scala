@@ -2056,7 +2056,90 @@ object LlmOps {
           .as("fill_rate"))
       .orderBy("lang")
 
+  /** Cosine RANGE search through the IVF index — the fourth cell of the
+    * ANN API matrix (top-k brute [[similarityKnn]], top-k IVF
+    * [[annIvf]], range brute [[annRange]], range IVF here): assignment
+    * semi-join to the probe's cell, then the threshold predicate —
+    * candidate count bounded by the cell, not the corpus. Same fixed
+    * centroids and deterministic argmin as `llm_ann_ivf`. */
+  def annIvfRange(s: SparkSession, dir: String): DataFrame = {
+    DotProduct.register(s)
+    val emb = Tables.load(s, dir, "embeddings")
+    val cent = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    val d2 = emb.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("embedding"), col("cid"),
+        aggregate(
+          zip_with(col("embedding"), col("ce"),
+            (x, y) => (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+          lit(0.0), (acc, v) => acc + v).as("d2"))
+    val assign = d2
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("vec_id")
+          .orderBy(col("d2"), col("cid"))))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("cid"))
+    val probeCell = assign.filter(col("vec_id") === 0).select(col("cid").as("qcid"))
+    val q = Tables.load(s, dir, "embeddings").filter(col("vec_id") === 0)
+      .select(col("embedding").as("qe"))
+    assign.join(broadcast(probeCell), col("cid") === col("qcid"))
+      .filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        (dot(col("embedding"), col("qe")) / (norm(col("embedding")) * norm(col("qe"))))
+          .as("sim"))
+      .filter(col("sim") >= 0.2)
+      .orderBy("vec_id")
+  }
+
+  /** CROSS-SOURCE near-dup audit — the provenance question behind every
+    * multi-feed corpus merge: which exact-Jaccard near-dup pairs span
+    * TWO DIFFERENT sources (feed B re-crawling feed A's pages)? A
+    * projection over the blocked [[ngramJaccard]] pair table joined to
+    * the per-doc source column; the pair table is the bounded candidate
+    * set, so the source join is pair-count-sized. */
+  def dedupCrossSource(s: SparkSession, dir: String): DataFrame = {
+    val src = Tables.load(s, dir, "documents").select("doc_id", "source")
+    ngramJaccard(s, dir)
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("source_a")), "doc_a")
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("source_b")), "doc_b")
+      .filter(col("source_a") =!= col("source_b"))
+      .select("doc_a", "doc_b", "source_a", "source_b", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** VOCABULARY frequency bands — head/torso/tail classification by
+    * cumulative corpus-frequency share (the coverage analysis behind
+    * tokenizer-vocabulary sizing: how few tokens cover 50% / 90% of the
+    * token mass). Band edges are ALL-INTEGER comparisons on exact
+    * cumulative sums (cum·2 ≤ total, cum·10 ≤ total·9) — a double
+    * cumulative share would put band boundaries at the mercy of float
+    * rounding. One aggregation + one global-rank window over the
+    * vocabulary-bounded frequency table. */
+  def tokenFreqBands(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("freq").desc, col("token"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tf = Tables.load(s, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("freq"))
+    val tot = tf.agg(sum(col("freq")).as("total"))
+    tf.withColumn("rnk",
+        row_number().over(Window.orderBy(col("freq").desc, col("token"))))
+      .withColumn("cum_freq", sum(col("freq")).over(w))
+      .crossJoin(broadcast(tot))
+      .select(col("token"), col("freq"), col("rnk").cast("long").as("rnk"),
+        col("cum_freq").cast("long").as("cum_freq"),
+        when(col("cum_freq") * 2 <= col("total"), "head")
+          .when(col("cum_freq") * 10 <= col("total") * 9, "torso")
+          .otherwise("tail").as("band"))
+      .orderBy("rnk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_ann_ivf_range"      -> (annIvfRange _),
+    "llm_dedup_cross_source" -> (dedupCrossSource _),
+    "llm_token_freq_bands"   -> (tokenFreqBands _),
     "llm_lang_mismatch"      -> (langMismatch _),
     "llm_pack_stats"         -> (packStats _),
     "llm_tfidf_topk"         -> (tfidfTopk _),
@@ -2130,6 +2213,74 @@ object LlmOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "llm_ann_ivf_range" ->
+      s"""WITH cent AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 8),
+         |d2 AS (
+         |  SELECT e.vec_id, e.embedding, c.cid,
+         |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |           list_transform(generate_series(1, len(e.embedding)),
+         |             i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(c.ce[i] AS DOUBLE))
+         |                * (CAST(e.embedding[i] AS DOUBLE) - CAST(c.ce[i] AS DOUBLE)))),
+         |           (x,y) -> x + y) AS d2
+         |  FROM embeddings e CROSS JOIN cent c),
+         |assign AS (
+         |  SELECT vec_id, embedding, cid FROM (
+         |    SELECT vec_id, embedding, cid,
+         |           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+         |    FROM d2) WHERE rn = 1),
+         |probe AS (SELECT cid AS qcid FROM assign WHERE vec_id = 0),
+         |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+         |SELECT a.vec_id,
+         |       ${sqlDot("a.embedding", "q.qe")}
+         |       / (${sqlNorm("a.embedding")} * sqrt(${sqlDot("q.qe", "q.qe")})) AS sim
+         |FROM assign a JOIN probe ON a.cid = probe.qcid CROSS JOIN q
+         |WHERE a.vec_id <> 0
+         |  AND ${sqlDot("a.embedding", "q.qe")}
+         |      / (${sqlNorm("a.embedding")} * sqrt(${sqlDot("q.qe", "q.qe")})) >= 0.2
+         |ORDER BY a.vec_id""".stripMargin,
+
+    "llm_dedup_cross_source" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+        |  FROM documents),
+        |sz AS (SELECT doc_id, count(*) AS nt FROM toks GROUP BY doc_id),
+        |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |       FROM documents a JOIN documents b
+        |         ON a.lang = b.lang AND a.n_chars = b.n_chars AND a.doc_id < b.doc_id),
+        |inter AS (
+        |  SELECT doc_a, doc_b, count(*) AS i
+        |  FROM pr JOIN toks ta ON ta.doc_id = doc_a
+        |          JOIN toks tb ON tb.doc_id = doc_b AND tb.tok = ta.tok
+        |  GROUP BY doc_a, doc_b),
+        |pairs AS (
+        |  SELECT doc_a, doc_b,
+        |         CAST(i AS DOUBLE) / (sa.nt + sb.nt - i) AS jaccard
+        |  FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+        |  WHERE CAST(i AS DOUBLE) / (sa.nt + sb.nt - i) >= 0.5)
+        |SELECT doc_a, doc_b, da.source AS source_a, db.source AS source_b, jaccard
+        |FROM pairs JOIN documents da ON da.doc_id = doc_a
+        |           JOIN documents db ON db.doc_id = doc_b
+        |WHERE da.source <> db.source
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "llm_token_freq_bands" ->
+      """WITH tf AS (
+        |  SELECT token, CAST(count(*) AS BIGINT) AS freq
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |  GROUP BY token),
+        |r AS (
+        |  SELECT token, freq,
+        |         CAST(row_number() OVER (ORDER BY freq DESC, token) AS BIGINT) AS rnk,
+        |         CAST(sum(freq) OVER (ORDER BY freq DESC, token
+        |                              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_freq,
+        |         CAST(sum(freq) OVER () AS BIGINT) AS total
+        |  FROM tf)
+        |SELECT token, freq, rnk, cum_freq,
+        |       CASE WHEN cum_freq * 2 <= total THEN 'head'
+        |            WHEN cum_freq * 10 <= total * 9 THEN 'torso'
+        |            ELSE 'tail' END AS band
+        |FROM r ORDER BY rnk""".stripMargin,
+
     "llm_lang_mismatch" ->
       """WITH l AS (
         |  SELECT doc_id, lang,

@@ -143,6 +143,29 @@ object Relational {
       .orderBy("event_type")
   }
 
+  /** PERIOD-over-period DELTA report — weekly shipment counts and exact-
+    * decimal revenue with previous-period deltas and percent change (the
+    * trend table every warehouse dashboard materializes): one calendar
+    * aggregation, one lag() window over the period-bounded result. The
+    * window input is one row per week — scale-free regardless of fact
+    * volume. */
+  def relPeriodDelta(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy("week_start")
+    Tables.load(s, dir, "lineitem")
+      .groupBy(date_trunc("week", col("l_shipdate")).as("week_start"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(dec("l_extendedprice")).cast("double").as("revenue"))
+      .withColumn("prev_cnt", lag(col("cnt"), 1).over(w))
+      .select(col("week_start"), col("cnt"), col("revenue"),
+        col("prev_cnt").cast("long").as("prev_cnt"),
+        (col("cnt") - coalesce(col("prev_cnt"), col("cnt"))).cast("long").as("delta_cnt"),
+        when(col("prev_cnt").isNotNull,
+          (col("cnt") - col("prev_cnt")).cast("double") / col("prev_cnt").cast("double"))
+          .as("pct_change"))
+      .orderBy("week_start")
+  }
+
   def relAggCube(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "orders")
       .cube("o_orderstatus", "o_orderpriority")
@@ -943,6 +966,7 @@ object Relational {
     "rel_agg_filtered"   -> (relAggFiltered _),
     "rel_agg_groupingid" -> (relAggGroupingId _),
     "rel_interevent_stats" -> (relInterEventStats _),
+    "rel_period_delta"   -> (relPeriodDelta _),
     "rel_agg_distinct"   -> (relAggDistinct _),
     "rel_agg_approx"     -> (relAggApprox _),
     "rel_agg_rollup"     -> (relAggRollup _),
@@ -1251,6 +1275,22 @@ object Relational {
         |       CAST(count(DISTINCT l_partkey) AS BIGINT) AS distinct_parts,
         |       CAST(count(*) AS BIGINT) AS cnt
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "rel_period_delta" ->
+      """WITH wk AS (
+        |  SELECT CAST(date_trunc('week', l_shipdate) AS TIMESTAMP) AS week_start,
+        |         CAST(count(*) AS BIGINT) AS cnt,
+        |         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |  FROM lineitem GROUP BY 1)
+        |SELECT week_start, cnt, revenue,
+        |       CAST(lag(cnt) OVER (ORDER BY week_start) AS BIGINT) AS prev_cnt,
+        |       CAST(cnt - coalesce(lag(cnt) OVER (ORDER BY week_start), cnt)
+        |            AS BIGINT) AS delta_cnt,
+        |       CASE WHEN lag(cnt) OVER (ORDER BY week_start) IS NOT NULL
+        |            THEN CAST(cnt - lag(cnt) OVER (ORDER BY week_start) AS DOUBLE)
+        |                 / CAST(lag(cnt) OVER (ORDER BY week_start) AS DOUBLE)
+        |            END AS pct_change
+        |FROM wk ORDER BY week_start""".stripMargin,
 
     "rel_interevent_stats" ->
       """WITH g AS (

@@ -795,6 +795,15 @@ class LlmOpsSpec extends SparkSpec {
       if (r.getDouble(1) >= 0.25)
         assert(range.get(r.getLong(0)).contains(r.getDouble(1)))
     }
+    // IVF range search only ever MISSES candidates (cell restriction):
+    // its hits are a subset of brute-force range at the same threshold,
+    // with identical sims for shared ids
+    val bruteLo = LlmOps.annRangeThreshold(spark, sf, 0.2).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val ivfRange = LlmOps.annIvfRange(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1))
+    assert(ivfRange.nonEmpty)
+    ivfRange.foreach { case (id, s) => assert(bruteLo.get(id).contains(s)) }
     // prefix dedup: one keeper per prefix group, keeper = min doc_id
     val rows = LlmOps.prefixDedup(spark, sf).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getBoolean(2)))
