@@ -24,6 +24,12 @@ case class CdcEvent(ts: java.sql.Timestamp, user_id: Long, event_id: Long,
 case class CdcState(ts_us: Long, event_id: Long, op: String, value: Double)
 case class CdcOut(user_id: Long, last_event_id: Long, last_op: String, cur_value: Double)
 
+/** Row/state shapes for the streaming transition-feed operator. */
+case class TransEvent(ts: java.sql.Timestamp, user_id: Long, event_id: Long,
+    event_type: String)
+case class TransState(ts_us: Long, event_id: Long, event_type: String)
+case class TransOut(user_id: Long, from_type: String, to_type: String)
+
 /** §E — streaming surface (SURVEY.md §2.1.E).
   *
   * Each operator exists twice:
@@ -258,6 +264,43 @@ object Streaming {
       .toDF()
   }
 
+  /** Streaming TRANSITION FEED — the incremental form of
+    * [[graft.operators.Mining.fpmMarkovTransition]]'s lead() pass: state
+    * per user is ONE (ts_us, event_id, event_type) tuple (the last event
+    * seen), each batch sorts its per-user buffer in the deterministic
+    * (µs, event_id) event order and emits one (from_type, to_type) row
+    * per adjacent step, chaining across batches through the carried
+    * state. The downstream count/probability aggregation is an ordinary
+    * (streaming) aggregate over this feed. Same in-order-across-batches
+    * envelope as [[runningSeq]]/[[ewmaStream]] (a cross-batch
+    * out-of-order event would retroactively change an already-emitted
+    * adjacency — the same reason the batch key uses lead(), not state);
+    * StreamingSpec proves a multi-batch run emits exactly the static
+    * run's transition multiset. */
+  def transitionStream(events: DataFrame): DataFrame = {
+    val sp = events.sparkSession
+    import sp.implicits._
+    def micros(t: java.sql.Timestamp): Long =
+      math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+    events.select(col("ts"), col("user_id"), col("event_id"), col("event_type"))
+      .as[TransEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (uid: Long, it: Iterator[TransEvent], state: GroupState[TransState]) => {
+          var last = state.getOption.orNull
+          val out = it.toSeq.sortBy(e => (micros(e.ts), e.event_id)).flatMap { e =>
+            val r =
+              if (last == null) Nil
+              else List(TransOut(uid, last.event_type, e.event_type))
+            last = TransState(micros(e.ts), e.event_id, e.event_type)
+            r
+          }
+          state.update(last)
+          out.iterator
+        })
+      .toDF()
+  }
+
   // ------------------------------------------- declared batch equivalents
 
   def streamRunningSeq(s: SparkSession, dir: String): DataFrame =
@@ -424,7 +467,23 @@ object Streaming {
     cdcApplyStream(Tables.load(s, dir, "events"))
       .orderBy("user_id")
 
+  /** Declared batch run of [[transitionStream]] + the count/probability
+    * rollup — equals `fpm_markov_transition` row for row (same oracle
+    * text): the stateful feed replaces the lead() window, the aggregate
+    * is identical. */
+  def streamMarkov(s: SparkSession, dir: String): DataFrame = {
+    val tw = Window.partitionBy("from_type")
+    transitionStream(Tables.load(s, dir, "events"))
+      .groupBy("from_type", "to_type")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("out_total", sum(col("cnt")).over(tw))
+      .select(col("from_type"), col("to_type"), col("cnt"),
+        (col("cnt").cast("double") / col("out_total").cast("double")).as("prob"))
+      .orderBy("from_type", "to_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_markov"        -> (streamMarkov _),
     "stream_cdc_apply"     -> (streamCdcApply _),
     "stream_ewma"          -> (streamEwma _),
     "stream_window_topk"   -> (streamWindowTopk _),
@@ -439,6 +498,19 @@ object Streaming {
   )
 
   val oracle: Map[String, String] = Map(
+    "stream_markov" ->
+      """WITH tr AS (
+        |  SELECT event_type AS from_type,
+        |         lead(event_type) OVER (PARTITION BY user_id
+        |                                ORDER BY ts, event_id) AS to_type
+        |  FROM events),
+        |c AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS cnt
+        |      FROM tr WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, cnt,
+        |       CAST(cnt AS DOUBLE)
+        |         / CAST(sum(cnt) OVER (PARTITION BY from_type) AS DOUBLE) AS prob
+        |FROM c ORDER BY from_type, to_type""".stripMargin,
+
     "stream_cdc_apply" ->
       """SELECT user_id, event_id AS last_event_id,
         |       event_type AS last_op, value AS cur_value

@@ -362,6 +362,44 @@ class StreamingSpec extends SparkSpec {
     assert(sigs.toSet == fused)
   }
 
+  test("streaming transition feed: multi-batch emissions equal the static run and a driver recompute") {
+    val sp = spark
+    import sp.implicits._
+    implicit val ctx = sp.sqlContext
+    // per-user chains crossing batch boundaries: u1 click->view->purchase,
+    // u2 view->view->click; batch 2 continues both chains from carried state
+    val batch1 = Seq(
+      Ev(t("2024-01-01 10:00:00"), 1, "click", 1.0, 1),
+      Ev(t("2024-01-01 10:05:00"), 1, "view", 1.0, 2),
+      Ev(t("2024-01-01 10:00:00"), 2, "view", 1.0, 3),
+      Ev(t("2024-01-01 10:06:00"), 2, "view", 1.0, 4))
+    val batch2 = Seq(
+      Ev(t("2024-01-01 10:10:00"), 1, "purchase", 1.0, 5),
+      Ev(t("2024-01-01 10:11:00"), 2, "click", 1.0, 6))
+    val ms = MemoryStream[Ev]
+    val q = Streaming.transitionStream(ms.toDF())
+      .writeStream.outputMode("append").format("memory").queryName("trans").start()
+    try {
+      ms.addData(batch1); q.processAllAvailable()
+      ms.addData(batch2); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("trans").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq.sorted
+    val static = Streaming.transitionStream((batch1 ++ batch2).toDF()).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq.sorted
+    val expected = Seq(
+      (1L, "click", "view"), (1L, "view", "purchase"),
+      (2L, "view", "view"), (2L, "view", "click")).sorted
+    assert(streamed == expected && static == expected)
+    // the declared batch key over the real events table equals the
+    // window-rank mining key row for row
+    val viaStream = Streaming.streamMarkov(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSeq
+    val viaLead = operators.Mining.fpmMarkovTransition(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(viaStream == viaLead)
+  }
+
   test("streaming CDC apply: latest-wins state across batches, tombstones hold against late changes") {
     val sp = spark
     import sp.implicits._
