@@ -46,16 +46,20 @@ object Bench {
       step { f(spark, warmDir).count() }
     }
     val keys = SparkEntry.queries.keys.toSeq.sorted
-    // pass record: (seconds, run position within its sweep, start epoch ms)
-    case class Pass(sec: Double, pos: Int, startMs: Long)
+    // pass record: seconds, run position within its sweep, start epoch
+    // ms, and whether the query completed — a pass that THROWS must not
+    // masquerade as a fast passing run (the failure is recorded per
+    // pass and failed keys surface in an "errors" array below).
+    case class Pass(sec: Double, pos: Int, startMs: Long, ok: Boolean)
     val passes = scala.collection.mutable.Map.empty[String, List[Pass]]
     def timed(name: String, pos: Int): Unit = {
       val startMs = System.currentTimeMillis()
       val t0 = System.nanoTime()
-      try { SparkEntry.queries(name)(spark, sfDir).count() }
-      catch { case _: Throwable => () }
+      val ok =
+        try { SparkEntry.queries(name)(spark, sfDir).count(); true }
+        catch { case _: Throwable => false }
       val sec = (System.nanoTime() - t0) / 1e9
-      passes(name) = passes.getOrElse(name, Nil) :+ Pass(sec, pos, startMs)
+      passes(name) = passes.getOrElse(name, Nil) :+ Pass(sec, pos, startMs, ok)
     }
     // Two full interleaved sweeps: the ~90 s between a key's pass 1 and
     // pass 2 is what makes the min robust to bursts shorter than a sweep.
@@ -64,28 +68,35 @@ object Bench {
     // Rescue pass: a key whose min is STILL slow either is genuinely
     // expensive or was hit in both sweeps — give it one more chance at
     // yet another point in time. Clean-run cost: only the handful of
-    // genuinely >2 s keys re-run (~10-20 s total).
+    // genuinely >2 s keys re-run (~10-20 s total). A key with no clean
+    // pass yet is also rescued (the failure may be transient).
     val rescueAt = 2.0
-    val rescue = keys.filter(k => passes(k).map(_.sec).min > rescueAt)
+    def okSecs(k: String): Seq[Double] = passes(k).filter(_.ok).map(_.sec)
+    val rescue = keys.filter(k => okSecs(k).isEmpty || okSecs(k).min > rescueAt)
     for ((name, i) <- rescue.zipWithIndex)
       timed(name, 2 * keys.size + i)
+    // Reported number = min over CLEAN passes; a key that never
+    // completed reports the sentinel -1.0 and lands in "errors".
+    val errors: Seq[String] = keys.filter(k => okSecs(k).isEmpty)
     val results: Seq[(String, Double)] =
-      keys.map(k => k -> passes(k).map(_.sec).min)
+      keys.map(k => k -> (if (okSecs(k).isEmpty) -1.0 else okSecs(k).min))
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def json(rs: Iterable[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.map(_._2).filter(_ >= 0).sum
     val detail = keys.map { k =>
       val ps = passes(k)
       "\"" + k + "\":{\"passes\":[" + ps.map(p => fmt(p.sec)).mkString(",") +
         "],\"pos\":[" + ps.map(_.pos).mkString(",") +
-        "],\"start_ms\":[" + ps.map(_.startMs).mkString(",") + "]}"
+        "],\"start_ms\":[" + ps.map(_.startMs).mkString(",") +
+        "],\"ok\":[" + ps.map(_.ok).mkString(",") + "]}"
     }.mkString("{", ",", "}")
+    val errJson = s""""errors":[${errors.map("\"" + _ + "\"").mkString(",")}]"""
     val full =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${json(results)},""" +
       s""""timing":"min_of_interleaved_passes","sweeps":2,"rescue_threshold_sec":${fmt(rescueAt)},""" +
-      s""""rescued":[${rescue.map("\"" + _ + "\"").mkString(",")}],""" +
+      s""""rescued":[${rescue.map("\"" + _ + "\"").mkString(",")}],$errJson,""" +
       s""""detail":$detail,"sf":"$sfDir"}"""
     println(full)
     // The harness that collects this output keeps only a bounded tail of
@@ -100,7 +111,7 @@ object Bench {
     val slowest = results.sortBy(-_._2).take(40)
     println(
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${json(slowest)},""" +
-      s""""queries_shown":${slowest.size},"queries_total":${results.size},""" +
+      s""""queries_shown":${slowest.size},"queries_total":${results.size},$errJson,""" +
       s""""timing":"min_of_interleaved_passes","full_per_query":"BENCH_FULL.json","sf":"$sfDir"}""")
     spark.stop()
   }

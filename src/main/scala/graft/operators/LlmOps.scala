@@ -607,14 +607,75 @@ object LlmOps {
         (length(col("text").cast("binary")) % 256).cast("long").as("stub_feature"))
       .orderBy("doc_id")
 
-  /** Batch "decode" over opaque binary content via typed mapPartitions —
+  /** Parse the image-container header of an opaque binary payload —
+    * REAL wire-format decoding, pure byte arithmetic, no media libs:
+    *  - PNG  (RFC 2083): 8-byte signature, then the IHDR chunk's
+    *    big-endian width/height at offsets 16/20 and the color-type
+    *    byte at 25 mapped to its channel count (0→1 gray, 2→3 RGB,
+    *    3→1 palette, 4→2 gray+alpha, 6→4 RGBA).
+    *  - JPEG (ITU T.81): FF D8 SOI, then a marker-segment walk (each
+    *    segment FF xx + big-endian length) to the first SOFn frame
+    *    header (C0–CF minus C4/C8/CC), whose payload is precision(1),
+    *    height(2), width(2), components(1).
+    *  - GIF  (87a/89a): 6-byte signature, little-endian logical-screen
+    *    width/height at offsets 6/8.
+    * Anything else is passed through as `raw` with null dimensions. */
+  private[graft] def parseMediaHeader(
+      b: Array[Byte]): (String, Option[Long], Option[Long], Option[Long]) = {
+    def u8(i: Int): Int = b(i) & 0xff
+    def be16(i: Int): Long = ((u8(i) << 8) | u8(i + 1)).toLong
+    def be32(i: Int): Long =
+      (u8(i).toLong << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+    def le16(i: Int): Long = (u8(i) | (u8(i + 1) << 8)).toLong
+    val isPng = b.length >= 26 && u8(0) == 0x89 && u8(1) == 0x50 &&
+      u8(2) == 0x4e && u8(3) == 0x47 && u8(4) == 0x0d && u8(5) == 0x0a &&
+      u8(6) == 0x1a && u8(7) == 0x0a &&
+      b(12) == 'I' && b(13) == 'H' && b(14) == 'D' && b(15) == 'R'
+    if (isPng) {
+      val channels = u8(25) match {
+        case 0 => 1L; case 2 => 3L; case 3 => 1L; case 4 => 2L; case 6 => 4L
+        case _ => 0L
+      }
+      ("png", Some(be32(16)), Some(be32(20)), Some(channels))
+    } else if (b.length >= 4 && u8(0) == 0xff && u8(1) == 0xd8) {
+      var i = 2
+      var out: (String, Option[Long], Option[Long], Option[Long]) =
+        ("jpeg", None, None, None)
+      var done = false
+      while (!done && i + 3 < b.length) {
+        if (u8(i) != 0xff) done = true // desynced — stop, keep nulls
+        else u8(i + 1) match {
+          case 0xff => i += 1 // fill byte before a marker
+          case m if m == 0xd8 || m == 0x01 || (m >= 0xd0 && m <= 0xd7) =>
+            i += 2 // parameterless markers (SOI, TEM, RSTn)
+          case 0xd9 => done = true // EOI before any frame header
+          case m =>
+            val isSof = m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc
+            if (isSof && i + 9 < b.length) {
+              out = ("jpeg", Some(be16(i + 7)), Some(be16(i + 5)), Some(u8(i + 9).toLong))
+              done = true
+            } else i += 2 + be16(i + 2).toInt
+        }
+      }
+      out
+    } else if (b.length >= 10 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' &&
+      b(3) == '8' && (b(4) == '7' || b(4) == '9') && b(5) == 'a') {
+      ("gif", Some(le16(6)), Some(le16(8)), Some(3L))
+    } else ("raw", None, None, None)
+  }
+
+  /** Batch DECODE over opaque binary content via typed mapPartitions —
     * the Scala analogue of a Pandas-UDF/`mapInPandas` decode stage for
-    * image/audio columns. The decoder itself is a clearly-marked
-    * deterministic STUB (no media libs in this environment): features
-    * are cheap arithmetic on the byte length, shaped like a real
-    * per-batch feature extractor (schema, batching, partition-parallel
-    * plumbing are the real thing). The oracle states the same
-    * arithmetic, so even the stub is hash-verified. */
+    * image/audio columns. The per-batch decoder is [[parseMediaHeader]]
+    * — a REAL PNG/JPEG/GIF container-header parser (width, height,
+    * channels straight from the public wire formats, deterministic
+    * byte arithmetic) with a `raw` passthrough for non-media payloads.
+    * The key name is historical (rounds 1–6 shipped a labeled stub
+    * here); the schema/batching/partition-parallel plumbing is
+    * unchanged. The synthetic corpus' text-as-binary payloads all take
+    * the `raw` branch — the oracle hash-verifies exactly that — and
+    * the PNG/JPEG/GIF branches are spec-gated on hand-built wire-format
+    * bytes in LlmOpsSpec. */
   def decodeStub(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.load(s, dir, "documents")
@@ -622,12 +683,11 @@ object LlmOps {
       .as[(Long, Array[Byte])]
       .mapPartitions { batch =>
         batch.map { case (id, bytes) =>
-          // STUB decode: stand-in for image/audio feature extraction
-          val n = bytes.length
-          (id, n.toLong, (n % 7).toDouble, (n % 11).toDouble, (n % 13).toDouble)
+          val (fmt, w, h, c) = parseMediaHeader(bytes)
+          (id, bytes.length.toLong, fmt, w, h, c)
         }
       }
-      .toDF("doc_id", "n_bytes", "f0", "f1", "f2")
+      .toDF("doc_id", "n_bytes", "format", "width", "height", "channels")
       .orderBy("doc_id")
   }
 
@@ -1027,23 +1087,36 @@ object LlmOps {
   /** Corpus token-distribution (Zipf) table: per-token frequency, rank
     * by descending frequency, and share of all token occurrences — the
     * corpus statistics a pipeline reads before choosing stopword lists,
-    * vocabulary cutoffs, and sampling temperatures.
-    *
-    * Scale shape: the only full-corpus pass is the vocabulary-bounded
-    * token count (map-side combine shrinks it to one row per token per
-    * partition before the shuffle); the rank window then runs over the
-    * vocabulary-sized aggregate, not the corpus. */
-  def zipfStats(s: SparkSession, dir: String): DataFrame = {
+    * vocabulary cutoffs, and sampling temperatures. */
+  def zipfStats(s: SparkSession, dir: String): DataFrame =
+    zipfStatsCapped(s, dir, 65536)
+
+  /** Capped form: the ranked table is restricted to the `vocabCap`
+    * highest-frequency tokens (token tiebreak ⇒ total order ⇒ the cap
+    * boundary is deterministic and rank-prefix-stable). The raw
+    * distinct-token table of a 100 TB web corpus is billions of rows
+    * (URLs, typos, numbers), so an UNPARTITIONED rank window over it is
+    * a single-task global sort — the cap turns that into a TakeOrdered
+    * (per-partition top-cap, merged on the driver side of the exchange)
+    * followed by a window over a cap-bounded frame, and a Zipf/stopword
+    * report only ever reads the head anyway. The share denominator is
+    * the one-row global total aggregate (map-side combined, broadcast),
+    * NOT a `sum over Window.partitionBy()` — same value, no window.
+    * Default cap is a no-op at test SFs (≤31-token corpus vocabulary,
+    * measured) so the hash oracle is unchanged; LlmOpsSpec proves the
+    * cap path is live by shrinking it. */
+  def zipfStatsCapped(s: SparkSession, dir: String, vocabCap: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val tf = Tables.load(s, dir, "documents")
       .select(explode(split(col("text"), " ")).as("token"))
       .groupBy("token").agg(count(lit(1)).as("freq"))
-    tf.select(
-        col("token"),
-        col("freq"),
-        rank().over(Window.orderBy(col("freq").desc, col("token"))).cast("long").as("rnk"),
-        (col("freq").cast("double")
-          / sum(col("freq")).over(Window.partitionBy()).cast("double")).as("freq_frac"))
+    val tot = tf.agg(sum(col("freq")).as("total"))
+    tf.orderBy(col("freq").desc, col("token")).limit(vocabCap)
+      .withColumn("rnk",
+        rank().over(Window.orderBy(col("freq").desc, col("token"))).cast("long"))
+      .crossJoin(broadcast(tot))
+      .select(col("token"), col("freq"), col("rnk"),
+        (col("freq").cast("double") / col("total").cast("double")).as("freq_frac"))
       .orderBy("rnk")
   }
 
@@ -1284,7 +1357,15 @@ object LlmOps {
 
   def bloomPrefilterSharded(s: SparkSession, dir: String, numShards: Int): DataFrame = {
     import org.apache.spark.util.sketch.BloomFilter
-    val perShardCapacity = math.max(1L, 4096L / numShards)
+    // 2× headroom over the uniform expected load per shard: shard(fp) is
+    // a hash so loads concentrate around 4096/P, but a shard that drew
+    // more than its share would silently exceed expectedNumItems and
+    // degrade past the 1 % fpp design point (zero-FN is unaffected
+    // either way). Doubling capacity costs ~9.6 bits/key instead of
+    // ~4.8 and keeps the bound for any shard under 2× mean load —
+    // vanishingly unlikely to be exceeded at real corpus counts
+    // (Chernoff: P[load > 2µ] ≤ exp(−µ/3)).
+    val perShardCapacity = math.max(1L, 2L * 4096L / numShards)
     val existing = Tables.load(s, dir, "documents")
       .filter(col("source") === "src0").select(fpCol.as("fp"))
     val blooms = existing.rdd.map(_.getString(0)).treeAggregate(
@@ -1378,6 +1459,48 @@ object LlmOps {
       col("ed").as("eb"), col("nrm").as("nb"))
     val w = Window.partitionBy("src").orderBy(col("sim").desc, col("dst"))
     a.join(b, col("label") === col("label_b") && col("src") =!= col("dst"))
+      .select(col("src"), col("dst"),
+        (dot(col("ea"), col("eb")) / (col("na") * col("nb"))).as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("src"), col("rank").cast("long").as("rank"),
+        col("dst"), col("sim"))
+      .orderBy("src", "rank")
+  }
+
+  /** KNN graph over IVF CELLS — the unlabeled-corpus form of
+    * [[knnGraph]] its scaladoc promises: crawl data has no label column
+    * to block on, so the blocking key is the learned k-means cell from
+    * the memoized [[kmeansAssign]] scan (the same codebook the IVF
+    * search family reuses — a deployment materializes the assignment
+    * once per corpus snapshot). Identical plan shape: per-cell subset
+    * cap, blocked pair join with hoisted norms (one dot fold per
+    * ordered pair), bounded per-source window keeping k=3. Per-cell
+    * work is O(min(cell, cap)²) and cells partition the corpus, so the
+    * pair join scales with Σ cell² instead of corpus² — the SemDedup
+    * blocking argument applied to graph construction. Learned codebook
+    * → rows-only (same class as `llm_ann_ivf_kmeans`); LlmOpsSpec gates
+    * that every vector's neighbors are exactly the per-cell brute-force
+    * top-k and that the block cap is live. */
+  def knnGraphIvf(s: SparkSession, dir: String): DataFrame =
+    knnGraphIvfCapped(s, dir, 1024)
+
+  def knnGraphIvfCapped(s: SparkSession, dir: String, blockCap: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    DotProduct.register(s)
+    val capW = Window.partitionBy("cid").orderBy("vec_id")
+    val emb = kmeansAssign(s, dir)
+      .withColumn("brank", row_number().over(capW))
+      .filter(col("brank") <= blockCap)
+      .select(col("vec_id"), col("cid"),
+        transform(col("embedding"), x => x.cast("double")).as("ed"),
+        norm(col("embedding")).as("nrm"))
+    val a = emb.select(col("vec_id").as("src"), col("cid"),
+      col("ed").as("ea"), col("nrm").as("na"))
+    val b = emb.select(col("vec_id").as("dst"), col("cid").as("cid_b"),
+      col("ed").as("eb"), col("nrm").as("nb"))
+    val w = Window.partitionBy("src").orderBy(col("sim").desc, col("dst"))
+    a.join(b, col("cid") === col("cid_b") && col("src") =!= col("dst"))
       .select(col("src"), col("dst"),
         (dot(col("ea"), col("eb")) / (col("na") * col("nb"))).as("sim"))
       .withColumn("rank", row_number().over(w))
@@ -1805,6 +1928,7 @@ object LlmOps {
     annPq(s, dir).count()
     kmeansAssign(s, dir).count()
     semDedup(s, dir).count() // materializes the memoized semdedupComp propagation
+    cooccurrence(s, dir).count() // materializes the capped token + df frames
   }
 
   /** Per-SOURCE duplication audit — the corpus-composition dashboard a
@@ -1920,6 +2044,29 @@ object LlmOps {
       .orderBy("doc_id")
   }
 
+  /** QUALITY-QUANTILE selection, SKETCH form — the 100 TB twin of
+    * [[qualityQuantile]] (same policy as the exact-vs-LSH dedup pairs:
+    * exact verifiable spec + scalable sibling): instead of sorting each
+    * language inside one window partition (a full-corpus single-task
+    * sort when one language dominates a real crawl), compute each
+    * language's median quality with `percentile_approx` — a one-pass
+    * MERGEABLE sketch, so the aggregation is map-side-combined like any
+    * count — broadcast the per-lang 5-row threshold table, and keep
+    * docs at-or-above threshold with a scan-local filter. Keep-set ≡
+    * the exact window's up to sketch error at the median boundary
+    * (LlmOpsSpec gates the agreement); no full sort anywhere. Sketch
+    * internals are engine-specific → rows-only, like the HLL key. */
+  def qualityQuantileApprox(s: SparkSession, dir: String): DataFrame = {
+    val scored = Tables.load(s, dir, "documents").select("doc_id", "lang")
+      .join(qualityScore(s, dir).select("doc_id", "quality"), "doc_id")
+    val thr = scored.groupBy("lang")
+      .agg(percentile_approx(col("quality"), lit(0.5), lit(10000)).as("threshold"))
+    scored.join(broadcast(thr), "lang")
+      .select(col("doc_id"), col("lang"), col("quality"), col("threshold"),
+        (col("quality") >= col("threshold")).as("keep"))
+      .orderBy("doc_id")
+  }
+
   /** Cosine RANGE search — every vector within `minSim` of the probe
     * (threshold retrieval, the other half of the ANN API next to top-k
     * [[similarityKnn]]): broadcast probe, one corpus scan, predicate on
@@ -1956,6 +2103,43 @@ object LlmOps {
       .orderBy("doc_id", "rnk")
   }
 
+  /** BM25 top-3 terms per document — the Robertson–Sparck Jones ranking
+    * function (Robertson et al., TREC-3 1994) next to the plain
+    * [[tfidfTopk]]: score = idf(t) · tf·(k1+1) / (tf + k1·(1 − b +
+    * b·dl/avgdl)) with the standard k1 = 1.2, b = 0.75 literals. The
+    * idf factor is the RSJ ratio (N − df + 0.5)/(df + 0.5) WITHOUT the
+    * log wrap — ln is libm-dependent across engines (the [[tfidf]]
+    * stance, SURVEY §2.0) and monotone, so per-document rank order and
+    * the top-k are exactly BM25's; every input is an exact integer
+    * count and the double expression is fixed-order for engine parity.
+    *
+    * Scale shape: one (doc, term) shuffle for tf; df is vocab-bounded
+    * and broadcast; N/avgdl is a broadcast 1-row aggregate; top-k is a
+    * bounded per-doc window. */
+  def bm25Topk(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.load(s, dir, "documents")
+    val tok = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("cnt"))
+    val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nd = tok.agg(countDistinct(col("doc_id")).as("nd"), count(lit(1)).as("ntok"))
+    val avgdl = col("ntok").cast("double") / col("nd")
+    val idf = (col("nd").cast("double") - col("df") + lit(0.5)) / (col("df") + lit(0.5))
+    val score = idf * (col("cnt").cast("double") * lit(2.2)) /
+      (col("cnt") + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl").cast("double") / avgdl)))
+    val w = Window.partitionBy("doc_id").orderBy(col("bm25").desc, col("term"))
+    tf.join(dl, "doc_id")
+      .join(broadcast(df), "term")
+      .crossJoin(broadcast(nd))
+      .select(col("doc_id"), col("term"), score.as("bm25"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("doc_id"), col("rnk").cast("long").as("rnk"),
+        col("term"), col("bm25"))
+      .orderBy("doc_id", "rnk")
+  }
+
   /** Token CO-OCCURRENCE lift — the log-free PMI proxy (p(ab)/(p(a)p(b))
     * as a raw ratio; ln is libm-dependent, the ratio is one fixed-order
     * double expression) over within-document DISTINCT token pairs: the
@@ -1975,13 +2159,23 @@ object LlmOps {
     * vocabulary, measured) so the hash oracle is unchanged; LlmOpsSpec
     * proves the cap path is live by shrinking it. */
   def cooccurrenceCapped(s: SparkSession, dir: String, vocabCap: Int): DataFrame = {
-    val tok0 = Tables.load(s, dir, "documents")
-      .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("t"))
-    val dfreq0 = tok0.groupBy("t").agg(count(lit(1)).as("c"))
-    val vocab = dfreq0
-      .orderBy(col("c").desc, col("t")).limit(vocabCap).select("t")
-    val tok = tok0.join(broadcast(vocab), Seq("t"), "left_semi")
-    val dfreq = dfreq0.join(broadcast(vocab), Seq("t"), "left_semi")
+    // The capped (doc, token) frame and its doc-frequency table are
+    // per-corpus index artifacts (built once, read by both pair-join
+    // sides and both lift denominators) — memoized, else Catalyst
+    // re-derives the tokenize + vocab-cap subtree once per reference
+    // and the plan re-scans documents O(branches) times.
+    val tok = Tables.memo(s, dir, s"cooccTok$vocabCap") {
+      val tok0 = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("t"))
+      val vocab = tok0.groupBy("t").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("t")).limit(vocabCap).select("t")
+      tok0.join(broadcast(vocab), Seq("t"), "left_semi")
+    }
+    // df over the CAPPED frame ≡ df of kept tokens (the semi-join drops
+    // rows, never rewrites them), one vocab-bounded aggregate.
+    val dfreq = Tables.memo(s, dir, s"cooccDf$vocabCap") {
+      tok.groupBy("t").agg(count(lit(1)).as("c"))
+    }
     val nd = Tables.load(s, dir, "documents")
       .select(countDistinct(col("doc_id")).as("nd"))
     val a = tok.select(col("doc_id"), col("t").as("ta"))
@@ -2114,9 +2308,25 @@ object LlmOps {
     * token mass). Band edges are ALL-INTEGER comparisons on exact
     * cumulative sums (cum·2 ≤ total, cum·10 ≤ total·9) — a double
     * cumulative share would put band boundaries at the mercy of float
-    * rounding. One aggregation + one global-rank window over the
-    * vocabulary-bounded frequency table. */
-  def tokenFreqBands(s: SparkSession, dir: String): DataFrame = {
+    * rounding. */
+  def tokenFreqBands(s: SparkSession, dir: String): DataFrame =
+    tokenFreqBandsCapped(s, dir, 65536)
+
+  /** Capped form: rank and the cumulative sum run over the `vocabCap`
+    * highest-frequency tokens only — a TakeOrdered prefix of the exact
+    * (freq desc, token) order, so within the cap both windows produce
+    * exactly the full-table values (rank and cumulative sum of a prefix
+    * only depend on the prefix). Beyond-cap tokens are definitionally
+    * "tail": each has freq ≤ the cap boundary's, so its cumulative
+    * share is past the head/torso edges for any corpus where the cap
+    * covers 90 % of token mass — which is what a coverage report sizes
+    * the cap for. The band edges still compare against the ALL-token
+    * total (one broadcast aggregate row), so head/torso shares are
+    * corpus-true, not head-relative. This bounds the unpartitioned
+    * window at billions of distinct web tokens; default cap is a no-op
+    * at test SFs (≤31-token vocabulary, measured) so the hash oracle is
+    * unchanged; LlmOpsSpec proves the cap path live by shrinking it. */
+  def tokenFreqBandsCapped(s: SparkSession, dir: String, vocabCap: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.orderBy(col("freq").desc, col("token"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -2124,7 +2334,8 @@ object LlmOps {
       .select(explode(split(col("text"), " ")).as("token"))
       .groupBy("token").agg(count(lit(1)).as("freq"))
     val tot = tf.agg(sum(col("freq")).as("total"))
-    tf.withColumn("rnk",
+    tf.orderBy(col("freq").desc, col("token")).limit(vocabCap)
+      .withColumn("rnk",
         row_number().over(Window.orderBy(col("freq").desc, col("token"))))
       .withColumn("cum_freq", sum(col("freq")).over(w))
       .crossJoin(broadcast(tot))
@@ -2138,6 +2349,9 @@ object LlmOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_ann_ivf_range"      -> (annIvfRange _),
+    "llm_bm25_topk"          -> (bm25Topk _),
+    "llm_knn_graph_ivf"      -> (knnGraphIvf _),
+    "llm_quality_quantile_approx" -> (qualityQuantileApprox _),
     "llm_dedup_cross_source" -> (dedupCrossSource _),
     "llm_token_freq_bands"   -> (tokenFreqBands _),
     "llm_lang_mismatch"      -> (langMismatch _),
@@ -2892,9 +3106,10 @@ object LlmOps {
     "llm_decode_stub" ->
       """SELECT doc_id,
         |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-        |       CAST(octet_length(encode(text)) % 7 AS DOUBLE) AS f0,
-        |       CAST(octet_length(encode(text)) % 11 AS DOUBLE) AS f1,
-        |       CAST(octet_length(encode(text)) % 13 AS DOUBLE) AS f2
+        |       'raw' AS format,
+        |       CAST(NULL AS BIGINT) AS width,
+        |       CAST(NULL AS BIGINT) AS height,
+        |       CAST(NULL AS BIGINT) AS channels
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "llm_tokenize_wordcount" ->
@@ -2938,6 +3153,30 @@ object LlmOps {
         |       array_to_string(toks[chunk_idx*4+1 : chunk_idx*4+8], ' ') AS chunk,
         |       CAST(len(toks[chunk_idx*4+1 : chunk_idx*4+8]) AS BIGINT) AS chunk_tokens
         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "llm_bm25_topk" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS cnt
+        |       FROM tok GROUP BY doc_id, term),
+        |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tok GROUP BY doc_id),
+        |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+        |nd AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS nd,
+        |              CAST(count(*) AS BIGINT) AS ntok FROM tok),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term,
+        |         ((CAST(nd.nd AS DOUBLE) - df.df + 0.5) / (df.df + 0.5))
+        |         * (CAST(tf.cnt AS DOUBLE) * 2.2)
+        |         / (tf.cnt + 1.2 * (0.25 + 0.75
+        |             * (CAST(dl.dl AS DOUBLE) / (CAST(nd.ntok AS DOUBLE) / nd.nd)))) AS bm25
+        |  FROM tf JOIN dl ON tf.doc_id = dl.doc_id
+        |          JOIN df ON tf.term = df.term
+        |          CROSS JOIN nd)
+        |SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, term, bm25 FROM (
+        |  SELECT doc_id, term, bm25,
+        |         row_number() OVER (PARTITION BY doc_id ORDER BY bm25 DESC, term) AS rnk
+        |  FROM scored)
+        |WHERE rnk <= 3
+        |ORDER BY doc_id, rnk""".stripMargin,
 
     "llm_tfidf" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),

@@ -274,6 +274,8 @@ object Mining {
     fpItemsets(s, dir, MinSupFpFull, "fpFullItemsets").count()
     fullAssocRules(s, dir).count()
     userSequences(s, dir).count()
+    frequentEdges(s, dir).count()
+    frequentEdgeDegrees(s, dir).count()
   }
 
   /** Association rules A⇒B from frequent pairs, computed relationally so
@@ -639,15 +641,36 @@ object Mining {
     * orientation is a bijection on triangles (any total order is), so
     * per-item counts — and the lexicographic DuckDB oracle — are
     * unchanged; MiningSpec pins equality against the a<b formulation. */
+  /** Undirected edge list of the frequent-pair graph (pairs at ≥
+    * MinSupPairs support) — the single definition both graph operators
+    * ([[fpmTriangleCount]], [[fpmClusteringCoeff]]) build on, so the
+    * threshold and column conventions cannot drift apart. Memoized
+    * (vocabulary-bounded, ≤ C(25,2) rows): the graph is an index
+    * artifact built once per corpus snapshot, and without the memo the
+    * physical plan re-derives the threshold filter once per degree /
+    * wedge branch — a dozen redundant broadcast exchanges. */
+  private def frequentEdges(s: SparkSession, dir: String): DataFrame =
+    Tables.memo(s, dir, "frequentEdges") {
+      pairSupports(s, dir)
+        .crossJoin(broadcast(basketCount(s, dir)))
+        .filter(col("freq") >= col("n") * MinSupPairs)
+        .select(col("ia").as("x"), col("ib").as("y"))
+    }
+
+  /** Per-node degree of the frequent-pair graph — memoized with the
+    * edge frame it derives from (one node per vocabulary item). */
+  private def frequentEdgeDegrees(s: SparkSession, dir: String): DataFrame =
+    Tables.memo(s, dir, "frequentEdgeDegrees") {
+      val und = frequentEdges(s, dir)
+      und.select(col("x").as("item"))
+        .unionByName(und.select(col("y").as("item")))
+        .groupBy("item").agg(count(lit(1)).as("deg"))
+    }
+
   def fpmTriangleCount(s: SparkSession, dir: String): DataFrame = {
-    val und = pairSupports(s, dir)
-      .crossJoin(broadcast(basketCount(s, dir)))
-      .filter(col("freq") >= col("n") * MinSupPairs)
-      .select(col("ia").as("x"), col("ib").as("y"))
+    val und = frequentEdges(s, dir)
     // degree of each node in the undirected frequent-pair graph
-    val deg = und.select(col("x").as("item"))
-      .unionByName(und.select(col("y").as("item")))
-      .groupBy("item").agg(count(lit(1)).as("deg"))
+    val deg = frequentEdgeDegrees(s, dir)
     val withDeg = und
       .join(broadcast(deg.select(col("item").as("x"), col("deg").as("dx"))), "x")
       .join(broadcast(deg.select(col("item").as("y"), col("deg").as("dy"))), "y")
@@ -712,13 +735,7 @@ object Mining {
     * is a broadcast-free equi-join of two node-keyed frames. Degree-1
     * nodes score 0 by convention (no possible wedge). */
   def fpmClusteringCoeff(s: SparkSession, dir: String): DataFrame = {
-    val e = pairSupports(s, dir)
-      .crossJoin(broadcast(basketCount(s, dir)))
-      .filter(col("freq") >= col("n") * MinSupPairs)
-      .select(col("ia").as("x"), col("ib").as("y"))
-    val deg = e.select(col("x").as("item"))
-      .unionByName(e.select(col("y").as("item")))
-      .groupBy("item").agg(count(lit(1)).as("deg"))
+    val deg = frequentEdgeDegrees(s, dir)
     val tri = fpmTriangleCount(s, dir)
     deg.join(broadcast(tri), Seq("item"), "left_outer")
       .select(col("item"), col("deg").cast("long").as("deg"),

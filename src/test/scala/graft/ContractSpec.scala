@@ -17,7 +17,7 @@ class ContractSpec extends SparkSpec {
       "fpm_fpgrowth_full", "fpm_prefixspan_full", "llm_ann_ivf_kmeans",
       "llm_simhash_neardup", "fpm_assoc_rules_full", "llm_dedup_clusters_lsh",
       "stream_neardup", "llm_dedup_keep_best_lsh", "llm_bloom_prefilter", "llm_ann_pq",
-      "llm_semdedup"),
+      "llm_semdedup", "llm_knn_graph_ivf", "llm_quality_quantile_approx"),
       s"unexpected oracle-free keys: $oracleFree")
   }
 
@@ -119,19 +119,31 @@ class ContractSpec extends SparkSpec {
     // query, so drop every line nested under an InMemoryRelation before
     // counting runtime operators.
     def stripCached(p: String): String = {
-      // tree depth = leading run of the tree-drawing chars (' ', ':', '|')
+      // tree depth: ANCHOR on the '+-'/':-' connector Spark plan strings
+      // draw (its offset IS the depth), falling back to the leading run
+      // of tree-drawing chars (' ', ':', '|') for connector-less detail
+      // lines — anchoring keeps the heuristic stable if the plan-string
+      // format shifts across Spark versions.
+      val conn = "^([ :|]*)[+:]-".r
       def depth(l: String): Int =
-        l.indexWhere(c => !(c == ' ' || c == ':' || c == '|')) match {
-          case -1 => Int.MaxValue
-          case i  => i
-        }
+        conn.findFirstMatchIn(l).map(_.group(1).length).getOrElse(
+          l.indexWhere(c => !(c == ' ' || c == ':' || c == '|')) match {
+            case -1 => Int.MaxValue
+            case i  => i
+          })
       var skip = -1
-      p.linesIterator.filter { l =>
+      val out = p.linesIterator.filter { l =>
         val d = depth(l)
         if (skip >= 0 && d > skip) false
         else if (l.contains("InMemoryRelation")) { skip = d; false }
         else { skip = -1; true }
       }.mkString("\n")
+      // liveness: a plan that mentions a cached build MUST have had
+      // lines stripped — otherwise the heuristic rotted and every
+      // scan/exchange gate below would silently count build-time work
+      assert(!p.contains("InMemoryRelation") || out.length < p.length,
+        "stripCached removed nothing from a plan containing InMemoryRelation")
+      out
     }
     def counts(name: String): (String, Int, Int) = {
       val p = stripCached(SparkEntry.queries(name)(spark, sf)
@@ -166,6 +178,32 @@ class ContractSpec extends SparkSpec {
     val q11Li = q11.split("lineitem.parquet").length - 1
     assert(q11Li <= 2, s"Q11 lineitem scanned $q11Li times:\n$q11")
     assert(q11Scans <= 6, s"Q11 total scans grew ($q11Scans):\n$q11")
+    // triangle count: the memoized pair-support frame is the only input
+    // — the query side is degree broadcast-joins + the two wedge
+    // equi-joins + per-item rollup, never a fact re-scan
+    val (tri, triScans, triEx) = counts("fpm_triangle_count")
+    info(s"fpm_triangle_count: scans=$triScans exchanges=$triEx")
+    assert(triScans == 0, s"triangle_count re-scans ($triScans):\n$tri")
+    assert(triEx <= 12, s"triangle_count exchange count grew ($triEx):\n$tri")
+    // tfidf_topk: the per-doc window rides the scored frame — corpus
+    // tokenize feeds tf once; df/N are broadcast; bounded exchanges
+    val (tt, ttScans, ttEx) = counts("llm_tfidf_topk")
+    info(s"llm_tfidf_topk: scans=$ttScans exchanges=$ttEx")
+    assert(ttScans <= 4, s"tfidf_topk re-scans ($ttScans):\n$tt")
+    assert(ttEx <= 12, s"tfidf_topk exchange count grew ($ttEx):\n$tt")
+    // co-occurrence: the within-doc pair join shuffles tokenized docs
+    // once per side plus the pair agg; vocab/df/N side is all broadcast
+    val (co2, coScans, coEx) = counts("llm_cooccurrence")
+    info(s"llm_cooccurrence: scans=$coScans exchanges=$coEx")
+    assert(coScans <= 2, s"cooccurrence re-scans ($coScans):\n$co2")
+    assert(coEx <= 8, s"cooccurrence exchange count grew ($coEx):\n$co2")
+    // stream_neardup's batch form: one documents scan into the stateful
+    // signature operator — the only exchanges are the group-by-key
+    // repartition and the presentation sort
+    val (sn, snScans, snEx) = counts("stream_neardup")
+    info(s"stream_neardup: scans=$snScans exchanges=$snEx")
+    assert(snScans <= 1, s"stream_neardup re-scans ($snScans):\n$sn")
+    assert(snEx <= 4, s"stream_neardup exchange count grew ($snEx):\n$sn")
   }
 
   test("format round-trip preserves content exactly per format") {

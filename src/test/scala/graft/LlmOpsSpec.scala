@@ -102,6 +102,118 @@ class LlmOpsSpec extends SparkSpec {
     capped.foreach { case (a, b) => assert(topDf(a) && topDf(b)) }
   }
 
+  test("vocab global-rank window caps are live and default caps are no-ops at test SF") {
+    // zipf: default cap ≡ uncapped; shrinking keeps exactly the rank
+    // prefix (rank and freq_frac of a prefix only depend on the prefix
+    // + the global total, which stays all-token)
+    val fullZ = LlmOps.zipfStats(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(fullZ ==
+      LlmOps.zipfStatsCapped(spark, sf, Int.MaxValue).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq)
+    assert(fullZ.size > 5, "corpus vocabulary too small for cap test")
+    val cappedZ = LlmOps.zipfStatsCapped(spark, sf, 5).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(cappedZ == fullZ.take(5))
+    // token freq bands: same prefix-stability property, including the
+    // integer cumulative sums and band labels (total stays all-token)
+    val fullB = LlmOps.tokenFreqBands(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toSeq
+    assert(fullB ==
+      LlmOps.tokenFreqBandsCapped(spark, sf, Int.MaxValue).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toSeq)
+    val cappedB = LlmOps.tokenFreqBandsCapped(spark, sf, 5).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toSeq
+    assert(cappedB == fullB.take(5))
+  }
+
+  test("quality quantile approx: keep-set matches the exact window up to the median boundary") {
+    val exact = LlmOps.qualityQuantile(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getBoolean(4)))
+    val approx = LlmOps.qualityQuantileApprox(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getDouble(3), r.getBoolean(4)))
+    assert(approx.length == exact.length)
+    val exactKeep = exact.map(e => e._1 -> e._3).toMap
+    val disagree = approx.filter { case (id, _, _, _, k) => exactKeep(id) != k }
+    // the sketch can only blur the boundary: per language at most a
+    // couple of docs right at the median flip, nothing away from it
+    assert(disagree.length.toDouble / approx.length <= 0.02,
+      s"${disagree.length}/${approx.length} keep-flags disagree")
+    disagree.groupBy(_._2).foreach { case (lang, ds) =>
+      assert(ds.length <= 2, s"$lang: ${ds.length} boundary disagreements")
+    }
+    // approx keep decisions are internally consistent with the
+    // broadcast threshold they carry
+    approx.foreach { case (id, _, q, thr, k) =>
+      assert(k == (q >= thr), s"doc $id keep flag inconsistent with threshold")
+    }
+  }
+
+  test("ivf-cell knn graph: neighbors are the per-cell brute-force top-k; cap is live") {
+    // cell assignment read off the semdedup surface (same memoized
+    // kmeans assignment scan the graph builder uses)
+    val cells = LlmOps.semDedup(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val vecs = Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val expected = (for {
+      (src, c) <- cells.toSeq
+      peers = cells.iterator.collect { case (v, cc) if cc == c && v != src => v }.toSeq
+      (dst, rank) <- peers
+        .map(v => (v, cos(vecs(src), vecs(v))))
+        .sortBy { case (v, s) => (-s, v) }.take(3).map(_._1).zipWithIndex
+    } yield (src, rank + 1L, dst)).toSet
+    val got = LlmOps.knnGraphIvf(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expected)
+    // cap liveness: cap=2 keeps the 2 lowest vec_ids per cell; each
+    // survivor from a ≥2-member cell has exactly one neighbor (its only
+    // surviving cell-mate), while a singleton cell's survivor has no
+    // cell-mate and so emits no edge rows at all
+    val survivorPairs = cells.toSeq.groupBy(_._2)
+      .map { case (c, vs) => c -> vs.map(_._1).sorted.take(2) }
+    val paired = survivorPairs.valuesIterator.filter(_.size == 2).flatten.toSet
+    assert(paired.size < survivorPairs.valuesIterator.map(_.size).sum,
+      "corpus has no singleton k-means cell — liveness setup assumption broken")
+    val capped = LlmOps.knnGraphIvfCapped(spark, sf, 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(capped.map(_._1).toSet == paired)
+    capped.groupBy(_._1).foreach { case (src, rows) =>
+      assert(rows.length == 1 && rows.head._2 == 1L, s"src $src neighbor count")
+    }
+  }
+
+  test("media decode parses real PNG/JPEG/GIF wire-format headers; raw passthrough otherwise") {
+    // PNG: signature + IHDR, 640×480, color type 6 (RGBA) → 4 channels
+    val png = (Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A,
+      0, 0, 0, 13).map(_.toByte) ++ "IHDR".getBytes("US-ASCII") ++
+      Array(0, 0, 0x02, 0x80, 0, 0, 0x01, 0xE0, 8, 6, 0, 0, 0).map(_.toByte))
+    assert(LlmOps.parseMediaHeader(png) == ("png", Some(640L), Some(480L), Some(4L)))
+    // JPEG: SOI, an APP0 segment to skip, then SOF0 with height 100,
+    // width 200, 3 components
+    val jpeg = (Array(0xFF, 0xD8, 0xFF, 0xE0, 0x00, 0x10).map(_.toByte) ++
+      Array.fill(14)(0.toByte) ++
+      Array(0xFF, 0xC0, 0x00, 0x11, 8, 0x00, 0x64, 0x00, 0xC8, 3).map(_.toByte))
+    assert(LlmOps.parseMediaHeader(jpeg) == ("jpeg", Some(200L), Some(100L), Some(3L)))
+    // GIF89a logical screen 3×5 (little-endian dims)
+    val gif = ("GIF89a".getBytes("US-ASCII") ++
+      Array(0x03, 0x00, 0x05, 0x00).map(_.toByte))
+    assert(LlmOps.parseMediaHeader(gif) == ("gif", Some(3L), Some(5L), Some(3L)))
+    // non-media payloads pass through as raw with null dims
+    assert(LlmOps.parseMediaHeader("hello world".getBytes("US-ASCII")) ==
+      ("raw", None, None, None))
+    assert(LlmOps.parseMediaHeader(Array.empty[Byte]) == ("raw", None, None, None))
+    // truncated JPEG (SOI only): identified but dimensionless
+    assert(LlmOps.parseMediaHeader(Array(0xFF, 0xD8, 0xFF, 0xD9).map(_.toByte)) ==
+      ("jpeg", None, None, None))
+  }
+
   test("knn graph block cap: subset-capped hot blocks still yield k neighbors per survivor") {
     // default cap is a no-op at test SF
     val fullG = LlmOps.knnGraph(spark, sf).collect()
