@@ -691,6 +691,72 @@ object LlmOps {
       .orderBy("doc_id")
   }
 
+  /** Parse the audio-container header of an opaque binary payload — the
+    * audio sibling of [[parseMediaHeader]], REAL wire-format decoding in
+    * pure byte arithmetic, no media libs:
+    *  - WAV  (RIFF, Microsoft/IBM 1991): "RIFF" + LE size + "WAVE", then
+    *    a chunk walk (each chunk = 4-byte id + LE32 size + word-aligned
+    *    payload) to the "fmt " chunk, whose payload holds channels
+    *    (LE16 @+2), sample rate (LE32 @+4), bits/sample (LE16 @+14).
+    *  - FLAC (xiph.org): "fLaC" magic, then the mandatory first
+    *    STREAMINFO metadata block (payload at byte 8): sample rate is
+    *    the 20 bits starting at payload offset 10 (file bytes 18–20),
+    *    followed by channels−1 (3 bits) and bits-per-sample−1 (5 bits).
+    * Anything else passes through as `raw` with null fields. */
+  private[graft] def parseAudioHeader(
+      b: Array[Byte]): (String, Option[Long], Option[Long], Option[Long]) = {
+    def u8(i: Int): Int = b(i) & 0xff
+    def le16(i: Int): Long = (u8(i) | (u8(i + 1) << 8)).toLong
+    def le32(i: Int): Long =
+      u8(i).toLong | (u8(i + 1).toLong << 8) | (u8(i + 2).toLong << 16) |
+        (u8(i + 3).toLong << 24)
+    def tag(i: Int, s: String): Boolean =
+      b.length >= i + 4 && s.indices.forall(k => b(i + k) == s.charAt(k).toByte)
+    if (tag(0, "RIFF") && b.length >= 12 && tag(8, "WAVE")) {
+      var i = 12
+      var out: (String, Option[Long], Option[Long], Option[Long]) =
+        ("wav", None, None, None)
+      var done = false
+      while (!done && i + 8 <= b.length) {
+        val sz = le32(i + 4)
+        if (tag(i, "fmt ") && i + 8 + 16 <= b.length) {
+          out = ("wav", Some(le32(i + 12)), Some(le16(i + 10)), Some(le16(i + 22)))
+          done = true
+        } else i += 8 + sz.toInt + (sz.toInt & 1) // chunks are word-aligned
+      }
+      out
+    } else if (tag(0, "fLaC") && b.length >= 22) {
+      val sr = (u8(18).toLong << 12) | (u8(19).toLong << 4) | (u8(20) >> 4)
+      val ch = ((u8(20) >> 1) & 0x7) + 1L
+      val bps = (((u8(20) & 1) << 4) | (u8(21) >> 4)) + 1L
+      ("flac", Some(sr), Some(ch), Some(bps))
+    } else ("raw", None, None, None)
+  }
+
+  /** Audio metadata extraction over opaque binary content — completes
+    * the multimodal family next to the image decode ([[decodeStub]]):
+    * same typed mapPartitions batch plumbing, per-batch decoder is
+    * [[parseAudioHeader]] (WAV/FLAC sample rate, channel count and bit
+    * depth straight from the public wire formats). The synthetic
+    * corpus' text-as-binary payloads all take the `raw` branch — the
+    * oracle hash-verifies exactly that — and the WAV/FLAC branches are
+    * spec-gated on hand-built wire-format bytes in LlmOpsSpec. */
+  def audioMeta(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("text").cast("binary").as("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        batch.map { case (id, bytes) =>
+          val (fmt, sr, ch, bps) = parseAudioHeader(bytes)
+          (id, bytes.length.toLong, fmt, sr, ch, bps)
+        }
+      }
+      .toDF("doc_id", "n_bytes", "format", "sample_rate", "channels",
+        "bits_per_sample")
+      .orderBy("doc_id")
+  }
+
   /** Frame sampling over opaque content (the video-pipeline shape:
     * decode → sample every Nth frame → per-frame features): content is
     * split into fixed 16-char "frames", every 4th frame is kept, and a
@@ -1605,6 +1671,98 @@ object LlmOps {
     * the probability is one final division. Vocabulary-bounded output
     * (≤ |V|² rows); bigrams come from the native `graft_ngrams`
     * kernel. */
+  /** Conditional TRIGRAM language model — P(w3 | w1 w2) with exact
+    * integer counts, one order up from [[bigramLm]] (the n-gram LM
+    * ladder every count-based quality filter climbs; the perplexity
+    * proxy reads tables of exactly this shape). The context denominator
+    * is a WINDOW SUM over the trigram count frame partitioned by
+    * (w1, w2) — the `Mining.fpmMarkovTransition` idiom — so the whole key is
+    * ONE tokenize pass + one (w1,w2,w3)-keyed shuffle with map-side
+    * combine (a groupBy-then-self-join denominator would re-run the
+    * tokenize explode once per branch); the window partition is one
+    * context's continuation list, bounded by vocabulary fan-out, never
+    * a global sort. Division is the single double op on two exact
+    * integers — deterministic in any engine, stated identically by the
+    * DuckDB oracle. */
+  def trigramLm(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tg = Tables.load(s, dir, "documents")
+      .select(explode(graft.expressions.NGrams.ngrams(s, col("text"), 3,
+        keepDistinct = false, shortWhole = false)).as("tg"))
+      .select(split(col("tg"), " ").getItem(0).as("w1"),
+        split(col("tg"), " ").getItem(1).as("w2"),
+        split(col("tg"), " ").getItem(2).as("w3"))
+    tg.groupBy("w1", "w2", "w3").agg(count(lit(1)).as("cnt"))
+      .withColumn("cnt12", sum(col("cnt")).over(Window.partitionBy("w1", "w2")))
+      .select(col("w1"), col("w2"), col("w3"), col("cnt").cast("long").as("cnt"),
+        (col("cnt").cast("double") / col("cnt12").cast("double")).as("p"))
+      .orderBy("w1", "w2", "w3")
+  }
+
+  /** Per-document N-GRAM NOVELTY — the fraction of a doc's distinct
+    * trigrams whose FIRST corpus occurrence (min doc_id in ingestion
+    * order) is this document: the marginal-contribution curve data
+    * curation reads to decide when a source is mined out (novelty → 0
+    * means every new doc is re-treading seen text — the aggregate
+    * cousin of the pairwise dedup family). Docs shorter than one
+    * trigram carry no evidence and are absent, as in [[bigramLm]].
+    *
+    * Scale shape: every shuffle is MAP-SIDE-COMBINED aggregation, and
+    * nothing sorts a posting list — the obvious `min over
+    * Window.partitionBy(gram)` would put a stop-gram's entire posting
+    * list (a constant fraction of a web corpus) in ONE task, so instead
+    * the first-occurrence doc comes from a gram-keyed min agg (skew is
+    * harmless: partial mins combine before the exchange), novel counts
+    * from re-keying that bounded frame by its winning doc, and per-doc
+    * TOTALS row-locally as `size(distinct-ngram array)` — no explode,
+    * no shuffle, the second documents scan is projection-only (the
+    * containment-dedup size-probe policy). novelty = novel/total is one
+    * double division of two exact integers. */
+  def ngramNovelty(s: SparkSession, dir: String): DataFrame = {
+    val grams = graft.expressions.NGrams.ngrams(s, col("text"), 3,
+      keepDistinct = true, shortWhole = false)
+    val novel = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), explode(grams).as("g"))
+      .groupBy("g").agg(min(col("doc_id")).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_novel"))
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), size(grams).cast("long").as("n_ngrams"))
+      .filter(col("n_ngrams") > 0)
+      .join(novel, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_ngrams"),
+        coalesce(col("n_novel"), lit(0L)).cast("long").as("n_novel"),
+        (coalesce(col("n_novel"), lit(0L)).cast("double")
+          / col("n_ngrams").cast("double")).as("novelty"))
+      .orderBy("doc_id")
+  }
+
+  /** TOKENIZER FERTILITY by language — subword-per-word ratio using the
+    * same BPE-ish proxy as [[tokenCount]] (⌈len/4⌉ subwords per
+    * whitespace word): the metric multilingual pipelines read to spot
+    * languages a tokenizer fragments (fertility ≫ 1 ⇒ the language is
+    * paying more sequence length per word — re-balance the vocab or the
+    * mixture). Exact integer sums per language with ONE double division
+    * at the end (never an average-of-ratios float sum, whose
+    * cross-partition order is unspecified) — deterministic and stated
+    * identically by the DuckDB oracle. One scan, one lang-keyed
+    * map-side-combined aggregate: scale-free. */
+  def tokenizerFertility(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .select(col("lang"),
+        size(split(col("text"), " ")).cast("long").as("wt"),
+        aggregate(
+          transform(split(col("text"), " "),
+            w => floor((length(w) + 3) / lit(4.0)).cast("long")),
+          lit(0L), (acc, v) => acc + v).as("st"))
+      .groupBy("lang")
+      .agg(sum(col("st")).as("subword_tokens"), sum(col("wt")).as("word_tokens"))
+      .select(col("lang"),
+        col("subword_tokens").cast("long").as("subword_tokens"),
+        col("word_tokens").cast("long").as("word_tokens"),
+        (col("subword_tokens").cast("double")
+          / col("word_tokens").cast("double")).as("fertility"))
+      .orderBy("lang")
+
   def bigramLm(s: SparkSession, dir: String): DataFrame = {
     val bg = Tables.load(s, dir, "documents")
       .select(explode(graft.expressions.NGrams.ngrams(s, col("text"), 2,
@@ -2348,6 +2506,10 @@ object LlmOps {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_trigram_lm"         -> (trigramLm _),
+    "llm_ngram_novelty"      -> (ngramNovelty _),
+    "llm_tokenizer_fertility" -> (tokenizerFertility _),
+    "llm_audio_meta"         -> (audioMeta _),
     "llm_ann_ivf_range"      -> (annIvfRange _),
     "llm_bm25_topk"          -> (bm25Topk _),
     "llm_knn_graph_ivf"      -> (knnGraphIvf _),
@@ -2791,6 +2953,65 @@ object LlmOps {
          |      FROM p)
          |SELECT src, rank, dst, sim FROM r WHERE rank <= 3
          |ORDER BY src, rank""".stripMargin,
+
+    "llm_trigram_lm" ->
+      """WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+        |tg AS (
+        |  SELECT unnest(list_transform(generate_series(1, len(t) - 2),
+        |                               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g
+        |  FROM toks WHERE len(t) >= 3),
+        |sp AS (SELECT string_split(g, ' ')[1] AS w1, string_split(g, ' ')[2] AS w2,
+        |              string_split(g, ' ')[3] AS w3 FROM tg),
+        |c123 AS (SELECT w1, w2, w3, CAST(count(*) AS BIGINT) AS cnt
+        |         FROM sp GROUP BY w1, w2, w3),
+        |c12 AS (SELECT w1, w2, CAST(sum(cnt) AS BIGINT) AS cnt12
+        |        FROM c123 GROUP BY w1, w2)
+        |SELECT c123.w1, c123.w2, c123.w3, c123.cnt,
+        |       CAST(c123.cnt AS DOUBLE) / CAST(c12.cnt12 AS DOUBLE) AS p
+        |FROM c123 JOIN c12 ON c12.w1 = c123.w1 AND c12.w2 = c123.w2
+        |ORDER BY c123.w1, c123.w2, c123.w3""".stripMargin,
+
+    "llm_ngram_novelty" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |dg AS (
+        |  SELECT DISTINCT doc_id, g FROM (
+        |    SELECT doc_id,
+        |           unnest(list_transform(generate_series(1, len(t) - 2),
+        |                  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g
+        |    FROM toks WHERE len(t) >= 3)),
+        |f AS (SELECT g, min(doc_id) AS first_doc FROM dg GROUP BY g)
+        |SELECT dg.doc_id,
+        |       CAST(count(*) AS BIGINT) AS n_ngrams,
+        |       CAST(sum(CASE WHEN f.first_doc = dg.doc_id THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_novel,
+        |       CAST(CAST(sum(CASE WHEN f.first_doc = dg.doc_id THEN 1 ELSE 0 END)
+        |                 AS BIGINT) AS DOUBLE)
+        |         / CAST(count(*) AS DOUBLE) AS novelty
+        |FROM dg JOIN f ON f.g = dg.g
+        |GROUP BY dg.doc_id ORDER BY dg.doc_id""".stripMargin,
+
+    "llm_tokenizer_fertility" ->
+      """WITH d AS (
+        |  SELECT lang,
+        |         len(string_split(text, ' ')) AS wt,
+        |         list_sum(list_transform(string_split(text, ' '),
+        |                  w -> (length(w) + 3) // 4)) AS st
+        |  FROM documents)
+        |SELECT lang,
+        |       CAST(sum(st) AS BIGINT) AS subword_tokens,
+        |       CAST(sum(wt) AS BIGINT) AS word_tokens,
+        |       CAST(CAST(sum(st) AS BIGINT) AS DOUBLE)
+        |         / CAST(CAST(sum(wt) AS BIGINT) AS DOUBLE) AS fertility
+        |FROM d GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "llm_audio_meta" ->
+      """SELECT doc_id,
+        |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |       'raw' AS format,
+        |       CAST(NULL AS BIGINT) AS sample_rate,
+        |       CAST(NULL AS BIGINT) AS channels,
+        |       CAST(NULL AS BIGINT) AS bits_per_sample
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "llm_bigram_lm" ->
       """WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),

@@ -818,7 +818,116 @@ object Mining {
       .orderBy("from_type", "to_type")
   }
 
+  /** K-CORE decomposition (coreness per node) of the frequent-pair graph
+    * via distributed H-INDEX iteration (Lü, Zhou, Zhang & Stanley, "The
+    * H-index of a network node", Nature Communications 2016): initialize
+    * every node at its degree, then repeatedly replace each node's value
+    * with the H-index of its neighbors' values — the unique fixpoint is
+    * exactly the classic Batagelj–Zaversnik peeling coreness, but every
+    * round is one node-keyed join + one bounded per-node window instead
+    * of an inherently sequential global peel. Coreness grades node
+    * robustness one level deeper than [[fpmTriangleCount]] /
+    * [[fpmClusteringCoeff]]: the 15-core survives the removal of every
+    * weaker node, where a triangle count can be inflated by one dense
+    * neighbor.
+    *
+    * Scale shape: the per-round H-index is `max(least(h, row_number))`
+    * over a window PARTITIONED BY node (each partition = one node's
+    * neighbor list, bounded by max degree) — no collect_list buffering,
+    * no global sort. Values are integers and monotonically non-
+    * increasing, so the O(1)-driver fixpoint witness is the round sum
+    * (same policy as the label-propagation convergence check); rounds
+    * are bounded by the graph's degeneracy in practice (3 rounds here,
+    * measured). `localCheckpoint` per round truncates the doubling
+    * iterative lineage exactly as label propagation does. No SQL oracle
+    * (a data-dependent fixpoint is not expressible as a fixed CTE
+    * pipeline); MiningSpec pins the result against a driver-side
+    * Batagelj–Zaversnik peel of the same edge list. */
+  def fpmKcore(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val und = frequentEdges(s, dir)
+    val edges = und.select(col("x").as("u"), col("y").as("v"))
+      .unionByName(und.select(col("y").as("u"), col("x").as("v")))
+      .localCheckpoint(true)
+    var cur = frequentEdgeDegrees(s, dir)
+      .select(col("item"), col("deg").cast("long").as("h"))
+      .localCheckpoint(true)
+    def hSum(df: DataFrame): Long = {
+      val r = df.agg(sum(col("h"))).head
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    }
+    val hw = Window.partitionBy("item").orderBy(col("h").desc, col("v"))
+    var prev = hSum(cur)
+    var converged = prev == 0L
+    var rounds = 0
+    while (!converged && rounds < 64) {
+      val next = edges
+        .join(cur.select(col("item").as("v"), col("h")), "v")
+        .select(col("u").as("item"), col("v"), col("h"))
+        .withColumn("rn", row_number().over(hw).cast("long"))
+        .groupBy("item")
+        .agg(max(least(col("h"), col("rn"))).as("h"))
+        .localCheckpoint(true)
+      val now = hSum(next)
+      converged = now == prev
+      prev = now
+      cur = next
+      rounds += 1
+    }
+    cur.select(col("item"), col("h").cast("long").as("coreness"))
+      .orderBy("item")
+  }
+
+  /** GAP-CONSTRAINED sequential pairs (cSPADE-style max-gap constraint,
+    * Zaki, CIKM 2000): users where event type A is followed by type B
+    * WITHIN ONE HOUR — unconstrained sequence keys ([[fpmSeqPairs]])
+    * count a January signup before a December churn as a "pattern";
+    * constrained mining is what behavioral analytics actually runs.
+    * Support = distinct users with ≥1 within-gap occurrence, threshold
+    * 18 % of users (within-hour user fractions span 0.12–0.27 at sf0.01,
+    * measured — the threshold lands mid-distribution so the constraint
+    * genuinely prunes: 22 of 25 type pairs survive).
+    *
+    * Scale shape: the classic range-join BINNING decomposition — each
+    * event lands in an hour-width bin (integer µs DIV), the A side emits
+    * (bin, bin+1) join keys, and the equi-join on (user, bin) touches
+    * only gap-ADJACENT event pairs instead of the per-user quadratic
+    * all-pairs blow-up (a user's year of history = thousands of events,
+    * but each hour bin holds only that hour's activity). The time
+    * predicate is exact integer microseconds on both sides
+    * ([[Tables.load]]'s lossless µs conversion), so the DuckDB oracle
+    * states the identical epoch_us arithmetic. */
+  def fpmSeqGap(s: SparkSession, dir: String): DataFrame = {
+    val gapUs = 3600000000L // 1 hour in integer microseconds
+    val ev = Tables.load(s, dir, "events")
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"), col("event_id"))
+      .withColumn("bin", expr(s"us DIV $gapUs"))
+    val a = ev.select(col("user_id"), col("event_type").as("eta"),
+        col("us").as("us_a"), col("event_id").as("eid_a"),
+        explode(array(col("bin"), col("bin") + 1)).as("jbin"))
+    val b = ev.select(col("user_id").as("uid_b"), col("event_type").as("etb"),
+      col("us").as("us_b"), col("event_id").as("eid_b"), col("bin").as("jbin"))
+    val users = ev.select(countDistinct(col("user_id")).as("n_users"))
+    a.join(b, col("user_id") === col("uid_b") && a("jbin") === b("jbin"))
+      .filter((col("us_a") < col("us_b")
+          || (col("us_a") === col("us_b") && col("eid_a") < col("eid_b")))
+        && col("us_b") <= col("us_a") + gapUs)
+      .groupBy("eta", "etb").agg(countDistinct(col("user_id")).as("users"))
+      .crossJoin(broadcast(users))
+      // integer threshold arithmetic: users ≥ 18 % of n_users stated as
+      // users·100 ≥ n_users·18 — n_users·0.18 in binary double exceeds
+      // the exact product whenever it is a whole number (0.18 rounds
+      // up), so a pair landing exactly ON the boundary would pass the
+      // oracle's decimal compare and fail a double one
+      .filter(col("users") * 100 >= col("n_users") * 18)
+      .select(col("eta"), col("etb"), col("users"))
+      .orderBy("eta", "etb")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fpm_kcore" -> (fpmKcore _),
+    "fpm_seq_gap" -> (fpmSeqGap _),
     "fpm_markov_transition" -> (fpmMarkovTransition _),
     "fpm_funnel" -> (fpmFunnel _),
     "fpm_clustering_coeff" -> (fpmClusteringCoeff _),
@@ -854,6 +963,18 @@ object Mining {
       |), nb AS (SELECT count(DISTINCT tid) AS n FROM tx)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "fpm_seq_gap" ->
+      """SELECT a.event_type AS eta, b.event_type AS etb,
+        |       CAST(count(DISTINCT a.user_id) AS BIGINT) AS users
+        |FROM events a JOIN events b ON a.user_id = b.user_id
+        | AND (epoch_us(a.ts) < epoch_us(b.ts)
+        |      OR (epoch_us(a.ts) = epoch_us(b.ts) AND a.event_id < b.event_id))
+        | AND epoch_us(b.ts) <= epoch_us(a.ts) + 3600000000
+        |GROUP BY a.event_type, b.event_type
+        |HAVING count(DISTINCT a.user_id) * 100 >=
+        |       18 * (SELECT count(DISTINCT user_id) FROM events)
+        |ORDER BY eta, etb""".stripMargin,
+
     "fpm_markov_transition" ->
       """WITH tr AS (
         |  SELECT event_type AS from_type,

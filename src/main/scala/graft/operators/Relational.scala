@@ -98,6 +98,47 @@ object Relational {
       .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
       .orderBy("l_returnflag")
 
+  /** HEAVY HITTERS via COUNT-MIN SKETCH (Cormode & Muthukrishnan, J.
+    * Algorithms 2005) — the frequency-sketch sibling of the HLL
+    * ([[relAggApprox]]) and Bloom (LlmOps.bloomPrefilterSharded) keys:
+    * sketch the fact stream's supplier key in ONE treeAggregate pass
+    * (counter matrices sum, so partition merges commute and the result
+    * is partitioning-independent), then probe the broadcast-size
+    * supplier dimension as the candidate universe and keep the top-10
+    * by estimated count (est desc, key asc — a total order, no fragile
+    * fraction threshold). The sketch is depth 3 × width 65536 × 8 B =
+    * 1.5 MiB REGARDLESS of fact cardinality; per-key overestimate is
+    * ≤ (e/65536)·N ≈ 4·10⁻⁵·N with confidence 1−e⁻³ ≈ 95 % (raise
+    * depth for tighter) and NEVER an underestimate. At 100 TB the plan
+    * is unchanged: one map-side pass, a 1.5 MiB merge tree, a
+    * dimension-bounded probe.
+    *
+    * Oracle-checkable because the spec proves the sketch is
+    * COLLISION-FREE at test SFs (100 supplier keys into 65536 buckets
+    * × 3 independent rows: est ≡ exact, gated driver-side), so the
+    * DuckDB oracle can state the exact top-10; at corpus scale the
+    * documented CMS contract (exact ≤ est ≤ exact + εN) takes over. */
+  /** All-supplier CMS estimate table — exposed for the RelationalSpec
+    * collision-freeness gate (est ≡ exact at test SFs). */
+  private[graft] def heavyHitterEstimates(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.util.sketch.CountMinSketch
+    val cms = Tables.load(s, dir, "lineitem").select(col("l_suppkey"))
+      .rdd.map(_.getLong(0))
+      .treeAggregate(CountMinSketch.create(3, 65536, 42))(
+        (sk, k) => { sk.addLong(k); sk },
+        (a, b) => { a.mergeInPlace(b); a })
+    val bc = s.sparkContext.broadcast(cms)
+    val est = udf((k: Long) => bc.value.estimateCount(k))
+    Tables.load(s, dir, "supplier").select(col("s_suppkey"))
+      .withColumn("est_cnt", est(col("s_suppkey")))
+      .select(col("s_suppkey").as("l_suppkey"), col("est_cnt"))
+  }
+
+  def relAggHeavyHitters(s: SparkSession, dir: String): DataFrame =
+    heavyHitterEstimates(s, dir)
+      .orderBy(col("est_cnt").desc, col("l_suppkey"))
+      .limit(10)
+
   def relAggRollup(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "lineitem")
       .rollup("l_returnflag", "l_linestatus")
@@ -969,6 +1010,7 @@ object Relational {
     "rel_period_delta"   -> (relPeriodDelta _),
     "rel_agg_distinct"   -> (relAggDistinct _),
     "rel_agg_approx"     -> (relAggApprox _),
+    "rel_agg_heavyhitters" -> (relAggHeavyHitters _),
     "rel_agg_rollup"     -> (relAggRollup _),
     "rel_agg_cube"       -> (relAggCube _),
     "rel_join_broadcast" -> (relJoinBroadcast _),
@@ -1004,6 +1046,11 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "rel_agg_heavyhitters" ->
+      """SELECT l_suppkey, CAST(count(*) AS BIGINT) AS est_cnt
+        |FROM lineitem GROUP BY l_suppkey
+        |ORDER BY est_cnt DESC, l_suppkey LIMIT 10""".stripMargin,
+
     "rel_incremental_agg" ->
       """SELECT o_orderpriority,
         |       CAST(count(*) AS BIGINT) AS order_cnt,

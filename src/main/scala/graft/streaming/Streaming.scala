@@ -25,6 +25,9 @@ case class CdcState(ts_us: Long, event_id: Long, op: String, value: Double)
 case class CdcOut(user_id: Long, last_event_id: Long, last_op: String, cur_value: Double)
 
 /** Row/state shapes for the streaming transition-feed operator. */
+case class GapPairState(buf: List[(Long, Long, String)]) // (ts_us, event_id, type), ascending
+case class GapPairOut(user_id: Long, eta: String, etb: String)
+
 case class TransEvent(ts: java.sql.Timestamp, user_id: Long, event_id: Long,
     event_type: String)
 case class TransState(ts_us: Long, event_id: Long, event_type: String)
@@ -301,6 +304,51 @@ object Streaming {
       .toDF()
   }
 
+  /** Streaming GAP-PAIR FEED — the incremental form of
+    * [[graft.operators.Mining.fpmSeqGap]]'s hour-bin range join: state
+    * per user is the SLIDING-WINDOW BUFFER of events from the last hour
+    * (exactly the state a stream-stream interval join keeps, with the
+    * gap as its watermark-style TTL — pruned to `ts ≥ newest − gap`
+    * after every event, so state is bounded by one hour of per-user
+    * activity, never the history). Each batch sorts its per-user rows
+    * in the deterministic (µs, event_id) order and emits one
+    * (eta, etb) row per within-gap ordered pair against the buffer,
+    * chaining across batches through the carried window. Same
+    * in-order-across-batches envelope as [[transitionStream]] (a
+    * cross-batch out-of-order event would pair against an
+    * already-pruned window); StreamingSpec proves a multi-batch run
+    * emits exactly the static run's pair multiset, including a pair
+    * whose endpoints arrive in different batches and a beyond-gap pair
+    * that must NOT emit. */
+  def seqGapStream(events: DataFrame): DataFrame = {
+    val sp = events.sparkSession
+    import sp.implicits._
+    val gapUs = 3600000000L // 1 hour, matching the batch key
+    def micros(t: java.sql.Timestamp): Long =
+      math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+    events.select(col("ts"), col("user_id"), col("event_id"), col("event_type"))
+      .as[TransEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (uid: Long, it: Iterator[TransEvent], state: GroupState[GapPairState]) => {
+          var buf = state.getOption.map(_.buf).getOrElse(Nil)
+          val out = scala.collection.mutable.ListBuffer.empty[GapPairOut]
+          it.toSeq.sortBy(e => (micros(e.ts), e.event_id)).foreach { e =>
+            val us = micros(e.ts)
+            buf.foreach { case (aus, aeid, atype) =>
+              if ((aus < us || (aus == us && aeid < e.event_id)) &&
+                us <= aus + gapUs)
+                out += GapPairOut(uid, atype, e.event_type)
+            }
+            buf = (buf :+ ((us, e.event_id, e.event_type)))
+              .filter(_._1 >= us - gapUs)
+          }
+          state.update(GapPairState(buf))
+          out.iterator
+        })
+      .toDF()
+  }
+
   // ------------------------------------------- declared batch equivalents
 
   def streamRunningSeq(s: SparkSession, dir: String): DataFrame =
@@ -482,7 +530,23 @@ object Streaming {
       .orderBy("from_type", "to_type")
   }
 
+  /** Declared batch run of [[seqGapStream]] + the distinct-user support
+    * rollup — equals `fpm_seq_gap` row for row (same oracle text): the
+    * sliding-window state replaces the hour-bin range join, the
+    * aggregate and integer threshold are identical. */
+  def streamSeqGap(s: SparkSession, dir: String): DataFrame = {
+    val users = Tables.load(s, dir, "events")
+      .select(countDistinct(col("user_id")).as("n_users"))
+    seqGapStream(Tables.load(s, dir, "events"))
+      .groupBy("eta", "etb").agg(countDistinct(col("user_id")).as("users"))
+      .crossJoin(broadcast(users))
+      .filter(col("users") * 100 >= col("n_users") * 18)
+      .select(col("eta"), col("etb"), col("users"))
+      .orderBy("eta", "etb")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_seq_gap"       -> (streamSeqGap _),
     "stream_markov"        -> (streamMarkov _),
     "stream_cdc_apply"     -> (streamCdcApply _),
     "stream_ewma"          -> (streamEwma _),
@@ -498,6 +562,18 @@ object Streaming {
   )
 
   val oracle: Map[String, String] = Map(
+    "stream_seq_gap" ->
+      """SELECT a.event_type AS eta, b.event_type AS etb,
+        |       CAST(count(DISTINCT a.user_id) AS BIGINT) AS users
+        |FROM events a JOIN events b ON a.user_id = b.user_id
+        | AND (epoch_us(a.ts) < epoch_us(b.ts)
+        |      OR (epoch_us(a.ts) = epoch_us(b.ts) AND a.event_id < b.event_id))
+        | AND epoch_us(b.ts) <= epoch_us(a.ts) + 3600000000
+        |GROUP BY a.event_type, b.event_type
+        |HAVING count(DISTINCT a.user_id) * 100 >=
+        |       18 * (SELECT count(DISTINCT user_id) FROM events)
+        |ORDER BY eta, etb""".stripMargin,
+
     "stream_markov" ->
       """WITH tr AS (
         |  SELECT event_type AS from_type,

@@ -12,4 +12,26 @@ import org.apache.spark.sql.classic.{DataFrame, Dataset, SparkSession}
 object Bridge {
   def ofRows(spark: org.apache.spark.sql.SparkSession, plan: LogicalPlan): DataFrame =
     Dataset.ofRows(spark.asInstanceOf[SparkSession], plan)
+
+  /** Runtime-operator walk for the plan-shape tests: expands AQE
+    * wrappers (AdaptiveSparkPlanExec / QueryStageExec) to the plan they
+    * currently hold, descends into subquery plans, and STOPS at cached
+    * scans (InMemoryTableScanExec) — a memoized frame's build plan
+    * executes once at cache materialization, not per query, so its
+    * operators must not count as query-side work. Tree-walking replaces
+    * plan-STRING scraping, which breaks whenever Spark's rendering of a
+    * materialized cache changes (InMemoryRelation vs
+    * TableCacheQueryStage vs an embedded "== Final Plan ==" dump with
+    * reset indentation). */
+  def runtimeOps(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+      a +: runtimeOps(a.executedPlan)
+    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+      q +: runtimeOps(q.plan)
+    case i: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+      Seq(i)
+    case other =>
+      other +: (other.children ++ other.subqueries).flatMap(runtimeOps)
+  }
 }

@@ -17,7 +17,8 @@ class ContractSpec extends SparkSpec {
       "fpm_fpgrowth_full", "fpm_prefixspan_full", "llm_ann_ivf_kmeans",
       "llm_simhash_neardup", "fpm_assoc_rules_full", "llm_dedup_clusters_lsh",
       "stream_neardup", "llm_dedup_keep_best_lsh", "llm_bloom_prefilter", "llm_ann_pq",
-      "llm_semdedup", "llm_knn_graph_ivf", "llm_quality_quantile_approx"),
+      "llm_semdedup", "llm_knn_graph_ivf", "llm_quality_quantile_approx",
+      "fpm_kcore"),
       s"unexpected oracle-free keys: $oracleFree")
   }
 
@@ -114,97 +115,112 @@ class ContractSpec extends SparkSpec {
   }
 
   test("expensive-tail plan gates: audited shapes locked against regression") {
-    // The plan STRING prints each InMemoryRelation's build plan inline —
-    // those FileScans/Exchanges run once at memo-materialization, not per
-    // query, so drop every line nested under an InMemoryRelation before
-    // counting runtime operators.
-    def stripCached(p: String): String = {
-      // tree depth: ANCHOR on the '+-'/':-' connector Spark plan strings
-      // draw (its offset IS the depth), falling back to the leading run
-      // of tree-drawing chars (' ', ':', '|') for connector-less detail
-      // lines — anchoring keeps the heuristic stable if the plan-string
-      // format shifts across Spark versions.
-      val conn = "^([ :|]*)[+:]-".r
-      def depth(l: String): Int =
-        conn.findFirstMatchIn(l).map(_.group(1).length).getOrElse(
-          l.indexWhere(c => !(c == ' ' || c == ':' || c == '|')) match {
-            case -1 => Int.MaxValue
-            case i  => i
-          })
-      var skip = -1
-      val out = p.linesIterator.filter { l =>
-        val d = depth(l)
-        if (skip >= 0 && d > skip) false
-        else if (l.contains("InMemoryRelation")) { skip = d; false }
-        else { skip = -1; true }
-      }.mkString("\n")
-      // liveness: a plan that mentions a cached build MUST have had
-      // lines stripped — otherwise the heuristic rotted and every
-      // scan/exchange gate below would silently count build-time work
-      assert(!p.contains("InMemoryRelation") || out.length < p.length,
-        "stripCached removed nothing from a plan containing InMemoryRelation")
-      out
+    import org.apache.spark.sql.execution.{FileSourceScanExec, GenerateExec, SparkPlan}
+    import org.apache.spark.sql.execution.exchange.Exchange
+    import org.apache.spark.sql.execution.window.WindowExec
+    // Walk the RUNTIME operator tree (Bridge.runtimeOps): AQE wrappers
+    // expanded, subqueries included, cached subtrees stopped at their
+    // InMemoryTableScan boundary — a memoized frame's build plan runs
+    // once at materialization, never per query, and Spark's STRING
+    // rendering of a materialized cache (InMemoryRelation vs
+    // TableCacheQueryStage vs embedded "== Final Plan ==" dumps with
+    // reset indentation) is too unstable to scrape.
+    def audit(name: String): (Seq[SparkPlan], Int, Int) = {
+      val ops = org.apache.spark.sql.graft.Bridge.runtimeOps(
+        SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan)
+      (ops, ops.count(_.isInstanceOf[FileSourceScanExec]),
+        ops.count(_.isInstanceOf[Exchange]))
     }
-    def counts(name: String): (String, Int, Int) = {
-      val p = stripCached(SparkEntry.queries(name)(spark, sf)
-        .queryExecution.executedPlan.toString)
-      (p, p.split("FileScan").length - 1, p.split("Exchange").length - 1)
-    }
+    def shape(ops: Seq[SparkPlan]): String = ops.map(_.nodeName).mkString(" | ")
     // hui pairs: per-(tid,item) utility table reduced BEFORE the pair
     // self-join; the memoized utility frame materializes once, so the
     // query-side plan has no second lineitem pass and a bounded exchange
     // count (pair-join shuffle, pair agg, presentation sort)
-    val (hui, huiScans, huiEx) = counts("fpm_hui_pairs")
-    assert(huiScans <= 2, s"hui_pairs re-scans ($huiScans):\n$hui")
-    assert(huiEx <= 6, s"hui_pairs exchange count grew ($huiEx):\n$hui")
+    val (hui, huiScans, huiEx) = audit("fpm_hui_pairs")
+    assert(huiScans <= 2, s"hui_pairs re-scans ($huiScans): ${shape(hui)}")
+    assert(huiEx <= 6, s"hui_pairs exchange count grew ($huiEx): ${shape(hui)}")
     // containment dedup: inverted shingle index — exactly ONE
     // tokenize/explode pass feeds the posting lists (plus the in-list
     // pair explode); the two size probes are projection-only scans,
     // never a second corpus explode+shuffle
-    val (cd, cdScans, cdEx) = counts("llm_containment_dedup")
-    assert(cdScans <= 3, s"containment_dedup re-scans ($cdScans):\n$cd")
-    assert(cd.split("Generate explode").length - 1 == 2,
-      s"containment_dedup gained an explode pass:\n$cd")
-    assert(cdEx <= 8, s"containment_dedup exchange count grew ($cdEx):\n$cd")
+    val (cd, cdScans, cdEx) = audit("llm_containment_dedup")
+    assert(cdScans <= 3, s"containment_dedup re-scans ($cdScans): ${shape(cd)}")
+    assert(cd.count(_.isInstanceOf[GenerateExec]) == 2,
+      s"containment_dedup gained an explode pass: ${shape(cd)}")
+    assert(cdEx <= 8, s"containment_dedup exchange count grew ($cdEx): ${shape(cd)}")
     // Q9/Q11: the derived-partsupp CTE is re-aggregated once per textual
     // reference — Q9 references ps once (+ the fact join) and Q11 twice
     // (grouped sum + global-sum threshold), so lineitem scans are bounded
     // by reference count, not multiplied by join planning
-    val (q9, q9Scans, _) = counts("sql_tpch_q9")
-    val q9Li = q9.split("lineitem.parquet").length - 1
-    assert(q9Li <= 2, s"Q9 lineitem scanned $q9Li times:\n$q9")
-    assert(q9Scans <= 8, s"Q9 total scans grew ($q9Scans):\n$q9")
-    val (q11, q11Scans, _) = counts("sql_tpch_q11")
-    val q11Li = q11.split("lineitem.parquet").length - 1
-    assert(q11Li <= 2, s"Q11 lineitem scanned $q11Li times:\n$q11")
-    assert(q11Scans <= 6, s"Q11 total scans grew ($q11Scans):\n$q11")
+    def liScans(ops: Seq[SparkPlan]): Int = ops.count(o =>
+      o.isInstanceOf[FileSourceScanExec] && o.toString.contains("lineitem.parquet"))
+    val (q9, q9Scans, _) = audit("sql_tpch_q9")
+    assert(liScans(q9) <= 2, s"Q9 lineitem scanned ${liScans(q9)} times: ${shape(q9)}")
+    assert(q9Scans <= 8, s"Q9 total scans grew ($q9Scans): ${shape(q9)}")
+    val (q11, q11Scans, _) = audit("sql_tpch_q11")
+    assert(liScans(q11) <= 2, s"Q11 lineitem scanned ${liScans(q11)} times: ${shape(q11)}")
+    assert(q11Scans <= 6, s"Q11 total scans grew ($q11Scans): ${shape(q11)}")
     // triangle count: the memoized pair-support frame is the only input
     // — the query side is degree broadcast-joins + the two wedge
     // equi-joins + per-item rollup, never a fact re-scan
-    val (tri, triScans, triEx) = counts("fpm_triangle_count")
+    val (tri, triScans, triEx) = audit("fpm_triangle_count")
     info(s"fpm_triangle_count: scans=$triScans exchanges=$triEx")
-    assert(triScans == 0, s"triangle_count re-scans ($triScans):\n$tri")
-    assert(triEx <= 12, s"triangle_count exchange count grew ($triEx):\n$tri")
+    assert(triScans == 0, s"triangle_count re-scans ($triScans): ${shape(tri)}")
+    assert(triEx <= 12, s"triangle_count exchange count grew ($triEx): ${shape(tri)}")
     // tfidf_topk: the per-doc window rides the scored frame — corpus
     // tokenize feeds tf once; df/N are broadcast; bounded exchanges
-    val (tt, ttScans, ttEx) = counts("llm_tfidf_topk")
+    val (tt, ttScans, ttEx) = audit("llm_tfidf_topk")
     info(s"llm_tfidf_topk: scans=$ttScans exchanges=$ttEx")
-    assert(ttScans <= 4, s"tfidf_topk re-scans ($ttScans):\n$tt")
-    assert(ttEx <= 12, s"tfidf_topk exchange count grew ($ttEx):\n$tt")
+    assert(ttScans <= 4, s"tfidf_topk re-scans ($ttScans): ${shape(tt)}")
+    assert(ttEx <= 12, s"tfidf_topk exchange count grew ($ttEx): ${shape(tt)}")
     // co-occurrence: the within-doc pair join shuffles tokenized docs
     // once per side plus the pair agg; vocab/df/N side is all broadcast
-    val (co2, coScans, coEx) = counts("llm_cooccurrence")
+    val (co2, coScans, coEx) = audit("llm_cooccurrence")
     info(s"llm_cooccurrence: scans=$coScans exchanges=$coEx")
-    assert(coScans <= 2, s"cooccurrence re-scans ($coScans):\n$co2")
-    assert(coEx <= 8, s"cooccurrence exchange count grew ($coEx):\n$co2")
+    assert(coScans <= 2, s"cooccurrence re-scans ($coScans): ${shape(co2)}")
+    assert(coEx <= 8, s"cooccurrence exchange count grew ($coEx): ${shape(co2)}")
     // stream_neardup's batch form: one documents scan into the stateful
     // signature operator — the only exchanges are the group-by-key
     // repartition and the presentation sort
-    val (sn, snScans, snEx) = counts("stream_neardup")
+    val (sn, snScans, snEx) = audit("stream_neardup")
     info(s"stream_neardup: scans=$snScans exchanges=$snEx")
-    assert(snScans <= 1, s"stream_neardup re-scans ($snScans):\n$sn")
-    assert(snEx <= 4, s"stream_neardup exchange count grew ($snEx):\n$sn")
+    assert(snScans <= 1, s"stream_neardup re-scans ($snScans): ${shape(sn)}")
+    assert(snEx <= 4, s"stream_neardup exchange count grew ($snEx): ${shape(sn)}")
+    // seq_gap: the hour-bin range join must plan as an EQUI-join on
+    // (user, bin) — never a cartesian fallback. Three events scans are
+    // the two join sides plus the support-denominator aggregate; the
+    // single nested-loop join is the 1-row broadcast threshold scalar
+    // (the approved crossJoin(broadcast(<scalar>)) idiom), NOT the gap
+    // join falling out of equi-planning.
+    val (sg, sgScans, _) = audit("fpm_seq_gap")
+    info(s"fpm_seq_gap: scans=$sgScans")
+    assert(sgScans <= 3, s"seq_gap re-scans ($sgScans): ${shape(sg)}")
+    assert(!sg.exists(_.nodeName.contains("CartesianProduct")),
+      s"seq_gap planned a cartesian product: ${shape(sg)}")
+    assert(sg.count(_.nodeName.contains("BroadcastNestedLoopJoin")) <= 1,
+      s"seq_gap gap predicate fell out of the equi-join: ${shape(sg)}")
+    assert(sg.exists(o => o.nodeName.contains("HashJoin")
+        || o.nodeName.contains("SortMergeJoin")),
+      s"seq_gap pair join is not an equi-join: ${shape(sg)}")
+    // trigram LM: ONE tokenize pass — the window denominator must not
+    // re-run the corpus explode the way a groupBy-then-self-join would
+    val (tl, tlScans, tlEx) = audit("llm_trigram_lm")
+    info(s"llm_trigram_lm: scans=$tlScans exchanges=$tlEx")
+    assert(tlScans <= 1, s"trigram_lm re-scans ($tlScans): ${shape(tl)}")
+    assert(tl.count(_.isInstanceOf[GenerateExec]) <= 1,
+      s"trigram_lm re-explodes: ${shape(tl)}")
+    // ngram novelty: one explode pass (novel counts) + one projection-
+    // only scan (row-local totals) — and NO window over a gram posting
+    // list (the skew hazard the agg formulation exists to avoid)
+    val (nv, nvScans, nvEx) = audit("llm_ngram_novelty")
+    info(s"llm_ngram_novelty: scans=$nvScans exchanges=$nvEx")
+    assert(nvScans <= 2, s"ngram_novelty re-scans ($nvScans): ${shape(nv)}")
+    assert(nv.count(_.isInstanceOf[GenerateExec]) <= 1,
+      s"ngram_novelty re-explodes: ${shape(nv)}")
+    assert(!nv.exists(_.isInstanceOf[WindowExec]),
+      s"ngram_novelty sorts a posting list: ${shape(nv)}")
   }
+
 
   test("format round-trip preserves content exactly per format") {
     val rt = operators.Relational.relFormatRoundtrip(spark, sf).collect()

@@ -214,6 +214,47 @@ class LlmOpsSpec extends SparkSpec {
       ("jpeg", None, None, None))
   }
 
+  test("audio decode parses real WAV/FLAC wire-format headers; raw passthrough otherwise") {
+    def le16(v: Int) = Array(v & 0xff, (v >> 8) & 0xff).map(_.toByte)
+    def le32(v: Int) =
+      Array(v & 0xff, (v >> 8) & 0xff, (v >> 16) & 0xff, (v >> 24) & 0xff).map(_.toByte)
+    // WAV with a LIST chunk BEFORE fmt (proves the chunk walk): PCM,
+    // 2 channels, 44100 Hz, 16 bits/sample
+    val fmtPayload = le16(1) ++ le16(2) ++ le32(44100) ++ le32(176400) ++
+      le16(4) ++ le16(16)
+    val wav = "RIFF".getBytes("US-ASCII") ++ le32(60) ++
+      "WAVE".getBytes("US-ASCII") ++
+      "LIST".getBytes("US-ASCII") ++ le32(6) ++ Array.fill(6)(0.toByte) ++
+      "fmt ".getBytes("US-ASCII") ++ le32(16) ++ fmtPayload
+    assert(LlmOps.parseAudioHeader(wav) ==
+      ("wav", Some(44100L), Some(2L), Some(16L)))
+    // odd-sized chunk before fmt: walk must word-align (pad byte)
+    val wavOdd = "RIFF".getBytes("US-ASCII") ++ le32(60) ++
+      "WAVE".getBytes("US-ASCII") ++
+      "LIST".getBytes("US-ASCII") ++ le32(5) ++ Array.fill(6)(0.toByte) ++
+      "fmt ".getBytes("US-ASCII") ++ le32(16) ++ fmtPayload
+    assert(LlmOps.parseAudioHeader(wavOdd) ==
+      ("wav", Some(44100L), Some(2L), Some(16L)))
+    // FLAC STREAMINFO: 96000 Hz, 2 channels, 24 bits/sample.
+    // sr 96000 = 0x17700 → bytes 0x17,0x70,0x0_; channels-1=1 (3 bits),
+    // bps-1=23 (5 bits): byte20 = sr_low4<<4 | (ch-1)<<1 | bps_hi1,
+    // byte21 = bps_low4<<4 | ...
+    val srCh = Array(0x17, 0x70, (0x0 << 4) | (1 << 1) | 1, 0x7 << 4)
+      .map(_.toByte)
+    val flac = "fLaC".getBytes("US-ASCII") ++ le32(0) ++
+      Array.fill(10)(0.toByte) ++ srCh ++ Array.fill(4)(0.toByte)
+    assert(LlmOps.parseAudioHeader(flac) ==
+      ("flac", Some(96000L), Some(2L), Some(24L)))
+    // non-audio payloads pass through as raw with null fields
+    assert(LlmOps.parseAudioHeader("hello world".getBytes("US-ASCII")) ==
+      ("raw", None, None, None))
+    assert(LlmOps.parseAudioHeader(Array.empty[Byte]) == ("raw", None, None, None))
+    // truncated RIFF with no fmt chunk: identified, fields null
+    val wavTrunc = "RIFF".getBytes("US-ASCII") ++ le32(4) ++
+      "WAVE".getBytes("US-ASCII")
+    assert(LlmOps.parseAudioHeader(wavTrunc) == ("wav", None, None, None))
+  }
+
   test("knn graph block cap: subset-capped hot blocks still yield k neighbors per survivor") {
     // default cap is a no-op at test SF
     val fullG = LlmOps.knnGraph(spark, sf).collect()

@@ -392,4 +392,68 @@ class MiningSpec extends SparkSpec {
     assert(got == expected)
     assert(got.nonEmpty, "utility threshold selected nothing at this sf")
   }
+
+  test("h-index coreness equals a driver-side Batagelj-Zaversnik peel") {
+    val edges = gtPairCnt.iterator.collect {
+      case ((a, b), c) if c >= 0.02 * gtN => (a, b)
+    }.toSet
+    val adj = scala.collection.mutable.Map.empty[String, Set[String]]
+      .withDefaultValue(Set.empty)
+    edges.foreach { case (a, b) => adj(a) += b; adj(b) += a }
+    // exact peeling coreness: repeatedly remove all nodes of degree <= k
+    val remaining = scala.collection.mutable.Map.empty[String, Int]
+    adj.foreach { case (n, nb) => remaining(n) = nb.size }
+    val live = scala.collection.mutable.Set.empty[String] ++ adj.keys
+    val coreness = scala.collection.mutable.Map.empty[String, Long]
+    var k = 0
+    while (live.nonEmpty) {
+      k = math.max(k, live.iterator.map(remaining).min)
+      val stack = scala.collection.mutable.Stack.empty[String]
+      live.iterator.filter(remaining(_) <= k).foreach(stack.push)
+      while (stack.nonEmpty) {
+        val n = stack.pop()
+        if (live.remove(n)) {
+          coreness(n) = k.toLong
+          adj(n).iterator.filter(live.contains).foreach { m =>
+            remaining(m) -= 1
+            if (remaining(m) <= k) stack.push(m)
+          }
+        }
+      }
+    }
+    val got = Mining.fpmKcore(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got == coreness.toMap)
+    assert(got.values.toSet.size > 1,
+      "coreness is constant at this sf — vacuous fixture")
+    // fixpoint property: a node's coreness is <= its degree
+    got.foreach { case (n, c) => assert(c <= adj(n).size) }
+  }
+
+  test("gap-constrained seq pairs equal a driver-side recompute; gap prunes") {
+    val ev = Tables.load(spark, sf, "events")
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")),
+        col("event_id")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val gapUs = 3600000000L
+    def pairUsers(gap: Option[Long]): Map[(String, String), Long] =
+      ev.groupBy(_._1).iterator.flatMap { case (u, xs) =>
+        (for {
+          a <- xs; b <- xs
+          if a._3 < b._3 || (a._3 == b._3 && a._4 < b._4)
+          if gap.forall(g => b._3 <= a._3 + g)
+        } yield (a._2, b._2)).distinct.map(p => (p, u))
+      }.toSeq.groupBy(_._1).map { case (p, xs) => p -> xs.size.toLong }
+    val nUsers = ev.map(_._1).distinct.length.toLong
+    val expected = pairUsers(Some(gapUs)).filter(_._2 * 100 >= 18 * nUsers)
+    val got = Mining.fpmSeqGap(spark, sf).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    assert(got == expected)
+    assert(got.nonEmpty, "gap threshold selected nothing at this sf")
+    // the hour constraint must genuinely reduce support somewhere —
+    // otherwise the key degenerates to fpm_seq_pairs at another threshold
+    val unconstrained = pairUsers(None)
+    assert(expected.keys.exists(p => unconstrained(p) > expected(p)),
+      "gap constraint pruned no user anywhere — vacuous fixture")
+  }
 }

@@ -1,7 +1,7 @@
 package graft
 
 import graft.operators.Relational
-import org.apache.spark.sql.functions.{col, expr}
+import org.apache.spark.sql.functions.{col, count, expr, lit}
 
 /** Physical-plan assertions (SURVEY.md §4.2): the declarative queries must
   * actually produce the scale-correct plans — pushdown reaching parquet,
@@ -276,5 +276,25 @@ class RelationalSpec extends SparkSpec {
       assert(c >= -1.0 && c <= 1.0)
       assert(math.abs(c - naive) < 1e-9, s"$rf: $c vs naive $naive")
     }
+  }
+
+  test("count-min heavy hitters: sketch collision-free at test SF, CMS contract holds") {
+    val exact = Tables.load(spark, sf, "lineitem").groupBy("l_suppkey")
+      .agg(count(lit(1)).as("c")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val est = Relational.heavyHitterEstimates(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // CMS never underestimates — the unconditional contract
+    est.foreach { case (k, e) => assert(e >= exact.getOrElse(k, 0L), s"under-count at $k") }
+    // collision-freeness at test SF (what licenses the exact-count
+    // DuckDB oracle): 100 keys into 3 independent 65536-bucket rows
+    assert(est.forall { case (k, e) => e == exact.getOrElse(k, 0L) },
+      "sketch collided at test SF — the oracle's exact-count claim is void")
+    // the shipped key is exactly the est-ordered top-10
+    val top = Relational.relAggHeavyHitters(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(top.length == math.min(10, est.size))
+    val want = est.toSeq.sortBy { case (k, e) => (-e, k) }.take(10)
+    assert(top.toSeq == want)
   }
 }

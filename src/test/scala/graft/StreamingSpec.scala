@@ -444,4 +444,45 @@ class StreamingSpec extends SparkSpec {
     assert(streamedFinal == Set(
       (1L, 2L, "view", 2.0), (2L, 5L, "error", 0.0), (3L, 4L, "view", 4.0)))
   }
+
+  test("streaming gap-pair feed: cross-batch window pairs emit, beyond-gap pairs do not") {
+    val sp = spark
+    import sp.implicits._
+    implicit val ctx = sp.sqlContext
+    // u1: click 10:00, view 10:30 (same batch, in gap), purchase 11:15
+    //     (batch 2 — pairs with view@10:30 across the batch boundary but
+    //      NOT with click@10:00, which is 75 min earlier AND pruned)
+    // u2: view 10:00, click 12:00 (beyond gap — must emit nothing)
+    val batch1 = Seq(
+      Ev(t("2024-01-01 10:00:00"), 1, "click", 1.0, 1),
+      Ev(t("2024-01-01 10:30:00"), 1, "view", 1.0, 2),
+      Ev(t("2024-01-01 10:00:00"), 2, "view", 1.0, 3))
+    val batch2 = Seq(
+      Ev(t("2024-01-01 11:15:00"), 1, "purchase", 1.0, 4),
+      Ev(t("2024-01-01 12:00:00"), 2, "click", 1.0, 5))
+    val ms = MemoryStream[Ev]
+    val q = Streaming.seqGapStream(ms.toDF())
+      .writeStream.outputMode("append").format("memory").queryName("gappairs").start()
+    try {
+      ms.addData(batch1); q.processAllAvailable()
+      ms.addData(batch2); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("gappairs").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq.sorted
+    val expected = Seq(
+      (1L, "click", "view"),      // 10:00 → 10:30, in gap
+      (1L, "view", "purchase")).sorted // 10:30 → 11:15 ACROSS batches
+    assert(streamed == expected)
+    // single-batch static run agrees
+    val static = Streaming.seqGapStream((batch1 ++ batch2).toDF()).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq.sorted
+    assert(static == expected)
+    // the declared batch key over the real events table equals the
+    // hour-bin range-join mining key row for row
+    val viaStream = Streaming.streamSeqGap(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    val viaBin = operators.Mining.fpmSeqGap(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(viaStream == viaBin)
+  }
 }
