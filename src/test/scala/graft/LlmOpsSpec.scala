@@ -1023,4 +1023,40 @@ class LlmOpsSpec extends SparkSpec {
     info(s"semdedup recall vs brute force: $recall (${droppedIds.size}/${bruteDropped.size})")
     assert(recall >= 0.5, s"recall $recall collapsed (measured 0.67 on this corpus)")
   }
+
+  test("bpe training: merge rules equal a driver-side recompute of the same algorithm") {
+    val wc = Tables.load(spark, sf, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c")).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    var words: Seq[(Seq[String], Long)] =
+      wc.toSeq.map { case (w, c) => (w.toSeq.map(_.toString), c) }
+    val expected =
+      scala.collection.mutable.ListBuffer.empty[(Long, String, String, String, Long)]
+    for (rank <- 1 to 10) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        .withDefaultValue(0L)
+      words.foreach { case (syms, c) =>
+        syms.sliding(2).withFilter(_.length == 2)
+          .foreach(p => counts((p(0), p(1))) += c)
+      }
+      if (counts.nonEmpty) {
+        val ((l, r), tot) = counts.toSeq.minBy { case ((a, b), t) => (-t, a, b) }
+        expected += ((rank.toLong, l, r, l + r, tot))
+        words = words.map { case (syms, c) => (LlmOps.bpeMerge(syms, l, r), c) }
+      }
+    }
+    val got = LlmOps.bpeTrain(spark, sf).collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getString(2), x.getString(3),
+        x.getLong(4))).toSeq
+    assert(got == expected.toSeq)
+    // depth liveness: some rule must merge onto an earlier merge result
+    // (a multi-char left or right symbol), or ten rounds degenerated to
+    // independent character bigrams
+    assert(got.exists(g => g._2.length >= 2 || g._3.length >= 2),
+      "no rule builds on a prior merge — vacuous fixture")
+    // the greedy-leftmost substitution helper: overlapping runs merge
+    // left to right ('aaa' + rule (a,a) -> ['aa','a'])
+    assert(LlmOps.bpeMerge(Seq("a", "a", "a"), "a", "a") == Seq("aa", "a"))
+  }
 }
