@@ -2112,6 +2112,52 @@ object LlmOps {
   def bpeTrain(s: SparkSession, dir: String): DataFrame =
     bpeTrainRounds(s, dir, 10)
 
+  /** Trained merge-rule list per (session, dir) — the tokenizer is an
+    * index artifact trained once per corpus snapshot and reused by the
+    * encode pass (same cache policy as the FPGrowth model and the IVF
+    * codebook). */
+  private val bpeRulesCache =
+    scala.collection.concurrent.TrieMap[(Int, String), Seq[(String, String)]]()
+
+  private def bpeRules(s: SparkSession, dir: String): Seq[(String, String)] =
+    bpeRulesCache.getOrElseUpdate((System.identityHashCode(s), dir),
+      bpeTrain(s, dir).collect().map(r => (r.getString(1), r.getString(2))).toSeq)
+
+  /** BPE ENCODE — apply the learned merge rules ([[bpeTrain]]) to every
+    * document: each word starts as characters, the 10 rules apply in
+    * rank order (the standard encode pass of a trained BPE tokenizer),
+    * and the per-doc output is the word count, the resulting subword
+    * count, and subwords-per-word fertility. The rule list is an O(10)
+    * driver artifact broadcast into a row-local map — encoding is one
+    * scan, no shuffle (the presentation sort aside), embarrassingly
+    * parallel at any corpus size. No SQL oracle (the rules are a
+    * learned artifact); LlmOpsSpec pins the encode against a driver
+    * recompute with the same rules and checks fertility bounds. */
+  def bpeEncode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rules = bpeRules(s, dir)
+    val bc = s.sparkContext.broadcast(rules)
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val rs = bc.value
+        it.map { case (id, text) =>
+          val words = text.split(" ", -1)
+          var sub = 0L
+          words.foreach { w =>
+            var syms: Seq[String] = w.toSeq.map(_.toString)
+            rs.foreach { case (l, r) => syms = bpeMerge(syms, l, r) }
+            sub += syms.length
+          }
+          (id, words.length.toLong, sub,
+            sub.toDouble / words.length.toDouble)
+        }
+      }
+      .toDF("doc_id", "word_tokens", "bpe_tokens", "fertility")
+      .orderBy("doc_id")
+  }
+
   def bpeTrainRounds(s: SparkSession, dir: String, rounds: Int): DataFrame = {
     import s.implicits._
     var words = Tables.load(s, dir, "documents")
@@ -2588,6 +2634,7 @@ object LlmOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_trigram_lm"         -> (trigramLm _),
     "llm_bpe_train"          -> (bpeTrain _),
+    "llm_bpe_encode"         -> (bpeEncode _),
     "llm_ngram_novelty"      -> (ngramNovelty _),
     "llm_tokenizer_fertility" -> (tokenizerFertility _),
     "llm_audio_meta"         -> (audioMeta _),

@@ -925,9 +925,28 @@ object Mining {
       .orderBy("eta", "etb")
   }
 
+  /** GAP-CONSTRAINED sequential RULES — the confidence tier over
+    * [[fpmSeqGap]]'s support tier (exactly as [[fpmSeqRules]] grades
+    * [[fpmSeqPairs]]): conf(A→B | 1h) = users(A then B within the hour)
+    * / users(with ≥1 A event) — "of everyone who did A at all, how many
+    * did B within the hour of one". The antecedent user counts are a
+    * type-keyed aggregate broadcast onto the vocabulary-bounded rule
+    * frame; division is the single double op on two exact integers. */
+  def fpmSeqRulesGap(s: SparkSession, dir: String): DataFrame = {
+    val aSup = Tables.load(s, dir, "events")
+      .groupBy("event_type").agg(countDistinct(col("user_id")).as("a_users"))
+      .select(col("event_type").as("eta2"), col("a_users"))
+    fpmSeqGap(s, dir)
+      .join(broadcast(aSup), col("eta") === col("eta2"))
+      .select(col("eta"), col("etb"), col("users"),
+        (col("users").cast("double") / col("a_users").cast("double")).as("conf"))
+      .orderBy("eta", "etb")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "fpm_kcore" -> (fpmKcore _),
     "fpm_seq_gap" -> (fpmSeqGap _),
+    "fpm_seq_rules_gap" -> (fpmSeqRulesGap _),
     "fpm_markov_transition" -> (fpmMarkovTransition _),
     "fpm_funnel" -> (fpmFunnel _),
     "fpm_clustering_coeff" -> (fpmClusteringCoeff _),
@@ -963,6 +982,24 @@ object Mining {
       |), nb AS (SELECT count(DISTINCT tid) AS n FROM tx)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "fpm_seq_rules_gap" ->
+      """WITH sg AS (
+        |  SELECT a.event_type AS eta, b.event_type AS etb,
+        |         CAST(count(DISTINCT a.user_id) AS BIGINT) AS users
+        |  FROM events a JOIN events b ON a.user_id = b.user_id
+        |   AND (epoch_us(a.ts) < epoch_us(b.ts)
+        |        OR (epoch_us(a.ts) = epoch_us(b.ts) AND a.event_id < b.event_id))
+        |   AND epoch_us(b.ts) <= epoch_us(a.ts) + 3600000000
+        |  GROUP BY a.event_type, b.event_type
+        |  HAVING count(DISTINCT a.user_id) * 100 >=
+        |         18 * (SELECT count(DISTINCT user_id) FROM events)),
+        |au AS (SELECT event_type AS eta, CAST(count(DISTINCT user_id) AS BIGINT) AS a_users
+        |       FROM events GROUP BY event_type)
+        |SELECT sg.eta, sg.etb, sg.users,
+        |       CAST(sg.users AS DOUBLE) / CAST(au.a_users AS DOUBLE) AS conf
+        |FROM sg JOIN au ON au.eta = sg.eta
+        |ORDER BY sg.eta, sg.etb""".stripMargin,
+
     "fpm_seq_gap" ->
       """SELECT a.event_type AS eta, b.event_type AS etb,
         |       CAST(count(DISTINCT a.user_id) AS BIGINT) AS users

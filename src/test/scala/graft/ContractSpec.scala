@@ -18,7 +18,7 @@ class ContractSpec extends SparkSpec {
       "llm_simhash_neardup", "fpm_assoc_rules_full", "llm_dedup_clusters_lsh",
       "stream_neardup", "llm_dedup_keep_best_lsh", "llm_bloom_prefilter", "llm_ann_pq",
       "llm_semdedup", "llm_knn_graph_ivf", "llm_quality_quantile_approx",
-      "fpm_kcore", "llm_bpe_train"),
+      "fpm_kcore", "llm_bpe_train", "llm_bpe_encode"),
       s"unexpected oracle-free keys: $oracleFree")
   }
 

@@ -1058,5 +1058,29 @@ class LlmOpsSpec extends SparkSpec {
     // the greedy-leftmost substitution helper: overlapping runs merge
     // left to right ('aaa' + rule (a,a) -> ['aa','a'])
     assert(LlmOps.bpeMerge(Seq("a", "a", "a"), "a", "a") == Seq("aa", "a"))
+    // encode pass: per-doc subword counts equal a driver recompute with
+    // the same learned rules, and merging can only shorten words
+    val rules = got.map(g => (g._2, g._3))
+    val enc = LlmOps.bpeEncode(spark, sf).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getDouble(3)))
+    val texts = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(enc.length == texts.size)
+    enc.foreach { case (id, wt, bt, fert) =>
+      val ws = texts(id).split(" ", -1)
+      var sub = 0L
+      ws.foreach { w =>
+        var syms: Seq[String] = w.toSeq.map(_.toString)
+        rules.foreach { case (l, r) => syms = LlmOps.bpeMerge(syms, l, r) }
+        sub += syms.length
+      }
+      assert(wt == ws.length.toLong && bt == sub, s"doc $id encode diverged")
+      assert(bt <= ws.map(_.length).sum, s"doc $id grew under merging")
+      assert(math.abs(fert - sub.toDouble / ws.length) < 1e-12)
+    }
+    // merges must actually fire somewhere: total subwords < total chars
+    assert(enc.map(_._3).sum < texts.values.map(_.replace(" ", "").length.toLong).sum,
+      "encode never merged anything — vacuous fixture")
   }
 }
