@@ -84,7 +84,12 @@ object Bench {
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def json(rs: Iterable[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
+    // Headline `value` must not silently flatter a broken run: the sum of
+    // clean passes EXCLUDES errored keys, so with errors present `value`
+    // becomes the -1.0 sentinel and the clean-key sum moves to `ok_total`
+    // (cross-run comparators see the sentinel, not a fake speedup).
+    val okTotal = results.map(_._2).filter(_ >= 0).sum
+    val total = if (errors.isEmpty) okTotal else -1.0
     val detail = keys.map { k =>
       val ps = passes(k)
       "\"" + k + "\":{\"passes\":[" + ps.map(p => fmt(p.sec)).mkString(",") +
@@ -92,7 +97,8 @@ object Bench {
         "],\"start_ms\":[" + ps.map(_.startMs).mkString(",") +
         "],\"ok\":[" + ps.map(_.ok).mkString(",") + "]}"
     }.mkString("{", ",", "}")
-    val errJson = s""""errors":[${errors.map("\"" + _ + "\"").mkString(",")}]"""
+    val errJson = s""""errors":[${errors.map("\"" + _ + "\"").mkString(",")}],""" +
+      s""""error_count":${errors.size},"ok_total":${fmt(okTotal)}"""
     val full =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${json(results)},""" +
       s""""timing":"min_of_interleaved_passes","sweeps":2,"rescue_threshold_sec":${fmt(rescueAt)},""" +

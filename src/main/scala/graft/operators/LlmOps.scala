@@ -469,7 +469,15 @@ object LlmOps {
   /** Contiguous sequence packing (training-batch assembly): per lang,
     * docs in doc_id order are packed into ~512-token bins by prefix-sum
     * sharding — bin = floor(tokens_before / 512). Deterministic, one
-    * shuffle by lang; the window is a running sum, not a buffer. */
+    * shuffle by lang; the window is a running sum, not a buffer.
+    *
+    * SCALE CAVEAT: the running sum is a per-language unbounded-preceding
+    * window, and one language is most of a real corpus — a single-task
+    * scan of nearly everything at 100 TB. This exact-window form stays
+    * as the declared oracle-checked shape; [[packSequencesScalable]] is
+    * the production-scale twin (two-phase distributed prefix sum,
+    * identical output — the `llm_quality_quantile`/`_approx` sibling
+    * policy), and [[packStats]] reads the scalable feeder. */
   def packSequences(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("lang").orderBy("doc_id")
@@ -478,6 +486,46 @@ object LlmOps {
       .select(col("doc_id"), col("lang"),
         size(split(col("text"), " ")).cast("long").as("tok_cnt"))
       .withColumn("cum", sum(col("tok_cnt")).over(w))
+      .select(col("doc_id"), col("lang"), col("tok_cnt"),
+        floor((col("cum") - col("tok_cnt")).cast("double") / 512.0).cast("long").as("bin"))
+      .orderBy("doc_id")
+  }
+
+  /** Scalable twin of [[packSequences]] — the classic TWO-PHASE
+    * DISTRIBUTED PREFIX SUM, bit-identical output without any window
+    * over an unbounded per-language frame:
+    *  1. each doc lands in a doc_id-range bucket (`doc_id DIV width` —
+    *     order-preserving, so (bucket asc, doc_id asc) ≡ doc_id asc);
+    *  2. phase 1 aggregates per-(lang, bucket) partial token sums — a
+    *     frame of corpus/width rows (width 2²⁰ ⇒ ~10⁵ rows per lang at
+    *     10¹¹ docs), over which the cumulative-offset window runs
+    *     bucket-bounded, and which broadcasts;
+    *  3. phase 2 computes the within-bucket running sum under a window
+    *     partitioned by (lang, bucket) — every partition ≤ width rows —
+    *     and adds the broadcast offset. cum = offset + local prefix is
+    *     exactly the global prefix, so bin assignment is unchanged.
+    * The full DuckDB hash oracle applies (same SQL as the exact form);
+    * LlmOpsSpec additionally pins scalable ≡ exact at a shrunk bucket
+    * width that forces multiple live buckets per language. */
+  def packSequencesScalable(s: SparkSession, dir: String): DataFrame =
+    packSequencesBucketed(s, dir, 64)
+
+  private[graft] def packSequencesBucketed(
+      s: SparkSession, dir: String, bucketWidth: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("tok_cnt"))
+      .withColumn("bkt", expr(s"doc_id DIV $bucketWidth"))
+    val offW = Window.partitionBy("lang").orderBy("bkt")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offsets = d.groupBy("lang", "bkt").agg(sum(col("tok_cnt")).as("part"))
+      .withColumn("off", sum(col("part")).over(offW) - col("part"))
+      .select(col("lang"), col("bkt"), col("off"))
+    val inW = Window.partitionBy("lang", "bkt").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    d.join(broadcast(offsets), Seq("lang", "bkt"))
+      .withColumn("cum", col("off") + sum(col("tok_cnt")).over(inW))
       .select(col("doc_id"), col("lang"), col("tok_cnt"),
         floor((col("cum") - col("tok_cnt")).cast("double") / 512.0).cast("long").as("bin"))
       .orderBy("doc_id")
@@ -722,7 +770,17 @@ object LlmOps {
         if (tag(i, "fmt ") && i + 8 + 16 <= b.length) {
           out = ("wav", Some(le32(i + 12)), Some(le16(i + 10)), Some(le16(i + 22)))
           done = true
-        } else i += 8 + sz.toInt + (sz.toInt & 1) // chunks are word-aligned
+        } else {
+          // Chunk sizes come from untrusted corpus bytes: a size whose
+          // low 32 bits read as negative (or overflow the int advance)
+          // would stall or reverse the walk. Mirror the JPEG walk's
+          // desync-stop: any advance that is not strictly forward and
+          // in-bounds ends the walk with the fields still null.
+          val advance = 8L + sz + (sz & 1L)
+          if (sz < 0L || sz > b.length.toLong || advance <= 0L ||
+              i.toLong + advance > b.length.toLong) done = true
+          else i += advance.toInt
+        }
       }
       out
     } else if (tag(0, "fLaC") && b.length >= 22) {
@@ -792,20 +850,31 @@ object LlmOps {
   /** VOCABULARY BUILD + TOKEN-ID ENCODING — the tokenizer-training
     * shape: rank tokens by corpus frequency (stable ids: freq desc, tok
     * asc), keep the top-64 as the vocabulary, encode every document as
-    * its position-ordered id sequence with 0 as the OOV id. The ranking
-    * window is global but runs over the DISTINCT-TOKEN frame (vocabulary
-    * ≪ corpus — the same bounded-frame argument as the mining
-    * supports); the encode side is a broadcast join against the tiny
-    * vocab, so the corpus-sized path is one shuffle (doc_id regroup).
-    * Ids emitted as a comma string for a canonical hashable value. */
-  def vocabEncode(s: SparkSession, dir: String): DataFrame = {
+    * its position-ordered id sequence with 0 as the OOV id. The vocab
+    * rank is a TakeOrdered top-cap prefix FIRST (`orderBy(freq desc,
+    * tok).limit(cap)` — per-partition top-cap merged at the exchange,
+    * the [[zipfStatsCapped]] pattern), THEN the row_number window over
+    * the cap-bounded frame: the rank of a prefix depends only on the
+    * prefix (freq desc, tok is a total order), so the ids are provably
+    * identical to ranking the full distinct-token frame — without the
+    * single-task global sort that frame (billions of rows at 100 TB)
+    * would otherwise flow through. The encode side is a broadcast join
+    * against the tiny vocab, so the corpus-sized path is one shuffle
+    * (doc_id regroup). Ids emitted as a comma string for a canonical
+    * hashable value. Cap liveness is spec-gated in LlmOpsSpec by
+    * shrinking the cap. */
+  def vocabEncode(s: SparkSession, dir: String): DataFrame =
+    vocabEncodeCapped(s, dir, 64)
+
+  private[graft] def vocabEncodeCapped(
+      s: SparkSession, dir: String, cap: Int): DataFrame = {
     val toks = Tables.load(s, dir, "documents")
       .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
     val vocab = toks.groupBy("tok").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("tok")).limit(cap)
       .withColumn("tok_id",
         row_number().over(org.apache.spark.sql.expressions.Window
           .orderBy(col("freq").desc, col("tok"))).cast("long"))
-      .filter(col("tok_id") <= 64)
       .select(col("tok"), col("tok_id"))
     toks.join(broadcast(vocab), Seq("tok"), "left")
       .select(col("doc_id"), col("pos"), coalesce(col("tok_id"), lit(0L)).as("id"))
@@ -1366,21 +1435,40 @@ object LlmOps {
     * exploded to scalar (label, pos, component) rows.
     *
     * Scale: per-label state is the 64-double accumulator, but the
-    * collect_list is O(group size) — the documented bound is groups
-    * that fit an executor (labels here are a classifier's class space,
-    * i.e. dim-table-sized); past that you shard the fold by a salt and
-    * fold the per-salt partials in salt order. */
-  def meanPoolEmb(s: SparkSession, dir: String): DataFrame = {
+    * collect_list is O(group size) — past executor-sized groups the fold
+    * SHARDS by a deterministic salt (`vec_id DIV groupCap`): per-(label,
+    * salt) partial folds (each ≤ groupCap vectors, collect bounded),
+    * then a per-label fold of the per-salt partials in salt order (the
+    * partial frame is group/groupCap rows of one 64-double array each).
+    * Salt assignment and both fold orders are data-deterministic, so the
+    * sharded result is engine- and partitioning-stable like the flat
+    * fold; the two differ only in fp association ((a+b)+(c+d) vs
+    * ((a+b)+c)+d), so the default cap is sized as a no-op at test SFs
+    * (single salt ⇒ bit-identical, hash oracle unchanged) and LlmOpsSpec
+    * proves the multi-salt path live and ulp-close. */
+  def meanPoolEmb(s: SparkSession, dir: String): DataFrame =
+    meanPoolEmbSharded(s, dir, 1 << 20)
+
+  private[graft] def meanPoolEmbSharded(
+      s: SparkSession, dir: String, groupCap: Int): DataFrame = {
     val dim = 64 // embeddings table dimension (TESTDATA.md)
     val zeros = array((0 until dim).map(_ => lit(0.0)): _*)
-    val pooled = Tables.load(s, dir, "embeddings")
-      .groupBy("label")
+    val partials = Tables.load(s, dir, "embeddings")
+      .withColumn("salt", expr(s"vec_id DIV $groupCap"))
+      .groupBy("label", "salt")
       .agg(sort_array(collect_list(struct(col("vec_id"), col("embedding")))).as("vs"),
         count(lit(1)).as("n"))
-      .select(col("label"), col("n"),
+      .select(col("label"), col("salt"), col("n"),
         aggregate(col("vs"), zeros,
           (acc, v) => zip_with(acc, v.getField("embedding"),
-            (a, x) => a + x.cast("double"))).as("sums"))
+            (a, x) => a + x.cast("double"))).as("psum"))
+    val pooled = partials
+      .groupBy("label")
+      .agg(sort_array(collect_list(struct(col("salt"), col("psum")))).as("ps"),
+        sum(col("n")).as("n"))
+      .select(col("label"), col("n"),
+        aggregate(col("ps"), zeros,
+          (acc, p) => zip_with(acc, p.getField("psum"), (a, x) => a + x)).as("sums"))
     pooled
       .select(col("label"), col("n"),
         transform(col("sums"), x => x / col("n")).as("mean"))
@@ -2393,9 +2481,14 @@ object LlmOps {
     * b·dl/avgdl)) with the standard k1 = 1.2, b = 0.75 literals. The
     * idf factor is the RSJ ratio (N − df + 0.5)/(df + 0.5) WITHOUT the
     * log wrap — ln is libm-dependent across engines (the [[tfidf]]
-    * stance, SURVEY §2.0) and monotone, so per-document rank order and
-    * the top-k are exactly BM25's; every input is an exact integer
-    * count and the double expression is fixed-order for engine parity.
+    * stance, SURVEY §2.0). NOTE this makes the ranking a log-free BM25
+    * VARIANT, not standard BM25: idf is multiplied by a term-dependent
+    * tf factor, so dropping the monotone ln can reorder terms whose
+    * (idf, tf-factor) trade off (e.g. idf 10 × 1.0 vs idf 100 × 0.2
+    * swap with/without the log) — the per-document top-k may differ
+    * from textbook BM25's. The variant is deterministic and engine-
+    * portable, which is what the hash oracle requires; every input is
+    * an exact integer count and the double expression is fixed-order.
     *
     * Scale shape: one (doc, term) shuffle for tf; df is vocab-bounded
     * and broadcast; N/avgdl is a broadcast 1-row aggregate; top-k is a
@@ -2522,9 +2615,12 @@ object LlmOps {
     * window (wasted-pad fraction is the training-cost number packing
     * exists to optimize). Greedy cumulative packing means every bin
     * except possibly the last is full-ish; the rollup is
-    * vocabulary-bounded. */
+    * vocabulary-bounded. Reads the SCALABLE feeder
+    * ([[packSequencesScalable]] — identical rows to the exact window
+    * form, proven by its own hash oracle) so the stats path carries no
+    * per-language unbounded window either. */
   def packStats(s: SparkSession, dir: String): DataFrame =
-    packSequences(s, dir)
+    packSequencesScalable(s, dir)
       .groupBy("lang")
       .agg((max(col("bin")) + 1).as("n_bins"),
         sum(col("tok_cnt")).as("n_tokens"))
@@ -2667,6 +2763,7 @@ object LlmOps {
     "llm_simhash_neardup"    -> (simhashNeardup _),
     "llm_pii_scrub"          -> (piiScrub _),
     "llm_pack_sequences"     -> (packSequences _),
+    "llm_pack_sequences_scalable" -> (packSequencesScalable _),
     "llm_dedup_keep_best"    -> (dedupKeepBest _),
     "llm_dedup_keep_best_lsh" -> (dedupKeepBestLsh _),
     "llm_frame_sample"       -> (frameSample _),
@@ -3588,6 +3685,24 @@ object LlmOps {
         |FROM r ORDER BY doc_id""".stripMargin,
 
     "llm_pack_sequences" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS tok_cnt
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, lang, tok_cnt,
+        |         sum(tok_cnt) OVER (PARTITION BY lang ORDER BY doc_id
+        |                            ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM d)
+        |SELECT doc_id, lang, tok_cnt,
+        |       CAST(floor(CAST(cum - tok_cnt AS DOUBLE) / 512.0) AS BIGINT) AS bin
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    // The scalable twin is bit-identical to the exact window form by
+    // construction (two-phase prefix sum ≡ global prefix sum), so it
+    // shares the same oracle statement — a full hash check, not a
+    // rows-only declaration.
+    "llm_pack_sequences_scalable" ->
       """WITH d AS (
         |  SELECT doc_id, lang,
         |         CAST(len(string_split(text, ' ')) AS BIGINT) AS tok_cnt

@@ -191,20 +191,33 @@ object Mining {
     * (MiningSpec pins them equal row-for-row; the oracle is the same
     * pair-count SQL).
     *
-    * Scale posture: the vertical layout is the in-group representation
-    * PFP uses after sharding — tidsets here are bounded by the
-    * transaction count per item and the 25-item vocabulary bounds the
-    * pair loop to ≤ C(25,2) intersections; at genuinely unbounded item
-    * cardinality you shard items by prefix (PFP's group-id move) before
-    * building tidsets. */
-  def fpmEclat(s: SparkSession, dir: String): DataFrame = {
-    val vert = txItems(s, dir).groupBy("item")
+    * Scale posture: tidsets are BLOCKED — `tid DIV blockSize` shards
+    * each item's tidset into fixed-size per-(item, block) rows, so no
+    * single row ever materializes an unbounded array (a 10%-support
+    * item at 10¹⁰ baskets is 10⁹ tids — as one row that's a multi-GB
+    * cell; as blocks it's bounded rows of ≤ blockSize longs). Tids in
+    * different blocks can never be equal, so the pair support
+    * decomposes EXACTLY: |T(a) ∩ T(b)| = Σ_blk |T_blk(a) ∩ T_blk(b)|,
+    * recombined by a (ia, ib) re-aggregation. The pair generation
+    * becomes an equi-join on the block id (hash-partitionable — the
+    * nested-loop item×item join disappears), with per-block work
+    * bounded by (items-in-block)² intersections of capped arrays; at
+    * genuinely unbounded item cardinality you additionally shard items
+    * by prefix (PFP's group-id move) before building tidsets. */
+  def fpmEclat(s: SparkSession, dir: String): DataFrame =
+    fpmEclatBlocked(s, dir, 4096)
+
+  private[graft] def fpmEclatBlocked(
+      s: SparkSession, dir: String, blockSize: Int): DataFrame = {
+    val vert = txItems(s, dir)
+      .withColumn("blk", expr(s"tid DIV $blockSize"))
+      .groupBy("item", "blk")
       .agg(sort_array(collect_list(col("tid"))).as("tids"))
-    val a = vert.select(col("item").as("ia"), col("tids").as("ta"))
-    val b = vert.select(col("item").as("ib"), col("tids").as("tb"))
-    a.join(b, col("ia") < col("ib"))
-      .select(col("ia"), col("ib"),
-        size(array_intersect(col("ta"), col("tb"))).cast("long").as("freq"))
+    val a = vert.select(col("item").as("ia"), col("blk"), col("tids").as("ta"))
+    val b = vert.select(col("item").as("ib"), col("blk").as("blk_b"), col("tids").as("tb"))
+    a.join(b, col("blk") === col("blk_b") && col("ia") < col("ib"))
+      .groupBy("ia", "ib")
+      .agg(sum(size(array_intersect(col("ta"), col("tb")))).cast("long").as("freq"))
       .crossJoin(broadcast(basketCount(s, dir)))
       .filter(col("freq") >= col("n") * MinSupPairs)
       .select(concat_ws(",", col("ia"), col("ib")).as("itemset"), col("freq"))
@@ -874,6 +887,14 @@ object Mining {
       cur = next
       rounds += 1
     }
+    // The docstring promises the exact Batagelj–Zaversnik coreness; an
+    // intermediate h-value is NOT coreness, so hitting the round cap
+    // without a fixpoint must fail loudly rather than return silently
+    // wrong values (64 rounds bounds degeneracy-driven convergence on
+    // any realistic graph — 3 rounds measured here).
+    if (!converged)
+      throw new IllegalStateException(
+        s"fpm_kcore: H-index iteration did not reach its fixpoint in $rounds rounds")
     cur.select(col("item"), col("h").cast("long").as("coreness"))
       .orderBy("item")
   }

@@ -127,6 +127,45 @@ class LlmOpsSpec extends SparkSpec {
     assert(cappedB == fullB.take(5))
   }
 
+  test("vocab encode: TakeOrdered cap is live and rank-prefix-stable") {
+    def enc(cap: Int): Seq[(Long, Long, String)] =
+      LlmOps.vocabEncodeCapped(spark, sf, cap).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    // default cap 64 covers the whole ≤31-token vocabulary at test SF,
+    // so it must equal the uncapped ranking (the no-op guarantee the
+    // hash oracle relies on)
+    val full = enc(Int.MaxValue)
+    assert(enc(64) == full)
+    // live cap: with cap 3 only ids 1..3 survive, everything else OOV=0;
+    // surviving ids must be the same as the full ranking's (the rank of
+    // a prefix depends only on the prefix)
+    val capped = enc(3)
+    assert(capped != full, "cap=3 did not change the encoding — cap path dead")
+    val fullIds = full.map { case (d, _, ids) => d -> ids.split(",").map(_.toLong) }.toMap
+    capped.foreach { case (d, n, ids) =>
+      val c = ids.split(",").map(_.toLong)
+      val f = fullIds(d)
+      assert(c.length == n && c.length == f.length)
+      c.indices.foreach { i =>
+        assert(c(i) >= 0L && c(i) <= 3L)
+        if (c(i) > 0L) assert(c(i) == f(i), s"surviving id diverged at doc $d pos $i")
+        else assert(f(i) == 0L || f(i) > 3L, s"id wrongly OOV'd at doc $d pos $i")
+      }
+    }
+  }
+
+  test("pack sequences: two-phase prefix-sum twin ≡ exact window, buckets live") {
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, String, Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    val exact = rows(LlmOps.packSequences(spark, sf))
+    // default production width
+    assert(rows(LlmOps.packSequencesScalable(spark, sf)) == exact)
+    // shrunk width forces many live buckets per language (500 docs / 8
+    // ≈ 63 buckets), exercising the offset-join recombination
+    assert(exact.size > 8, "corpus too small to force multiple buckets")
+    assert(rows(LlmOps.packSequencesBucketed(spark, sf, 8)) == exact)
+  }
+
   test("quality quantile approx: keep-set matches the exact window up to the median boundary") {
     val exact = LlmOps.qualityQuantile(spark, sf).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getBoolean(4)))
@@ -253,6 +292,17 @@ class LlmOpsSpec extends SparkSpec {
     val wavTrunc = "RIFF".getBytes("US-ASCII") ++ le32(4) ++
       "WAVE".getBytes("US-ASCII")
     assert(LlmOps.parseAudioHeader(wavTrunc) == ("wav", None, None, None))
+    // MALFORMED chunk sizes from untrusted bytes must terminate the walk
+    // (not spin or throw): 0xFFFFFFF8 reads as sz.toInt = -8 → zero
+    // advance pre-fix; 0x7FFFFFFF overflows the int advance; a huge
+    // in-int size walks past the buffer. All must yield wav/null-fields.
+    for (badSz <- Seq(0xFFFFFFF8, 0x7FFFFFFF, 1000000)) {
+      val evil = "RIFF".getBytes("US-ASCII") ++ le32(60) ++
+        "WAVE".getBytes("US-ASCII") ++
+        "LIST".getBytes("US-ASCII") ++ le32(badSz) ++ Array.fill(8)(0.toByte)
+      assert(LlmOps.parseAudioHeader(evil) == ("wav", None, None, None),
+        s"malformed chunk size 0x${badSz.toHexString} not contained")
+    }
   }
 
   test("knn graph block cap: subset-capped hot blocks still yield k neighbors per survivor") {
@@ -657,6 +707,32 @@ class LlmOpsSpec extends SparkSpec {
       assert(rows.head._2 == n)
       rows.foreach { case (_, _, pos, c) => assert(c == mean(pos), s"label $label pos $pos") }
     }
+  }
+
+  test("mean pooling salt-sharded fold: multi-salt path live, ulp-close, deterministic") {
+    // liveness precondition: shrinking the cap to 64 must split every
+    // label's vec_id range into >1 salt (vec_ids are corpus-global and
+    // span 0..499 at sf0.001, so DIV 64 yields ~8 salts)
+    val nSalts = Tables.load(spark, sf, "embeddings")
+      .select(expr("vec_id DIV 64").as("salt")).distinct().count()
+    assert(nSalts > 1, "cap 64 produced a single salt — shard path dead")
+    val flat = LlmOps.meanPoolEmb(spark, sf).collect()
+      .map(r => ((r.getInt(0), r.getInt(2)), (r.getLong(1), r.getDouble(3)))).toMap
+    val sharded = LlmOps.meanPoolEmbSharded(spark, sf, 64).collect()
+      .map(r => ((r.getInt(0), r.getInt(2)), (r.getLong(1), r.getDouble(3)))).toMap
+    assert(sharded.keySet == flat.keySet)
+    sharded.foreach { case (k, (n, c)) =>
+      val (fn, fc) = flat(k)
+      assert(n == fn)
+      // fp association differs ((a+b)+(c+d) vs (((a+b)+c)+d); the values
+      // must agree to relative 1e-12 — far tighter than any downstream use
+      assert(math.abs(c - fc) <= 1e-12 * math.max(1.0, math.abs(fc)),
+        s"component diverged at $k: $c vs $fc")
+    }
+    // sharded path is itself deterministic (fixed salt frame + fold order)
+    val again = LlmOps.meanPoolEmbSharded(spark, sf, 64).collect()
+      .map(r => ((r.getInt(0), r.getInt(2)), (r.getLong(1), r.getDouble(3)))).toMap
+    assert(again == sharded)
   }
 
   test("mean pooling is bit-invariant under input row permutation") {

@@ -194,6 +194,16 @@ class MiningSpec extends SparkSpec {
     val pairs = Mining.fpmFreqPairs(spark, sf).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(eclat == pairs && eclat.nonEmpty)
+    // blocked-tidset decomposition liveness: at blockSize 16 the tid
+    // range shards into many blocks (tids are orderkeys spanning
+    // thousands), and the per-block intersection sums must recombine to
+    // the exact same supports
+    val nBlocks = Mining.txItems(spark, sf)
+      .select(expr("tid DIV 16").as("blk")).distinct().count()
+    assert(nBlocks > 1, "blockSize 16 produced one block — blocked path dead")
+    val blocked = Mining.fpmEclatBlocked(spark, sf, 16).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(blocked == pairs)
   }
 
   test("rule metrics: leverage bounded, conviction positive, consistent with assoc rules") {
