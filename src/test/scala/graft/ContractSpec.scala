@@ -222,6 +222,87 @@ class ContractSpec extends SparkSpec {
   }
 
 
+  test("iterative-loop plan gates: bpe_train rounds never re-scan the corpus; kcore per-round work constant") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, QueryExecution}
+    import org.apache.spark.sql.execution.exchange.Exchange
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.util.QueryExecutionListener
+    // The driver-bounded loops (bpe_train's merge-rule argmax, kcore's
+    // H-index fixpoint) execute one job per round behind localCheckpoint
+    // lineage cuts, so the final plan shows nothing — the gate instead
+    // captures EVERY execution fired while the operator runs, via a
+    // QueryExecutionListener, and audits the per-round plans.
+    val captured = new java.util.concurrent.ConcurrentLinkedQueue[QueryExecution]()
+    val listener = new QueryExecutionListener {
+      override def onSuccess(f: String, qe: QueryExecution, ns: Long): Unit =
+        captured.add(qe)
+      override def onFailure(f: String, qe: QueryExecution, e: Exception): Unit = ()
+    }
+    def drained(): Seq[QueryExecution] = {
+      // the listener bus is async: wait until the captured count is
+      // stable for 500 ms (bounded at 15 s)
+      var last = -1
+      var stable = 0
+      var waited = 0
+      while (stable < 5 && waited < 15000) {
+        Thread.sleep(100); waited += 100
+        if (captured.size == last) stable += 1 else { stable = 0; last = captured.size }
+      }
+      import scala.jdk.CollectionConverters._
+      captured.asScala.toSeq
+    }
+    def ops(qe: QueryExecution) =
+      org.apache.spark.sql.graft.Bridge.runtimeOps(qe.executedPlan)
+    def docScans(qe: QueryExecution): Int = ops(qe).count {
+      case f: FileSourceScanExec => f.toString.contains("documents.parquet")
+      case _ => false
+    }
+    def fileScans(qe: QueryExecution): Int =
+      ops(qe).count(_.isInstanceOf[FileSourceScanExec])
+    def exchanges(qe: QueryExecution): Int = ops(qe).count(_.isInstanceOf[Exchange])
+
+    // --- bpe_train: the corpus is scanned EXACTLY once (the initial
+    // word-count frame); every merge round runs on the vocabulary frame
+    spark.listenerManager.register(listener)
+    try {
+      val rules = operators.LlmOps.bpeTrainRounds(spark, sf, 10).collect()
+      assert(rules.length == 10, "bpe_train depth collapsed — rounds not real")
+      val execs = drained()
+      val scanning = execs.filter(docScans(_) > 0)
+      assert(scanning.size == 1,
+        s"bpe_train scanned documents.parquet in ${scanning.size} executions (want 1: the initial word count)")
+      // each round's argmax is vocabulary-frame work: bounded exchanges,
+      // no file scan of any table
+      execs.filterNot(scanning.contains).foreach { qe =>
+        assert(fileScans(qe) == 0,
+          s"bpe_train round re-scanned a table: ${ops(qe).map(_.nodeName).mkString(" | ")}")
+        assert(exchanges(qe) <= 3,
+          s"bpe_train round exchange count grew: ${ops(qe).map(_.nodeName).mkString(" | ")}")
+      }
+    } finally spark.listenerManager.unregister(listener)
+
+    // --- kcore: warm the memoized edge frames first, then instrument a
+    // second run — every captured execution must be fact-scan-free, and
+    // all H-index rounds (the WindowExec checkpoints) must carry the
+    // SAME exchange count (constant per-round work, no plan growth)
+    operators.Mining.fpmKcore(spark, sf).collect()
+    captured.clear()
+    spark.listenerManager.register(listener)
+    try {
+      operators.Mining.fpmKcore(spark, sf).collect()
+      val execs = drained()
+      execs.foreach { qe =>
+        assert(fileScans(qe) == 0,
+          s"kcore round touched a file scan: ${ops(qe).map(_.nodeName).mkString(" | ")}")
+      }
+      val rounds = execs.filter(qe => ops(qe).exists(_.isInstanceOf[WindowExec]))
+      assert(rounds.size >= 2, s"kcore ran ${rounds.size} instrumented rounds — loop not captured")
+      val exCounts = rounds.map(exchanges).distinct
+      assert(exCounts.size == 1,
+        s"kcore per-round exchange counts diverge: ${rounds.map(exchanges)}")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("format round-trip preserves content exactly per format") {
     val rt = operators.Relational.relFormatRoundtrip(spark, sf).collect()
       .groupBy(_.getString(0))

@@ -485,4 +485,89 @@ class StreamingSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
     assert(viaStream == viaBin)
   }
+
+  test("chaos: seq_gap buffer is gap-TTL'd — evicted history never pairs, re-arrival is clean") {
+    val sp = spark
+    import sp.implicits._
+    implicit val ctx = sp.sqlContext
+    // user 1: an in-gap pair, then >1h silence, then fresh activity —
+    // the fresh events must pair only among themselves (the silence
+    // evicted the old buffer). user 2: one event, 4h of silence, then
+    // re-arrival — the re-arrived key starts clean AND keeps working
+    // (a later in-gap event pairs with it).
+    val b1 = Seq(Ev(t("2024-01-01 10:00:00"), 1, "A", 1.0, 1),
+                 Ev(t("2024-01-01 10:30:00"), 1, "B", 1.0, 2),
+                 Ev(t("2024-01-01 09:00:00"), 2, "A", 1.0, 3))
+    val b2 = Seq(Ev(t("2024-01-01 12:30:00"), 1, "C", 1.0, 4))
+    val b3 = Seq(Ev(t("2024-01-01 12:45:00"), 1, "D", 1.0, 5),
+                 Ev(t("2024-01-01 13:00:00"), 2, "B", 1.0, 6))
+    val b4 = Seq(Ev(t("2024-01-01 13:20:00"), 2, "C", 1.0, 7))
+    val ms = MemoryStream[Ev]
+    val q = Streaming.seqGapStream(ms.toDF())
+      .writeStream.outputMode("append").format("memory").queryName("gapchaos").start()
+    def emitted(): Seq[(Long, String, String)] =
+      spark.table("gapchaos").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    try {
+      ms.addData(b1); q.processAllAvailable()
+      assert(emitted().sorted == Seq((1L, "A", "B")))
+      ms.addData(b2); q.processAllAvailable()
+      // C is >1h after A and B: state must NOT pair across the silence
+      assert(emitted().sorted == Seq((1L, "A", "B")))
+      ms.addData(b3); q.processAllAvailable()
+      // D pairs with C only (both post-silence); user 2's re-arrival
+      // after 4h pairs with nothing
+      assert(emitted().sorted == Seq((1L, "A", "B"), (1L, "C", "D")))
+      ms.addData(b4); q.processAllAvailable()
+      // the re-arrived key keeps functioning: 13:20 pairs with 13:00
+      assert(emitted().sorted ==
+        Seq((1L, "A", "B"), (1L, "C", "D"), (2L, "B", "C")))
+    } finally q.stop()
+    // multi-batch ≡ single static run on the concatenated feed
+    val static = Streaming.seqGapStream((b1 ++ b2 ++ b3 ++ b4).toDF()).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq.sorted
+    assert(static == emitted().sorted)
+  }
+
+  test("chaos: cdc tombstone retained — late pre-tombstone change cannot resurrect the key") {
+    val sp = spark
+    import sp.implicits._
+    implicit val ctx = sp.sqlContext
+    val ms = MemoryStream[Ev]
+    val q = Streaming.cdcApplyStream(ms.toDF())
+      .writeStream.outputMode("append").format("memory").queryName("cdcchaos").start()
+    def rows(): Seq[(Long, Long, String, Double)] =
+      spark.table("cdcchaos").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3))).toSeq
+    try {
+      ms.addData(Seq(Ev(t("2024-01-01 10:00:00"), 1, "click", 5.0, 1)))
+      q.processAllAvailable()
+      assert(rows().last == ((1L, 1L, "click", 5.0)))
+      // tombstone: the delete MUST be observable downstream
+      ms.addData(Seq(Ev(t("2024-01-01 11:00:00"), 1, "error", 0.0, 2)))
+      q.processAllAvailable()
+      assert(rows().last == ((1L, 2L, "error", 0.0)))
+      // LATE out-of-order pre-tombstone change: the retained tombstone
+      // wins — the key is NOT resurrected, the emission re-states the
+      // marker (sink's last-row-per-key contract stays the delete)
+      ms.addData(Seq(Ev(t("2024-01-01 10:30:00"), 1, "view", 9.0, 3)))
+      q.processAllAvailable()
+      assert(rows().size == 3 && rows().last == ((1L, 2L, "error", 0.0)),
+        s"late pre-tombstone change resurrected the key: ${rows()}")
+      // a genuinely NEWER change re-creates the key (CDC latest-wins)
+      ms.addData(Seq(Ev(t("2024-01-01 12:00:00"), 1, "purchase", 7.0, 4)))
+      q.processAllAvailable()
+      assert(rows().last == ((1L, 4L, "purchase", 7.0)))
+    } finally q.stop()
+    // multi-batch end state ≡ one-shot batch run over the same feed —
+    // and state per key stayed ONE tuple throughout (the retention
+    // bound: the tombstone lives in the same fixed-size slot)
+    val batchEnd = Streaming.cdcApplyStream(Seq(
+        Ev(t("2024-01-01 10:00:00"), 1, "click", 5.0, 1),
+        Ev(t("2024-01-01 11:00:00"), 1, "error", 0.0, 2),
+        Ev(t("2024-01-01 10:30:00"), 1, "view", 9.0, 3),
+        Ev(t("2024-01-01 12:00:00"), 1, "purchase", 7.0, 4)).toDF()).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3))).toSeq
+    assert(batchEnd == Seq((1L, 4L, "purchase", 7.0)))
+  }
 }
