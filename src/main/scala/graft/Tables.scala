@@ -31,19 +31,26 @@ object Tables {
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS), which Spark 4 rejects by
-      // default; read it as long nanos and convert. The generator emits
-      // µs-aligned values (probed: ns % 1000 == 0 for every row), so the
-      // DIV-1000 conversion is lossless. Integer DIV, not `/`: epoch
-      // nanos ≈ 1.7e18 exceeds double's 2^53 exact-integer range.
-      // Only convert when ts actually reads back as long — an
-      // events-shaped table written with µs timestamps needs none.
+      // events.ts has drifted across generator versions: TIMESTAMP(NANOS)
+      // (which Spark 4 rejects by default — read as long nanos, DIV 1000
+      // to µs; integer DIV because epoch nanos ≈ 1.7e18 exceeds double's
+      // 2^53 exact range) and µs-naive TIMESTAMP(isAdjustedToUTC=false)
+      // (which Spark reads as TIMESTAMP_NTZ; `unix_micros` & friends
+      // reject NTZ, so cast to TimestampType — the session is pinned
+      // UTC, making the cast instant-identical to the naive value the
+      // oracle reads). Normalizing here keeps every downstream operator
+      // on one ts type regardless of writer vintage.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val df = spark.read.parquet(s"$sfDir/$name.parquet")
-      if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-        df.withColumn("ts",
-          org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
-      else df
+      df.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          df.withColumn("ts",
+            org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          df.withColumn("ts",
+            org.apache.spark.sql.functions.col("ts").cast("timestamp"))
+        case _ => df
+      }
     } else {
       spark.read.parquet(s"$sfDir/$name.parquet")
     }

@@ -508,7 +508,7 @@ object LlmOps {
     * LlmOpsSpec additionally pins scalable ≡ exact at a shrunk bucket
     * width that forces multiple live buckets per language. */
   def packSequencesScalable(s: SparkSession, dir: String): DataFrame =
-    packSequencesBucketed(s, dir, 64)
+    packSequencesBucketed(s, dir, 1 << 20)
 
   private[graft] def packSequencesBucketed(
       s: SparkSession, dir: String, bucketWidth: Int): DataFrame = {

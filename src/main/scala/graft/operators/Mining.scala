@@ -202,22 +202,54 @@ object Mining {
     * becomes an equi-join on the block id (hash-partitionable — the
     * nested-loop item×item join disappears), with per-block work
     * bounded by (items-in-block)² intersections of capped arrays; at
-    * genuinely unbounded item cardinality you additionally shard items
-    * by prefix (PFP's group-id move) before building tidsets. */
+    * genuinely unbounded item cardinality the ITEM-SHARDED path below
+    * additionally partitions the vocabulary (PFP's group-id move,
+    * Li et al., RecSys 2008) so no join task ever builds a hash side
+    * over more than vocab/shards items' tidsets. */
   def fpmEclat(s: SparkSession, dir: String): DataFrame =
     fpmEclatBlocked(s, dir, 4096)
 
   private[graft] def fpmEclatBlocked(
-      s: SparkSession, dir: String, blockSize: Int): DataFrame = {
+      s: SparkSession, dir: String, blockSize: Int): DataFrame =
+    fpmEclatSharded(s, dir, blockSize, 1)
+
+  /** Blocked eclat with the vocabulary additionally sharded into
+    * `nShards` group-ids (`pmod(xxhash64(item), nShards)` — PFP's
+    * deterministic item→group assignment). The unordered pair space is
+    * covered by the G(G+1)/2 shard-pair joins of the triangle
+    * decomposition: a pair whose items land in groups {ga, gb} is
+    * produced by exactly one (ga ≤ gb) join — on the diagonal via
+    * `ia < ib`, off the diagonal via least/greatest normalization (the
+    * group assignment itself disambiguates which side each item enters
+    * from). Each join's build side holds only one shard's tidsets, so
+    * per-task memory is vocab/G-bounded however large the vocabulary
+    * grows; per-block supports still recombine exactly because blocks
+    * partition tids. nShards = 1 degenerates to the plain blocked join
+    * (single diagonal). */
+  private[graft] def fpmEclatSharded(
+      s: SparkSession, dir: String, blockSize: Int, nShards: Int): DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
     val vert = txItems(s, dir)
       .withColumn("blk", expr(s"tid DIV $blockSize"))
       .groupBy("item", "blk")
       .agg(sort_array(collect_list(col("tid"))).as("tids"))
-    val a = vert.select(col("item").as("ia"), col("blk"), col("tids").as("ta"))
-    val b = vert.select(col("item").as("ib"), col("blk").as("blk_b"), col("tids").as("tb"))
-    a.join(b, col("blk") === col("blk_b") && col("ia") < col("ib"))
+      .withColumn("grp", pmod(xxhash64(col("item")), lit(nShards.toLong)))
+    val partials = for { ga <- 0 until nShards; gb <- ga until nShards } yield {
+      val a = vert.filter(col("grp") === ga)
+        .select(col("item").as("ia"), col("blk"), col("tids").as("ta"))
+      val b = vert.filter(col("grp") === gb)
+        .select(col("item").as("ib"), col("blk").as("blk_b"), col("tids").as("tb"))
+      val joined =
+        if (ga == gb) a.join(b, col("blk") === col("blk_b") && col("ia") < col("ib"))
+        else a.join(b, col("blk") === col("blk_b") && col("ia") =!= col("ib"))
+      joined.select(
+        least(col("ia"), col("ib")).as("ia"),
+        greatest(col("ia"), col("ib")).as("ib"),
+        size(array_intersect(col("ta"), col("tb"))).cast("long").as("c"))
+    }
+    partials.reduce(_ unionByName _)
       .groupBy("ia", "ib")
-      .agg(sum(size(array_intersect(col("ta"), col("tb")))).cast("long").as("freq"))
+      .agg(sum(col("c")).as("freq"))
       .crossJoin(broadcast(basketCount(s, dir)))
       .filter(col("freq") >= col("n") * MinSupPairs)
       .select(concat_ws(",", col("ia"), col("ib")).as("itemset"), col("freq"))
@@ -850,8 +882,8 @@ object Mining {
     * no global sort. Values are integers and monotonically non-
     * increasing, so the O(1)-driver fixpoint witness is the round sum
     * (same policy as the label-propagation convergence check); rounds
-    * are bounded by the graph's degeneracy in practice (3 rounds here,
-    * measured). `localCheckpoint` per round truncates the doubling
+    * scale with graph diameter in the worst case (path-like graphs),
+    * 3 rounds measured here. `localCheckpoint` per round truncates the doubling
     * iterative lineage exactly as label propagation does. No SQL oracle
     * (a data-dependent fixpoint is not expressible as a fixed CTE
     * pipeline); MiningSpec pins the result against a driver-side
@@ -873,7 +905,7 @@ object Mining {
     var prev = hSum(cur)
     var converged = prev == 0L
     var rounds = 0
-    while (!converged && rounds < 64) {
+    while (!converged && rounds < 1024) {
       val next = edges
         .join(cur.select(col("item").as("v"), col("h")), "v")
         .select(col("u").as("item"), col("v"), col("h"))
@@ -890,8 +922,10 @@ object Mining {
     // The docstring promises the exact Batagelj–Zaversnik coreness; an
     // intermediate h-value is NOT coreness, so hitting the round cap
     // without a fixpoint must fail loudly rather than return silently
-    // wrong values (64 rounds bounds degeneracy-driven convergence on
-    // any realistic graph — 3 rounds measured here).
+    // wrong values. H-index convergence is NOT bounded by degeneracy —
+    // path-like graphs need O(diameter) rounds — so the cap is a
+    // generous runaway guard (rounds are cheap vocabulary-frame work;
+    // 3 rounds measured here), not a convergence estimate.
     if (!converged)
       throw new IllegalStateException(
         s"fpm_kcore: H-index iteration did not reach its fixpoint in $rounds rounds")

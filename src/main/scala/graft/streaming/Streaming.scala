@@ -28,6 +28,10 @@ case class CdcOut(user_id: Long, last_event_id: Long, last_op: String, cur_value
 case class GapPairState(buf: List[(Long, Long, String)]) // (ts_us, event_id, type), ascending
 case class GapPairOut(user_id: Long, eta: String, etb: String)
 
+/** Output shape for the SpaceSaving heavy-hitters operator:
+  * est overestimates the true count by at most err. */
+case class HHOut(user_id: Long, est: Long, err: Long)
+
 case class TransEvent(ts: java.sql.Timestamp, user_id: Long, event_id: Long,
     event_type: String)
 case class TransState(ts_us: Long, event_id: Long, event_type: String)
@@ -530,6 +534,79 @@ object Streaming {
       .orderBy("from_type", "to_type")
   }
 
+  /** Key-space shards for the heavy-hitter sketch: each shard holds ONE
+    * SpaceSaving summary, so shards = the operator's parallelism. A user
+    * hashes to exactly one shard, so shard summaries partition the key
+    * space and the union of shard outputs covers the stream. */
+  private val HHShards = 32
+  /** Per-shard SpaceSaving capacity. The guarantee (Metwally et al.,
+    * ICDT 2005): any key with true count > N_shard/capacity is retained,
+    * and every estimate overestimates by at most its recorded err. At
+    * the test SFs (≤1500 users) no counter is ever evicted, so est is
+    * the exact count and err = 0 — which is what makes the DuckDB hash
+    * oracle possible; shrunk-capacity eviction semantics are proven in
+    * StreamingSpec. At production cardinality the cap is what bounds
+    * state: 32 shards × 8192 counters regardless of user count. */
+  private val HHCapacity = 8192
+
+  /** Streaming HEAVY HITTERS — SpaceSaving (Metwally et al., ICDT 2005)
+    * per key-space shard behind `flatMapGroupsWithState`: state is the
+    * shard's counter summary (≤ capacity entries of (user, est, err));
+    * each arriving event increments its user's counter, a novel user
+    * beyond capacity REPLACES the minimum-count counter (est = min+1,
+    * err = min — the classic overestimate bookkeeping). Every batch the
+    * shard re-emits its current summary; the sink contract is
+    * last-emission-per-key = current estimate (same convention as
+    * [[cdcApplyStream]]). Events fold in (ts_us, event_id) order and
+    * eviction ties break by (count, user_id), so the summary is
+    * bit-deterministic in any engine. */
+  def heavyHittersStream(events: DataFrame, shards: Int = HHShards,
+      capacity: Int = HHCapacity): DataFrame = {
+    val sp = events.sparkSession
+    import sp.implicits._
+    def micros(t: java.sql.Timestamp): Long =
+      math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+    events.select(col("ts"), col("user_id"), col("event_id")).as[SeqEvent]
+      .groupByKey(e => math.floorMod(scala.util.hashing.byteswap64(e.user_id), shards.toLong))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (_: Long, it: Iterator[SeqEvent], state: GroupState[List[(Long, Long, Long)]]) => {
+          val m = scala.collection.mutable.HashMap[Long, (Long, Long)]()
+          state.getOption.getOrElse(Nil).foreach { case (u, c, r) => m(u) = (c, r) }
+          it.toSeq.sortBy(e => (micros(e.ts), e.event_id)).foreach { ev =>
+            m.get(ev.user_id) match {
+              case Some((c, r)) => m(ev.user_id) = (c + 1, r)
+              case None if m.size < capacity => m(ev.user_id) = (1L, 0L)
+              case None =>
+                val (vu, (vc, _)) = m.minBy { case (u, (c, _)) => (c, u) }
+                m.remove(vu)
+                m(ev.user_id) = (vc + 1, vc)
+            }
+          }
+          val lst = m.toList.map { case (u, (c, r)) => (u, c, r) }
+          state.update(lst)
+          lst.sortBy(_._1).map { case (u, c, r) => HHOut(u, c, r) }.iterator
+        })
+      .toDF()
+  }
+
+  /** Declared batch run of [[heavyHittersStream]] + the threshold
+    * filter: users whose event count exceeds 1.2× the global per-user
+    * mean (the corpus is near-uniform, so a φN threshold would select
+    * nobody; 1.2× mean lands mid-distribution — ~5 % of users pass,
+    * measured at every SF). The filter is exact integer arithmetic
+    * (10·est·U > 12·N) on the broadcast one-row totals frame; at test
+    * SFs the un-evicted summary makes est the exact count, so the
+    * DuckDB hash oracle applies in full. */
+  def streamHeavyhitters(s: SparkSession, dir: String): DataFrame = {
+    val tot = Tables.load(s, dir, "events")
+      .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("u"))
+    heavyHittersStream(Tables.load(s, dir, "events"))
+      .crossJoin(broadcast(tot))
+      .filter(col("est") * col("u") * 10 > col("n") * 12)
+      .select(col("user_id"), col("est"), col("err"))
+      .orderBy("user_id")
+  }
+
   /** Declared batch run of [[seqGapStream]] + the distinct-user support
     * rollup — equals `fpm_seq_gap` row for row (same oracle text): the
     * sliding-window state replaces the hour-bin range join, the
@@ -546,6 +623,7 @@ object Streaming {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_heavyhitters"  -> (streamHeavyhitters _),
     "stream_seq_gap"       -> (streamSeqGap _),
     "stream_markov"        -> (streamMarkov _),
     "stream_cdc_apply"     -> (streamCdcApply _),
@@ -562,6 +640,14 @@ object Streaming {
   )
 
   val oracle: Map[String, String] = Map(
+    "stream_heavyhitters" ->
+      """WITH tot AS (SELECT count(*) AS n, count(DISTINCT user_id) AS u
+        |             FROM events),
+        |     pc AS (SELECT user_id, count(*) AS c FROM events GROUP BY user_id)
+        |SELECT pc.user_id, CAST(pc.c AS BIGINT) AS est, CAST(0 AS BIGINT) AS err
+        |FROM pc, tot WHERE pc.c * tot.u * 10 > tot.n * 12
+        |ORDER BY user_id""".stripMargin,
+
     "stream_seq_gap" ->
       """SELECT a.event_type AS eta, b.event_type AS etb,
         |       CAST(count(DISTINCT a.user_id) AS BIGINT) AS users

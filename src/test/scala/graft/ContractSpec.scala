@@ -238,19 +238,30 @@ class ContractSpec extends SparkSpec {
         captured.add(qe)
       override def onFailure(f: String, qe: QueryExecution, e: Exception): Unit = ()
     }
-    def drained(): Seq[QueryExecution] = {
-      // the listener bus is async: wait until the captured count is
-      // stable for 500 ms (bounded at 15 s)
-      var last = -1
-      var stable = 0
-      var waited = 0
-      while (stable < 5 && waited < 15000) {
-        Thread.sleep(100); waited += 100
-        if (captured.size == last) stable += 1 else { stable = 0; last = captured.size }
-      }
+    // The listener bus is async but delivers in post order, so instead of
+    // a quiet-period heuristic (flake-prone under load) we post a tagged
+    // SENTINEL execution and wait for it: once the sentinel arrives,
+    // every execution fired before it has been delivered. Executions
+    // after the sentinel (stragglers from other work on the shared
+    // session) are excluded — the audit sees exactly the operator's own
+    // window.
+    var sentinelSeq = 0
+    def drainedBeforeSentinel(): Seq[QueryExecution] = {
       import scala.jdk.CollectionConverters._
-      captured.asScala.toSeq
+      sentinelSeq += 1
+      val tag = s"graft_drain_sentinel_$sentinelSeq"
+      spark.range(1).select(org.apache.spark.sql.functions.lit(1).as(tag)).collect()
+      def isSentinel(qe: QueryExecution) = qe.executedPlan.toString.contains(tag)
+      var waited = 0
+      while (!captured.asScala.exists(isSentinel) && waited < 15000) {
+        Thread.sleep(50); waited += 50
+      }
+      val all = captured.asScala.toSeq
+      assert(all.exists(isSentinel), "listener sentinel never arrived (15 s)")
+      all.takeWhile(qe => !isSentinel(qe))
+        .filterNot(_.executedPlan.toString.contains("graft_drain_sentinel"))
     }
+    def flushStragglers(): Unit = { drainedBeforeSentinel(); captured.clear() }
     def ops(qe: QueryExecution) =
       org.apache.spark.sql.graft.Bridge.runtimeOps(qe.executedPlan)
     def docScans(qe: QueryExecution): Int = ops(qe).count {
@@ -443,5 +454,35 @@ class ContractSpec extends SparkSpec {
     val b = back.select(concat_ws(",", col("items")).as("b"))
       .groupBy("b").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(a == b)
+  }
+
+  test("Tables.load normalizes every events.ts writer vintage to TimestampType") {
+    // The loader has been bitten by BOTH parquet timestamp drifts:
+    // TIMESTAMP(NANOS) (reads as long under nanosAsLong) and µs-naive
+    // TIMESTAMP(isAdjustedToUTC=false) (reads as TIMESTAMP_NTZ, which
+    // unix_micros rejects). Pin that both shapes — and the plain µs
+    // TimestampType shape — normalize to TimestampType with identical
+    // epoch-µs values under the UTC session.
+    val tsType = org.apache.spark.sql.types.TimestampType
+    val base = java.nio.file.Files.createTempDirectory("graft-tsdrift").toString
+    val epochUs = 1704067200000000L // 2024-01-01T00:00:00Z
+    def shaped(tsCol: org.apache.spark.sql.Column) =
+      spark.range(5).select(
+        col("id").as("user_id"), tsCol.as("ts"), lit("click").as("event_type"))
+    // current generator: µs-naive → TIMESTAMP_NTZ on read
+    shaped(expr(s"timestamp_micros($epochUs + id * 1000000)").cast("timestamp_ntz"))
+      .write.parquet(s"$base/ntz/events.parquet")
+    // legacy generator: ns precision → LongType on read (nanosAsLong)
+    shaped(lit(epochUs * 1000L) + col("id") * 1000000000L)
+      .write.parquet(s"$base/ns/events.parquet")
+    // plain µs TimestampType: must pass through untouched
+    shaped(expr(s"timestamp_micros($epochUs + id * 1000000)"))
+      .write.parquet(s"$base/us/events.parquet")
+    for (shape <- Seq("ntz", "ns", "us")) {
+      val ev = Tables.load(spark, s"$base/$shape", "events")
+      assert(ev.schema("ts").dataType == tsType, s"$shape: ${ev.schema("ts").dataType}")
+      assert(ev.selectExpr("min(unix_micros(ts))").head.getLong(0) == epochUs,
+        s"$shape: wrong epoch value")
+    }
   }
 }

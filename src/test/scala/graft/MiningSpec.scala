@@ -204,6 +204,16 @@ class MiningSpec extends SparkSpec {
     val blocked = Mining.fpmEclatBlocked(spark, sf, 16).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(blocked == pairs)
+    // item-shard decomposition liveness: at 3 shards the 25-brand
+    // vocabulary must hash into >1 live group (else the triangle
+    // decomposition collapses to the diagonal and proves nothing) and
+    // the G(G+1)/2 shard-pair joins must recombine to identical supports
+    val nGroups = Mining.txItems(spark, sf)
+      .select(pmod(xxhash64(col("item")), lit(3L)).as("g")).distinct().count()
+    assert(nGroups > 1, "3-way item sharding produced one group — sharded path dead")
+    val sharded = Mining.fpmEclatSharded(spark, sf, 16, 3).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sharded == pairs)
   }
 
   test("rule metrics: leverage bounded, conviction positive, consistent with assoc rules") {
