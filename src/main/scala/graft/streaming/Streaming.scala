@@ -207,7 +207,15 @@ object Streaming {
     * (StreamingSpec feeds multi-batch MemoryStream and asserts equality
     * with this transform over the static frame, and with a pure
     * relational banded-join formulation). */
-  def neardupStream(docs: DataFrame): DataFrame = {
+  def neardupStream(docs: DataFrame): DataFrame =
+    neardupStreamCapped(docs, NeardupStateCap)
+
+  /** [[neardupStream]] with an explicit per-bucket state cap —
+    * StreamingSpec drives this at a shrunk cap to prove the eviction
+    * contract live: past-cap docs are still CHECKED against retained
+    * signatures (dups keep emitting) but are NOT added, so a later
+    * near-dup of an un-retained doc stays silent. */
+  private[graft] def neardupStreamCapped(docs: DataFrame, stateCap: Int): DataFrame = {
     val sp = docs.sparkSession
     import sp.implicits._
     val banded = docs
@@ -230,7 +238,7 @@ object Streaming {
             val hits = seen.collect { case (pid, psig)
               if pid < d.doc_id && java.lang.Long.bitCount(psig ^ d.sig) <= 3 => pid }
             if (hits.nonEmpty) out += NearDup(d.doc_id, d.band, hits.min)
-            if (seen.size < NeardupStateCap) seen = (d.doc_id, d.sig) :: seen
+            if (seen.size < stateCap) seen = (d.doc_id, d.sig) :: seen
           }
           state.update(seen)
           out.result().iterator

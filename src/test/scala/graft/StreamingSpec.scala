@@ -570,4 +570,138 @@ class StreamingSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3))).toSeq
     assert(batchEnd == Seq((1L, 4L, "purchase", 7.0)))
   }
+
+  test("SpaceSaving heavy hitters: multi-batch last-emission state equals batch; shrunk capacity evicts by the book") {
+    val sp = spark
+    import sp.implicits._
+    implicit val ctx = sp.sqlContext
+    def ev(uid: Long, id: Long) = Ev(t("2024-01-01 10:00:00"), uid, "click", 1.0, id)
+    // --- multi-batch equivalence at un-evicted capacity: the sink's
+    // last emission per user must be the exact cross-batch count
+    val batch1 = Seq(ev(1, 1), ev(1, 2), ev(2, 3))
+    val batch2 = Seq(ev(1, 4), ev(2, 5), ev(3, 6))
+    val ms = MemoryStream[Ev]
+    val q = Streaming.heavyHittersStream(ms.toDF())
+      .writeStream.outputMode("append").format("memory").queryName("hh").start()
+    try {
+      ms.addData(batch1); q.processAllAvailable()
+      ms.addData(batch2); q.processAllAvailable()
+    } finally q.stop()
+    val lastPerUser = spark.table("hh").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).zipWithIndex
+      .groupBy(_._1._1).view.mapValues(_.maxBy(_._2)._1).values.toSet
+    assert(lastPerUser == Set((1L, 3L, 0L), (2L, 2L, 0L), (3L, 1L, 0L)))
+    val oneShot = Streaming.heavyHittersStream((batch1 ++ batch2).toDF())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(oneShot == lastPerUser)
+    // --- shrunk capacity (1 shard, 2 counters): the SpaceSaving
+    // replacement bookkeeping must be live — a novel key beyond
+    // capacity evicts the min counter and inherits its count as err
+    val skew = Seq(ev(1, 1), ev(1, 2), ev(1, 3), ev(1, 4), // u1 x4
+      ev(2, 5), ev(2, 6),                                  // u2 x2
+      ev(3, 7))                                            // u3 x1 -> evicts u2
+    val summary = Streaming.heavyHittersStream(skew.toDF(), shards = 1, capacity = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(summary == Set((1L, 4L, 0L), (3L, 3L, 2L)),
+      s"SpaceSaving replacement diverged: $summary")
+    // the guarantee: true count <= est <= true + err, and every key with
+    // count > N/capacity (7/2) is retained (u1)
+    assert(summary.exists(_._1 == 1L))
+    summary.foreach { case (u, est, err) =>
+      val truth = skew.count(_.user_id == u)
+      assert(truth <= est && est <= truth + err, s"u$u est=$est err=$err truth=$truth")
+    }
+  }
+
+  test("chaos: neardup per-bucket cap drops the past-cap signature but still checks arrivals against retained state") {
+    val sp = spark
+    import sp.implicits._
+    implicit val ctx = sp.sqlContext
+    // find two texts whose simhashes collide in EXACTLY one 16-bit band
+    // while sitting hamming > 3 apart — the pigeonhole near-miss that
+    // lands in one shared bucket without being near-dups
+    val cand = (0 until 1500).map(i =>
+      Doc(i.toLong, (0 until 12).map(j => s"w${(i * 37 + j * 11) % 997}x$j").mkString(" ")))
+    val sigs = cand.toDF().select(col("doc_id"), expr(Streaming.SimhashExprSql).as("sig"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    def keys(s: Long) = (0 until 4).map(b => (s >> (b * 16)) & 0xFFFFL)
+    val pair = (for {
+      (da, sa) <- sigs.iterator; (db, sb) <- sigs.iterator
+      if da < db && java.lang.Long.bitCount(sa ^ sb) > 3
+      shared = (0 until 4).filter(b => keys(sa)(b) == keys(sb)(b))
+      if shared.size == 1
+    } yield (da, db, shared.head)).take(1).toList
+    assert(pair.nonEmpty, "no single-band 16-bit collision in 1500 candidates")
+    val (ia, ib, band) = pair.head
+    val textA = cand(ia.toInt).text
+    val textB = cand(ib.toInt).text
+    // cap = 2: A(1), A(2) fill the shared bucket; B(3) must be checked
+    // (silently — hamming > 3) but NOT retained there; B(4) then finds
+    // B(3) only in the three uncapped bands; A(5) is still checked
+    // against the retained pair in the capped bucket
+    val feed = Seq(Doc(1, textA), Doc(2, textA), Doc(3, textB),
+      Doc(4, textB), Doc(5, textA))
+    val out = Streaming.neardupStreamCapped(feed.toDF(), 2).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(out.filter(_._1 == 2L).toSet ==
+      (0 until 4).map(b => (2L, b, 1L)).toSet, s"doc2 (below cap): $out")
+    assert(out.count(_._1 == 3L) == 0, s"doc3 must be silent: $out")
+    assert(out.filter(_._1 == 4L).toSet ==
+      (0 until 4).filter(_ != band).map(b => (4L, b, 3L)).toSet,
+      s"doc4 must miss band $band (doc3's signature dropped at cap) " +
+        s"and hit the rest: $out")
+    assert(out.filter(_._1 == 5L).toSet ==
+      (0 until 4).map(b => (5L, b, 1L)).toSet,
+      s"doc5 (past cap) must still be CHECKED everywhere: $out")
+  }
+
+  test("chaos: cross-batch out-of-order events take ARRIVAL-ORDER semantics in running seq and transition feeds") {
+    val sp = spark
+    import sp.implicits._
+    implicit val ctx = sp.sqlContext
+    // The documented envelope (scaladoc on transitionStream/runningSeq):
+    // in-batch disorder is repaired by the (ts, event_id) sort; a
+    // CROSS-BATCH late event cannot retroactively renumber or re-chain
+    // what already emitted — it appends in arrival order. Pin both the
+    // streamed arrival-order result AND its divergence from the one-shot
+    // ts-order run, so the envelope is explicit, not accidental.
+    val b1 = Seq(Ev(t("2024-01-01 10:00:00"), 1, "A", 1.0, 1),
+      Ev(t("2024-01-01 10:10:00"), 1, "B", 1.0, 2))
+    val late = Ev(t("2024-01-01 09:50:00"), 1, "C", 1.0, 3) // older than both
+    val b3 = Seq(Ev(t("2024-01-01 10:20:00"), 1, "D", 1.0, 4))
+
+    val msS = MemoryStream[Ev]
+    val qS = Streaming.runningSeq(msS.toDF())
+      .writeStream.outputMode("append").format("memory").queryName("oosseq").start()
+    try {
+      msS.addData(b1); qS.processAllAvailable()
+      msS.addData(Seq(late)); qS.processAllAvailable()
+      msS.addData(b3); qS.processAllAvailable()
+    } finally qS.stop()
+    val seqStreamed = spark.table("oosseq").collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(seqStreamed == Set((1L, 1L), (2L, 2L), (3L, 3L), (4L, 4L)),
+      s"late arrival must APPEND, not renumber: $seqStreamed")
+    val seqBatch = Streaming.runningSeq((b1 ++ Seq(late) ++ b3).toDF())
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(seqBatch == Set((3L, 1L), (1L, 2L), (2L, 3L), (4L, 4L)),
+      s"one-shot run must be ts-ordered: $seqBatch")
+
+    val msT = MemoryStream[Ev]
+    val qT = Streaming.transitionStream(msT.toDF())
+      .writeStream.outputMode("append").format("memory").queryName("oostr").start()
+    try {
+      msT.addData(b1); qT.processAllAvailable()
+      msT.addData(Seq(late)); qT.processAllAvailable()
+      msT.addData(b3); qT.processAllAvailable()
+    } finally qT.stop()
+    val trStreamed = spark.table("oostr").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSet
+    assert(trStreamed == Set(("A", "B"), ("B", "C"), ("C", "D")),
+      s"late arrival must chain from the carried state: $trStreamed")
+    val trBatch = Streaming.transitionStream((b1 ++ Seq(late) ++ b3).toDF())
+      .collect().map(r => (r.getString(1), r.getString(2))).toSet
+    assert(trBatch == Set(("C", "A"), ("A", "B"), ("B", "D")),
+      s"one-shot run must chain in ts order: $trBatch")
+  }
 }
