@@ -45,6 +45,15 @@ class ContractSpec extends SparkSpec {
     val ssj = streaming.Streaming.streamStaticJoin(spark, sf)
       .queryExecution.executedPlan.toString
     assert(ssj.contains("BroadcastHashJoin"), s"dim not broadcast:\n$ssj")
+    // heavy hitters: the one-row totals frame broadcasts into the
+    // summary side (the summary shuffles ONCE, on the shard key, inside
+    // MapGroups — the filter join must not add a second exchange to it)
+    // and the totals side prunes to the single column it aggregates
+    val hh = streaming.Streaming.streamHeavyhitters(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(hh.contains("BroadcastNestedLoopJoin"), s"totals not broadcast:\n$hh")
+    assert(hh.contains("ReadSchema: struct<user_id:bigint>"),
+      s"totals scan not pruned to user_id:\n$hh")
     // grouping sets plan expands, not multi-scans: exactly one orders scan
     val gs = operators.SqlSurface.queries("sql_grouping_sets")(spark, sf)
       .queryExecution.executedPlan.toString

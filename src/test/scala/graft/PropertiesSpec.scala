@@ -94,6 +94,57 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("SpaceSaving invariants hold on random skewed streams (fixed-seed samples)") {
+    val sp = spark
+    import sp.implicits._
+    import graft.streaming.Streaming
+    // zipf-ish skew: key k drawn ~ 1/(k+1) over a small domain, so some
+    // keys are genuinely heavy and eviction genuinely fires at small caps
+    val streamGen: Gen[List[Long]] =
+      Gen.chooseNum(30, 200).flatMap { n =>
+        Gen.listOfN(n, Gen.chooseNum(0.0, 1.0).map { u =>
+          (math.pow(20.0, u).toLong - 1) // 0-heavy over ~[0, 19]
+        })
+      }
+    (1 to 5).foreach { i =>
+      val uids = streamGen.pureApply(Gen.Parameters.default, Seed(2000L + i))
+      val evs = uids.zipWithIndex.map { case (u, j) =>
+        Ev(new java.sql.Timestamp(1704067200000L + j * 1000L), u, "click", 1.0, j.toLong)
+      }
+      val truth = uids.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      for (shards <- Seq(1, 4); capacity <- Seq(3, 8, 64)) {
+        val out = Streaming.heavyHittersStream(evs.toDF(), shards, capacity)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        // summary is bounded and per-key unique
+        assert(out.length <= shards * capacity, s"sample $i $shards/$capacity overflow")
+        assert(out.map(_._1).distinct.length == out.length)
+        // overestimate bookkeeping: truth <= est <= truth + err
+        out.foreach { case (u, est, err) =>
+          assert(truth(u) <= est && est <= truth(u) + err,
+            s"sample $i $shards/$capacity u$u est=$est err=$err truth=${truth(u)}")
+        }
+        // the retention guarantee, per shard: any key with count >
+        // N_shard/capacity must be in the summary
+        val byShard = uids.groupBy(u =>
+          math.floorMod(scala.util.hashing.byteswap64(u), shards.toLong))
+        val kept = out.map(_._1).toSet
+        byShard.foreach { case (_, shardUids) =>
+          val nShard = shardUids.size
+          shardUids.groupBy(identity).foreach { case (u, occ) =>
+            if (occ.size.toLong * capacity > nShard)
+              assert(kept(u), s"sample $i $shards/$capacity lost heavy key $u " +
+                s"(${occ.size} of $nShard shard events)")
+          }
+        }
+        // exact regime: capacity >= distinct keys -> exact counts, zero err
+        if (capacity >= truth.size) {
+          assert(out.map { case (u, est, _) => u -> est }.toMap == truth)
+          assert(out.forall(_._3 == 0L))
+        }
+      }
+    }
+  }
+
   test("label propagation: fixed-round schedule reaches the union-find fixpoint " +
        "on long chains and random graphs") {
     val sp = spark
