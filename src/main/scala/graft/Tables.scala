@@ -29,29 +29,32 @@ object Tables {
       (System.identityHashCode(spark), dir, key),
       build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    if (name == "events") {
-      // events.ts has drifted across generator versions: TIMESTAMP(NANOS)
-      // (which Spark 4 rejects by default — read as long nanos, DIV 1000
-      // to µs; integer DIV because epoch nanos ≈ 1.7e18 exceeds double's
-      // 2^53 exact range) and µs-naive TIMESTAMP(isAdjustedToUTC=false)
-      // (which Spark reads as TIMESTAMP_NTZ; `unix_micros` & friends
-      // reject NTZ, so cast to TimestampType — the session is pinned
-      // UTC, making the cast instant-identical to the naive value the
-      // oracle reads). Normalizing here keeps every downstream operator
-      // on one ts type regardless of writer vintage.
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    // Timestamp columns have drifted across generator versions:
+    // TIMESTAMP(NANOS) (which Spark 4 rejects by default — read events.ts
+    // as long nanos, DIV 1000 to µs; integer DIV because epoch nanos
+    // ≈ 1.7e18 exceeds double's 2^53 exact range) and µs-naive
+    // TIMESTAMP(isAdjustedToUTC=false) (which Spark reads as
+    // TIMESTAMP_NTZ; `unix_micros` & friends reject NTZ). Every NTZ
+    // column — events.ts, lineitem.l_shipdate, orders.o_orderdate,
+    // whatever a future generator emits — casts to TimestampType: the
+    // session is pinned UTC, making the cast instant-identical to the
+    // naive value the oracle reads, and keeping every downstream
+    // operator on the one ts type the query surface was built against.
+    if (name == "events")
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val df = spark.read.parquet(s"$sfDir/$name.parquet")
-      df.schema("ts").dataType match {
-        case org.apache.spark.sql.types.LongType =>
-          df.withColumn("ts",
-            org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
-        case org.apache.spark.sql.types.TimestampNTZType =>
-          df.withColumn("ts",
-            org.apache.spark.sql.functions.col("ts").cast("timestamp"))
-        case _ => df
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    val nsFixed =
+      if (name == "events" &&
+          df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
+      else df
+    nsFixed.schema.fields
+      .filter(_.dataType == org.apache.spark.sql.types.TimestampNTZType)
+      .foldLeft(nsFixed) { (d, f) =>
+        d.withColumn(f.name,
+          org.apache.spark.sql.functions.col(f.name).cast("timestamp"))
       }
-    } else {
-      spark.read.parquet(s"$sfDir/$name.parquet")
-    }
+  }
 }

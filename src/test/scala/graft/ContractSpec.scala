@@ -497,5 +497,10 @@ class ContractSpec extends SparkSpec {
       assert(ev.selectExpr("min(unix_micros(ts))").head.getLong(0) == epochUs,
         s"$shape: wrong epoch value")
     }
+    // the normalization is table-generic: the regenerated lineitem/orders
+    // date columns are also written µs-naive and must come back as
+    // TimestampType (the type the whole query surface was built against)
+    assert(Tables.load(spark, sf, "lineitem").schema("l_shipdate").dataType == tsType)
+    assert(Tables.load(spark, sf, "orders").schema("o_orderdate").dataType == tsType)
   }
 }
