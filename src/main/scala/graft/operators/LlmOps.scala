@@ -771,14 +771,13 @@ object LlmOps {
           out = ("wav", Some(le32(i + 12)), Some(le16(i + 10)), Some(le16(i + 22)))
           done = true
         } else {
-          // Chunk sizes come from untrusted corpus bytes: a size whose
-          // low 32 bits read as negative (or overflow the int advance)
-          // would stall or reverse the walk. Mirror the JPEG walk's
-          // desync-stop: any advance that is not strictly forward and
-          // in-bounds ends the walk with the fields still null.
+          // Chunk sizes come from untrusted corpus bytes. le32 is
+          // unsigned (always in [0, 2^32)), so the walk always moves
+          // strictly forward by advance >= 8; the only desync mode left
+          // is an advance past the buffer — stop there with the fields
+          // still null (mirroring the JPEG walk's desync-stop).
           val advance = 8L + sz + (sz & 1L)
-          if (sz < 0L || sz > b.length.toLong || advance <= 0L ||
-              i.toLong + advance > b.length.toLong) done = true
+          if (i.toLong + advance > b.length.toLong) done = true
           else i += advance.toInt
         }
       }
