@@ -566,6 +566,35 @@ object LlmOps {
       .orderBy("doc_id")
   }
 
+  /** PER-SOURCE CONTRIBUTION CAP — the domain-cap curation step of a
+    * crawl pipeline (no single domain may dominate the training mix):
+    * keep each source's top-10 docs by [[qualityScore]]'s quality
+    * (tiebreak doc_id), ranked within the survivors. Runs through the
+    * custom `TopKPerGroup` whole-operator — bounded per-group heaps
+    * behind ONE hash exchange on source, so per-task memory is
+    * K × sources/partitions however many billions of docs a domain
+    * contributes; the presentation rank is a window over the already
+    * capped ≤ K-row partitions, never the raw corpus. The quality
+    * expression is the oracle-checked fixed-order double of
+    * `llm_quality_score`, so the full hash oracle applies. */
+  def sourceCap(s: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val n = size(toks).cast("double")
+    val distinctRatio = size(array_distinct(toks)).cast("double") / n
+    val stopRatio = size(filter(toks, t => t.isin(Stopwords: _*))).cast("double") / n
+    val shortRatio = size(filter(toks, t => length(t) <= 2)).cast("double") / n
+    val scored = Tables.load(s, dir, "documents").select(
+      col("doc_id"), col("source"),
+      (distinctRatio * 0.5 + (lit(1.0) - stopRatio) * 0.3
+        + (lit(1.0) - shortRatio) * 0.2).as("quality"))
+    val kept = graft.plans.TopK.perGroup(scored, Seq("source"),
+      Seq("quality" -> false, "doc_id" -> true), k = 10)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("quality").desc, col("doc_id"))
+    kept.withColumn("rnk", row_number().over(w).cast("long"))
+      .orderBy("source", "rnk")
+  }
+
   /** SimHash fingerprints (no oracle: DuckDB has no xxhash64). 64-bit
     * simhash over token hashes — bit b of the result is set when the
     * count of tokens with bit b set exceeds half the token count.
@@ -2783,6 +2812,7 @@ object LlmOps {
     "llm_token_count"        -> (tokenCount _),
     "llm_lang_id"            -> (langId _),
     "llm_quality_score"      -> (qualityScore _),
+    "llm_source_cap"         -> (sourceCap _),
     "llm_simhash"            -> (simhash _),
     "llm_multimodal_join"    -> (multimodalJoin _),
     "llm_binary_meta"        -> (binaryMeta _),
@@ -3885,6 +3915,27 @@ object LlmOps {
         |       nshort / n AS short_ratio,
         |       (nd / n) * 0.5 + (1.0 - nstop / n) * 0.3 + (1.0 - nshort / n) * 0.2 AS quality
         |FROM q ORDER BY doc_id""".stripMargin,
+
+    "llm_source_cap" ->
+      """WITH q AS (
+        |  SELECT doc_id, source,
+        |         CAST(len(string_split(text, ' ')) AS DOUBLE) AS n,
+        |         CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) AS nd,
+        |         CAST(len(list_filter(string_split(text, ' '),
+        |              t -> t = 'a' OR t = 'the')) AS DOUBLE) AS nstop,
+        |         CAST(len(list_filter(string_split(text, ' '),
+        |              t -> length(t) <= 2)) AS DOUBLE) AS nshort
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, source,
+        |         (nd / n) * 0.5 + (1.0 - nstop / n) * 0.3
+        |           + (1.0 - nshort / n) * 0.2 AS quality
+        |  FROM q)
+        |SELECT doc_id, source, quality,
+        |       CAST(row_number() OVER (PARTITION BY source
+        |            ORDER BY quality DESC, doc_id) AS BIGINT) AS rnk
+        |FROM s QUALIFY rnk <= 10
+        |ORDER BY source, rnk""".stripMargin,
 
     "llm_multimodal_join" ->
       s"""SELECT doc_id, label, CAST(length(text) AS BIGINT) AS text_len,

@@ -1159,4 +1159,29 @@ class LlmOpsSpec extends SparkSpec {
     assert(enc.map(_._3).sum < texts.values.map(_.replace(" ", "").length.toLong).sum,
       "encode never merged anything — vacuous fixture")
   }
+
+  test("source cap: the TopKPerGroup form keeps exactly K best per source and equals the window formulation") {
+    val capped = LlmOps.sourceCap(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3)))
+    // the cap must BITE: every source holds more than K docs in the
+    // fixture, so each contributes exactly K survivors, ranked 1..K
+    val perSource = capped.groupBy(_._2)
+    val total = Tables.load(spark, sf, "documents").groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perSource.keySet == total.keySet)
+    perSource.foreach { case (src, rows) =>
+      assert(total(src) > 10, s"fixture source $src too small — cap vacuous")
+      assert(rows.length == 10, s"$src kept ${rows.length}")
+      assert(rows.map(_._4).sorted.toSeq == (1L to 10L), s"$src ranks broken")
+    }
+    // survivor set == the plain window formulation over the same scores
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("quality").desc, col("doc_id"))
+    val windowed = LlmOps.qualityScore(spark, sf).select("doc_id", "quality")
+      .join(Tables.load(spark, sf, "documents").select("doc_id", "source"), "doc_id")
+      .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 10)
+      .collect().map(r => (r.getLong(0), r.getInt(r.fieldIndex("rnk"))))
+    assert(capped.map(r => (r._1, r._4.toInt)).toSet ==
+      windowed.map(r => (r._1, r._2)).toSet)
+  }
 }
