@@ -859,6 +859,42 @@ object Relational {
       .orderBy("user_id", "click_id")
   }
 
+  /** NEAREST-direction as-of join — completes the merge_asof family
+    * next to the backward form ([[relAsofJoin]]): for each click, the
+    * nearest view on the same user within 1 hour in EITHER direction,
+    * preferring the prior view on exact gap ties, with a signed gap
+    * (positive = view before click). Same scale-optimal composition:
+    * both direction candidates come from two window frames over ONE
+    * (user_id, (ts, event_id)) sort — no range join, no candidate
+    * explosion, one shuffle by user; the oracle states the identical
+    * window algebra. */
+  def relAsofNearest(s: SparkSession, dir: String): DataFrame = {
+    val wp = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wn = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val viewVal = when(col("event_type") === "view", col("value"))
+    val viewTs = when(col("event_type") === "view", col("ts"))
+    val gapMax = 3600000000L
+    val base = Tables.load(s, dir, "events")
+      .withColumn("pv_val", last(viewVal, ignoreNulls = true).over(wp))
+      .withColumn("pv_ts", last(viewTs, ignoreNulls = true).over(wp))
+      .withColumn("nv_val", first(viewVal, ignoreNulls = true).over(wn))
+      .withColumn("nv_ts", first(viewTs, ignoreNulls = true).over(wn))
+      .filter(col("event_type") === "click")
+      .withColumn("pgap", unix_micros(col("ts")) - unix_micros(col("pv_ts")))
+      .withColumn("ngap", unix_micros(col("nv_ts")) - unix_micros(col("ts")))
+    val pOk = col("pv_ts").isNotNull && col("pgap") <= gapMax
+    val nOk = col("nv_ts").isNotNull && col("ngap") <= gapMax
+    val takePrior = pOk && (!nOk || col("pgap") <= col("ngap"))
+    base.filter(pOk || nOk)
+      .select(col("user_id"), col("event_id").as("click_id"),
+        when(takePrior, lit("prior")).otherwise(lit("next")).as("direction"),
+        when(takePrior, col("pv_val")).otherwise(col("nv_val")).as("view_value"),
+        when(takePrior, col("pgap")).otherwise(-col("ngap")).as("gap_us"))
+      .orderBy("user_id", "click_id")
+  }
+
   /** Partitioned write + pruned scan — the cluster-scale storage layout
     * pattern: events written hive-partitioned by a derived event_date,
     * read back with a partition predicate so the scan plans only the
@@ -997,6 +1033,7 @@ object Relational {
     "rel_bucketed_join"  -> (relBucketedJoin _),
     "rel_partition_prune" -> (relPartitionPrune _),
     "rel_asof_join"      -> (relAsofJoin _),
+    "rel_asof_nearest"   -> (relAsofNearest _),
     "rel_join_skew_salted" -> (relJoinSkewSalted _),
     "rel_sample_bottomk" -> (relSampleBottomk _),
     "rel_pivot"          -> (relPivot _),
@@ -1279,6 +1316,42 @@ object Relational {
         |FROM x
         |WHERE event_type = 'click' AND lv_ts IS NOT NULL
         |  AND epoch_us(ts) - epoch_us(lv_ts) <= 3600000000
+        |ORDER BY user_id, click_id""".stripMargin,
+
+    "rel_asof_nearest" ->
+      """WITH x AS (
+        |  SELECT user_id, event_id, event_type, ts,
+        |         last_value(CASE WHEN event_type = 'view' THEN value END IGNORE NULLS)
+        |           OVER w_prev AS pv_val,
+        |         last_value(CASE WHEN event_type = 'view' THEN ts END IGNORE NULLS)
+        |           OVER w_prev AS pv_ts,
+        |         first_value(CASE WHEN event_type = 'view' THEN value END IGNORE NULLS)
+        |           OVER w_next AS nv_val,
+        |         first_value(CASE WHEN event_type = 'view' THEN ts END IGNORE NULLS)
+        |           OVER w_next AS nv_ts
+        |  FROM events
+        |  WINDOW
+        |    w_prev AS (PARTITION BY user_id ORDER BY ts, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |    w_next AS (PARTITION BY user_id ORDER BY ts, event_id
+        |               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
+        |y AS (
+        |  SELECT user_id, event_id, pv_val, nv_val,
+        |         epoch_us(ts) - epoch_us(pv_ts) AS pgap,
+        |         epoch_us(nv_ts) - epoch_us(ts) AS ngap,
+        |         (pv_ts IS NOT NULL
+        |          AND epoch_us(ts) - epoch_us(pv_ts) <= 3600000000) AS pok,
+        |         (nv_ts IS NOT NULL
+        |          AND epoch_us(nv_ts) - epoch_us(ts) <= 3600000000) AS nok
+        |  FROM x WHERE event_type = 'click')
+        |SELECT user_id, event_id AS click_id,
+        |       CASE WHEN pok AND (NOT nok OR pgap <= ngap)
+        |            THEN 'prior' ELSE 'next' END AS direction,
+        |       CASE WHEN pok AND (NOT nok OR pgap <= ngap)
+        |            THEN pv_val ELSE nv_val END AS view_value,
+        |       CASE WHEN pok AND (NOT nok OR pgap <= ngap)
+        |            THEN pgap ELSE -ngap END AS gap_us
+        |FROM y WHERE pok OR nok
         |ORDER BY user_id, click_id""".stripMargin,
 
     "rel_pivot" ->

@@ -297,4 +297,28 @@ class RelationalSpec extends SparkSpec {
     val want = est.toSeq.sortBy { case (k, e) => (-e, k) }.take(10)
     assert(top.toSeq == want)
   }
+
+  test("nearest as-of join: signed gaps bounded, prior preferred on ties, never farther than backward-only") {
+    val nearest = Relational.relAsofNearest(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(4)))
+    val backward = Relational.relAsofJoin(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3))) // user, click, gap
+      .map { case (u, c, g) => (u, c) -> g }.toMap
+    assert(nearest.nonEmpty && nearest.length >= backward.size,
+      "nearest must cover at least every backward match")
+    nearest.foreach { case (u, c, dir, gap) =>
+      // signed convention: positive = prior view, negative = next view
+      assert(math.abs(gap) <= 3600000000L, s"click $c gap $gap beyond 1h")
+      assert((dir == "prior") == (gap >= 0), s"click $c direction/sign mismatch")
+      // where a backward match exists, nearest never picks a farther view,
+      // and an equal-distance tie resolves to the prior side
+      backward.get((u, c)).foreach { bg =>
+        assert(math.abs(gap) <= bg, s"click $c picked farther view ($gap vs $bg)")
+        if (math.abs(gap) == bg) assert(dir == "prior", s"click $c tie not prior")
+      }
+    }
+    // the forward direction must genuinely add matches (clicks whose only
+    // in-range view is later) — else the nearest form is vacuous here
+    assert(nearest.length > backward.size, "no forward-only matches in fixture")
+  }
 }
