@@ -613,6 +613,36 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("chaos: SpaceSaving eviction works across batch boundaries — carried counters evict and inherit err") {
+    val sp = spark
+    import sp.implicits._
+    implicit val ctx = sp.sqlContext
+    def ev(uid: Long, id: Long) = Ev(t("2024-01-01 10:00:00"), uid, "click", 1.0, id)
+    // batch 1 fills the 2-counter summary; batch 2's novel key must evict
+    // the carried min counter (u2, count 2) and inherit its count as err —
+    // the replacement has to work against STATE, not just in-batch data
+    val b1 = Seq(ev(1, 1), ev(1, 2), ev(1, 3), ev(2, 4), ev(2, 5))
+    val b2 = Seq(ev(3, 6), ev(3, 7))
+    val ms = MemoryStream[Ev]
+    val q = Streaming.heavyHittersStream(ms.toDF(), shards = 1, capacity = 2)
+      .writeStream.outputMode("append").format("memory").queryName("hhx").start()
+    try {
+      ms.addData(b1); q.processAllAvailable()
+      ms.addData(b2); q.processAllAvailable()
+    } finally q.stop()
+    val all = spark.table("hhx").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // batch-1 emission: exact fill
+    assert(all.take(2).toSet == Set((1L, 3L, 0L), (2L, 2L, 0L)), all.mkString(","))
+    // batch-2 emission: u3 evicted u2 (min carried counter), est = 2+1
+    // then +1 for its second event, err = the evicted count
+    assert(all.drop(2).toSet == Set((1L, 3L, 0L), (3L, 4L, 2L)), all.mkString(","))
+    // and the multi-batch end state equals the one-shot run of the feed
+    val oneShot = Streaming.heavyHittersStream((b1 ++ b2).toDF(), 1, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(oneShot == all.drop(2).toSet)
+  }
+
   test("chaos: neardup per-bucket cap drops the past-cap signature but still checks arrivals against retained state") {
     val sp = spark
     import sp.implicits._
