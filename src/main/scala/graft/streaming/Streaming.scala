@@ -567,7 +567,16 @@ object Streaming {
     * last-emission-per-key = current estimate (same convention as
     * [[cdcApplyStream]]). Events fold in (ts_us, event_id) order and
     * eviction ties break by (count, user_id), so the summary is
-    * bit-deterministic in any engine. */
+    * bit-deterministic in any engine.
+    *
+    * Cost envelope: an arrival that hits an existing counter is O(1);
+    * only a NOVEL key at full capacity pays an O(capacity) min scan —
+    * on the skewed streams heavy-hitter sketches exist for, the hot
+    * keys are in-summary by definition, so evictions are the rare path
+    * (the paper's stream-summary linked-bucket structure makes eviction
+    * O(1) too; worth adopting only if profiles show novel-key churn).
+    * Per-batch buffering is the same events-per-shard-per-batch
+    * envelope as [[runningSeq]]'s per-user buffer. */
   def heavyHittersStream(events: DataFrame, shards: Int = HHShards,
       capacity: Int = HHCapacity): DataFrame = {
     val sp = events.sparkSession
