@@ -125,6 +125,39 @@ class RelationalSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("nearest as-of join matches an independent per-row reference computation") {
+    val got = Relational.relAsofNearest(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getString(2), r.getDouble(3), r.getLong(4))).toMap
+    val evs = Tables.load(spark, sf, "events")
+      .select("user_id", "event_id", "event_type", "ts", "value").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getTimestamp(3), r.getDouble(4)))
+    val gap = 3600000000L
+    def before(aUs: Long, aId: Long, bUs: Long, bId: Long): Boolean =
+      aUs < bUs || (aUs == bUs && aId < bId)
+    val expected = (for {
+      (u, rows) <- evs.groupBy(_._1).toSeq
+      (_, cid, typ, cts, _) <- rows if typ == "click"
+      views = rows.filter(_._3 == "view")
+        .sortBy { case (_, vid, _, vts, _) => (micros(vts), vid) }
+      prior = views.filter(v => before(micros(v._4), v._2, micros(cts), cid)).lastOption
+      next = views.filter(v => before(micros(cts), cid, micros(v._4), v._2)).headOption
+      pg = prior.map(p => micros(cts) - micros(p._4))
+      ng = next.map(n => micros(n._4) - micros(cts))
+      pok = pg.exists(_ <= gap)
+      nok = ng.exists(_ <= gap)
+      if pok || nok
+    } yield {
+      val pick: (String, Double, Long) =
+        if (pok && (!nok || pg.get <= ng.get)) ("prior", prior.get._5, pg.get)
+        else ("next", next.get._5, -ng.get)
+      (u, cid) -> pick
+    }).toMap
+    assert(got == expected)
+    assert(expected.values.exists(_._1 == "next") &&
+      expected.values.exists(_._1 == "prior"), "both directions must occur")
+  }
+
   test("rel_agg_quantile equals driver-side rank-based ground truth") {
     val byFlag = Tables.load(spark, sf, "lineitem")
       .select("l_returnflag", "l_extendedprice").collect()
