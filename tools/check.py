@@ -42,9 +42,23 @@ def main():
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     failed = []
+    # Verify records keys that THREW in _errors.json (they have no parquet
+    # dir, so without this they would look like an invocation mistake
+    # rather than a broken operator) — report each as an explicit failure.
+    try:
+        verify_errors = json.load(open(f"{out_dir}/_errors.json"))
+    except Exception:
+        verify_errors = {}
+    for key, msg in sorted(verify_errors.items()):
+        if only and key not in only:
+            continue
+        print(f"FAIL {key}: threw in Verify: {msg[:200]}")
+        failed.append(key)
     for key, sql in sorted(oracle.items()):
         if only and key not in only:
             continue
+        if key in verify_errors:
+            continue  # already reported above
         files = glob.glob(f"{out_dir}/{key}/*.parquet")
         if not files:
             print(f"FAIL {key}: no spark output")
