@@ -29,27 +29,64 @@ object Tables {
       (System.identityHashCode(spark), dir, key),
       build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
+  /** Column names declared TIMESTAMP(NANOS) in the parquet footer of
+    * `path` (a single file or a directory of part files — one footer is
+    * representative because one writer produced the dataset). Footer-level
+    * detection lets the ns→µs repair apply to ANY table/column a future
+    * generator emits, instead of special-casing events.ts, and lets us
+    * distinguish a genuine long column from a nanos timestamp that
+    * `nanosAsLong` surfaced as LongType. */
+  private def nanosTimestampCols(spark: SparkSession, path: String): Set[String] = {
+    import scala.jdk.CollectionConverters._
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    val hconf = spark.sessionState.newHadoopConf()
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(hconf)
+    val file =
+      if (fs.getFileStatus(p).isDirectory)
+        fs.listStatus(p).map(_.getPath)
+          .find(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+      else Some(p)
+    file.fold(Set.empty[String]) { f =>
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, hconf))
+      try reader.getFileMetaData.getSchema.getFields.asScala.collect {
+        case fld if fld.isPrimitive && (fld.getLogicalTypeAnnotation match {
+          case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+            t.getUnit == LogicalTypeAnnotation.TimeUnit.NANOS
+          case _ => false
+        }) => fld.getName
+      }.toSet
+      finally reader.close()
+    }
+  }
+
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     // Timestamp columns have drifted across generator versions:
-    // TIMESTAMP(NANOS) (which Spark 4 rejects by default — read events.ts
-    // as long nanos, DIV 1000 to µs; integer DIV because epoch nanos
-    // ≈ 1.7e18 exceeds double's 2^53 exact range) and µs-naive
-    // TIMESTAMP(isAdjustedToUTC=false) (which Spark reads as
-    // TIMESTAMP_NTZ; `unix_micros` & friends reject NTZ). Every NTZ
-    // column — events.ts, lineitem.l_shipdate, orders.o_orderdate,
-    // whatever a future generator emits — casts to TimestampType: the
-    // session is pinned UTC, making the cast instant-identical to the
-    // naive value the oracle reads, and keeping every downstream
+    // TIMESTAMP(NANOS) (which Spark 4 rejects by default — read such
+    // columns as long nanos via `nanosAsLong`, DIV 1000 to µs; integer
+    // DIV because epoch nanos ≈ 1.7e18 exceeds double's 2^53 exact
+    // range) and µs-naive TIMESTAMP(isAdjustedToUTC=false) (which Spark
+    // reads as TIMESTAMP_NTZ; `unix_micros` & friends reject NTZ). Both
+    // repairs are footer/schema-driven, so they cover whatever column a
+    // future generator emits. Every NTZ column casts to TimestampType:
+    // the session is pinned UTC, making the cast instant-identical to
+    // the naive value the oracle reads, and keeping every downstream
     // operator on the one ts type the query surface was built against.
-    if (name == "events")
+    // `nanosAsLong` is set only when the footer actually declares a
+    // NANOS column, and every such column is converted right here, so
+    // the session-global conf can never leave a stray long column behind.
+    val path = s"$sfDir/$name.parquet"
+    val nanosCols = nanosTimestampCols(spark, path)
+    if (nanosCols.nonEmpty)
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    val nsFixed =
-      if (name == "events" &&
-          df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-        df.withColumn("ts",
-          org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
-      else df
+    val df = spark.read.parquet(path)
+    val nsFixed = nanosCols.foldLeft(df) { (d, c) =>
+      if (d.schema(c).dataType == org.apache.spark.sql.types.LongType)
+        d.withColumn(c,
+          org.apache.spark.sql.functions.expr(s"timestamp_micros($c DIV 1000)"))
+      else d
+    }
     nsFixed.schema.fields
       .filter(_.dataType == org.apache.spark.sql.types.TimestampNTZType)
       .foldLeft(nsFixed) { (d, f) =>

@@ -229,11 +229,17 @@ object Mining {
   private[graft] def fpmEclatSharded(
       s: SparkSession, dir: String, blockSize: Int, nShards: Int): DataFrame = {
     require(nShards >= 1, s"nShards must be >= 1, got $nShards")
-    val vert = txItems(s, dir)
-      .withColumn("blk", expr(s"tid DIV $blockSize"))
-      .groupBy("item", "blk")
-      .agg(sort_array(collect_list(col("tid"))).as("tids"))
-      .withColumn("grp", pmod(xxhash64(col("item")), lit(nShards.toLong)))
+    // Memoized: every shard-pair join reads vert on BOTH sides, so at
+    // nShards = G the uncached plan would rebuild this groupBy +
+    // collect_list tidset construction G(G+1) times. Persisting it once
+    // makes each join a scan of the cached blocks instead.
+    val vert = Tables.memo(s, dir, s"eclatVert_${blockSize}_$nShards") {
+      txItems(s, dir)
+        .withColumn("blk", expr(s"tid DIV $blockSize"))
+        .groupBy("item", "blk")
+        .agg(sort_array(collect_list(col("tid"))).as("tids"))
+        .withColumn("grp", pmod(xxhash64(col("item")), lit(nShards.toLong)))
+    }
     val partials = for { ga <- 0 until nShards; gb <- ga until nShards } yield {
       val a = vert.filter(col("grp") === ga)
         .select(col("item").as("ia"), col("blk"), col("tids").as("ta"))

@@ -45,9 +45,11 @@ def main():
     # Verify records keys that THREW in _errors.json (they have no parquet
     # dir, so without this they would look like an invocation mistake
     # rather than a broken operator) — report each as an explicit failure.
+    # Only a missing file means "no keys threw"; a corrupt/half-written
+    # _errors.json must fail loudly, not silently hide thrown keys.
     try:
         verify_errors = json.load(open(f"{out_dir}/_errors.json"))
-    except Exception:
+    except FileNotFoundError:
         verify_errors = {}
     for key, msg in sorted(verify_errors.items()):
         if only and key not in only:
