@@ -606,10 +606,15 @@ object Mining {
     val l3 = tripleSupports(s, dir)
       .crossJoin(n).filter(col("freq") >= col("n") * MinSupFp)
       .select(col("ia"), col("ib"), col("ic"), col("freq"))
-    val pairCover = l2.select(col("ia").as("pa"), col("ib").as("pb"), col("freq").as("pfreq"))
+    // One (member-item, pair-freq) row per pair member: turns "item is in
+    // some equal-support pair" into an equi-anti-join on (item, freq) —
+    // hash-plannable — where the OR-of-members predicate could only go
+    // nested-loop. Doubles pairCover's rows (still support-bounded).
+    val pairCover = l2.select(
+      explode(array(col("ia"), col("ib"))).as("pitem"),
+      col("freq").as("pfreq"))
     val c1 = l1.join(pairCover,
-        (col("pa") === col("item") || col("pb") === col("item"))
-          && col("pfreq") === col("freq"), "left_anti")
+        col("pitem") === col("item") && col("pfreq") === col("freq"), "left_anti")
       .select(col("item").as("itemset"), lit(1L).as("size"), col("freq"))
     val tripCover = l3.select(col("ia").as("ta"), col("ib").as("tb"), col("freq").as("tfreq"))
       .unionByName(l3.select(col("ia").as("ta"), col("ic").as("tb"), col("freq").as("tfreq")))

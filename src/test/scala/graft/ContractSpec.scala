@@ -228,6 +228,22 @@ class ContractSpec extends SparkSpec {
       s"ngram_novelty re-explodes: ${shape(nv)}")
     assert(!nv.exists(_.isInstanceOf[WindowExec]),
       s"ngram_novelty sorts a posting list: ${shape(nv)}")
+    // closed itemsets: both closure anti-joins (item-vs-pair-cover,
+    // pair-vs-triple-cover) are equi-joins on (member, freq) — the only
+    // nested-loop joins allowed are the 1-row broadcast threshold
+    // scalars (the approved crossJoin(broadcast(<scalar>)) idiom). A
+    // LeftAnti BroadcastNestedLoopJoin means the OR-of-members predicate
+    // crept back in.
+    val (cl, clScans, clEx) = audit("fpm_closed")
+    info(s"fpm_closed: scans=$clScans exchanges=$clEx")
+    val clBnljTypes = cl.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec =>
+        j.joinType.toString
+    }
+    assert(!clBnljTypes.exists(_.contains("Anti")),
+      s"fpm_closed anti-join fell out of equi-planning ($clBnljTypes): ${shape(cl)}")
+    assert(!cl.exists(_.nodeName.contains("CartesianProduct")),
+      s"fpm_closed planned a cartesian product: ${shape(cl)}")
   }
 
 
