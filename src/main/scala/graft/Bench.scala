@@ -38,6 +38,7 @@ object Bench {
     step { operators.Mining.warm(spark, sfDir) }
     step { operators.LlmOps.warm(spark, sfDir) }
     step { operators.Relational.warm(spark, sfDir) }
+    step { operators.SqlSurface.warm(spark, sfDir) }
     // JIT/codegen warm: run EVERY query once on the tiny sf so each timed
     // measurement sees compiled code paths, not first-call JIT + codegen
     // compilation (which otherwise lands arbitrarily across the run).
