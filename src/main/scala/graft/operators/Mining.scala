@@ -135,6 +135,33 @@ object Mining {
       .orderBy("item")
   }
 
+  /** FIMI round-trip: the corpus baskets written as FIMI transaction
+    * text (graft.sources.FimiSource — the reference engines' native
+    * `retail.dat` convention), read back through the source, and
+    * re-mined for frequent items at the `fpm_freq_items` threshold.
+    * Content-identity oracle (same SQL as fpm_freq_items): item
+    * supports are tid-agnostic, so the line-position tids the reader
+    * assigns don't disturb the result — proving the text I/O path
+    * preserves basket content exactly, end-to-end through a miner.
+    *
+    * Scale posture: the write is a streaming per-partition text dump,
+    * the read a line-splittable text scan; the mining side is one
+    * explode + hash agg with a broadcast denominator — no extra wide
+    * ops beyond fpm_freq_items itself. */
+  def fpmFimiRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val base = new java.io.File(
+      new java.io.File(sys.props("java.io.tmpdir"), "graft_fimi"),
+      new java.io.File(dir).getName).getAbsolutePath
+    graft.sources.FimiSource.write(baskets(s, dir), base)
+    val back = graft.sources.FimiSource.read(s, base)
+    back.select(explode(col("items")).as("item"))
+      .groupBy("item").agg(count(lit(1)).as("freq"))
+      .crossJoin(broadcast(back.select(count(lit(1)).as("n"))))
+      .filter(col("freq") >= col("n") * MinSupItems)
+      .select(col("item"), col("freq"))
+      .orderBy("item")
+  }
+
   /** Frequent items at the k-itemset threshold — downward-closure prune set. */
   private def f1(s: SparkSession, dir: String, minSup: Double): DataFrame =
     itemSupports(s, dir)
@@ -1027,6 +1054,7 @@ object Mining {
     "fpm_prefixspan_full" -> (fpmPrefixspanFull _),
     "fpm_basketize"    -> (fpmBasketize _),
     "fpm_freq_items"   -> (fpmFreqItems _),
+    "fpm_fimi_roundtrip" -> (fpmFimiRoundtrip _),
     "fpm_freq_pairs"   -> (fpmFreqPairs _),
     "fpm_topk_patterns" -> (fpmTopkPatterns _),
     "fpm_eclat"        -> (fpmEclat _),
@@ -1293,6 +1321,15 @@ object Mining {
         |ORDER BY l_orderkey""".stripMargin,
 
     "fpm_freq_items" -> (txCte +
+      """
+        |SELECT item, CAST(count(*) AS BIGINT) AS freq
+        |FROM tx GROUP BY item
+        |HAVING count(*) >= 0.05 * (SELECT n FROM nb)
+        |ORDER BY item""".stripMargin),
+
+    // Content-identity oracle: the FIMI write→read→mine loop must land
+    // exactly on the parquet-fed frequent-items result.
+    "fpm_fimi_roundtrip" -> (txCte +
       """
         |SELECT item, CAST(count(*) AS BIGINT) AS freq
         |FROM tx GROUP BY item

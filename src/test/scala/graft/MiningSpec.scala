@@ -476,4 +476,18 @@ class MiningSpec extends SparkSpec {
     assert(expected.keys.exists(p => unconstrained(p) > expected(p)),
       "gap constraint pruned no user anywhere — vacuous fixture")
   }
+
+  test("FIMI roundtrip lands exactly on the parquet-fed frequent items") {
+    val viaFimi = Mining.fpmFimiRoundtrip(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val direct = Mining.fpmFreqItems(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(viaFimi == direct)
+    assert(viaFimi.nonEmpty, "empty frequent-item set — vacuous roundtrip")
+    // the text format is only lossless while items avoid the separator;
+    // guard the fixture assumption the roundtrip rests on
+    val sep = Mining.txItems(spark, sf)
+      .filter(col("item").rlike("\\s")).count()
+    assert(sep == 0, s"$sep items contain whitespace — FIMI text would split them")
+  }
 }
