@@ -747,13 +747,14 @@ object LlmOps {
     * — a REAL PNG/JPEG/GIF container-header parser (width, height,
     * channels straight from the public wire formats, deterministic
     * byte arithmetic) with a `raw` passthrough for non-media payloads.
-    * The key name is historical (rounds 1–6 shipped a labeled stub
-    * here); the schema/batching/partition-parallel plumbing is
-    * unchanged. The synthetic corpus' text-as-binary payloads all take
+    * Registered as `llm_media_meta`; the historical `llm_decode_stub`
+    * key remains an alias for artifact continuity (rounds 1–6 shipped
+    * a labeled stub here — the decoder has been real since round 7).
+    * The synthetic corpus' text-as-binary payloads all take
     * the `raw` branch — the oracle hash-verifies exactly that — and
     * the PNG/JPEG/GIF branches are spec-gated on hand-built wire-format
     * bytes in LlmOpsSpec. */
-  def decodeStub(s: SparkSession, dir: String): DataFrame = {
+  def mediaMeta(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.load(s, dir, "documents")
       .select(col("doc_id"), col("text").cast("binary").as("content"))
@@ -820,7 +821,7 @@ object LlmOps {
   }
 
   /** Audio metadata extraction over opaque binary content — completes
-    * the multimodal family next to the image decode ([[decodeStub]]):
+    * the multimodal family next to the image decode ([[mediaMeta]]):
     * same typed mapPartitions batch plumbing, per-batch decoder is
     * [[parseAudioHeader]] (WAV/FLAC sample rate, channel count and bit
     * depth straight from the public wire formats). The synthetic
@@ -2799,7 +2800,8 @@ object LlmOps {
     "llm_dataset_split"      -> (datasetSplit _),
     "llm_vocab_encode"       -> (vocabEncode _),
     "llm_stratified_sample"  -> (stratifiedSample _),
-    "llm_decode_stub"        -> (decodeStub _),
+    "llm_media_meta"         -> (mediaMeta _),
+    "llm_decode_stub"        -> (mediaMeta _), // alias: artifact continuity
     "llm_tokenize_wordcount" -> (tokenizeWordcount _),
     "llm_exact_dedup"        -> (exactDedup _),
     "llm_fingerprint"        -> (fingerprint _),
@@ -3578,7 +3580,16 @@ object LlmOps {
         |      < CASE WHEN lang IN ('de', 'en', 'es') THEN '4' ELSE '8' END
         |ORDER BY doc_id""".stripMargin,
 
-    "llm_decode_stub" ->
+    "llm_media_meta" ->
+      """SELECT doc_id,
+        |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |       'raw' AS format,
+        |       CAST(NULL AS BIGINT) AS width,
+        |       CAST(NULL AS BIGINT) AS height,
+        |       CAST(NULL AS BIGINT) AS channels
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "llm_decode_stub" -> // alias of llm_media_meta (artifact continuity)
       """SELECT doc_id,
         |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |       'raw' AS format,
