@@ -734,4 +734,183 @@ class StreamingSpec extends SparkSpec {
     assert(trBatch == Set(("C", "A"), ("A", "B"), ("B", "D")),
       s"one-shot run must chain in ts order: $trBatch")
   }
+
+  // ------------------------------------------ checkpoint recovery (restart)
+
+  /** Drive `transform` over a FILE-source stream with a real checkpoint
+    * dir: each phase appends one parquet file to the source dir, starts
+    * a FRESH query from the SAME checkpoint, drains, and stops. From
+    * phase 1 on, per-group state reaches the new query only by loading
+    * the state store's checkpoint files (a restarted run has a new
+    * runId, so the provider's in-memory cache cannot serve it) — the
+    * recovery path MemoryStream tests never exercise, and the only
+    * place the state types round-trip through the store's serializer
+    * across query lifetimes. Returns each phase's emissions separately
+    * (the memory sink is not recovered across restarts, so phase i's
+    * table captures exactly run i's output — which also proves the
+    * restarted source did NOT reprocess committed files). */
+  private def runWithRestarts(tag: String,
+      transform: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+      phases: Seq[org.apache.spark.sql.DataFrame]): Seq[Seq[org.apache.spark.sql.Row]] = {
+    val base = s"/tmp/graft-ck-$tag-${System.nanoTime()}"
+    val schema = phases.head.schema
+    phases.zipWithIndex.map { case (df, i) =>
+      df.coalesce(1).write.mode("append").parquet(s"$base/src")
+      // foreachBatch, not the memory sink: memory is not fault-tolerant
+      // and Spark refuses to restart it from a checkpoint. The per-run
+      // driver-side buffer captures exactly run i's emissions.
+      val buf = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+      val q = transform(spark.readStream.schema(schema).parquet(s"$base/src"))
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", s"$base/ck")
+        .foreachBatch { (bdf: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          val rows = bdf.collect()
+          buf.synchronized { buf ++= rows }
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      buf.synchronized { buf.toSeq }
+    }
+  }
+
+  /** Shared two-phase events fixture: per-user in-order across phases
+    * (the documented envelope), with a cross-restart adjacency (u1
+    * event 2→5), a beyond-gap step (u2 event 4→6, 100 min), a
+    * tombstone arriving after restart (u2 event 8), and a user first
+    * seen after restart (u3). */
+  private def ckPhase1 = Seq(
+    Ev(t("2024-01-01 10:00:00"), 1, "click", 1.0, 1),
+    Ev(t("2024-01-01 10:05:00"), 1, "view", 2.0, 2),
+    Ev(t("2024-01-01 10:00:00"), 2, "view", 4.0, 3),
+    Ev(t("2024-01-01 10:20:00"), 2, "click", 8.0, 4))
+  private def ckPhase2 = Seq(
+    Ev(t("2024-01-01 10:30:00"), 1, "purchase", 16.0, 5),
+    Ev(t("2024-01-01 12:00:00"), 2, "view", 32.0, 6),
+    Ev(t("2024-01-01 10:40:00"), 3, "click", 64.0, 7),
+    Ev(t("2024-01-01 12:10:00"), 2, "error", 0.0, 8))
+
+  test("checkpoint recovery: running seq resumes numbering from the recovered Long state") {
+    val sp = spark
+    import sp.implicits._
+    val out = runWithRestarts("seq", Streaming.runningSeq,
+      Seq(ckPhase1.toDF(), ckPhase2.toDF()))
+    def trip(rs: Seq[org.apache.spark.sql.Row]) =
+      rs.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val batch = trip(Streaming.runningSeq((ckPhase1 ++ ckPhase2).toDF()).collect().toSeq)
+    assert(trip(out.flatten).sorted == batch.sorted,
+      s"restarted run diverged from batch: ${trip(out.flatten).sorted}")
+    // the recovered run processed ONLY the new file (no offset replay)...
+    assert(trip(out(1)).map(_._2).toSet == ckPhase2.map(_.event_id).toSet)
+    // ...yet numbered u1's event 5 as seq=3: state really was recovered
+    assert(trip(out(1)).contains((1L, 5L, 3L)),
+      s"u1 did not resume at 3 — state lost on restart: ${trip(out(1))}")
+  }
+
+  test("checkpoint recovery: EWMA resumes bit-for-bit from the recovered (Boolean, Double) state") {
+    val sp = spark
+    import sp.implicits._
+    val out = runWithRestarts("ewma", Streaming.ewmaStream,
+      Seq(ckPhase1.toDF(), ckPhase2.toDF()))
+    def trip(rs: Seq[org.apache.spark.sql.Row]) =
+      rs.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val batch = trip(Streaming.ewmaStream((ckPhase1 ++ ckPhase2).toDF()).collect().toSeq)
+    assert(trip(out.flatten).sorted == batch.sorted)
+    // u1 across the restart: 1.0, then 1.5, then 0.5*1.5 + 0.5*16 = 8.75
+    assert(trip(out(1)).contains((1L, 5L, 8.75)),
+      s"u1's smoothed value did not chain across restart: ${trip(out(1))}")
+  }
+
+  test("checkpoint recovery: transition feed chains the cross-restart adjacency from recovered state") {
+    val sp = spark
+    import sp.implicits._
+    val out = runWithRestarts("trans", Streaming.transitionStream,
+      Seq(ckPhase1.toDF(), ckPhase2.toDF()))
+    def trip(rs: Seq[org.apache.spark.sql.Row]) =
+      rs.map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val batch = trip(Streaming.transitionStream((ckPhase1 ++ ckPhase2).toDF()).collect().toSeq)
+    assert(trip(out.flatten).sorted == batch.sorted)
+    // the adjacency whose FROM side committed before the stop
+    assert(trip(out(1)).contains((1L, "view", "purchase")),
+      s"cross-restart adjacency missing — TransState lost: ${trip(out(1))}")
+  }
+
+  test("checkpoint recovery: gap-pair buffer survives restart, beyond-gap history stays pruned") {
+    val sp = spark
+    import sp.implicits._
+    val out = runWithRestarts("gap", Streaming.seqGapStream,
+      Seq(ckPhase1.toDF(), ckPhase2.toDF()))
+    def trip(rs: Seq[org.apache.spark.sql.Row]) =
+      rs.map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val batch = trip(Streaming.seqGapStream((ckPhase1 ++ ckPhase2).toDF()).collect().toSeq)
+    assert(trip(out.flatten).sorted == batch.sorted)
+    val run2 = trip(out(1))
+    // pairs whose LEFT endpoint committed before the stop: the recovered
+    // GapPairState buffer is live
+    assert(run2.contains((1L, "click", "purchase")) &&
+      run2.contains((1L, "view", "purchase")),
+      s"cross-restart pairs missing — buffer lost: $run2")
+    // u2's 12:00 event is 100 min past both buffered events: the
+    // recovered buffer must TTL them out, not pair against them
+    assert(!run2.exists(p => p._1 == 2L && p._3 == "view"),
+      s"beyond-gap pair emitted from stale recovered buffer: $run2")
+  }
+
+  test("checkpoint recovery: CDC latest-wins state and tombstones hold across restart") {
+    val sp = spark
+    import sp.implicits._
+    val out = runWithRestarts("cdc", Streaming.cdcApplyStream,
+      Seq(ckPhase1.toDF(), ckPhase2.toDF()))
+    def trip(rs: Seq[org.apache.spark.sql.Row]) =
+      rs.map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+    // sink contract: last emission per key = current state
+    def lastPerKey(rs: Seq[(Long, Long, String, Double)]) =
+      rs.foldLeft(Map.empty[Long, (Long, Long, String, Double)]) {
+        (m, r) => m + (r._1 -> r) }.values.toSet
+    val batch = trip(Streaming.cdcApplyStream((ckPhase1 ++ ckPhase2).toDF()).collect().toSeq)
+    assert(lastPerKey(trip(out.flatten)) == lastPerKey(batch),
+      s"recovered CDC state diverged: ${lastPerKey(trip(out.flatten))}")
+    // u2's tombstone arrived AFTER the restart and must win over the
+    // recovered pre-stop state
+    assert(lastPerKey(trip(out.flatten)).contains((2L, 8L, "error", 0.0)))
+  }
+
+  test("checkpoint recovery: SpaceSaving summaries resume counting from recovered counters") {
+    val sp = spark
+    import sp.implicits._
+    val out = runWithRestarts("hh",
+      (df: org.apache.spark.sql.DataFrame) => Streaming.heavyHittersStream(df),
+      Seq(ckPhase1.toDF(), ckPhase2.toDF()))
+    def trip(rs: Seq[org.apache.spark.sql.Row]) =
+      rs.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    def lastPerKey(rs: Seq[(Long, Long, Long)]) =
+      rs.foldLeft(Map.empty[Long, (Long, Long, Long)]) {
+        (m, r) => m + (r._1 -> r) }.values.toSet
+    val batch = trip(Streaming.heavyHittersStream(
+      (ckPhase1 ++ ckPhase2).toDF()).collect().toSeq)
+    assert(lastPerKey(trip(out.flatten)) == lastPerKey(batch),
+      s"recovered summaries diverged: ${lastPerKey(trip(out.flatten))}")
+    // u2 had 2 events before the stop and 2 after: est=4 only if the
+    // recovered counter carried the pre-stop count
+    assert(lastPerKey(trip(out.flatten)).contains((2L, 4L, 0L)),
+      s"u2's counter did not resume: ${lastPerKey(trip(out.flatten))}")
+  }
+
+  test("checkpoint recovery: near-dup signatures recovered — a post-restart arrival dups against a pre-stop doc") {
+    val sp = spark
+    import sp.implicits._
+    val p1 = Seq(Doc(1, "alpha beta gamma"), Doc(2, "alpha beta gamma"),
+      Doc(3, "totally different words here"))
+    val p2 = Seq(Doc(4, "alpha beta gamma"), Doc(5, "unrelated brand new text"))
+    val out = runWithRestarts("ndup", Streaming.neardupStream,
+      Seq(p1.toDF(), p2.toDF()))
+    def trip(rs: Seq[org.apache.spark.sql.Row]) =
+      rs.map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val batch = trip(Streaming.neardupStream((p1 ++ p2).toDF()).collect().toSeq)
+    assert(trip(out.flatten).sorted == batch.sorted)
+    // doc4's duplicate emission exists ONLY if doc1/doc2's signatures
+    // were recovered from the checkpointed List state
+    assert(trip(out(1)).toSet == (0 until 4).map(b => (4L, b, 1L)).toSet,
+      s"doc4 must dup against recovered doc1 in all 4 bands: ${trip(out(1))}")
+  }
 }
