@@ -58,6 +58,35 @@ case class TransOut(user_id: Long, from_type: String, to_type: String)
   * Determinism: window starts are epoch-aligned in both engines
   * (Spark `window` ≡ DuckDB `time_bucket`, probed); timestamp gaps are
   * compared in integer microseconds (events.ts is µs-aligned).
+  *
+  * SINK SEMANTICS (the first operational question a deployment hits).
+  * Structured Streaming replays an uncommitted micro-batch on recovery
+  * with the same batchId, so exactly-once at the sink = deterministic
+  * replay (all operators here sort per batch — given) + an idempotent
+  * sink write. Two emission contracts exist in this surface:
+  *
+  *  - APPEND-ONLY FEEDS — each row is emitted exactly once per logical
+  *    event/pair/adjacency: `stream_running_seq`, `stream_ewma`,
+  *    `stream_markov`'s transition feed, `stream_seq_gap`'s pair feed,
+  *    `stream_neardup`, and the watermark-governed built-ins
+  *    (`stream_tumbling`, `stream_sliding`, `stream_session`,
+  *    `stream_stateful_dedup`, `stream_stream_join`,
+  *    `stream_static_join`, `stream_window_topk`'s per-batch rank).
+  *    Idempotent-sink-safe via overwrite-by-batchId (foreachBatch
+  *    writing `mode("overwrite")` into a batchId-keyed location —
+  *    StreamingSpec's replay test drives exactly this pattern);
+  *    a plain append sink instead yields at-least-once (duplicated
+  *    rows for a replayed batch).
+  *
+  *  - LAST-EMISSION-PER-KEY — each touched key re-emits its CURRENT
+  *    state every batch; the sink is read through "latest row per key":
+  *    `stream_cdc_apply` (tombstone rows make deletes observable, so
+  *    the contract is total) and `stream_heavyhitters` (contract holds
+  *    only for keys present in the latest summary — see the eviction
+  *    caveat on [[heavyHittersStream]]). Replay rewrites the same
+  *    current-state rows, so these are idempotent under overwrite AND
+  *    self-healing under append (a duplicate emission is the same
+  *    key-state pair; the latest-row read collapses it).
   */
 object Streaming {
 
@@ -564,10 +593,20 @@ object Streaming {
     * beyond capacity REPLACES the minimum-count counter (est = min+1,
     * err = min — the classic overestimate bookkeeping). Every batch the
     * shard re-emits its current summary; the sink contract is
-    * last-emission-per-key = current estimate (same convention as
-    * [[cdcApplyStream]]). Events fold in (ts_us, event_id) order and
-    * eviction ties break by (count, user_id), so the summary is
-    * bit-deterministic in any engine.
+    * last-emission-per-key = current estimate FOR KEYS PRESENT IN THE
+    * SHARD'S LATEST SUMMARY ONLY. An EVICTED key's earlier emission
+    * remains its last sink record — a stale count with err=0 — because
+    * no retraction row is emitted for it (unlike [[cdcApplyStream]]'s
+    * tombstones, a SpaceSaving eviction is not a semantic delete: the
+    * key may re-enter later with inherited err). Consumers must
+    * therefore anti-join their last-emission view against the latest
+    * summary's key set (each batch re-emits the WHOLE summary of every
+    * touched shard, so "latest summary" is recoverable from the sink
+    * by max batch per shard) — or treat est at face value only where
+    * no eviction can have fired, as at the tested SFs. Events fold in
+    * (ts_us, event_id) order and eviction ties break by
+    * (count, user_id), so the summary is bit-deterministic in any
+    * engine.
     *
     * Cost envelope: an arrival that hits an existing counter is O(1);
     * only a NOVEL key at full capacity pays an O(capacity) min scan —

@@ -913,4 +913,62 @@ class StreamingSpec extends SparkSpec {
     assert(trip(out(1)).toSet == (0 until 4).map(b => (4L, b, 1L)).toSet,
       s"doc4 must dup against recovered doc1 in all 4 bands: ${trip(out(1))}")
   }
+
+  test("foreachBatch exactly-once: a replayed batch duplicates an append sink but not an overwrite-by-batchId sink") {
+    val sp = spark
+    import sp.implicits._
+    // The documented sink contract (Streaming object scaladoc): recovery
+    // replays an uncommitted micro-batch with the SAME batchId, so
+    // append-only feeds are exactly-once iff the sink writes
+    // overwrite-by-batchId. Simulate the crash window — stop after the
+    // batch's offset+commit are written, then DELETE the commit record,
+    // so the restart believes batch 0 never finished and re-runs it.
+    val base = s"/tmp/graft-replay-${System.nanoTime()}"
+    val schema = ckPhase1.toDF().schema
+    val appendLog = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+    def start() = Streaming.runningSeq(
+        spark.readStream.schema(schema).parquet(s"$base/src"))
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", s"$base/ck")
+      .foreachBatch { (bdf: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], bid: Long) =>
+        bdf.persist()
+        try {
+          // naive append sink: at-least-once (duplicates on replay)
+          val rows = bdf.collect().map(r =>
+            (bid, r.getLong(0), r.getLong(1), r.getLong(2)))
+          appendLog.synchronized { appendLog ++= rows }
+          // idempotent sink: overwrite the batch's own location
+          bdf.write.mode("overwrite").parquet(s"$base/sink/batch=$bid")
+        } finally bdf.unpersist()
+        ()
+      }
+      .start()
+    ckPhase1.toDF().coalesce(1).write.mode("append").parquet(s"$base/src")
+    val q1 = start(); try q1.processAllAvailable() finally q1.stop()
+    val commits = new java.io.File(s"$base/ck/commits")
+      .listFiles().filter(_.getName.forall(_.isDigit))
+    val lastCommit = commits.sortBy(_.getName.toInt).last
+    // remove the checksum sibling too or the local FS refuses the
+    // replayed batch's commit rename
+    new java.io.File(lastCommit.getParent, s".${lastCommit.getName}.crc").delete()
+    lastCommit.delete()
+    val q2 = start(); try q2.processAllAvailable() finally q2.stop() // replays batch 0
+    ckPhase2.toDF().coalesce(1).write.mode("append").parquet(s"$base/src")
+    val q3 = start(); try q3.processAllAvailable() finally q3.stop() // batch 1
+    val log = appendLog.synchronized { appendLog.toList }
+    // the replay REALLY happened: batch 0's emissions landed twice in
+    // the append sink, once per (identical, deterministic) execution
+    val b0 = log.filter(_._1 == 0L)
+    assert(b0.size == 2 * ckPhase1.size && b0.toSet.size == ckPhase1.size,
+      s"expected batch 0 exactly twice with identical rows: $log")
+    // the overwrite-by-batchId sink holds each row exactly once and
+    // equals the uninterrupted batch run
+    val sink = spark.read.parquet(s"$base/sink")
+      .select("user_id", "event_id", "seq").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val batch = Streaming.runningSeq((ckPhase1 ++ ckPhase2).toDF()).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(sink.sorted == batch.sorted,
+      s"idempotent sink diverged: ${sink.sorted} vs ${batch.sorted}")
+  }
 }
