@@ -74,6 +74,17 @@ case class TopKPerGroupExec(
     if (partial) super.requiredChildDistribution
     else ClusteredDistribution(groupExprs) :: Nil
 
+  // Row-FILTERING operator: every output row stays in the partition it
+  // arrived in, so the child's partitioning (for the final pass, the
+  // group-hash exchange EnsureRequirements inserted) flows through.
+  // Without this the default UnknownPartitioning forces any downstream
+  // operator clustered on the same group keys — e.g. llm_source_cap's
+  // rank window over `source` — to re-shuffle rows the exchange below
+  // already clustered.
+  override def outputPartitioning:
+      org.apache.spark.sql.catalyst.plans.physical.Partitioning =
+    child.outputPartitioning
+
   override def nodeName: String =
     if (partial) "TopKPerGroupPartial" else "TopKPerGroup"
 

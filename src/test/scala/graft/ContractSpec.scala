@@ -244,6 +244,42 @@ class ContractSpec extends SparkSpec {
       s"fpm_closed anti-join fell out of equi-planning ($clBnljTypes): ${shape(cl)}")
     assert(!cl.exists(_.nodeName.contains("CartesianProduct")),
       s"fpm_closed planned a cartesian product: ${shape(cl)}")
+    // asof_nearest: the whole prior/next window stack rides ONE
+    // user-partition shuffle + ONE window sort — the second
+    // Sort+Exchange pair is the presentation order only. No join at
+    // all (the nearest-direction pick is pure projection).
+    val (an, anScans, anEx) = audit("rel_asof_nearest")
+    info(s"rel_asof_nearest: scans=$anScans exchanges=$anEx")
+    assert(anScans == 1, s"asof_nearest re-scans ($anScans): ${shape(an)}")
+    assert(anEx <= 2, s"asof_nearest window stack re-shuffles ($anEx): ${shape(an)}")
+    assert(an.count(_.isInstanceOf[org.apache.spark.sql.execution.SortExec]) <= 2,
+      s"asof_nearest window stack re-sorts: ${shape(an)}")
+    assert(!an.exists(_.nodeName.contains("Join")),
+      s"asof_nearest gained a join: ${shape(an)}")
+    // source_cap: partial+final TopKPerGroup around a SINGLE group-hash
+    // exchange, and the rank window REUSES that partitioning (the exec
+    // passes child partitioning through) — one data shuffle total plus
+    // the presentation sort.
+    val (sc2, scScans, scEx) = audit("llm_source_cap")
+    info(s"llm_source_cap: scans=$scScans exchanges=$scEx")
+    assert(sc2.count(_.nodeName == "TopKPerGroup") == 1 &&
+      sc2.count(_.nodeName == "TopKPerGroupPartial") == 1,
+      s"source_cap lost the partial/final TopK pair: ${shape(sc2)}")
+    assert(scScans == 1, s"source_cap re-scans ($scScans): ${shape(sc2)}")
+    assert(scEx <= 2, s"source_cap window re-shuffles after TopK ($scEx): ${shape(sc2)}")
+    // heavyhitters batch form: one shard-key exchange into the stateful
+    // MapGroups; the only nested-loop join is the 1-row broadcast
+    // totals scalar; the totals subtree is the second (aggregate-only)
+    // events scan.
+    val (hh2, hhScans, hhEx) = audit("stream_heavyhitters")
+    info(s"stream_heavyhitters: scans=$hhScans exchanges=$hhEx")
+    assert(hhScans <= 2, s"heavyhitters re-scans ($hhScans): ${shape(hh2)}")
+    assert(hh2.count(_.nodeName.contains("MapGroups")) == 1,
+      s"heavyhitters lost the single stateful pass: ${shape(hh2)}")
+    assert(hh2.count(_.nodeName.contains("BroadcastNestedLoopJoin")) <= 1,
+      s"heavyhitters grew a second nested-loop join: ${shape(hh2)}")
+    assert(!hh2.exists(_.nodeName.contains("CartesianProduct")),
+      s"heavyhitters planned a cartesian product: ${shape(hh2)}")
   }
 
 
