@@ -162,6 +162,33 @@ object Mining {
       .orderBy("item")
   }
 
+  /** FIMI DataSourceV2 round-trip — the same content-identity contract
+    * as [[fpmFimiRoundtrip]], but through the full connector surface
+    * (graft.sources.fimi.FimiDataSourceV2): `df.write.format("fimi")`
+    * exercises the two-phase staged commit, `spark.read.format("fimi")`
+    * the split-planned, column-pruned scan with split-invariant tids.
+    * Mining frequent items over the scan proves the connector preserves
+    * basket content exactly, end-to-end.
+    *
+    * Scale posture: the read side is the connector's byte-range split
+    * scan (splits at `spark.sql.files.maxPartitionBytes`), the mining
+    * side identical to fpm_freq_items — one explode + hash agg with a
+    * broadcast denominator. The column-pruned scan never materializes
+    * tids here (only `items` is required). */
+  def fpmFimiDsv2(s: SparkSession, dir: String): DataFrame = {
+    val base = new java.io.File(
+      new java.io.File(sys.props("java.io.tmpdir"), "graft_fimi_dsv2"),
+      new java.io.File(dir).getName).getAbsolutePath
+    baskets(s, dir).write.format("fimi").mode("overwrite").save(base)
+    val back = s.read.format("fimi").load(base)
+    back.select(explode(col("items")).as("item"))
+      .groupBy("item").agg(count(lit(1)).as("freq"))
+      .crossJoin(broadcast(back.select(count(lit(1)).as("n"))))
+      .filter(col("freq") >= col("n") * MinSupItems)
+      .select(col("item"), col("freq"))
+      .orderBy("item")
+  }
+
   /** Frequent items at the k-itemset threshold — downward-closure prune set. */
   private def f1(s: SparkSession, dir: String, minSup: Double): DataFrame =
     itemSupports(s, dir)
@@ -1055,6 +1082,7 @@ object Mining {
     "fpm_basketize"    -> (fpmBasketize _),
     "fpm_freq_items"   -> (fpmFreqItems _),
     "fpm_fimi_roundtrip" -> (fpmFimiRoundtrip _),
+    "fpm_fimi_dsv2"    -> (fpmFimiDsv2 _),
     "fpm_freq_pairs"   -> (fpmFreqPairs _),
     "fpm_topk_patterns" -> (fpmTopkPatterns _),
     "fpm_eclat"        -> (fpmEclat _),
@@ -1330,6 +1358,14 @@ object Mining {
     // Content-identity oracle: the FIMI write→read→mine loop must land
     // exactly on the parquet-fed frequent-items result.
     "fpm_fimi_roundtrip" -> (txCte +
+      """
+        |SELECT item, CAST(count(*) AS BIGINT) AS freq
+        |FROM tx GROUP BY item
+        |HAVING count(*) >= 0.05 * (SELECT n FROM nb)
+        |ORDER BY item""".stripMargin),
+
+    // Same content-identity oracle through the DataSourceV2 connector.
+    "fpm_fimi_dsv2" -> (txCte +
       """
         |SELECT item, CAST(count(*) AS BIGINT) AS freq
         |FROM tx GROUP BY item

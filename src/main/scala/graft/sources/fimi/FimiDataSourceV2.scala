@@ -1,0 +1,490 @@
+package graft.sources.fimi
+
+import java.util.OptionalLong
+
+import scala.collection.mutable.ArrayBuffer
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
+import org.apache.hadoop.io.compress.CompressionCodecFactory
+import org.apache.hadoop.mapreduce.TaskAttemptID
+import org.apache.hadoop.mapreduce.lib.input.{FileSplit, LineRecordReader}
+import org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSourceV2 connector for FIMI transaction text — the reference
+  * family's native `retail.dat` / `T10I4D100K.dat` convention (one
+  * transaction per line, items separated by whitespace). Registered as
+  * format `"fimi"` (META-INF/services), so the full connector surface
+  * works: `spark.read.format("fimi").load(dir)`,
+  * `df.write.format("fimi").mode(...).save(dir)`, and
+  * `CREATE TABLE t USING fimi OPTIONS (path '...')` through the session
+  * catalog — the TableProvider/catalog story a 100 TB deployment needs,
+  * vs the path-helper in [[graft.sources.FimiSource]].
+  *
+  * Schema: `tid BIGINT, items ARRAY<STRING>` — `items` deduplicated and
+  * sorted into the engine's canonical basket shape, so the scan output
+  * plugs directly into every §A mining operator.
+  *
+  * Deterministic, SPLIT-INVARIANT tids: `tid = fileOrdinal << 40 |
+  * lineStartByteOffset`, where fileOrdinal is the file's index in the
+  * path-sorted file list. Unlike the helper's `zipWithIndex` (which
+  * costs an extra count job before the real scan) or
+  * `monotonically_increasing_id` (which bakes in partition layout), the
+  * id is a pure function of the file bytes — the same line gets the
+  * same tid at any parallelism, any split size, any executor count.
+  * 40 offset bits = 1 TiB per file, 2^23 files per corpus; both are
+  * asserted at planning, not silently wrapped.
+  *
+  * Scale posture:
+  *  - files are byte-range split at `spark.sql.files.maxPartitionBytes`
+  *    granularity (Hadoop `LineRecordReader` boundary semantics: every
+  *    line read exactly once across adjacent splits); compressed files
+  *    fall back to one split per file.
+  *  - column pruning reaches the reader: a count(*) or tid-only scan
+  *    never splits/sorts item arrays.
+  *  - LIMIT pushes into each reader (early stop, Spark re-applies the
+  *    global limit above).
+  *  - tid-range predicates prune whole splits at planning (tid order ≡
+  *    (file, offset) order, so a tid bound is a byte-range bound);
+  *    every filter is also re-evaluated above the scan, so pruning can
+  *    never change semantics.
+  *  - writes go through a two-phase commit: task writers stage
+  *    `part-*.dat` files under a hidden per-query directory, the driver
+  *    renames only COMMITTED task files into place (and under
+  *    `truncate`, clears prior data inside the same job commit) — a
+  *    failed or speculative task leaves no partial output visible.
+  */
+class FimiDataSourceV2 extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "fimi"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    FimiTable.Schema
+
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table =
+    new FimiTable(new CaseInsensitiveStringMap(properties))
+}
+
+object FimiTable {
+  val Schema: StructType = StructType(Seq(
+    StructField("tid", LongType, nullable = false),
+    StructField("items", ArrayType(StringType, containsNull = false),
+      nullable = false)))
+
+  /** Bits of `tid` carrying the line's byte offset within its file. */
+  val OffsetBits = 40
+
+  /** Paths from the options map: `path` (load(p) / OPTIONS(path ...))
+    * or `paths` (load(p1, p2, ...) — a JSON string array). */
+  def paths(options: CaseInsensitiveStringMap): Seq[String] = {
+    val many = Option(options.get("paths")).toSeq.flatMap { json =>
+      val om = new com.fasterxml.jackson.databind.ObjectMapper()
+      om.readValue(json, classOf[Array[String]]).toSeq
+    }
+    val one = Option(options.get("path")).toSeq
+    val all = many ++ one
+    require(all.nonEmpty, "fimi: no `path` or `paths` option given")
+    all
+  }
+
+  /** Hadoop conf as a serializable KV snapshot (Configuration itself is
+    * not java-serializable; rebuilding from the full entry iterator —
+    * defaults included — reproduces it on executors). */
+  def confKVs(conf: Configuration): Array[(String, String)] =
+    conf.iterator().asScala.map(e => (e.getKey, e.getValue)).toArray
+
+  def rebuildConf(kvs: Array[(String, String)]): Configuration = {
+    val c = new Configuration(false)
+    kvs.foreach { case (k, v) => c.set(k, v) }
+    c
+  }
+
+  /** Expand the option paths (files, directories, globs) to the sorted
+    * data-file list that defines file ordinals. Hidden files (`_`/`.`
+    * prefixes — including our own staging dirs) are skipped. */
+  def listDataFiles(conf: Configuration, optionPaths: Seq[String]): Seq[FileStatus] = {
+    val out = ArrayBuffer.empty[FileStatus]
+    optionPaths.foreach { p =>
+      val path = new Path(p)
+      val fs = path.getFileSystem(conf)
+      val matched = Option(fs.globStatus(path)).map(_.toSeq).getOrElse(Seq.empty)
+      matched.foreach { st =>
+        if (st.isDirectory)
+          out ++= fs.listStatus(st.getPath).filter(f => f.isFile && visible(f.getPath))
+        else if (visible(st.getPath)) out += st
+      }
+    }
+    out.distinct.sortBy(_.getPath.toString).toSeq
+  }
+
+  private def visible(p: Path): Boolean =
+    !p.getName.startsWith("_") && !p.getName.startsWith(".")
+}
+
+class FimiTable(options: CaseInsensitiveStringMap)
+    extends Table with SupportsRead with SupportsWrite {
+
+  override def name(): String =
+    s"fimi(${FimiTable.paths(options).mkString(",")})"
+
+  override def schema(): StructType = FimiTable.Schema
+
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(
+      TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE,
+      TableCapability.ACCEPT_ANY_SCHEMA)
+
+  override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder = {
+    val merged = new java.util.HashMap[String, String](options)
+    merged.putAll(opts)
+    new FimiScanBuilder(new CaseInsensitiveStringMap(merged))
+  }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new FimiWriteBuilder(options, info)
+}
+
+// --------------------------------------------------------------- read
+
+class FimiScanBuilder(options: CaseInsensitiveStringMap)
+    extends ScanBuilder
+    with SupportsPushDownRequiredColumns
+    with SupportsPushDownLimit
+    with SupportsPushDownFilters {
+
+  private var requiredSchema: StructType = FimiTable.Schema
+  private var limit: Int = -1
+  private var pruneFilters: Array[Filter] = Array.empty
+
+  // Planning-time session state, captured here (the builder runs on the
+  // driver inside a session) so the scan itself is session-free.
+  private val session = SparkSession.active
+  private val hadoopKVs = FimiTable.confKVs(session.sessionState.newHadoopConf())
+  private val maxSplitBytes: Long =
+    Option(options.get("maxSplitBytes")).map(_.toLong)
+      .getOrElse(session.sessionState.conf.filesMaxPartitionBytes)
+  private val sep: String = Option(options.get("sep")).getOrElse("\\s+")
+
+  override def pruneColumns(required: StructType): Unit =
+    requiredSchema = required
+
+  override def pushLimit(l: Int): Boolean = { limit = l; true }
+  // isPartiallyPushed stays at its default `true`: Spark keeps its own
+  // global limit above the scan; readers just stop early.
+
+  /** tid-range filters prune SPLITS at planning; every filter is
+    * returned as residual so Spark re-evaluates it above the scan —
+    * pruning is a pure work-skip, never a semantics change. */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pruneFilters = filters.filter(tidBound(_).isDefined)
+    filters
+  }
+
+  override def pushedFilters(): Array[Filter] = pruneFilters
+
+  /** [lo, hi] tid bound implied by one filter, if it names `tid`. */
+  private def tidBound(f: Filter): Option[(Long, Long)] = f match {
+    case EqualTo("tid", v: Long) => Some((v, v))
+    case GreaterThan("tid", v: Long) => Some((v + 1, Long.MaxValue))
+    case GreaterThanOrEqual("tid", v: Long) => Some((v, Long.MaxValue))
+    case LessThan("tid", v: Long) => Some((Long.MinValue, v - 1))
+    case LessThanOrEqual("tid", v: Long) => Some((Long.MinValue, v))
+    case In("tid", vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[Long]) =>
+      val ls = vs.map(_.asInstanceOf[Long]); Some((ls.min, ls.max))
+    case And(l, r) =>
+      (tidBound(l), tidBound(r)) match {
+        case (Some((al, ah)), Some((bl, bh))) =>
+          Some((math.max(al, bl), math.min(ah, bh)))
+        case (a, b) => a.orElse(b)
+      }
+    case _ => None
+  }
+
+  override def build(): Scan = {
+    val bound = pruneFilters.flatMap(tidBound)
+      .foldLeft((Long.MinValue, Long.MaxValue)) { case ((lo, hi), (l, h)) =>
+        (math.max(lo, l), math.min(hi, h))
+      }
+    new FimiScan(FimiTable.paths(options).toIndexedSeq, hadoopKVs, requiredSchema,
+      maxSplitBytes, sep, limit, bound._1, bound._2)
+  }
+}
+
+case class FimiInputPartition(
+    filePath: String,
+    fileOrdinal: Int,
+    start: Long,
+    length: Long) extends InputPartition
+
+class FimiScan(
+    optionPaths: Seq[String],
+    hadoopKVs: Array[(String, String)],
+    requiredSchema: StructType,
+    maxSplitBytes: Long,
+    sep: String,
+    limit: Int,
+    tidLo: Long,
+    tidHi: Long) extends Scan with Batch with SupportsReportStatistics {
+
+  override def readSchema(): StructType = requiredSchema
+  override def toBatch: Batch = this
+
+  override def description(): String = {
+    val lim = if (limit >= 0) s", pushedLimit=$limit" else ""
+    val rng =
+      if (tidLo != Long.MinValue || tidHi != Long.MaxValue)
+        s", tidRange=[$tidLo,$tidHi]"
+      else ""
+    s"fimi ${optionPaths.mkString(",")}$lim$rng"
+  }
+
+  private lazy val partitions: Array[FimiInputPartition] = {
+    val conf = FimiTable.rebuildConf(hadoopKVs)
+    val files = FimiTable.listDataFiles(conf, optionPaths)
+    require(files.size < (1 << (63 - FimiTable.OffsetBits)),
+      s"fimi: ${files.size} files exceeds the tid file-ordinal range")
+    val codecs = new CompressionCodecFactory(conf)
+    files.iterator.zipWithIndex.flatMap { case (st, ord) =>
+      val len = st.getLen
+      require(len < (1L << FimiTable.OffsetBits),
+        s"fimi: ${st.getPath} is ${len} bytes; tid offset range is " +
+          s"${1L << FimiTable.OffsetBits} (1 TiB) per file")
+      val splittable = codecs.getCodec(st.getPath) == null
+      val splits =
+        if (!splittable || len <= maxSplitBytes) Seq((0L, len))
+        else (0L until len by maxSplitBytes)
+          .map(s => (s, math.min(maxSplitBytes, len - s)))
+      splits
+        .filter { case (s, l) =>
+          // Lines in a split start within [start, start+len] (closed on
+          // the left is conservative by one byte — the boundary line
+          // belongs to exactly one neighbor); empty intersection with
+          // the pushed tid range ⇒ the split cannot yield a match.
+          val lo = (ord.toLong << FimiTable.OffsetBits) | s
+          val hi = (ord.toLong << FimiTable.OffsetBits) | (s + l)
+          lo <= tidHi && hi >= tidLo
+        }
+        .filter(_._2 > 0)
+        .map { case (s, l) => FimiInputPartition(st.getPath.toString, ord, s, l) }
+    }.toArray
+  }
+
+  override def planInputPartitions(): Array[InputPartition] =
+    partitions.toArray[InputPartition]
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new FimiPartitionReaderFactory(hadoopKVs, requiredSchema, sep, limit)
+
+  override def estimateStatistics(): Statistics = new Statistics {
+    override def sizeInBytes(): OptionalLong =
+      OptionalLong.of(partitions.map(_.length).sum)
+    override def numRows(): OptionalLong = OptionalLong.empty()
+  }
+}
+
+class FimiPartitionReaderFactory(
+    hadoopKVs: Array[(String, String)],
+    requiredSchema: StructType,
+    sep: String,
+    limit: Int) extends PartitionReaderFactory {
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new FimiPartitionReader(
+      partition.asInstanceOf[FimiInputPartition],
+      FimiTable.rebuildConf(hadoopKVs), requiredSchema, sep, limit)
+}
+
+class FimiPartitionReader(
+    part: FimiInputPartition,
+    conf: Configuration,
+    requiredSchema: StructType,
+    sep: String,
+    limit: Int) extends PartitionReader[InternalRow] {
+
+  private val wantTid = requiredSchema.fieldNames.contains("tid")
+  private val wantItems = requiredSchema.fieldNames.contains("items")
+  private val tidIdx = requiredSchema.fieldNames.indexOf("tid")
+  private val itemsIdx = requiredSchema.fieldNames.indexOf("items")
+
+  private val reader = {
+    val split = new FileSplit(new Path(part.filePath), part.start, part.length, null)
+    val ctx = new TaskAttemptContextImpl(conf, new TaskAttemptID())
+    val r = new LineRecordReader()
+    r.initialize(split, ctx)
+    r
+  }
+
+  private var current: InternalRow = _
+  private var emitted = 0
+
+  override def next(): Boolean = {
+    if (limit >= 0 && emitted >= limit) return false
+    while (reader.nextKeyValue()) {
+      val line = reader.getCurrentValue.toString
+      val trimmed = line.trim
+      if (trimmed.nonEmpty) {
+        val row = new GenericInternalRow(requiredSchema.length)
+        if (wantTid) {
+          val offset = reader.getCurrentKey.get()
+          row.update(tidIdx,
+            (part.fileOrdinal.toLong << FimiTable.OffsetBits) | offset)
+        }
+        if (wantItems) {
+          val items = trimmed.split(sep).filter(_.nonEmpty).distinct.sorted
+          row.update(itemsIdx,
+            new GenericArrayData(items.map(UTF8String.fromString(_))))
+        }
+        current = row
+        emitted += 1
+        return true
+      }
+    }
+    false
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = reader.close()
+}
+
+// -------------------------------------------------------------- write
+
+class FimiWriteBuilder(options: CaseInsensitiveStringMap, info: LogicalWriteInfo)
+    extends WriteBuilder with SupportsTruncate {
+
+  private var truncateExisting = false
+
+  override def truncate(): WriteBuilder = { truncateExisting = true; this }
+
+  override def build(): Write = {
+    val itemsIdx = info.schema().fieldNames.indexOf("items")
+    require(itemsIdx >= 0 &&
+      info.schema()(itemsIdx).dataType.isInstanceOf[ArrayType] &&
+      info.schema()(itemsIdx).dataType.asInstanceOf[ArrayType]
+        .elementType == StringType,
+      s"fimi write needs an `items ARRAY<STRING>` column; got ${info.schema()}")
+    val dest = FimiTable.paths(options) match {
+      case Seq(one) => one
+      case many => throw new IllegalArgumentException(
+        s"fimi write needs exactly one destination path; got $many")
+    }
+    val kvs = FimiTable.confKVs(
+      SparkSession.active.sessionState.newHadoopConf())
+    new FimiBatchWrite(dest, kvs, itemsIdx, info.queryId(), truncateExisting)
+  }
+}
+
+case class FimiCommitMessage(stagedPath: String) extends WriterCommitMessage
+
+class FimiBatchWrite(
+    dest: String,
+    hadoopKVs: Array[(String, String)],
+    itemsIdx: Int,
+    queryId: String,
+    truncate: Boolean) extends Write with BatchWrite {
+
+  override def toBatch: BatchWrite = this
+
+  private def stagingDir = new Path(dest, s".graft-staging-$queryId")
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new FimiWriterFactory(stagingDir.toString, hadoopKVs, itemsIdx)
+
+  /** Job commit — the only point where data becomes visible: clear old
+    * part files under truncate, then rename each COMMITTED task file
+    * into place. Rename is per-file-atomic on HDFS-like stores; a crash
+    * mid-commit leaves a mix the next truncate-write clears, never a
+    * torn file. */
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val conf = FimiTable.rebuildConf(hadoopKVs)
+    val destPath = new Path(dest)
+    val fs = destPath.getFileSystem(conf)
+    fs.mkdirs(destPath)
+    if (truncate)
+      Option(fs.listStatus(destPath)).getOrElse(Array.empty).foreach { st =>
+        if (st.isFile && st.getPath.getName.startsWith("part-"))
+          fs.delete(st.getPath, false)
+      }
+    messages.foreach {
+      case FimiCommitMessage(staged) =>
+        val s = new Path(staged)
+        fs.rename(s, new Path(destPath, s.getName))
+      case other => throw new IllegalStateException(s"unexpected $other")
+    }
+    fs.delete(stagingDir, true)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val conf = FimiTable.rebuildConf(hadoopKVs)
+    val fs = stagingDir.getFileSystem(conf)
+    fs.delete(stagingDir, true)
+  }
+}
+
+class FimiWriterFactory(
+    stagingDir: String,
+    hadoopKVs: Array[(String, String)],
+    itemsIdx: Int) extends DataWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new FimiDataWriter(stagingDir, FimiTable.rebuildConf(hadoopKVs),
+      itemsIdx, partitionId, taskId)
+}
+
+/** Task-side writer: streams lines into one staged file; `commit`
+  * closes it and hands the path to the driver. Task retries write
+  * distinct files (taskId in the name) — only the winner's message
+  * reaches job commit, the loser's file dies with the staging dir. */
+class FimiDataWriter(
+    stagingDir: String,
+    conf: Configuration,
+    itemsIdx: Int,
+    partitionId: Int,
+    taskId: Long) extends DataWriter[InternalRow] {
+
+  private val file = new Path(stagingDir, f"part-$partitionId%05d-$taskId.dat")
+  private val fs = file.getFileSystem(conf)
+  private val out = new java.io.BufferedWriter(
+    new java.io.OutputStreamWriter(fs.create(file, true),
+      java.nio.charset.StandardCharsets.UTF_8))
+
+  override def write(row: InternalRow): Unit = {
+    val arr = row.getArray(itemsIdx)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      if (i > 0) out.write(' ')
+      out.write(arr.getUTF8String(i).toString)
+      i += 1
+    }
+    out.write('\n')
+  }
+
+  override def commit(): WriterCommitMessage = {
+    out.close()
+    FimiCommitMessage(file.toString)
+  }
+
+  override def abort(): Unit = {
+    out.close()
+    fs.delete(file, false)
+  }
+
+  override def close(): Unit = ()
+}

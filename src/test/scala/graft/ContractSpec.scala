@@ -537,9 +537,35 @@ class ContractSpec extends SparkSpec {
     // current generator: µs-naive → TIMESTAMP_NTZ on read
     shaped(expr(s"timestamp_micros($epochUs + id * 1000000)").cast("timestamp_ntz"))
       .write.parquet(s"$base/ntz/events.parquet")
-    // legacy generator: ns precision → LongType on read (nanosAsLong)
-    shaped(lit(epochUs * 1000L) + col("id") * 1000000000L)
-      .write.parquet(s"$base/ns/events.parquet")
+    // Legacy generator: a REAL TIMESTAMP(NANOS)-annotated file. Spark's
+    // writer can't emit NANOS, so build it with parquet-java directly —
+    // the loader's repair keys on the footer annotation (a plain INT64
+    // is a genuine long column and must NOT be touched), so only an
+    // annotated file exercises the legacy path.
+    locally {
+      import org.apache.parquet.schema.{LogicalTypeAnnotation, PrimitiveType, Types}
+      val msg = Types.buildMessage()
+        .required(PrimitiveType.PrimitiveTypeName.INT64).named("user_id")
+        .required(PrimitiveType.PrimitiveTypeName.INT64)
+        .as(LogicalTypeAnnotation.timestampType(false, LogicalTypeAnnotation.TimeUnit.NANOS))
+        .named("ts")
+        .required(PrimitiveType.PrimitiveTypeName.BINARY)
+        .as(LogicalTypeAnnotation.stringType()).named("event_type")
+        .named("spark_schema")
+      val hconf = new org.apache.hadoop.conf.Configuration()
+      org.apache.parquet.hadoop.example.GroupWriteSupport.setSchema(msg, hconf)
+      val w = org.apache.parquet.hadoop.example.ExampleParquetWriter.builder(
+        org.apache.parquet.hadoop.util.HadoopOutputFile.fromPath(
+          new org.apache.hadoop.fs.Path(s"$base/ns/events.parquet"), hconf))
+        .withConf(hconf).build()
+      val gf = new org.apache.parquet.example.data.simple.SimpleGroupFactory(msg)
+      for (i <- 0 until 5)
+        w.write(gf.newGroup()
+          .append("user_id", i.toLong)
+          .append("ts", epochUs * 1000L + i * 1000000000L)
+          .append("event_type", "click"))
+      w.close()
+    }
     // plain µs TimestampType: must pass through untouched
     shaped(expr(s"timestamp_micros($epochUs + id * 1000000)"))
       .write.parquet(s"$base/us/events.parquet")

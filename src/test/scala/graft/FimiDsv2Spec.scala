@@ -1,0 +1,172 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions._
+
+/** Contract tests for the `fimi` DataSourceV2 connector
+  * (graft.sources.fimi.FimiDataSourceV2): split-invariant deterministic
+  * tids, byte-range split planning, reader-level column pruning, limit
+  * and tid-range pushdown, the two-phase write commit, and the session
+  * catalog (`CREATE TABLE ... USING fimi`) surface. */
+class FimiDsv2Spec extends SparkSpec {
+
+  private def tmpDir(tag: String): String =
+    Files.createTempDirectory(s"graft-fimi-$tag").toString
+
+  private def writeLines(dir: String, name: String, lines: Seq[String]): Unit = {
+    val p = java.nio.file.Paths.get(dir, name)
+    Files.write(p, String.join("\n", lines: _*).getBytes("UTF-8"))
+  }
+
+  private def readFimi(path: String, opts: Map[String, String] = Map.empty): DataFrame =
+    opts.foldLeft(spark.read.format("fimi"))((r, kv) => r.option(kv._1, kv._2)).load(path)
+
+  private def scanOf(df: DataFrame): BatchScanExec = {
+    df.queryExecution.executedPlan.collectFirst { case b: BatchScanExec => b }
+      .orElse(org.apache.spark.sql.graft.Bridge
+        .runtimeOps(df.queryExecution.executedPlan)
+        .collectFirst { case b: BatchScanExec => b })
+      .getOrElse(fail("no BatchScanExec in plan"))
+  }
+
+  test("read matches the FimiSource helper's baskets, content-identical") {
+    val dir = tmpDir("content")
+    writeLines(dir, "tx.dat", Seq(
+      "b a c", "a a b", "", "  ", "z", "c b"))
+    val v2 = readFimi(dir)
+    // canonicalization: dedup + sort, blank lines dropped
+    val got = v2.select(concat_ws(",", col("items")).as("b"))
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(got == Seq("a,b", "a,b,c", "b,c", "z"))
+    // helper reader sees the same content multiset
+    val helper = graft.sources.FimiSource.read(spark, s"$dir/tx.dat")
+      .select(concat_ws(",", col("items")).as("b"))
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(helper == got)
+  }
+
+  test("tids are deterministic and split-invariant: 1-byte-off split sizes agree") {
+    val dir = tmpDir("splits")
+    val lines = (0 until 2000).map(i => s"i${i % 7} i${i % 13} i${i % 31}")
+    writeLines(dir, "big.dat", lines)
+    val whole = readFimi(dir).collect()
+      .map(r => (r.getLong(0), r.getSeq[String](1).mkString(","))).sorted.toSeq
+    for (split <- Seq("512", "1023", "4096")) {
+      val df = readFimi(dir, Map("maxSplitBytes" -> split))
+      assert(df.rdd.getNumPartitions > 1, s"split=$split produced one partition")
+      val got = df.collect()
+        .map(r => (r.getLong(0), r.getSeq[String](1).mkString(","))).sorted.toSeq
+      assert(got == whole, s"split=$split changed the (tid, items) set")
+    }
+    assert(whole.map(_._1).distinct.size == whole.size, "tids not unique")
+    assert(whole.size == 2000)
+  }
+
+  test("multi-file reads order file ordinals by path; tids stay unique") {
+    val dir = tmpDir("multifile")
+    writeLines(dir, "a.dat", Seq("x y", "y z"))
+    writeLines(dir, "b.dat", Seq("x y", "p q"))
+    val rows = readFimi(dir).select("tid").collect().map(_.getLong(0))
+    assert(rows.distinct.length == 4)
+    val ordinals = rows.map(_ >> graft.sources.fimi.FimiTable.OffsetBits).distinct.sorted
+    assert(ordinals.toSeq == Seq(0L, 1L))
+  }
+
+  test("column pruning reaches the reader: items-only scan drops tid") {
+    val dir = tmpDir("prune")
+    writeLines(dir, "tx.dat", Seq("a b", "b c"))
+    val df = readFimi(dir).select("items")
+    val scan = scanOf(df)
+    assert(scan.scan.readSchema().fieldNames.toSeq == Seq("items"),
+      s"scan schema: ${scan.scan.readSchema()}")
+    assert(df.count() == 2)
+    // count(*): empty required schema still counts data lines
+    val cnt = readFimi(dir).count()
+    assert(cnt == 2)
+  }
+
+  test("limit pushes into the scan; global semantics unchanged") {
+    val dir = tmpDir("limit")
+    writeLines(dir, "tx.dat", (0 until 100).map(i => s"a$i b$i"))
+    val df = readFimi(dir).limit(7)
+    assert(df.count() == 7)
+    assert(scanOf(df).scan.description().contains("pushedLimit=7"),
+      s"desc: ${scanOf(df).scan.description()}")
+  }
+
+  test("tid-range predicate prunes whole splits at planning") {
+    val dir = tmpDir("tidprune")
+    val lines = (0 until 4000).map(i => s"i${i % 7} i${i % 13}")
+    writeLines(dir, "big.dat", lines)
+    val opts = Map("maxSplitBytes" -> "1024")
+    val all = readFimi(dir, opts)
+    val nAll = all.rdd.getNumPartitions
+    assert(nAll >= 8, s"expected many splits, got $nAll")
+    val bound = 2048L // byte offset ⇒ only splits overlapping [0, 2048]
+    val filtered = readFimi(dir, opts).filter(col("tid") <= bound)
+    val nFiltered = filtered.rdd.getNumPartitions
+    assert(nFiltered < nAll, s"no split pruning: $nFiltered vs $nAll")
+    // pruning is work-skip only: same rows as a post-hoc filter
+    val expect = all.collect().filter(_.getLong(0) <= bound)
+      .map(r => (r.getLong(0), r.getSeq[String](1).mkString(","))).sorted.toSeq
+    val got = filtered.collect()
+      .map(r => (r.getLong(0), r.getSeq[String](1).mkString(","))).sorted.toSeq
+    assert(got == expect)
+  }
+
+  test("write commits atomically: overwrite truncates, append adds, no staging residue") {
+    val src = tmpDir("wsrc")
+    writeLines(src, "tx.dat", Seq("a b c", "b c", "a c"))
+    val dest = tmpDir("wdest") + "/out"
+    val baskets = readFimi(src)
+    baskets.write.format("fimi").mode("overwrite").save(dest)
+    val back1 = readFimi(dest)
+    assert(back1.count() == 3)
+    // append doubles the corpus
+    baskets.write.format("fimi").mode("append").save(dest)
+    assert(readFimi(dest).count() == 6)
+    // overwrite truncates back to one copy
+    baskets.write.format("fimi").mode("overwrite").save(dest)
+    val back2 = readFimi(dest)
+    assert(back2.count() == 3)
+    assert(back2.select(concat_ws(",", col("items")).as("b"))
+      .collect().map(_.getString(0)).sorted.toSeq == Seq("a,b,c", "a,c", "b,c"))
+    // no staging residue
+    val residue = new java.io.File(dest).listFiles()
+      .filter(_.getName.startsWith(".graft-staging"))
+    assert(residue.isEmpty, residue.mkString(","))
+  }
+
+  test("write → read round-trips the sf baskets through the connector") {
+    val baskets = operators.Mining.fpmBasketize(spark, sf)
+      .select(col("l_orderkey").as("tid"),
+        split(col("items_str"), ",").as("items"))
+    val dest = tmpDir("roundtrip") + "/corpus"
+    baskets.write.format("fimi").mode("overwrite").save(dest)
+    val back = readFimi(dest)
+    assert(back.count() == baskets.count())
+    val a = baskets.select(concat_ws(",", col("items")).as("b"))
+      .groupBy("b").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val b = back.select(concat_ws(",", col("items")).as("b"))
+      .groupBy("b").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(a == b)
+  }
+
+  test("session catalog surface: CREATE TABLE ... USING fimi, then SQL over it") {
+    val dir = tmpDir("catalog")
+    writeLines(dir, "tx.dat", Seq("a b", "b c", "a b c"))
+    spark.sql("DROP TABLE IF EXISTS fimi_tx")
+    spark.sql(s"CREATE TABLE fimi_tx USING fimi OPTIONS (path '$dir')")
+    try {
+      val n = spark.sql(
+        "SELECT item, count(*) AS freq FROM (SELECT explode(items) AS item FROM fimi_tx) GROUP BY item")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(n == Map("a" -> 2L, "b" -> 3L, "c" -> 2L))
+    } finally spark.sql("DROP TABLE IF EXISTS fimi_tx")
+  }
+}
