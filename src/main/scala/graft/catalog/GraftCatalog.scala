@@ -1,0 +1,162 @@
+package graft.catalog
+
+import java.util
+
+import scala.collection.mutable
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** DataSourceV2 `TableCatalog` over a directory tree of datasets — the
+  * multi-catalog surface a 100 TB deployment addresses tables through
+  * (`SELECT ... FROM graft.<dataset>.<table>`) instead of hard-coded
+  * paths.
+  *
+  * Layout contract (matches the driver's testdata tree):
+  * `root/<namespace>/<table>.parquet` (file or directory) is a parquet
+  * table served by Spark's own DSv2 parquet implementation (full
+  * pushdown/pruning/vectorization — the catalog only does name→path
+  * resolution); `root/<namespace>/<table>.fimi` (a directory of
+  * transaction text) is served by the
+  * [[graft.sources.fimi.FimiDataSourceV2]] connector. So one catalog
+  * name spans both the columnar star schema and the reference-native
+  * mining format.
+  *
+  * Register with:
+  * {{{
+  *   spark.sql.catalog.graft      = graft.catalog.GraftCatalog
+  *   spark.sql.catalog.graft.root = /root/testdata
+  * }}}
+  * then `spark.sql("SELECT ... FROM graft.`sf0.001`.lineitem")`.
+  *
+  * The catalog is read-only by design (createTable/alterTable/drop
+  * throw): the engine treats datasets as immutable corpus snapshots;
+  * writes go through the connector write paths (`df.write.format("fimi")`
+  * / parquet) and become visible here on the next load. `invalidateTable`
+  * drops the resolution cache entry, so an external rewrite is picked up
+  * without a session restart.
+  *
+  * Scale posture: namespace/table listing is one filesystem `listStatus`
+  * per level (no recursion); table resolution is cached per identifier;
+  * all data-plane work (scan planning, pushdown, splits) happens in the
+  * delegated table implementations, which are exactly the ones a plain
+  * path-based read would use — the catalog adds zero per-row overhead.
+  */
+class GraftCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var root: Path = _
+  private val cache = mutable.Map.empty[Identifier, Table]
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    val r = options.get("root")
+    require(r != null,
+      s"catalog $name needs option spark.sql.catalog.$name.root=<dir>")
+    root = new Path(r)
+  }
+
+  override def name(): String = catalogName
+
+  private def fs = root.getFileSystem(
+    SparkSession.active.sessionState.newHadoopConf())
+
+  // ------------------------------------------------------ namespaces
+
+  override def listNamespaces(): Array[Array[String]] =
+    fs.listStatus(root).filter(_.isDirectory)
+      .map(st => Array(st.getPath.getName)).sortBy(_.head)
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] = {
+    if (namespace.isEmpty) listNamespaces()
+    else if (namespaceExists(namespace)) Array.empty
+    else throw new NoSuchNamespaceException((name() +: namespace).toSeq)
+  }
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.length == 1 && {
+      val p = new Path(root, namespace.head)
+      fs.exists(p) && fs.getFileStatus(p).isDirectory
+    }
+
+  override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] = {
+    if (!namespaceExists(namespace))
+      throw new NoSuchNamespaceException((name() +: namespace).toSeq)
+    util.Collections.singletonMap("location",
+      new Path(root, namespace.head).toString)
+  }
+
+  override def createNamespace(
+      namespace: Array[String], metadata: util.Map[String, String]): Unit =
+    throw new UnsupportedOperationException(
+      s"catalog ${name()} is read-only: datasets are corpus snapshots")
+
+  override def alterNamespace(
+      namespace: Array[String], changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException(
+      s"catalog ${name()} is read-only: datasets are corpus snapshots")
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean =
+    throw new UnsupportedOperationException(
+      s"catalog ${name()} is read-only: datasets are corpus snapshots")
+
+  // ----------------------------------------------------------- tables
+
+  private def tablePath(ident: Identifier, ext: String): Path =
+    new Path(new Path(root, ident.namespace().mkString("/")), ident.name() + ext)
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    if (!namespaceExists(namespace))
+      throw new NoSuchNamespaceException((name() +: namespace).toSeq)
+    fs.listStatus(new Path(root, namespace.head))
+      .flatMap { st =>
+        val n = st.getPath.getName
+        if (n.endsWith(".parquet")) Some(n.stripSuffix(".parquet"))
+        else if (n.endsWith(".fimi") && st.isDirectory) Some(n.stripSuffix(".fimi"))
+        else None
+      }
+      .sorted.map(Identifier.of(namespace, _))
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    ident.namespace().length == 1 &&
+      (fs.exists(tablePath(ident, ".parquet")) || fs.exists(tablePath(ident, ".fimi")))
+
+  override def loadTable(ident: Identifier): Table = cache.getOrElseUpdate(ident, {
+    val parquet = tablePath(ident, ".parquet")
+    val fimi = tablePath(ident, ".fimi")
+    if (ident.namespace().length == 1 && fs.exists(parquet))
+      org.apache.spark.sql.graft.Bridge.parquetTable(
+        SparkSession.active, ident.toString, parquet.toString)
+    else if (ident.namespace().length == 1 && fs.exists(fimi))
+      new graft.sources.fimi.FimiTable(new CaseInsensitiveStringMap(
+        util.Collections.singletonMap("path", fimi.toString)))
+    else throw new NoSuchTableException(ident)
+  })
+
+  override def invalidateTable(ident: Identifier): Unit = cache.remove(ident)
+
+  override def createTable(
+      ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String]): Table =
+    throw new UnsupportedOperationException(
+      s"catalog ${name()} is read-only: write through the connector paths " +
+        "(df.write.format(\"fimi\"/\"parquet\")) instead")
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      s"catalog ${name()} is read-only: datasets are corpus snapshots")
+
+  override def dropTable(ident: Identifier): Boolean =
+    throw new UnsupportedOperationException(
+      s"catalog ${name()} is read-only: datasets are corpus snapshots")
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException(
+      s"catalog ${name()} is read-only: datasets are corpus snapshots")
+}

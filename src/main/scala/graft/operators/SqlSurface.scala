@@ -667,7 +667,36 @@ object SqlSurface {
     s.sql(q22Sql)
   }
 
+  /** The same engine addressed through the [[graft.catalog.GraftCatalog]]
+    * `TableCatalog` plugin instead of temp views: lineitem resolved as
+    * `graft.<dataset>.lineitem` (namespace = the sf directory name), the
+    * scan served by Spark's delegated DSv2 parquet table. The oracle is
+    * the view-form aggregate — content identity proves catalog
+    * resolution adds nothing and loses nothing vs the path read.
+    *
+    * Scale posture: identical physical plan to a path-based read (the
+    * catalog resolves names only); pruning/pushdown gated in
+    * GraftCatalogSpec. */
+  def sqlCatalogScan(s: SparkSession, dir: String): DataFrame = {
+    val parent = new java.io.File(dir).getAbsoluteFile.getParent
+    val ns = new java.io.File(dir).getName
+    s.conf.set("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft.root", parent)
+    s.sql(
+      s"""SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS cnt
+         |FROM graft.`$ns`.lineitem
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin)
+  }
+
+  private val catalogScanOracleSql =
+    """SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS cnt
+      |FROM lineitem
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sql_catalog_scan"   -> (sqlCatalogScan _),
     "sql_tpch_q1"        -> (sqlQ1 _),
     "sql_tpch_q2"        -> (sqlQ2 _),
     "sql_tpch_q3"        -> (sqlQ3 _),
@@ -696,6 +725,7 @@ object SqlSurface {
   )
 
   val oracle: Map[String, String] = Map(
+    "sql_catalog_scan"   -> catalogScanOracleSql,
     "sql_tpch_q1"        -> q1Sql,
     "sql_tpch_q2"        -> q2Sql,
     "sql_tpch_q3"        -> q3Sql,

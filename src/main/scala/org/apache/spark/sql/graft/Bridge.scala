@@ -13,6 +13,25 @@ object Bridge {
   def ofRows(spark: org.apache.spark.sql.SparkSession, plan: LogicalPlan): DataFrame =
     Dataset.ofRows(spark.asInstanceOf[SparkSession], plan)
 
+  /** Construct Spark's own DataSourceV2 parquet [[Table]] for a path —
+    * the delegation target of [[graft.catalog.GraftCatalog]]. Kept here
+    * because `ParquetTable` lives in the `execution` package: the
+    * catalog plugin itself stays on the public connector API and only
+    * this one construction crosses the internal boundary (same
+    * technique, and same single-file confinement, as `ofRows`). */
+  def parquetTable(
+      spark: org.apache.spark.sql.SparkSession,
+      name: String,
+      path: String): org.apache.spark.sql.connector.catalog.Table =
+    org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable(
+      name,
+      spark.asInstanceOf[SparkSession],
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Collections.singletonMap("path", path)),
+      Seq(path),
+      None,
+      classOf[org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat])
+
   /** Runtime-operator walk for the plan-shape tests: expands AQE
     * wrappers (AdaptiveSparkPlanExec / QueryStageExec) to the plan they
     * currently hold, descends into subquery plans, and STOPS at cached
