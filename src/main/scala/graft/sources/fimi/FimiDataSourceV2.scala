@@ -147,6 +147,7 @@ class FimiTable(options: CaseInsensitiveStringMap)
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(
       TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE,
       TableCapability.ACCEPT_ANY_SCHEMA)
@@ -245,6 +246,16 @@ class FimiScan(
 
   override def readSchema(): StructType = requiredSchema
   override def toBatch: Batch = this
+
+  /** Streaming form: new files in the directory become micro-batches
+    * (see [[FimiMicroBatchStream]] for the discovery-log offset
+    * design). Column pruning applies to streaming reads too; limit and
+    * tid-range pushdown are batch-only (the engine replays offsets, so
+    * planning must be a pure function of the log). */
+  override def toMicroBatchStream(
+      checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new FimiMicroBatchStream(
+      optionPaths, hadoopKVs, requiredSchema, sep, checkpointLocation)
 
   override def description(): String = {
     val lim = if (limit >= 0) s", pushedLimit=$limit" else ""

@@ -1,0 +1,127 @@
+package graft.sources.fimi
+
+import scala.collection.mutable
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.types.StructType
+
+/** Streaming micro-batch read for the `fimi` connector: new transaction
+  * files landing in the directory become batches — the
+  * landing-corpus ingestion shape (`spark.readStream.format("fimi")
+  * .load(dir)` → miners / dedup / quality operators downstream).
+  *
+  * Offsets are positions in a DISCOVERY LOG: each `latestOffset` lists
+  * the directory, appends unseen files (ordered by (modTime, path) for
+  * determinism within a discovery batch) to the log, and persists the
+  * increment under `<checkpointLocation>/graft-fimi-log/<from>-<to>`
+  * before the offset is returned — so a restart rebuilds the identical
+  * log (and therefore identical file→ordinal assignment) from the
+  * checkpoint, and an offset the engine replays always maps to the same
+  * files. A file's tid ordinal is its log position, making streaming
+  * tids stable across restarts and disjoint across files, exactly like
+  * the batch scan's path-sorted ordinals.
+  *
+  * Scale posture: discovery is one `listStatus` per trigger; per-batch
+  * work is proportional to NEW files only; the log write is one small
+  * rename-committed file per non-empty discovery. Readers are the batch
+  * readers (byte-range semantics per whole file — a landing file is one
+  * split; files larger than a split would arrive through the batch
+  * path). The in-memory seen-set is one entry per file — the same
+  * driver-side envelope as Spark's own FileStreamSource.
+  */
+class FimiMicroBatchStream(
+    optionPaths: Seq[String],
+    hadoopKVs: Array[(String, String)],
+    requiredSchema: StructType,
+    sep: String,
+    checkpointLocation: String) extends MicroBatchStream {
+
+  private val conf: Configuration = FimiTable.rebuildConf(hadoopKVs)
+  private val logDir = new Path(checkpointLocation, "graft-fimi-log")
+  private def fs = logDir.getFileSystem(conf)
+
+  /** Discovery log: file path per position; positions are tid ordinals. */
+  private val log = mutable.ArrayBuffer.empty[String]
+  private val seen = mutable.HashSet.empty[String]
+  restore()
+
+  private def restore(): Unit = {
+    if (!fs.exists(logDir)) return
+    val entries = fs.listStatus(logDir).map(_.getPath)
+      .filter(_.getName.matches("\\d+-\\d+"))
+      .sortBy(_.getName.split("-")(0).toLong)
+    entries.foreach { p =>
+      val in = fs.open(p)
+      val content =
+        try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+        finally in.close()
+      content.split("\n").filter(_.nonEmpty).foreach { f =>
+        if (seen.add(f)) log += f
+      }
+    }
+  }
+
+  /** Persist one log increment atomically (temp + rename): the offset
+    * is only visible to the engine after its files are durable. */
+  private def persist(from: Int, files: Seq[String]): Unit = {
+    fs.mkdirs(logDir)
+    val name = s"$from-${from + files.size}"
+    val tmp = new Path(logDir, s".$name.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(
+      files.mkString("", "\n", "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    fs.rename(tmp, new Path(logDir, name))
+  }
+
+  override def initialOffset(): Offset = FimiOffset(0)
+
+  override def latestOffset(): Offset = {
+    val fresh = FimiTable.listDataFiles(conf, optionPaths)
+      .filterNot(st => seen.contains(st.getPath.toString))
+      .sortBy(st => (st.getModificationTime, st.getPath.toString))
+      .map(_.getPath.toString)
+    if (fresh.nonEmpty) {
+      val from = log.size
+      persist(from, fresh)
+      fresh.foreach { f => seen.add(f); log += f }
+    }
+    FimiOffset(log.size)
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val (s, e) = (start.asInstanceOf[FimiOffset].files, end.asInstanceOf[FimiOffset].files)
+    require(e <= log.size,
+      s"offset $e beyond the restored discovery log (${log.size}) — checkpoint log missing entries")
+    (s until e).map { ord =>
+      val p = new Path(log(ord))
+      val len = fs.getFileStatus(p).getLen
+      FimiInputPartition(log(ord), ord, 0L, len): InputPartition
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new FimiPartitionReaderFactory(hadoopKVs, requiredSchema, sep, -1)
+
+  override def deserializeOffset(json: String): Offset = FimiOffset.fromJson(json)
+
+  override def commit(end: Offset): Unit = ()
+
+  override def stop(): Unit = ()
+}
+
+/** Offset = number of files in the discovery log. */
+case class FimiOffset(files: Int) extends Offset {
+  override def json(): String = s"""{"files":$files}"""
+}
+
+object FimiOffset {
+  private val Re = """\{"files":(\d+)\}""".r
+  def fromJson(json: String): FimiOffset = json.trim match {
+    case Re(n) => FimiOffset(n.toInt)
+    case other => throw new IllegalArgumentException(s"bad fimi offset: $other")
+  }
+}

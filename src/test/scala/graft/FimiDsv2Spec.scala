@@ -157,6 +157,44 @@ class FimiDsv2Spec extends SparkSpec {
     assert(a == b)
   }
 
+  test("streaming read: new files become micro-batches; restart resumes from the checkpoint log") {
+    val src = tmpDir("stream-src")
+    val ck = tmpDir("stream-ck") + "/ck"
+    // phase files land one per run; foreachBatch (not the memory sink:
+    // memory is not fault-tolerant, Spark refuses to restart it from a
+    // checkpoint) captures exactly that run's emissions.
+    def drain(): Seq[(Long, String)] = {
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+      val q = spark.readStream.format("fimi").load(src)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ck)
+        .foreachBatch { (bdf: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          val rows = bdf.collect()
+            .map(r => (r.getLong(0), r.getSeq[String](1).mkString(",")))
+          buf.synchronized { buf ++= rows }
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      buf.synchronized(buf.toSeq)
+    }
+    writeLines(src, "a.dat", Seq("x y", "y z"))
+    val run1 = drain()
+    assert(run1.map(_._2).sorted == Seq("x,y", "y,z"))
+    // second file lands while the query is DOWN; the restarted run must
+    // emit ONLY the new file (committed offsets not reprocessed) with
+    // the next log ordinal
+    writeLines(src, "b.dat", Seq("p q"))
+    val run2 = drain()
+    assert(run2.map(_._2) == Seq("p,q"), run2.toString)
+    assert(run2.map(_._1 >> graft.sources.fimi.FimiTable.OffsetBits).distinct == Seq(1L))
+    // third run with nothing new emits nothing
+    assert(drain().isEmpty)
+    // ordinals across runs are disjoint and sequential: a=0, b=1
+    val ords = (run1 ++ run2).map(_._1 >> graft.sources.fimi.FimiTable.OffsetBits)
+    assert(ords.distinct.sorted == Seq(0L, 1L))
+  }
+
   test("session catalog surface: CREATE TABLE ... USING fimi, then SQL over it") {
     val dir = tmpDir("catalog")
     writeLines(dir, "tx.dat", Seq("a b", "b c", "a b c"))
