@@ -2,8 +2,6 @@ package graft.catalog
 
 import java.util
 
-import scala.collection.mutable
-
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.connector.catalog._
@@ -51,7 +49,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   private var catalogName: String = _
   private var root: Path = _
-  private val cache = mutable.Map.empty[Identifier, Table]
+  // TrieMap: loadTable can be hit from concurrent query threads
+  private val cache = scala.collection.concurrent.TrieMap.empty[Identifier, Table]
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name

@@ -342,18 +342,27 @@ class FimiPartitionReader(
     r
   }
 
+  /** For a compressed stream LineRecordReader's key is a stream
+    * position that can repeat across buffered lines, so offset-tids
+    * would collide; a compressed file is always a single split, so a
+    * plain line counter is deterministic and unique there instead. */
+  private val compressed =
+    new CompressionCodecFactory(conf).getCodec(new Path(part.filePath)) != null
+
   private var current: InternalRow = _
   private var emitted = 0
+  private var lineNo = -1L
 
   override def next(): Boolean = {
     if (limit >= 0 && emitted >= limit) return false
     while (reader.nextKeyValue()) {
+      lineNo += 1
       val line = reader.getCurrentValue.toString
       val trimmed = line.trim
       if (trimmed.nonEmpty) {
         val row = new GenericInternalRow(requiredSchema.length)
         if (wantTid) {
-          val offset = reader.getCurrentKey.get()
+          val offset = if (compressed) lineNo else reader.getCurrentKey.get()
           row.update(tidIdx,
             (part.fileOrdinal.toLong << FimiTable.OffsetBits) | offset)
         }
@@ -435,7 +444,9 @@ class FimiBatchWrite(
     messages.foreach {
       case FimiCommitMessage(staged) =>
         val s = new Path(staged)
-        fs.rename(s, new Path(destPath, s.getName))
+        if (!fs.rename(s, new Path(destPath, s.getName)))
+          throw new java.io.IOException(
+            s"fimi commit: rename $s -> $destPath/${s.getName} failed")
       case other => throw new IllegalStateException(s"unexpected $other")
     }
     fs.delete(stagingDir, true)
@@ -469,7 +480,12 @@ class FimiDataWriter(
     partitionId: Int,
     taskId: Long) extends DataWriter[InternalRow] {
 
-  private val file = new Path(stagingDir, f"part-$partitionId%05d-$taskId.dat")
+  // The job-unique staging-dir suffix rides into the FINAL name too:
+  // taskIds restart at 0 in a fresh session, so append-mode jobs from
+  // different sessions would otherwise collide on part-00000-0.dat.
+  private val jobTag = new Path(stagingDir).getName
+    .stripPrefix(".graft-staging-").replaceAll("[^a-zA-Z0-9]", "").take(8)
+  private val file = new Path(stagingDir, f"part-$partitionId%05d-$taskId-$jobTag.dat")
   private val fs = file.getFileSystem(conf)
   private val out = new java.io.BufferedWriter(
     new java.io.OutputStreamWriter(fs.create(file, true),

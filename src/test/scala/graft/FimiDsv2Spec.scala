@@ -157,6 +157,21 @@ class FimiDsv2Spec extends SparkSpec {
     assert(a == b)
   }
 
+  test("compressed file: single split, unique line-counter tids, content intact") {
+    val dir = tmpDir("gz")
+    val out = new java.util.zip.GZIPOutputStream(
+      new java.io.FileOutputStream(s"$dir/tx.dat.gz"))
+    out.write((0 until 500).map(i => s"a$i b").mkString("\n").getBytes("UTF-8"))
+    out.close()
+    // a tiny split size must NOT split a non-splittable codec
+    val df = readFimi(dir, Map("maxSplitBytes" -> "64"))
+    assert(df.rdd.getNumPartitions == 1)
+    val rows = df.collect().map(r => (r.getLong(0), r.getSeq[String](1).mkString(",")))
+    assert(rows.length == 500)
+    assert(rows.map(_._1).distinct.length == 500, "compressed tids collided")
+    assert(rows.map(_._2).sorted.toSeq == (0 until 500).map(i => s"a$i,b").sorted)
+  }
+
   test("streaming read: new files become micro-batches; restart resumes from the checkpoint log") {
     val src = tmpDir("stream-src")
     val ck = tmpDir("stream-ck") + "/ck"
