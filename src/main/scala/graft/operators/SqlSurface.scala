@@ -689,6 +689,32 @@ object SqlSurface {
          |ORDER BY l_returnflag, l_linestatus""".stripMargin)
   }
 
+  /** WITH RECURSIVE — Spark 4's recursive-CTE surface (UnionLoopExec):
+    * a month ladder unrolled by the recursion, range-joined to orders.
+    * The identical text runs in DuckDB (dialect-shared recursive
+    * syntax), so this is an identical-SQL oracle like the TPC-H family.
+    *
+    * Scale posture: the recursive anchor+step produces 12 rows on the
+    * driver-ish side of a broadcast; the only real work is one pass
+    * over orders with a broadcast range join and a 12-group aggregate —
+    * recursion depth bounds the loop (engine guard:
+    * spark.sql.cteRecursionLevelLimit), the fact scan stays single-pass. */
+  private val recursiveCteSql =
+    """WITH RECURSIVE months(m) AS (
+      |  SELECT TIMESTAMP '1997-01-01 00:00:00'
+      |  UNION ALL
+      |  SELECT m + INTERVAL 1 MONTH FROM months WHERE m < TIMESTAMP '1997-12-01 00:00:00'
+      |)
+      |SELECT m, CAST(count(o_orderkey) AS BIGINT) AS n_orders
+      |FROM months LEFT JOIN orders
+      |  ON o_orderdate >= m AND o_orderdate < m + INTERVAL 1 MONTH
+      |GROUP BY m ORDER BY m""".stripMargin
+
+  def sqlRecursiveCte(s: SparkSession, dir: String): DataFrame = {
+    views(s, dir, "orders")
+    s.sql(recursiveCteSql)
+  }
+
   private val catalogScanOracleSql =
     """SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS cnt
       |FROM lineitem
@@ -697,6 +723,7 @@ object SqlSurface {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sql_catalog_scan"   -> (sqlCatalogScan _),
+    "sql_recursive_cte"  -> (sqlRecursiveCte _),
     "sql_tpch_q1"        -> (sqlQ1 _),
     "sql_tpch_q2"        -> (sqlQ2 _),
     "sql_tpch_q3"        -> (sqlQ3 _),
@@ -726,6 +753,7 @@ object SqlSurface {
 
   val oracle: Map[String, String] = Map(
     "sql_catalog_scan"   -> catalogScanOracleSql,
+    "sql_recursive_cte"  -> recursiveCteSql,
     "sql_tpch_q1"        -> q1Sql,
     "sql_tpch_q2"        -> q2Sql,
     "sql_tpch_q3"        -> q3Sql,

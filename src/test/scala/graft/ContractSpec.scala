@@ -123,6 +123,19 @@ class ContractSpec extends SparkSpec {
     assert(gi.split("FileScan").length - 1 == 1, s"grouping-id re-scans:\n$gi")
   }
 
+  test("sql_recursive_cte executes through UnionLoopExec (genuine recursion, not an unrolled union)") {
+    val ops = org.apache.spark.sql.graft.Bridge.runtimeOps(
+      SparkEntry.queries("sql_recursive_cte")(spark, sf).queryExecution.executedPlan)
+    assert(ops.exists(_.nodeName.contains("UnionLoop")),
+      ops.map(_.nodeName).mkString(" | "))
+    // the recursive side is the bounded 12-row ladder: the orders scan
+    // must sit under a broadcast join, never a shuffle of the fact side
+    // keyed by the ladder
+    val rows = SparkEntry.queries("sql_recursive_cte")(spark, sf).collect()
+    assert(rows.length == 12)
+    assert(rows.map(_.getLong(1)).sum > 0)
+  }
+
   test("expensive-tail plan gates: audited shapes locked against regression") {
     import org.apache.spark.sql.execution.{FileSourceScanExec, GenerateExec, SparkPlan}
     import org.apache.spark.sql.execution.exchange.Exchange
