@@ -414,6 +414,47 @@ object Relational {
         sum(dec("l_quantity")).cast("double").as("sum_qty"))
       .orderBy("l_returnflag")
 
+  /** COLUMN PROFILING — the data-quality staple (Deequ/Great-Expectations
+    * shape): one pass over orders computes, for every profiled column,
+    * non-null count, exact distinct count, and min/max (numeric columns
+    * in `min_num`/`max_num`, string columns in `min_str`/`max_str`, so
+    * no value crosses a type boundary and the oracle compares exactly) —
+    * then `stack` unpivots the single wide aggregate row into one row
+    * per column.
+    *
+    * Scale posture: ONE scan; the multi-distinct aggregate plans through
+    * Expand (rows × profiled-columns before partial aggregation — the
+    * standard exact-multi-distinct cost, plan-gated to a single scan).
+    * At 100 TB, exact distinct of a high-cardinality column is the knob
+    * to relax: swap `countDistinct` for `approx_count_distinct` per
+    * column and this stays a one-scan profile with bounded sketch
+    * state; min/max/count are cheap partial aggregates at any scale. */
+  def relProfile(s: SparkSession, dir: String): DataFrame = {
+    val numCols = Seq("o_custkey", "o_totalprice")
+    val strCols = Seq("o_orderstatus", "o_orderpriority")
+    val aggs =
+      (numCols ++ strCols).flatMap(c => Seq(
+        count(col(c)).as(s"nn_$c"),
+        countDistinct(col(c)).as(s"nd_$c"))) ++
+      numCols.flatMap(c => Seq(
+        min(col(c)).cast("double").as(s"mn_$c"),
+        max(col(c)).cast("double").as(s"mx_$c"))) ++
+      strCols.flatMap(c => Seq(
+        min(col(c)).as(s"smn_$c"),
+        max(col(c)).as(s"smx_$c")))
+    val wide = Tables.load(s, dir, "orders")
+      .agg(aggs.head, aggs.tail: _*)
+    val stacked =
+      (numCols.map(c =>
+        s"'$c', nn_$c, nd_$c, mn_$c, mx_$c, CAST(NULL AS STRING), CAST(NULL AS STRING)") ++
+       strCols.map(c =>
+        s"'$c', nn_$c, nd_$c, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), smn_$c, smx_$c"))
+        .mkString(", ")
+    wide.selectExpr(s"stack(${numCols.size + strCols.size}, $stacked) AS " +
+        "(col_name, n_nonnull, n_distinct, min_num, max_num, min_str, max_str)")
+      .orderBy("col_name")
+  }
+
   /** INCREMENTAL AGGREGATE MAINTENANCE — the materialized-view refresh
     * shape: an existing aggregate (the view) merges with the aggregate
     * of a newly ingested delta batch, and the merge equals re-aggregating
@@ -1064,6 +1105,7 @@ object Relational {
     "rel_agg_corr"       -> (relAggCorr _),
     "rel_agg_multidistinct" -> (relAggMultidistinct _),
     "rel_incremental_agg" -> (relIncrementalAgg _),
+    "rel_profile" -> (relProfile _),
     "rel_sessionize"     -> (relSessionize _),
     "rel_ewma"           -> (relEwma _),
     "rel_gap_fill"       -> (relGapFill _),
@@ -1087,6 +1129,37 @@ object Relational {
       """SELECT l_suppkey, CAST(count(*) AS BIGINT) AS est_cnt
         |FROM lineitem GROUP BY l_suppkey
         |ORDER BY est_cnt DESC, l_suppkey LIMIT 10""".stripMargin,
+
+    "rel_profile" ->
+      """SELECT 'o_custkey' AS col_name,
+        |       CAST(count(o_custkey) AS BIGINT) AS n_nonnull,
+        |       CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_distinct,
+        |       CAST(min(o_custkey) AS DOUBLE) AS min_num,
+        |       CAST(max(o_custkey) AS DOUBLE) AS max_num,
+        |       CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_totalprice',
+        |       CAST(count(o_totalprice) AS BIGINT),
+        |       CAST(count(DISTINCT o_totalprice) AS BIGINT),
+        |       CAST(min(o_totalprice) AS DOUBLE), CAST(max(o_totalprice) AS DOUBLE),
+        |       CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_orderstatus',
+        |       CAST(count(o_orderstatus) AS BIGINT),
+        |       CAST(count(DISTINCT o_orderstatus) AS BIGINT),
+        |       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+        |       min(o_orderstatus), max(o_orderstatus)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_orderpriority',
+        |       CAST(count(o_orderpriority) AS BIGINT),
+        |       CAST(count(DISTINCT o_orderpriority) AS BIGINT),
+        |       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+        |       min(o_orderpriority), max(o_orderpriority)
+        |FROM orders
+        |ORDER BY col_name""".stripMargin,
 
     "rel_incremental_agg" ->
       """SELECT o_orderpriority,

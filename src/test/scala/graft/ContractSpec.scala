@@ -105,6 +105,14 @@ class ContractSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(md.contains("Expand"), s"multi-distinct not Expand-planned:\n$md")
     assert(md.split("FileScan").length - 1 == 1, s"multi-distinct re-scans:\n$md")
+    // profile: one-pass multi-column profiling — a SINGLE orders scan
+    // feeds the Expand-planned multi-distinct wide aggregate; four
+    // UNION'd per-column scans (the oracle's formulation) would defeat
+    // the operator's point
+    val pf = operators.Relational.relProfile(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(pf.contains("Expand"), s"profile not Expand-planned:\n$pf")
+    assert(pf.split("FileScan").length - 1 == 1, s"profile re-scans:\n$pf")
     // retrieval join: the probes×k hit table broadcasts — the corpus
     // metadata scan must not shuffle for the join
     val rj = operators.LlmOps.retrievalJoin(spark, sf)
