@@ -110,6 +110,29 @@ object Scalar {
         (col("p.k") % 7 === 0).as("k_div7"))
       .orderBy("event_id")
 
+  /** VARIANT surface — Spark 4's semi-structured type: `parse_json`
+    * turns the props text into a VariantType column (binary-encoded,
+    * shreddable), `variant_get` extracts a TYPED path in one step, and
+    * `try_variant_get` on an absent path yields NULL instead of
+    * throwing — the open-schema ingestion shape (event payloads whose
+    * fields drift) that VARIANT exists for. Output is plain typed
+    * scalars, so the DuckDB oracle extracts the same values from the
+    * raw JSON text.
+    *
+    * Scale posture: per-row projections, fully codegen-compatible; the
+    * variant binary is built once per row and both extractions read it
+    * without re-parsing the text (vs get_json_object re-parsing per
+    * call — the reason VARIANT replaces JSON strings at volume). */
+  def fnVariant(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+      .select(col("event_id"), parse_json(col("props")).as("v"))
+      .select(
+        col("event_id"),
+        expr("variant_get(v, '$.k', 'int')").as("k"),
+        expr("try_variant_get(v, '$.absent', 'int')").as("absent_k"),
+        expr("is_variant_null(v)").as("v_is_null"))
+      .orderBy("event_id")
+
   /** Regex surface — extract / replace-all / match / extract-all-count,
     * all codegen'd built-ins. Patterns stay inside the Java-regex ∩
     * RE2 common subset (character classes, quantifiers, anchors — no
@@ -216,6 +239,7 @@ object Scalar {
     "fn_regexp"      -> (fnRegexp _),
     "fn_hof"         -> (fnHof _),
     "fn_json_typed"  -> (fnJsonTyped _),
+    "fn_variant"     -> (fnVariant _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -302,6 +326,13 @@ object Scalar {
       """SELECT event_id,
         |       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
         |       CAST(json_extract_string(props, '$.k') AS INTEGER) % 7 = 0 AS k_div7
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "fn_variant" ->
+      """SELECT event_id,
+        |       CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+        |       CAST(NULL AS INTEGER) AS absent_k,
+        |       FALSE AS v_is_null
         |FROM events ORDER BY event_id""".stripMargin,
 
     "fn_bitwise" ->
