@@ -133,6 +133,28 @@ object Scalar {
         expr("is_variant_null(v)").as("v_is_null"))
       .orderBy("event_id")
 
+  /** COLLATION surface — Spark 4's collated-string type: each customer
+    * name is doubled into (original, UPPERCASE) variants, and grouping
+    * the `UTF8_LCASE`-collated column merges the case variants (cnt=2
+    * per name) where binary grouping would keep them apart — the
+    * case-insensitive key semantics (dedup keys, joins on user-entered
+    * text) that previously forced `lower()` rewrites at every use site.
+    * The collation is declared ON THE TYPE, so every comparison —
+    * GROUP BY hashing here — honors it without per-expression wrapping.
+    * Output lower-cases and casts back to binary strings, keeping the
+    * result engine-portable (the oracle states the same query in the
+    * `lower()`-rewrite form).
+    *
+    * Scale posture: collation changes hashing/equality only — the plan
+    * is the same single explode + hash aggregate any groupBy gets. */
+  def fnCollation(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "customer")
+      .select(explode(array(col("c_name"), upper(col("c_name")))).as("name_v"))
+      .select(expr("collate(name_v, 'UTF8_LCASE')").as("name_c"))
+      .groupBy("name_c").agg(count(lit(1)).as("cnt"))
+      .select(lower(col("name_c")).cast("string").as("name_lc"), col("cnt"))
+      .orderBy("name_lc")
+
   /** Regex surface — extract / replace-all / match / extract-all-count,
     * all codegen'd built-ins. Patterns stay inside the Java-regex ∩
     * RE2 common subset (character classes, quantifiers, anchors — no
@@ -240,6 +262,7 @@ object Scalar {
     "fn_hof"         -> (fnHof _),
     "fn_json_typed"  -> (fnJsonTyped _),
     "fn_variant"     -> (fnVariant _),
+    "fn_collation"   -> (fnCollation _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -334,6 +357,12 @@ object Scalar {
         |       CAST(NULL AS INTEGER) AS absent_k,
         |       FALSE AS v_is_null
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "fn_collation" ->
+      """SELECT lower(name_v) AS name_lc, CAST(count(*) AS BIGINT) AS cnt
+        |FROM (SELECT unnest([c_name, upper(c_name)]) AS name_v FROM customer)
+        |GROUP BY lower(name_v)
+        |ORDER BY name_lc""".stripMargin,
 
     "fn_bitwise" ->
       """SELECT l_orderkey, l_linenumber,
