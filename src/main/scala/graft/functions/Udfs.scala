@@ -71,8 +71,32 @@ object Udfs {
       .orderBy("l_orderkey", "item_a", "item_b")
   }
 
+  /** SQL-defined scalar function — Spark 4's `CREATE FUNCTION ... RETURN
+    * <expr>` (the fourth extension tier, and the cheapest: the analyzer
+    * INLINES the body into the calling plan, so unlike a Scala UDF the
+    * call stays fully codegen'd and optimizable — predicate pushdown and
+    * constant folding see through it). The tier a warehouse team reaches
+    * for first: shared business logic without shipping jars.
+    *
+    * Scale posture: zero runtime cost vs writing the CASE inline —
+    * ResolveSQLFunctions rewrites it away before optimization. */
+  def udfSqlFunction(s: SparkSession, dir: String): DataFrame = {
+    graft.Tables.load(s, dir, "orders").createOrReplaceTempView("orders")
+    s.sql(
+      """CREATE OR REPLACE TEMPORARY FUNCTION graft_order_tier(p DOUBLE)
+        |RETURNS STRING
+        |RETURN CASE WHEN p > 300000 THEN 'high'
+        |            WHEN p > 150000 THEN 'mid'
+        |            ELSE 'low' END""".stripMargin)
+    s.sql(
+      """SELECT graft_order_tier(o_totalprice) AS tier,
+        |       CAST(count(*) AS BIGINT) AS cnt
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "udf_scalar"           -> (udfScalar _),
+    "udf_sql_function"     -> (udfSqlFunction _),
     "udaf_itemset_support" -> (udafItemsetSupport _),
     "udtf_generator"       -> (udtfGenerator _),
   )
@@ -84,6 +108,13 @@ object Udfs {
       |)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "udf_sql_function" ->
+      """SELECT CASE WHEN o_totalprice > 300000 THEN 'high'
+        |            WHEN o_totalprice > 150000 THEN 'mid'
+        |            ELSE 'low' END AS tier,
+        |       CAST(count(*) AS BIGINT) AS cnt
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "udf_scalar" ->
       """SELECT l_orderkey,
         |       CAST(count(DISTINCT p_brand) AS BIGINT) AS basket_size,

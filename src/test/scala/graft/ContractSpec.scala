@@ -131,6 +131,17 @@ class ContractSpec extends SparkSpec {
     assert(gi.split("FileScan").length - 1 == 1, s"grouping-id re-scans:\n$gi")
   }
 
+  test("udf_sql_function inlines into the calling plan (no function node survives analysis)") {
+    val opt = functions.Udfs.udfSqlFunction(spark, sf)
+      .queryExecution.optimizedPlan.toString
+    assert(opt.contains("CASE WHEN"), opt)
+    assert(!opt.toLowerCase.contains("sqlfunction"), opt)
+    // and unlike a Scala UDF, nothing codegen-opaque is introduced
+    val phys = functions.Udfs.udfSqlFunction(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!phys.contains("ScalaUDF"), phys)
+  }
+
   test("sql_recursive_cte executes through UnionLoopExec (genuine recursion, not an unrolled union)") {
     val ops = org.apache.spark.sql.graft.Bridge.runtimeOps(
       SparkEntry.queries("sql_recursive_cte")(spark, sf).queryExecution.executedPlan)
