@@ -247,6 +247,85 @@ object Scalar {
           .cast("long").as("months_to_98"))
       .orderBy("o_orderkey")
 
+  /** LISTAGG surface — Spark 4's ordered string aggregation
+    * (`listagg(expr, delim) WITHIN GROUP (ORDER BY ...)`): nation names
+    * rolled up per region as one delimited string, plus the DISTINCT
+    * form over the single-letter name heads. WITHIN GROUP ordering is
+    * what makes the aggregate deterministic — an unordered listagg is
+    * partitioning-dependent and could never hash-match an oracle.
+    *
+    * Scale posture: listagg concatenates its whole group on one
+    * reducer, so the group key must bound the group (25 nations per
+    * region here). For unbounded groups the right shape is topk-prefix
+    * + listagg (cap first), never raw listagg over a fact column. */
+  def fnListagg(s: SparkSession, dir: String): DataFrame = {
+    val n = Tables.load(s, dir, "nation")
+    n.groupBy(col("n_regionkey"))
+      .agg(
+        expr("listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name)").as("members"),
+        expr("listagg(DISTINCT substring(n_name, 1, 1), '') WITHIN GROUP (ORDER BY substring(n_name, 1, 1))")
+          .as("initials"),
+        count(lit(1)).as("n_members"))
+      .orderBy("n_regionkey")
+  }
+
+  /** TRY_* error-safe arithmetic surface — the ANSI-mode companion
+    * family (Spark 4 defaults to ANSI, where silent overflow/bad-cast
+    * become runtime errors; `try_*` restores NULL-on-error semantics
+    * per expression, not per session): division with a data-dependent
+    * zero divisor, multiplication that overflows BIGINT for every key
+    * but 1, and to_number over both a numeric and a non-numeric string.
+    * The oracle states each column's defined result directly (DuckDB
+    * yields NULL for float/0 and TRY_CAST failures natively).
+    *
+    * Scale posture: pure per-row codegen'd projections; `try_*` is the
+    * 100 TB ingestion idiom — one malformed row NULLs out instead of
+    * failing a 6-hour job. */
+  def fnTryArith(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "orders")
+      .select(
+        col("o_orderkey"),
+        expr("try_divide(o_totalprice, o_custkey % 3)").as("safe_div"),
+        expr("try_multiply(o_orderkey, 9223372036854775807L)").as("safe_mul"),
+        expr("CAST(try_to_number(CAST(o_orderkey AS STRING), '999999999999') AS BIGINT)")
+          .as("num_ok"),
+        expr("CAST(try_to_number(o_orderstatus, '999') AS BIGINT)").as("num_bad"))
+      .orderBy("o_orderkey")
+
+  /** XML surface — Spark 4's native XML functions: each order row is
+    * serialized with `to_xml`, parsed back with `from_xml` under an
+    * explicit schema (typed struct out, no text re-parsing per field),
+    * and one field is additionally extracted by `xpath_long` straight
+    * off the XML text. Round-trip identity is the correctness claim, so
+    * the oracle is the identity projection of the source columns —
+    * the same content-identity pattern as `rel_format_roundtrip`.
+    * (Java's shortest-roundtrip double formatting keeps `tp_rt` exact:
+    * to_xml prints the minimal decimal string, from_xml re-parses it to
+    * the identical IEEE value — probed, including ≥ 1e7 values.)
+    *
+    * Scale posture: per-row projections, embarrassingly parallel; the
+    * from_xml-with-schema form is the semi-structured scan shape (parse
+    * once to a struct), xpath the ad-hoc exploration shape. */
+  def fnXml(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "orders")
+      .select(col("o_orderkey"),
+        to_xml(struct(
+          col("o_orderkey").as("k"),
+          col("o_orderstatus").as("st"),
+          col("o_totalprice").as("tp"))).as("x"))
+      .select(
+        col("o_orderkey"),
+        from_xml(col("x"),
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "k BIGINT, st STRING, tp DOUBLE")).as("r"),
+        expr("xpath_long(x, '/ROW/k')").as("xp_k"))
+      .select(
+        col("o_orderkey"),
+        col("r.st").as("st_rt"),
+        col("r.tp").as("tp_rt"),
+        col("xp_k"))
+      .orderBy("o_orderkey")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "fn_interval"    -> (fnInterval _),
     "fn_map"         -> (fnMap _),
@@ -263,6 +342,9 @@ object Scalar {
     "fn_json_typed"  -> (fnJsonTyped _),
     "fn_variant"     -> (fnVariant _),
     "fn_collation"   -> (fnCollation _),
+    "fn_listagg"     -> (fnListagg _),
+    "fn_try_arith"   -> (fnTryArith _),
+    "fn_xml"         -> (fnXml _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -392,6 +474,30 @@ object Scalar {
         |         list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
         |         (acc, v) -> acc + v) AS sumsq
         |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    "fn_listagg" ->
+      """SELECT n_regionkey,
+        |       string_agg(n_name, ',' ORDER BY n_name) AS members,
+        |       string_agg(DISTINCT substring(n_name, 1, 1), ''
+        |                  ORDER BY substring(n_name, 1, 1)) AS initials,
+        |       CAST(count(*) AS BIGINT) AS n_members
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
+
+    "fn_try_arith" ->
+      """SELECT o_orderkey,
+        |       o_totalprice / (o_custkey % 3) AS safe_div,
+        |       CASE WHEN o_orderkey = 1 THEN 9223372036854775807
+        |            WHEN o_orderkey = 0 THEN 0 ELSE NULL END AS safe_mul,
+        |       CAST(o_orderkey AS BIGINT) AS num_ok,
+        |       CAST(NULL AS BIGINT) AS num_bad
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "fn_xml" ->
+      """SELECT o_orderkey,
+        |       o_orderstatus AS st_rt,
+        |       o_totalprice AS tp_rt,
+        |       o_orderkey AS xp_k
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "fn_regexp" ->
       """SELECT c_custkey,
