@@ -715,6 +715,46 @@ object SqlSurface {
     s.sql(recursiveCteSql)
   }
 
+  /** SQL PIPE SYNTAX — Spark 4's `|>` operator chain (FROM … |> WHERE
+    * … |> EXTEND … |> AGGREGATE … GROUP BY … |> ORDER BY): the TPC-H
+    * Q1 shape restated as a linear pipeline. Pipe operators are pure
+    * parser surface — `EliminatePipeOperators` rewrites them to the
+    * identical logical plan the ANSI form produces, so the physical
+    * plan (one scan, partial+final hash aggregate) is byte-for-byte
+    * the ANSI one; the oracle IS the ANSI restatement. Decimal
+    * leaf-casts per SURVEY §2.0 keep the double sums engine-exact.
+    *
+    * Scale posture: identical plan to sql_tpch_q1's family — filter
+    * pushed to the scan, map-side partial aggregation, 6-group output. */
+  private val pipeSyntaxSql =
+    """FROM lineitem
+      ||> WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      ||> EXTEND CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+      |          * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))
+      |          AS disc_price
+      ||> AGGREGATE CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |             CAST(sum(disc_price) AS DOUBLE) AS sum_revenue,
+      |             CAST(count(*) AS BIGINT) AS cnt
+      |   GROUP BY l_returnflag, l_linestatus
+      ||> ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  private val pipeSyntaxOracleSql =
+    """SELECT l_returnflag, l_linestatus,
+      |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |       CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+      |                * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4)))
+      |            AS DOUBLE) AS sum_revenue,
+      |       CAST(count(*) AS BIGINT) AS cnt
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  def sqlPipeSyntax(s: SparkSession, dir: String): DataFrame = {
+    views(s, dir, "lineitem")
+    s.sql(pipeSyntaxSql)
+  }
+
   private val catalogScanOracleSql =
     """SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS cnt
       |FROM lineitem
@@ -724,6 +764,7 @@ object SqlSurface {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sql_catalog_scan"   -> (sqlCatalogScan _),
     "sql_recursive_cte"  -> (sqlRecursiveCte _),
+    "sql_pipe_syntax"    -> (sqlPipeSyntax _),
     "sql_tpch_q1"        -> (sqlQ1 _),
     "sql_tpch_q2"        -> (sqlQ2 _),
     "sql_tpch_q3"        -> (sqlQ3 _),
@@ -754,6 +795,7 @@ object SqlSurface {
   val oracle: Map[String, String] = Map(
     "sql_catalog_scan"   -> catalogScanOracleSql,
     "sql_recursive_cte"  -> recursiveCteSql,
+    "sql_pipe_syntax"    -> pipeSyntaxOracleSql,
     "sql_tpch_q1"        -> q1Sql,
     "sql_tpch_q2"        -> q2Sql,
     "sql_tpch_q3"        -> q3Sql,
