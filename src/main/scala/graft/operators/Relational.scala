@@ -823,6 +823,39 @@ object Relational {
       .orderBy("o_custkey")
   }
 
+  /** SNAPSHOT DIFF — the table-compare primitive behind incremental
+    * replication, audit, and backfill validation: two snapshots of the
+    * orders table (simulated by deterministic key filters plus a price
+    * revision on every 5th key) full-outer-joined on the primary key and
+    * classified per row as insert / update / delete, unchanged rows
+    * dropped. The value compare is on the raw doubles both engines
+    * compute identically (one IEEE multiply by the same literal).
+    *
+    * Scale posture: narrow projections on both sides before ONE shuffle
+    * on the join key; output is bounded by the churn rate, not the
+    * table. In a lakehouse both snapshots share bucketing on the key,
+    * making this a shuffle-free sort-merge — the same plan shape as
+    * [[relBucketedJoin]]. */
+  def relSnapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.load(s, dir, "orders")
+    val snapA = orders.filter(col("o_orderkey") % 10 =!= 3)
+      .select(col("o_orderkey").as("a_key"), col("o_totalprice").as("old_value"))
+    val snapB = orders.filter(col("o_orderkey") % 10 =!= 7)
+      .select(col("o_orderkey").as("b_key"),
+        when(col("o_orderkey") % 5 === 0, col("o_totalprice") * lit(1.1))
+          .otherwise(col("o_totalprice")).as("new_value"))
+    snapA.join(snapB, col("a_key") === col("b_key"), "full_outer")
+      .filter(col("a_key").isNull || col("b_key").isNull
+        || col("old_value") =!= col("new_value"))
+      .select(
+        coalesce(col("a_key"), col("b_key")).as("o_orderkey"),
+        when(col("b_key").isNull, "delete")
+          .when(col("a_key").isNull, "insert")
+          .otherwise("update").as("change"),
+        col("old_value"), col("new_value"))
+      .orderBy("o_orderkey")
+  }
+
   /** EWMA (α = 0.5) of purchase values per user — the time-series
     * smoothing fold. A recurrence (each output depends on the previous)
     * can't be a built-in aggregate, but it CAN be an ordered
@@ -1110,6 +1143,7 @@ object Relational {
     "rel_ewma"           -> (relEwma _),
     "rel_gap_fill"       -> (relGapFill _),
     "rel_merge_upsert"   -> (relMergeUpsert _),
+    "rel_snapshot_diff"  -> (relSnapshotDiff _),
     "rel_zorder"         -> (relZorder _),
     "rel_cdc_apply"      -> (relCdcApply _),
     "rel_scd2"           -> (relScd2 _),
@@ -1286,6 +1320,25 @@ object Relational {
         |       CAST(max(p_size) AS BIGINT) AS size_max,
         |       min(price_bucket) AS pb_min, max(price_bucket) AS pb_max
         |FROM z GROUP BY tile ORDER BY tile""".stripMargin,
+
+    "rel_snapshot_diff" ->
+      """WITH a AS (
+        |  SELECT o_orderkey AS a_key, o_totalprice AS old_value
+        |  FROM orders WHERE o_orderkey % 10 <> 3),
+        |b AS (
+        |  SELECT o_orderkey AS b_key,
+        |         CASE WHEN o_orderkey % 5 = 0
+        |              THEN o_totalprice * CAST(1.1 AS DOUBLE)
+        |              ELSE o_totalprice END AS new_value
+        |  FROM orders WHERE o_orderkey % 10 <> 7)
+        |SELECT coalesce(a_key, b_key) AS o_orderkey,
+        |       CASE WHEN b_key IS NULL THEN 'delete'
+        |            WHEN a_key IS NULL THEN 'insert'
+        |            ELSE 'update' END AS change,
+        |       old_value, new_value
+        |FROM a FULL OUTER JOIN b ON a_key = b_key
+        |WHERE a_key IS NULL OR b_key IS NULL OR old_value <> new_value
+        |ORDER BY o_orderkey""".stripMargin,
 
     "rel_merge_upsert" ->
       """WITH target AS (
