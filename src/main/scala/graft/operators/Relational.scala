@@ -139,6 +139,89 @@ object Relational {
       .orderBy(col("est_cnt").desc, col("l_suppkey"))
       .limit(10)
 
+  /** MERGEABLE HLL SKETCH ROLLUP (Apache DataSketches HLL, Spark 4
+    * built-ins) — the incremental-aggregation pattern a 100 TB warehouse
+    * lives on: per-(priority, month) PARTIAL sketches built once
+    * (`hll_sketch_agg`, lgConfigK=14 → ±0.8 % std error, 16 KiB each),
+    * then rolled up to per-priority distinct-customer estimates by
+    * `hll_union_agg` WITHOUT touching the fact table again. In
+    * production the partial-sketch frame is the stored daily artifact;
+    * any time-range rollup is a union over sketches, never a re-scan.
+    * NOTE: union estimates use the composite estimator while a direct
+    * single-pass sketch uses HIP, so union-of-partials ≈ direct (both
+    * within the error bound) but not bit-equal — probed; the spec gate
+    * asserts the bound and partitioning-invariance, not equality.
+    * Engine-specific sketch ⇒ no DuckDB oracle (rows-only check);
+    * RelationalSpec gates |est − exact|/exact ≤ 3 % per group. */
+  def relAggSketchMerge(s: SparkSession, dir: String): DataFrame = {
+    val partials = Tables.load(s, dir, "orders")
+      .groupBy(col("o_orderpriority").as("priority"),
+        date_trunc("month", col("o_orderdate")).as("mon"))
+      .agg(expr("hll_sketch_agg(o_custkey, 14)").as("sk"))
+    partials.groupBy("priority")
+      .agg(
+        expr("CAST(hll_sketch_estimate(hll_union_agg(sk, false)) AS BIGINT)")
+          .as("approx_customers"),
+        count(lit(1)).as("n_partials"))
+      .orderBy("priority")
+  }
+
+  /** THETA SKETCH SET OPERATIONS (Apache DataSketches Theta, Spark 4
+    * built-ins) — the sketch family HLL cannot replace: theta supports
+    * INTERSECTION and DIFFERENCE, not just union, so audience-overlap /
+    * exclusion questions ("customers with open AND fulfilled orders")
+    * run on stored per-segment sketches instead of fact-table
+    * semi-joins. Two segment sketches (open 'O' / fulfilled 'F' order
+    * customers) built in one filtered pass each, then union /
+    * intersection / difference estimated from the 1-row sketch frames
+    * (bounded crossJoin, same shape as the broadcast-total keys).
+    *
+    * Oracle-checkable on the [[relAggHeavyHitters]] precedent: theta
+    * sketches are EXACT below their nominal entry count (sampling only
+    * begins past 2^lgK), and lgK=20 holds ~1M entries — far above the
+    * distinct-customer count at any test SF (1.5 K at sf0.01) — so the
+    * DuckDB oracle states the exact set-op counts; at corpus scale the
+    * documented ±1.6 % (lgK=20) contract takes over. */
+  def relAggTheta(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(s, dir, "orders")
+    val a = o.filter(col("o_orderstatus") === "O")
+      .agg(expr("theta_sketch_agg(o_custkey, 20)").as("ska"))
+    val b = o.filter(col("o_orderstatus") === "F")
+      .agg(expr("theta_sketch_agg(o_custkey, 20)").as("skb"))
+    a.crossJoin(b).select(
+      expr("CAST(theta_sketch_estimate(theta_union(ska, skb, 20)) AS BIGINT)")
+        .as("u_cust"),
+      expr("CAST(theta_sketch_estimate(theta_intersection(ska, skb)) AS BIGINT)")
+        .as("i_cust"),
+      expr("CAST(theta_sketch_estimate(theta_difference(ska, skb)) AS BIGINT)")
+        .as("d_cust"))
+  }
+
+  /** APPROX TOP-K, TWO-PHASE (Spark 4.1 `approx_top_k_accumulate` /
+    * `_combine` / `_estimate` over a DataSketches frequent-items
+    * sketch) — the distributed heavy-hitter shape as first-class SQL:
+    * per-shard sketches accumulate independently (map-side, no raw-row
+    * shuffle), combine merges the bounded sketch state, estimate emits
+    * the ranked table. The same accumulate/combine split is what makes
+    * the sketch storable: per-day sketch columns roll up to any range.
+    * vs [[relAggHeavyHitters]]: that key demonstrates the hand-built
+    * CMS + candidate-probe design; this one the engine-native sketch
+    * aggregate a user should reach for first.
+    *
+    * Oracle-checkable on the same precedent: a frequent-items sketch
+    * with maxItemsTracked=10000 is EXACT while distinct items ≤ its
+    * capacity (5 order priorities here, at every SF — the dimension is
+    * fixed); the estimate is re-sorted by (count desc, item) into a
+    * total order so sketch-internal tie order never leaks. */
+  def relAggApproxTopk(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "orders")
+      .groupBy((col("o_orderkey") % 8).as("shard"))
+      .agg(expr("approx_top_k_accumulate(o_orderpriority, 10000)").as("sk"))
+      .agg(expr("approx_top_k_combine(sk, 10000)").as("csk"))
+      .select(explode(expr("approx_top_k_estimate(csk, 64)")).as("e"))
+      .select(col("e.item").as("priority"), col("e.count").as("cnt"))
+      .orderBy(col("cnt").desc, col("priority"))
+
   def relAggRollup(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "lineitem")
       .rollup("l_returnflag", "l_linestatus")
@@ -1122,6 +1205,9 @@ object Relational {
     "rel_agg_distinct"   -> (relAggDistinct _),
     "rel_agg_approx"     -> (relAggApprox _),
     "rel_agg_heavyhitters" -> (relAggHeavyHitters _),
+    "rel_agg_sketch_merge" -> (relAggSketchMerge _),
+    "rel_agg_theta"      -> (relAggTheta _),
+    "rel_agg_approx_topk" -> (relAggApproxTopk _),
     "rel_agg_rollup"     -> (relAggRollup _),
     "rel_agg_cube"       -> (relAggCube _),
     "rel_join_broadcast" -> (relJoinBroadcast _),
@@ -1159,6 +1245,21 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "rel_agg_theta" ->
+      """WITH a AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'),
+        |     b AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F')
+        |SELECT (SELECT CAST(count(*) AS BIGINT)
+        |        FROM (SELECT o_custkey FROM a UNION SELECT o_custkey FROM b)) AS u_cust,
+        |       (SELECT CAST(count(*) AS BIGINT)
+        |        FROM (SELECT o_custkey FROM a INTERSECT SELECT o_custkey FROM b)) AS i_cust,
+        |       (SELECT CAST(count(*) AS BIGINT)
+        |        FROM (SELECT o_custkey FROM a EXCEPT SELECT o_custkey FROM b)) AS d_cust""".stripMargin,
+
+    "rel_agg_approx_topk" ->
+      """SELECT o_orderpriority AS priority, CAST(count(*) AS BIGINT) AS cnt
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY cnt DESC, priority""".stripMargin,
+
     "rel_agg_heavyhitters" ->
       """SELECT l_suppkey, CAST(count(*) AS BIGINT) AS est_cnt
         |FROM lineitem GROUP BY l_suppkey

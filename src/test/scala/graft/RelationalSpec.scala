@@ -1,7 +1,7 @@
 package graft
 
 import graft.operators.Relational
-import org.apache.spark.sql.functions.{col, count, expr, lit}
+import org.apache.spark.sql.functions.{col, count, countDistinct, date_trunc, expr, lit}
 
 /** Physical-plan assertions (SURVEY.md §4.2): the declarative queries must
   * actually produce the scale-correct plans — pushdown reaching parquet,
@@ -329,6 +329,33 @@ class RelationalSpec extends SparkSpec {
     assert(top.length == math.min(10, est.size))
     val want = est.toSeq.sortBy { case (k, e) => (-e, k) }.take(10)
     assert(top.toSeq == want)
+  }
+
+  test("mergeable HLL rollup: error bound holds per group; union estimate is partitioning-invariant") {
+    val est = Relational.relAggSketchMerge(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Tables.load(spark, sf, "orders")
+      .groupBy("o_orderpriority")
+      .agg(countDistinct(col("o_custkey")).as("d")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est.keySet == exact.keySet)
+    // lgConfigK=14 → relative std error ~0.8%; 3% is a ~4σ gate
+    est.foreach { case (k, e) =>
+      val x = exact(k)
+      assert(math.abs(e - x) <= math.max(2.0, 0.03 * x), s"$k: est $e vs exact $x")
+    }
+    // partitioning-invariance: the same partial-sketch rollup built from a
+    // differently-partitioned source must land on identical estimates
+    // (register merge is a max — commutative and associative)
+    val re = Tables.load(spark, sf, "orders").repartition(7)
+      .groupBy(col("o_orderpriority").as("priority"),
+        date_trunc("month", col("o_orderdate")).as("mon"))
+      .agg(expr("hll_sketch_agg(o_custkey, 14)").as("sk"))
+      .groupBy("priority")
+      .agg(expr("CAST(hll_sketch_estimate(hll_union_agg(sk, false)) AS BIGINT)")
+        .as("e"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(re == est, s"estimate changed under repartitioning: $re vs $est")
   }
 
   test("nearest as-of join: signed gaps bounded, prior preferred on ties, never farther than backward-only") {
