@@ -4,7 +4,8 @@ import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
+  StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Row/state shapes for the arbitrary-stateful operator. */
 case class SeqEvent(ts: java.sql.Timestamp, user_id: Long, event_id: Long)
@@ -31,6 +32,40 @@ case class GapPairOut(user_id: Long, eta: String, etb: String)
 /** Output shape for the SpaceSaving heavy-hitters operator:
   * est overestimates the true count by at most err. */
 case class HHOut(user_id: Long, est: Long, err: Long)
+
+/** Row/state shapes for the transformWithState running-stats operator. */
+case class TwsEvent(ts: java.sql.Timestamp, user_id: Long, event_id: Long, value: Double)
+case class TwsStats(cnt: Long, mx: Double)
+case class TwsOut(user_id: Long, event_id: Long, run_cnt: Long, run_max: Double)
+
+/** The Spark 4 `StatefulProcessor` behind [[Streaming.runningStats]]:
+  * per-user running event count and running max value, held in a single
+  * typed [[ValueState]] through the StatefulProcessorHandle — the
+  * transformWithState API surface (explicit named state, TTL hooks,
+  * timer support) that supersedes flatMapGroupsWithState. Rows are
+  * folded in (event-time, event_id) order inside each invocation, so a
+  * batch run (one invocation per key) and an in-order multi-batch
+  * stream (state carrying across invocations) emit identical feeds. */
+class RunningStatsProcessor extends StatefulProcessor[Long, TwsEvent, TwsOut] {
+  @transient private var stats: ValueState[TwsStats] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    stats = getHandle.getValueState[TwsStats]("stats",
+      org.apache.spark.sql.Encoders.product[TwsStats], TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[TwsEvent],
+      timers: TimerValues): Iterator[TwsOut] = {
+    def micros(t: java.sql.Timestamp): Long =
+      math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+    var st = Option(stats.get()).getOrElse(TwsStats(0L, Double.NegativeInfinity))
+    val out = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id)).map { e =>
+      st = TwsStats(st.cnt + 1, math.max(st.mx, e.value))
+      TwsOut(e.user_id, e.event_id, st.cnt, st.mx)
+    }
+    stats.update(st)
+    out.iterator
+  }
+}
 
 case class TransEvent(ts: java.sql.Timestamp, user_id: Long, event_id: Long,
     event_type: String)
@@ -678,7 +713,42 @@ object Streaming {
       .orderBy("eta", "etb")
   }
 
+  /** The transformWithState transform over any events-shaped frame —
+    * batch or streaming (the streaming run needs the RocksDB state
+    * store provider, which the TWS operator requires; batch uses the
+    * session default store). APPEND-ONLY FEED sink contract: one row
+    * per event, exactly-once under overwrite-by-batchId like the other
+    * arbitrary-stateful feeds. */
+  def runningStats(events: DataFrame): DataFrame = {
+    val sp = events.sparkSession
+    import sp.implicits._
+    events.select(col("ts"), col("user_id"), col("event_id"), col("value"))
+      .as[TwsEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(new RunningStatsProcessor, TimeMode.None, OutputMode.Append)
+      .toDF()
+  }
+
+  /** Declared BATCH run of [[runningStats]] — Spark 4 executes
+    * `transformWithState` in batch too (one processor invocation per
+    * key over a throwaway state store), so the oracle-checked key runs
+    * the REAL operator, not a window-function restatement. The one
+    * batch-specific requirement is the driver-side StateStoreCoordinator
+    * RPC endpoint, which only streaming queries create lazily —
+    * [[org.apache.spark.sql.graft.Bridge.ensureStateStoreCoordinator]]
+    * registers it idempotently first.
+    *
+    * Scale posture: one shuffle by user_id, per-key state is a single
+    * (count, max) pair, per-invocation sort is bounded by per-user
+    * activity — the same envelope as the flatMapGroupsWithState feeds. */
+  def streamTransformWithState(s: SparkSession, dir: String): DataFrame = {
+    org.apache.spark.sql.graft.Bridge.ensureStateStoreCoordinator(s)
+    runningStats(Tables.load(s, dir, "events"))
+      .orderBy("user_id", "event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_transform_with_state" -> (streamTransformWithState _),
     "stream_heavyhitters"  -> (streamHeavyhitters _),
     "stream_seq_gap"       -> (streamSeqGap _),
     "stream_markov"        -> (streamMarkov _),
@@ -696,6 +766,15 @@ object Streaming {
   )
 
   val oracle: Map[String, String] = Map(
+    "stream_transform_with_state" ->
+      """SELECT user_id, event_id,
+        |       CAST(row_number() OVER w AS BIGINT) AS run_cnt,
+        |       max(value) OVER w AS run_max
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, event_id""".stripMargin,
+
     "stream_heavyhitters" ->
       """WITH tot AS (SELECT count(*) AS n, count(DISTINCT user_id) AS u
         |             FROM events),

@@ -32,6 +32,19 @@ object Bridge {
       None,
       classOf[org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat])
 
+  /** Register the driver-side StateStoreCoordinator RPC endpoint if it
+    * is not already up. Streaming queries create it lazily on first
+    * start; BATCH execution of `transformWithState` (supported since
+    * Spark 4.0) skips that path and fails executor-side with
+    * `RpcEndpointNotFoundException` if no streaming query ever ran in
+    * the session — so the batch entry point calls this first.
+    * `forDriver` is idempotent: it catches the already-registered case
+    * and returns a ref to the existing endpoint. */
+  def ensureStateStoreCoordinator(spark: org.apache.spark.sql.SparkSession): Unit =
+    org.apache.spark.sql.execution.streaming.state.StateStoreCoordinatorRef.forDriver(
+      org.apache.spark.SparkEnv.get,
+      spark.asInstanceOf[SparkSession].sessionState.conf)
+
   /** Runtime-operator walk for the plan-shape tests: expands AQE
     * wrappers (AdaptiveSparkPlanExec / QueryStageExec) to the plan they
     * currently hold, descends into subquery plans, and STOPS at cached

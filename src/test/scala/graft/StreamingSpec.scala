@@ -113,6 +113,41 @@ class StreamingSpec extends SparkSpec {
     assert(ids == Set(1L))
   }
 
+  test("transformWithState running stats: stream equals batch, state crosses a checkpoint restart") {
+    val sp = spark
+    import sp.implicits._
+    val phase1 = Seq(
+      Ev(t("2024-01-01 10:00:00"), 1, "click", 3.0, 1),
+      Ev(t("2024-01-01 10:05:00"), 1, "view", 1.0, 2),
+      Ev(t("2024-01-01 10:00:00"), 2, "view", 7.0, 3))
+    val phase2 = Seq(
+      Ev(t("2024-01-01 10:10:00"), 1, "click", 5.0, 4),
+      Ev(t("2024-01-01 10:20:00"), 2, "click", 2.0, 5))
+    // streaming transformWithState requires the RocksDB provider; scope it
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val runs = runWithRestarts("tws", Streaming.runningStats,
+        Seq(phase1.toDF(), phase2.toDF()))
+      val streamed = runs.flatten
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+      org.apache.spark.sql.graft.Bridge.ensureStateStoreCoordinator(spark)
+      val batch = Streaming.runningStats((phase1 ++ phase2).toDF())
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(streamed == batch)
+      // user 1 reaches run_cnt=3 and run_max carries 3.0 past the lower-value
+      // phase-2 event only if ValueState round-tripped the restart
+      assert(streamed.contains((1L, 4L, 3L, 5.0)))
+      assert(streamed.contains((2L, 5L, 2L, 7.0)))
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   test("flatMapGroupsWithState running seq: incremental stream equals batch") {
     val sp = spark
     import sp.implicits._
@@ -196,7 +231,7 @@ class StreamingSpec extends SparkSpec {
         clicks.toDF("user_id", "cts", "click_id"),
         purchases.toDF("uid_p", "pts", "purchase_id"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
-    assert(streamed == batch)
+      assert(streamed == batch)
     assert(batch == Set((1L, 100L, 200L), (2L, 102L, 202L)))
   }
 
@@ -339,7 +374,7 @@ class StreamingSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
     val batch = Streaming.streamNeardup(spark, sf).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
-    assert(streamed == batch)
+      assert(streamed == batch)
     // driver-side ground truth from the per-row signatures: for each
     // (doc, band), the smallest prior doc sharing the band key within
     // hamming <= 3 of the full signature
