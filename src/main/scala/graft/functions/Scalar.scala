@@ -155,6 +155,29 @@ object Scalar {
       .select(lower(col("name_c")).cast("string").as("name_lc"), col("cnt"))
       .orderBy("name_lc")
 
+  /** VARIANT_EXPLODE — the Spark 4 table-valued generator over VARIANT:
+    * each event's payload is lifted into a variant ARRAY (the original
+    * k and its square) and laterally exploded to (pos, value) rows —
+    * the open-schema fan-out shape (one row per array element / object
+    * field, position and key surfaced) that replaces brittle
+    * get_json_object index loops. Values come back as VARIANT and cast
+    * to their target type per row.
+    *
+    * Scale posture: a lateral generator is embarrassingly parallel —
+    * no shuffle, output bounded at arity × input rows. */
+  def fnVariantExplode(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "events").createOrReplaceTempView("events_ve")
+    s.sql(
+      """SELECT event_id, CAST(p.pos AS BIGINT) AS pos, CAST(p.value AS BIGINT) AS val
+        |FROM (SELECT event_id,
+        |             concat('[', CAST(k AS STRING), ',', CAST(k * k AS STRING), ']') AS arr
+        |      FROM (SELECT event_id,
+        |                   CAST(get_json_object(props, '$.k') AS INT) AS k
+        |            FROM events_ve)),
+        |     LATERAL variant_explode(parse_json(arr)) AS p
+        |ORDER BY event_id, pos""".stripMargin)
+  }
+
   /** Regex surface — extract / replace-all / match / extract-all-count,
     * all codegen'd built-ins. Patterns stay inside the Java-regex ∩
     * RE2 common subset (character classes, quantifiers, anchors — no
@@ -345,6 +368,7 @@ object Scalar {
     "fn_listagg"     -> (fnListagg _),
     "fn_try_arith"   -> (fnTryArith _),
     "fn_xml"         -> (fnXml _),
+    "fn_variant_explode" -> (fnVariantExplode _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -474,6 +498,15 @@ object Scalar {
         |         list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
         |         (acc, v) -> acc + v) AS sumsq
         |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    "fn_variant_explode" ->
+      """WITH e AS (SELECT event_id,
+        |                  CAST(json_extract_string(props, '$.k') AS INT) AS k
+        |           FROM events)
+        |SELECT event_id, CAST(0 AS BIGINT) AS pos, CAST(k AS BIGINT) AS val FROM e
+        |UNION ALL
+        |SELECT event_id, CAST(1 AS BIGINT), CAST(k * k AS BIGINT) FROM e
+        |ORDER BY event_id, pos""".stripMargin,
 
     "fn_listagg" ->
       """SELECT n_regionkey,

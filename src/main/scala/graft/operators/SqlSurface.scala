@@ -755,6 +755,24 @@ object SqlSurface {
     s.sql(pipeSyntaxSql)
   }
 
+  /** GROUP BY ALL / ORDER BY ALL — the analyst-ergonomics SQL surface
+    * both engines share (Spark 4 and DuckDB accept the IDENTICAL text):
+    * every non-aggregate select item becomes a grouping key, the full
+    * select list the sort key. Resolution is purely analyzer-side — the
+    * plan is the explicit GROUP BY's plan. */
+  private val groupByAllSql =
+    """SELECT o_orderpriority, o_orderstatus,
+      |       CAST(count(*) AS BIGINT) AS cnt,
+      |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM orders
+      |GROUP BY ALL
+      |ORDER BY ALL""".stripMargin
+
+  def sqlGroupByAll(s: SparkSession, dir: String): DataFrame = {
+    views(s, dir, "orders")
+    s.sql(groupByAllSql)
+  }
+
   private val catalogScanOracleSql =
     """SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS cnt
       |FROM lineitem
@@ -765,6 +783,7 @@ object SqlSurface {
     "sql_catalog_scan"   -> (sqlCatalogScan _),
     "sql_recursive_cte"  -> (sqlRecursiveCte _),
     "sql_pipe_syntax"    -> (sqlPipeSyntax _),
+    "sql_group_by_all"   -> (sqlGroupByAll _),
     "sql_tpch_q1"        -> (sqlQ1 _),
     "sql_tpch_q2"        -> (sqlQ2 _),
     "sql_tpch_q3"        -> (sqlQ3 _),
@@ -796,6 +815,7 @@ object SqlSurface {
     "sql_catalog_scan"   -> catalogScanOracleSql,
     "sql_recursive_cte"  -> recursiveCteSql,
     "sql_pipe_syntax"    -> pipeSyntaxOracleSql,
+    "sql_group_by_all"   -> groupByAllSql,
     "sql_tpch_q1"        -> q1Sql,
     "sql_tpch_q2"        -> q2Sql,
     "sql_tpch_q3"        -> q3Sql,
