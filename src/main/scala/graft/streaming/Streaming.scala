@@ -67,6 +67,50 @@ class RunningStatsProcessor extends StatefulProcessor[Long, TwsEvent, TwsOut] {
   }
 }
 
+/** State/output shapes for the timer-closed session operator. */
+case class TwsSession(cnt: Long, last_ms: Long)
+case class SessionOut(user_id: Long, n_events: Long)
+
+/** EVENT-TIME TIMER sessionization — the transformWithState tier the
+  * running-stats processor doesn't touch: per-user event counts held in
+  * [[ValueState]], a timer re-registered at (last event time + gap) on
+  * every arrival, and the session EMITTED FROM `handleExpiredTimer` when
+  * the WATERMARK passes that instant — push-based session close (state
+  * cleared on emit), vs `session_window`'s pull-based merge. TimeMode
+  * .EventTime requires a watermark on the input stream; timers and state
+  * both live in the state store, so expiry survives restarts. This is
+  * the streaming-only API tier (timers never fire in batch TWS), so it
+  * ships as a StreamingSpec-gated operator like `stream_late_data`, not
+  * a `queries` key. */
+class SessionTimerProcessor(gapMs: Long)
+    extends StatefulProcessor[Long, TwsEvent, SessionOut] {
+  @transient private var sess: ValueState[TwsSession] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    sess = getHandle.getValueState[TwsSession]("sess",
+      org.apache.spark.sql.Encoders.product[TwsSession], TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[TwsEvent],
+      timers: TimerValues): Iterator[SessionOut] = {
+    var st = Option(sess.get()).getOrElse(TwsSession(0L, 0L))
+    rows.foreach { e =>
+      st = TwsSession(st.cnt + 1, math.max(st.last_ms, e.ts.getTime))
+    }
+    sess.update(st)
+    // one live timer per key: slide the close-out to the new session end
+    getHandle.listTimers().foreach(getHandle.deleteTimer)
+    getHandle.registerTimer(st.last_ms + gapMs)
+    Iterator.empty
+  }
+
+  override def handleExpiredTimer(key: Long, timers: TimerValues,
+      expired: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[SessionOut] = {
+    val out = Option(sess.get()).map(s => SessionOut(key, s.cnt))
+    sess.clear()
+    out.iterator
+  }
+}
+
 case class TransEvent(ts: java.sql.Timestamp, user_id: Long, event_id: Long,
     event_type: String)
 case class TransState(ts_us: Long, event_id: Long, event_type: String)
@@ -726,6 +770,22 @@ object Streaming {
       .as[TwsEvent]
       .groupByKey(_.user_id)
       .transformWithState(new RunningStatsProcessor, TimeMode.None, OutputMode.Append)
+      .toDF()
+  }
+
+  /** Timer-closed sessions over a WATERMARKED events stream (see
+    * [[SessionTimerProcessor]]) — streaming-only (event-time timers);
+    * StreamingSpec drives watermark advancement and asserts push-based
+    * session emission + state clearing. */
+  def timerSessions(events: DataFrame, gapMs: Long): DataFrame = {
+    val sp = events.sparkSession
+    import sp.implicits._
+    events.withWatermark("ts", "10 minutes")
+      .select(col("ts"), col("user_id"), col("event_id"), col("value"))
+      .as[TwsEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionTimerProcessor(gapMs),
+        TimeMode.EventTime, OutputMode.Append)
       .toDF()
   }
 

@@ -148,6 +148,45 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("transformWithState event-time timers: sessions close when the watermark passes the gap") {
+    val sp = spark
+    import sp.implicits._
+    implicit val ctx = sp.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ms = MemoryStream[Ev]
+      val q = Streaming.timerSessions(ms.toDF(), gapMs = 30 * 60 * 1000L)
+        .writeStream.outputMode("append").format("memory").queryName("twstimer").start()
+      try {
+        // session 1 for user 1: two events ending 10:10 -> closes at 10:40
+        ms.addData(
+          Ev(t("2024-01-01 10:00:00"), 1, "click", 1.0, 1),
+          Ev(t("2024-01-01 10:10:00"), 1, "view", 1.0, 2))
+        q.processAllAvailable()
+        // advance the watermark to 11:50 (12:00 - 10min) -> fires user 1's timer
+        ms.addData(Ev(t("2024-01-01 12:00:00"), 9, "click", 1.0, 3))
+        q.processAllAvailable()
+        // new session for user 1; watermark push to 14:50 closes it AND user 9's
+        ms.addData(Ev(t("2024-01-01 13:00:00"), 1, "click", 1.0, 4))
+        q.processAllAvailable()
+        ms.addData(Ev(t("2024-01-01 15:00:00"), 9, "view", 1.0, 5))
+        q.processAllAvailable()
+      } finally q.stop()
+      val sessions = spark.table("twstimer")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+      // (1,2): first session; (1,1): second session closed by the 14:50
+      // watermark; (9,1): user 9's 12:00 session. user 9's 15:00 session
+      // is still open — push-based close emitted nothing for it.
+      assert(sessions == Seq((1L, 1L), (1L, 2L), (9L, 1L)), s"got $sessions")
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   test("flatMapGroupsWithState running seq: incremental stream equals batch") {
     val sp = spark
     import sp.implicits._
