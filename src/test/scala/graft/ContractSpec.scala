@@ -155,6 +155,35 @@ class ContractSpec extends SparkSpec {
     assert(rows.map(_.getLong(1)).sum > 0)
   }
 
+  test("round-11 second-wave plan gates: sketch two-phase, TWS operator, pipe ≡ ANSI shape") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.exchange.Exchange
+    def ops(name: String): Seq[SparkPlan] =
+      org.apache.spark.sql.graft.Bridge.runtimeOps(
+        SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan)
+    // approx_top_k: exactly two sketch-exchange hops (shard partials →
+    // global combine) over ONE scan; raw rows never shuffle past phase 1
+    val topk = ops("rel_agg_approx_topk")
+    assert(topk.count(_.isInstanceOf[FileSourceScanExec]) == 1)
+    assert(topk.count(_.isInstanceOf[Exchange]) <= 3,
+      topk.map(_.nodeName).mkString(" | "))
+    // the declared TWS key runs the REAL operator in batch
+    val tws = ops("stream_transform_with_state")
+    assert(tws.exists(_.nodeName.contains("TransformWithState")),
+      tws.map(_.nodeName).mkString(" | "))
+    // pipe syntax is parser sugar: the pipe chain and its ANSI oracle
+    // restatement must optimize to the same physical operator multiset
+    def shapeOf(df: org.apache.spark.sql.DataFrame): Map[String, Int] = {
+      df.collect()
+      org.apache.spark.sql.graft.Bridge.runtimeOps(df.queryExecution.executedPlan)
+        .map(_.nodeName.replaceAll("\\(.*\\)", ""))
+        .groupBy(identity).view.mapValues(_.size).toMap
+    }
+    val pipe = shapeOf(SparkEntry.queries("sql_pipe_syntax")(spark, sf))
+    val ansi = shapeOf(spark.sql(SparkEntry.oracleSql("sql_pipe_syntax")))
+    assert(pipe == ansi, s"pipe plan diverged from ANSI: $pipe vs $ansi")
+  }
+
   test("expensive-tail plan gates: audited shapes locked against regression") {
     import org.apache.spark.sql.execution.{FileSourceScanExec, GenerateExec, SparkPlan}
     import org.apache.spark.sql.execution.exchange.Exchange
