@@ -111,6 +111,52 @@ class SessionTimerProcessor(gapMs: Long)
   }
 }
 
+/** Row shapes for the list/map-state history operator. */
+case class HistEvent(ts: java.sql.Timestamp, user_id: Long, event_id: Long,
+    event_type: String)
+case class HistOut(user_id: Long, event_id: Long, prev1: String, prev2: String,
+    type_seen: Long)
+
+/** LIST + MAP STATE through transformWithState — the remaining typed
+  * state shapes next to [[RunningStatsProcessor]]'s ValueState: a
+  * [[ListState]] holds each user's last-2 event-type history (bounded by
+  * construction — the operator trims as it appends), a [[MapState]] the
+  * per-event-type arrival counts (bounded by the type dimension). Each
+  * event is emitted with its two predecessors and its within-type
+  * ordinal, folded in (event-time, event_id) order — so batch (one
+  * invocation per key) and an in-order stream (state across
+  * invocations) agree, and the window-function oracle (lag ×2 +
+  * row_number per type) states the same feed. */
+class HistoryProcessor extends StatefulProcessor[Long, HistEvent, HistOut] {
+  @transient private var hist: org.apache.spark.sql.streaming.ListState[String] = _
+  @transient private var seen: org.apache.spark.sql.streaming.MapState[String, Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    val enc = org.apache.spark.sql.Encoders
+    hist = getHandle.getListState[String]("hist", enc.STRING, TTLConfig.NONE)
+    seen = getHandle.getMapState[String, Long]("seen", enc.STRING, enc.scalaLong,
+      TTLConfig.NONE)
+  }
+
+  override def handleInputRows(key: Long, rows: Iterator[HistEvent],
+      timers: TimerValues): Iterator[HistOut] = {
+    def micros(t: java.sql.Timestamp): Long =
+      math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+    var h = hist.get().toList // oldest-first, length ≤ 2
+    val out = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id)).map { e =>
+      val n = (if (seen.containsKey(e.event_type)) seen.getValue(e.event_type)
+               else 0L) + 1L
+      seen.updateValue(e.event_type, n)
+      val o = HistOut(e.user_id, e.event_id,
+        h.lastOption.orNull, h.dropRight(1).lastOption.orNull, n)
+      h = (h :+ e.event_type).takeRight(2)
+      o
+    }
+    hist.put(h.toArray)
+    out.iterator
+  }
+}
+
 case class TransEvent(ts: java.sql.Timestamp, user_id: Long, event_id: Long,
     event_type: String)
 case class TransState(ts_us: Long, event_id: Long, event_type: String)
@@ -789,6 +835,27 @@ object Streaming {
       .toDF()
   }
 
+  /** The list/map-state history transform over any events-shaped frame
+    * (see [[HistoryProcessor]]); APPEND-ONLY FEED sink contract. */
+  def historyFeed(events: DataFrame): DataFrame = {
+    val sp = events.sparkSession
+    import sp.implicits._
+    events.select(col("ts"), col("user_id"), col("event_id"), col("event_type"))
+      .as[HistEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(new HistoryProcessor, TimeMode.None, OutputMode.Append)
+      .toDF()
+  }
+
+  /** Declared BATCH run of [[historyFeed]] — same batch-TWS execution
+    * contract as [[streamTransformWithState]] (coordinator endpoint via
+    * the Bridge, real operator under the window-function oracle). */
+  def streamTwsHistory(s: SparkSession, dir: String): DataFrame = {
+    org.apache.spark.sql.graft.Bridge.ensureStateStoreCoordinator(s)
+    historyFeed(Tables.load(s, dir, "events"))
+      .orderBy("user_id", "event_id")
+  }
+
   /** Declared BATCH run of [[runningStats]] — Spark 4 executes
     * `transformWithState` in batch too (one processor invocation per
     * key over a throwaway state store), so the oracle-checked key runs
@@ -809,6 +876,7 @@ object Streaming {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_transform_with_state" -> (streamTransformWithState _),
+    "stream_tws_history"   -> (streamTwsHistory _),
     "stream_heavyhitters"  -> (streamHeavyhitters _),
     "stream_seq_gap"       -> (streamSeqGap _),
     "stream_markov"        -> (streamMarkov _),
@@ -833,6 +901,16 @@ object Streaming {
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
         |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    "stream_tws_history" ->
+      """SELECT user_id, event_id,
+        |       lag(event_type, 1) OVER w AS prev1,
+        |       lag(event_type, 2) OVER w AS prev2,
+        |       CAST(row_number() OVER (PARTITION BY user_id, event_type
+        |                               ORDER BY ts, event_id) AS BIGINT) AS type_seen
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         |ORDER BY user_id, event_id""".stripMargin,
 
     "stream_heavyhitters" ->

@@ -187,6 +187,42 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("transformWithState list+map state: history feed stream equals batch across a restart") {
+    val sp = spark
+    import sp.implicits._
+    val phase1 = Seq(
+      Ev(t("2024-01-01 10:00:00"), 1, "click", 1.0, 1),
+      Ev(t("2024-01-01 10:05:00"), 1, "view", 1.0, 2),
+      Ev(t("2024-01-01 10:06:00"), 1, "click", 1.0, 3))
+    val phase2 = Seq( // ListState history and MapState counts must persist
+      Ev(t("2024-01-01 10:10:00"), 1, "click", 1.0, 4),
+      Ev(t("2024-01-01 10:20:00"), 1, "view", 1.0, 5))
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val runs = runWithRestarts("twshist", Streaming.historyFeed,
+        Seq(phase1.toDF(), phase2.toDF()))
+      val streamed = runs.flatten
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3), r.getLong(4)))
+        .toSet
+      org.apache.spark.sql.graft.Bridge.ensureStateStoreCoordinator(spark)
+      val batch = Streaming.historyFeed((phase1 ++ phase2).toDF())
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3), r.getLong(4)))
+        .toSet
+      assert(streamed == batch)
+      // event 4: prev1=click(3), prev2=view(2), third click -> ListState
+      // order and the MapState counter both crossed the restart
+      assert(streamed.contains((1L, 4L, "click", "view", 3L)))
+      assert(streamed.contains((1L, 5L, "click", "click", 2L)))
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   test("flatMapGroupsWithState running seq: incremental stream equals batch") {
     val sp = spark
     import sp.implicits._
