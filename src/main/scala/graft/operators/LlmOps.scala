@@ -1579,6 +1579,37 @@ object LlmOps {
       .orderBy("doc_id")
   }
 
+  /** URL CANONICALIZATION — the web-corpus staple that precedes URL
+    * dedup (CommonCrawl-style pipelines dedupe on canonical URL before
+    * any content hashing): each document's synthetic source URL (built
+    * deterministically from its columns, so the oracle can state the
+    * expected parts by construction) is decomposed with Spark's
+    * `parse_url` (HOST / PATH / keyed QUERY extraction), the tracking
+    * parameters are DROPPED, and the canonical form is reassembled as
+    * host + path + the one meaningful query key. The construction both
+    * exercises the real parser and makes the result oracle-exact.
+    *
+    * Scale posture: pure per-row projections (parse_url is a codegen'd
+    * built-in), embarrassingly parallel; canonical URL then serves as a
+    * dedup key for the exact-dedup family. */
+  def urlNormalize(s: SparkSession, dir: String): DataFrame = {
+    val url = concat(lit("https://"), col("source"), lit(".example.com/"),
+      col("lang"), lit("/"), col("doc_id"),
+      lit("?id="), col("doc_id"), lit("&utm_source=feed&ref="), col("lang"))
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), url.as("url"))
+      .select(
+        col("doc_id"),
+        parse_url(col("url"), lit("HOST")).as("host"),
+        parse_url(col("url"), lit("PATH")).as("path"),
+        parse_url(col("url"), lit("QUERY"), lit("id")).cast("long").as("id_param"),
+        concat(parse_url(col("url"), lit("HOST")),
+          parse_url(col("url"), lit("PATH")),
+          lit("?id="), parse_url(col("url"), lit("QUERY"), lit("id")))
+          .as("canon"))
+      .orderBy("doc_id")
+  }
+
   /** END-TO-END corpus export — the query a pipeline actually ships: the
     * training slice (source ≠ src0, the benchmark slice excluded by
     * construction) filtered to quality ≥ 0.65 (Q1 of the corpus,
@@ -2829,6 +2860,7 @@ object LlmOps {
     "llm_mean_pool_emb"      -> (meanPoolEmb _),
     "llm_bloom_prefilter"    -> (bloomPrefilter _),
     "llm_normalize_text"     -> (normalizeText _),
+    "llm_url_normalize"      -> (urlNormalize _),
     "llm_corpus_export"      -> (corpusExport _),
     "llm_dataset_stats"      -> (datasetStats _),
     "llm_bigram_lm"          -> (bigramLm _),
@@ -3319,6 +3351,15 @@ object LlmOps {
         |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents
         |GROUP BY shard ORDER BY shard""".stripMargin,
+
+    "llm_url_normalize" ->
+      """SELECT doc_id,
+        |       source || '.example.com' AS host,
+        |       '/' || lang || '/' || doc_id AS path,
+        |       CAST(doc_id AS BIGINT) AS id_param,
+        |       source || '.example.com/' || lang || '/' || doc_id
+        |         || '?id=' || doc_id AS canon
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "llm_normalize_text" ->
       """SELECT doc_id,
