@@ -1,7 +1,7 @@
 package graft
 
 import graft.operators.Relational
-import org.apache.spark.sql.functions.{col, count, countDistinct, date_trunc, expr, lit}
+import org.apache.spark.sql.functions.{col, count, countDistinct, date_trunc, expr, lit, when}
 
 /** Physical-plan assertions (SURVEY.md §4.2): the declarative queries must
   * actually produce the scale-correct plans — pushdown reaching parquet,
@@ -329,6 +329,62 @@ class RelationalSpec extends SparkSpec {
     assert(top.length == math.min(10, est.size))
     val want = est.toSeq.sortBy { case (k, e) => (-e, k) }.take(10)
     assert(top.toSeq == want)
+  }
+
+  test("AQE skew join: the runtime re-plan splits a skewed partition without manual salting") {
+    // rel_join_skew_salted demonstrates MANUAL salting; this gate proves
+    // the AQE path the scaladocs point to as the runtime alternative:
+    // OptimizeSkewedJoin splits the oversized partition of a sort-merge
+    // join mid-query. Thresholds are scoped down so the sf0.001 frame
+    // trips them; result equality vs the plain join is asserted too.
+    val scoped = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "1KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "1KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+    val prev = scoped.map { case (k, _) => k -> spark.conf.getOption(k) }
+    scoped.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+      // ~half of lineitem lands on skew key 0, the rest spread thin.
+      // Two shape preconditions found by probing:
+      //  - the right side must feed Sort <- ShuffleStage DIRECTLY (a
+      //    distinct()'s final HashAggregate between them breaks
+      //    OptimizeSkewedJoin's pattern match) -> join the already-unique
+      //    orders key instead;
+      //  - the map stage needs >1 task (a skewed reduce partition is
+      //    split by MAPPER ranges; one mapper = one indivisible block)
+      //    -> repartition(8) the input first.
+      val skewed = Tables.load(spark, sf, "lineitem").repartition(8)
+        .select(when(col("l_orderkey") % 2 === 0, 0L)
+          .otherwise(col("l_orderkey")).as("k"), col("l_quantity"))
+      val right = Tables.load(spark, sf, "orders")
+        .select(col("o_orderkey").as("k"), col("o_orderpriority"))
+      val joined = skewed.join(right, "k")
+      // materialize joined ITSELF (count() would spawn a separate query
+      // execution and leave this plan un-finalized by AQE)
+      val n = joined.collect().length.toLong
+      val smjs = org.apache.spark.sql.graft.Bridge
+        .runtimeOps(joined.queryExecution.executedPlan)
+        .collect { case j: SortMergeJoinExec => j }
+      assert(smjs.nonEmpty, "expected a sort-merge join")
+      assert(smjs.exists(_.isSkewJoin),
+        s"AQE did not mark the join skew-optimized: ${smjs.map(_.isSkewJoin)}")
+      // ground truth from an unskewed-config join on the same frames
+      scoped.foreach { case (k, _) => spark.conf.unset(k) }
+      val plain = Tables.load(spark, sf, "lineitem")
+        .select(when(col("l_orderkey") % 2 === 0, 0L)
+          .otherwise(col("l_orderkey")).as("k"), col("l_quantity"))
+        .join(Tables.load(spark, sf, "orders")
+          .select(col("o_orderkey").as("k"), col("o_orderpriority")), "k")
+        .count()
+      assert(n == plain, s"skew-split changed the result: $n vs $plain")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
   }
 
   test("mergeable HLL rollup: error bound holds per group; union estimate is partitioning-invariant") {
