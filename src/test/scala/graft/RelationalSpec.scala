@@ -331,6 +331,28 @@ class RelationalSpec extends SparkSpec {
     assert(top.toSeq == want)
   }
 
+  test("Dataset.observe: pipeline metrics ride the main pass, no second scan") {
+    // the operational pattern for 100 TB jobs: row counts / null counts /
+    // value sums observed ON the production query's single pass (a
+    // separate metrics query would double the scan cost)
+    val observed = Tables.load(spark, sf, "orders")
+      .observe("order_metrics",
+        count(lit(1)).as("n_rows"),
+        count(col("o_totalprice")).as("n_price_nonnull"),
+        expr("CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)").as("sum_price"))
+      .groupBy("o_orderpriority").agg(count(lit(1)).as("cnt"))
+    val groups = observed.collect()
+    val m = observed.queryExecution.observedMetrics("order_metrics")
+    assert(m.getLong(0) == groups.map(_.getLong(1)).sum, "observed count != query's own total")
+    assert(m.getLong(1) == m.getLong(0), "unexpected nulls in o_totalprice")
+    assert(m.getDouble(2) > 0.0)
+    // exactly one file scan in the executed plan — the metrics were free
+    val scans = org.apache.spark.sql.graft.Bridge
+      .runtimeOps(observed.queryExecution.executedPlan)
+      .count(_.isInstanceOf[org.apache.spark.sql.execution.FileSourceScanExec])
+    assert(scans == 1, s"observe added a scan: $scans")
+  }
+
   test("AQE skew join: the runtime re-plan splits a skewed partition without manual salting") {
     // rel_join_skew_salted demonstrates MANUAL salting; this gate proves
     // the AQE path the scaladocs point to as the runtime alternative:
