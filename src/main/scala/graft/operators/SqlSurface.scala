@@ -773,6 +773,28 @@ object SqlSurface {
     s.sql(groupByAllSql)
   }
 
+  /** PARAMETERIZED SQL — Spark 4's named-parameter binding
+    * (`spark.sql(text, args)` with `:name` markers): the safe-templating
+    * surface that replaces string interpolation (no injection, plan
+    * cache keyed on the template). ContractSpec additionally proves the
+    * `EXECUTE IMMEDIATE ... USING` and SQL session-VARIABLE forms land
+    * on the identical result. The oracle is the resolved query. */
+  private val parameterizedOracleSql =
+    """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS cnt,
+      |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM orders WHERE o_totalprice > 200000
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  def sqlParameterized(s: SparkSession, dir: String): DataFrame = {
+    views(s, dir, "orders")
+    s.sql(
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS cnt,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders WHERE o_totalprice > :threshold
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+      Map("threshold" -> 200000))
+  }
+
   private val catalogScanOracleSql =
     """SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS cnt
       |FROM lineitem
@@ -784,6 +806,7 @@ object SqlSurface {
     "sql_recursive_cte"  -> (sqlRecursiveCte _),
     "sql_pipe_syntax"    -> (sqlPipeSyntax _),
     "sql_group_by_all"   -> (sqlGroupByAll _),
+    "sql_parameterized"  -> (sqlParameterized _),
     "sql_tpch_q1"        -> (sqlQ1 _),
     "sql_tpch_q2"        -> (sqlQ2 _),
     "sql_tpch_q3"        -> (sqlQ3 _),
@@ -816,6 +839,7 @@ object SqlSurface {
     "sql_recursive_cte"  -> recursiveCteSql,
     "sql_pipe_syntax"    -> pipeSyntaxOracleSql,
     "sql_group_by_all"   -> groupByAllSql,
+    "sql_parameterized"  -> parameterizedOracleSql,
     "sql_tpch_q1"        -> q1Sql,
     "sql_tpch_q2"        -> q2Sql,
     "sql_tpch_q3"        -> q3Sql,

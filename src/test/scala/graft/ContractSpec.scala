@@ -184,6 +184,26 @@ class ContractSpec extends SparkSpec {
     assert(pipe == ansi, s"pipe plan diverged from ANSI: $pipe vs $ansi")
   }
 
+  test("parameterized SQL: named-param, EXECUTE IMMEDIATE, and session-variable forms agree") {
+    val base = SparkEntry.queries("sql_parameterized")(spark, sf).collect().toSeq
+    val immediate = spark.sql(
+      """EXECUTE IMMEDIATE
+        |'SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS cnt,
+        |        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        | FROM orders WHERE o_totalprice > ?
+        | GROUP BY o_orderpriority ORDER BY o_orderpriority'
+        |USING 200000""".stripMargin).collect().toSeq
+    assert(immediate == base)
+    spark.sql("DECLARE OR REPLACE VARIABLE graft_threshold INT DEFAULT 200000")
+    val viaVar = spark.sql(
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS cnt,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders WHERE o_totalprice > graft_threshold
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+      .collect().toSeq
+    assert(viaVar == base)
+  }
+
   test("expensive-tail plan gates: audited shapes locked against regression") {
     import org.apache.spark.sql.execution.{FileSourceScanExec, GenerateExec, SparkPlan}
     import org.apache.spark.sql.execution.exchange.Exchange
