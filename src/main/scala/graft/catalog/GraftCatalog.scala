@@ -45,7 +45,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * delegated table implementations, which are exactly the ones a plain
   * path-based read would use — the catalog adds zero per-row overhead.
   */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCatalog {
 
   private var catalogName: String = _
   private var root: Path = _
@@ -117,6 +117,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         val n = st.getPath.getName
         if (n.endsWith(".parquet")) Some(n.stripSuffix(".parquet"))
         else if (n.endsWith(".fimi") && st.isDirectory) Some(n.stripSuffix(".fimi"))
+        else if (n.endsWith(".fimib") && st.isDirectory) Some(n.stripSuffix(".fimib"))
         else None
       }
       .sorted.map(Identifier.of(namespace, _))
@@ -124,19 +125,51 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   override def tableExists(ident: Identifier): Boolean =
     ident.namespace().length == 1 &&
-      (fs.exists(tablePath(ident, ".parquet")) || fs.exists(tablePath(ident, ".fimi")))
+      (fs.exists(tablePath(ident, ".parquet")) || fs.exists(tablePath(ident, ".fimi")) ||
+        fs.exists(tablePath(ident, ".fimib")))
 
   override def loadTable(ident: Identifier): Table = cache.getOrElseUpdate(ident, {
     val parquet = tablePath(ident, ".parquet")
     val fimi = tablePath(ident, ".fimi")
+    val fimib = tablePath(ident, ".fimib")
     if (ident.namespace().length == 1 && fs.exists(parquet))
       org.apache.spark.sql.graft.Bridge.parquetTable(
         SparkSession.active, ident.toString, parquet.toString)
     else if (ident.namespace().length == 1 && fs.exists(fimi))
       new graft.sources.fimi.FimiTable(new CaseInsensitiveStringMap(
         util.Collections.singletonMap("path", fimi.toString)))
-    else throw new NoSuchTableException(ident)
+    else if (ident.namespace().length == 1 && fs.exists(fimib)) {
+      // bucketed FIMI layout (storage-partitioned join capable): bucket
+      // count from the writer's _buckets marker
+      val markerPath = new Path(fimib, "_buckets")
+      require(fs.exists(markerPath),
+        s"bucketed fimi table $fimib has no _buckets marker")
+      val in = fs.open(markerPath)
+      val n = try {
+        val buf = new Array[Byte](32)
+        val read = in.read(buf)
+        new String(buf, 0, math.max(read, 0), "UTF-8").trim.toInt
+      } finally in.close()
+      val opts = new util.HashMap[String, String]()
+      opts.put("path", fimib.toString)
+      opts.put("buckets", n.toString)
+      new graft.sources.fimi.FimiTable(new CaseInsensitiveStringMap(opts))
+    } else throw new NoSuchTableException(ident)
   })
+
+  // --------------------------------------------------------- functions
+
+  /** The one catalog function: the FIMI bucketed-layout transform.
+    * Storage-partitioned join planning resolves a scan's reported
+    * `bucket(N, tid)` through here and compares the bound function's
+    * canonicalName across the join's two sides. */
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    Array(Identifier.of(namespace, "bucket"))
+
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    if (ident.name() == "bucket") graft.sources.fimi.FimiBucketFunction
+    else throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident)
 
   override def invalidateTable(ident: Identifier): Unit = cache.remove(ident)
 

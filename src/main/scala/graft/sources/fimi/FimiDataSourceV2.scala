@@ -219,12 +219,21 @@ class FimiScanBuilder(options: CaseInsensitiveStringMap)
   }
 
   override def build(): Scan = {
-    val bound = pruneFilters.flatMap(tidBound)
-      .foldLeft((Long.MinValue, Long.MaxValue)) { case ((lo, hi), (l, h)) =>
-        (math.max(lo, l), math.min(hi, h))
-      }
-    new FimiScan(FimiTable.paths(options).toIndexedSeq, hadoopKVs, requiredSchema,
-      maxSplitBytes, sep, limit, bound._1, bound._2)
+    val buckets = Option(options.get("buckets")).map(_.toInt).getOrElse(0)
+    if (buckets > 0)
+      // bucketed layout (see FimiBuckets.scala): explicit-tid lines under
+      // bucket=K dirs, one key-grouped partition per bucket; tid-range
+      // split pruning does not apply (tids are data, not offsets)
+      new FimiBucketedScan(FimiTable.paths(options).toIndexedSeq, hadoopKVs,
+        requiredSchema, sep, limit, buckets)
+    else {
+      val bound = pruneFilters.flatMap(tidBound)
+        .foldLeft((Long.MinValue, Long.MaxValue)) { case ((lo, hi), (l, h)) =>
+          (math.max(lo, l), math.min(hi, h))
+        }
+      new FimiScan(FimiTable.paths(options).toIndexedSeq, hadoopKVs, requiredSchema,
+        maxSplitBytes, sep, limit, bound._1, bound._2)
+    }
   }
 }
 
@@ -406,7 +415,15 @@ class FimiWriteBuilder(options: CaseInsensitiveStringMap, info: LogicalWriteInfo
     }
     val kvs = FimiTable.confKVs(
       SparkSession.active.sessionState.newHadoopConf())
-    new FimiBatchWrite(dest, kvs, itemsIdx, info.queryId(), truncateExisting)
+    val buckets = Option(options.get("buckets")).map(_.toInt).getOrElse(0)
+    if (buckets > 0) {
+      val tidIdx = info.schema().fieldNames.indexOf("tid")
+      require(tidIdx >= 0 && info.schema()(tidIdx).dataType == LongType,
+        s"bucketed fimi write needs a `tid BIGINT` column; got ${info.schema()}")
+      new FimiBucketedWrite(dest, kvs, tidIdx, itemsIdx, info.queryId(),
+        truncateExisting, buckets)
+    } else
+      new FimiBatchWrite(dest, kvs, itemsIdx, info.queryId(), truncateExisting)
   }
 }
 

@@ -210,6 +210,58 @@ class FimiDsv2Spec extends SparkSpec {
     assert(ords.distinct.sorted == Seq(0L, 1L))
   }
 
+  test("storage-partitioned join: two bucketed fimi tables join with ZERO shuffle exchanges") {
+    val sp = spark
+    import sp.implicits._
+    val root = tmpDir("spj")
+    new java.io.File(s"$root/ns").mkdirs()
+    // two co-bucketed tables sharing the tid key space
+    val ta = (0L until 400L).map(t => (t, Seq(s"a${t % 7}", s"a${t % 3}")))
+      .toDF("tid", "items")
+    val tb = (0L until 400L by 2).map(t => (t, Seq(s"lbl${t % 5}")))
+      .toDF("tid", "items")
+    ta.write.format("fimi").option("buckets", "4").mode("overwrite")
+      .save(s"$root/ns/ta.fimib")
+    tb.write.format("fimi").option("buckets", "4").mode("overwrite")
+      .save(s"$root/ns/tb.fimib")
+    val scoped = Seq(
+      "spark.sql.catalog.graftspj" -> "graft.catalog.GraftCatalog",
+      "spark.sql.catalog.graftspj.root" -> root,
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = scoped.map { case (k, _) => k -> spark.conf.getOption(k) }
+    scoped.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // round-trip: the bucketed layout preserves explicit tids exactly
+      val back = spark.table("graftspj.ns.ta")
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toList).toMap
+      val want = ta.collect()
+        .map(r => r.getLong(0) -> r.getSeq[String](1).distinct.sorted.toList).toMap
+      assert(back == want)
+      // the join: co-partitioned by the catalog's bucket(4, tid) on both
+      // sides -> storage-partitioned join, no exchange of either side
+      val joined = spark.table("graftspj.ns.ta").select(col("tid"),
+          col("items").as("basket"))
+        .join(spark.table("graftspj.ns.tb").select(col("tid"),
+          col("items").as("labels")), "tid")
+      val rows = joined.collect()
+      assert(rows.length == 200)
+      val ops = org.apache.spark.sql.graft.Bridge
+        .runtimeOps(joined.queryExecution.executedPlan)
+      val shuffles = ops.count(
+        _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeExec])
+      assert(shuffles == 0,
+        s"SPJ did not engage — $shuffles shuffle(s) in:\n" +
+          ops.map(_.nodeName).mkString(" | "))
+      // and the result matches the plain dataframe join
+      val plainCount = ta.join(tb.select(col("tid")), "tid").count()
+      assert(rows.length.toLong == plainCount)
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("session catalog surface: CREATE TABLE ... USING fimi, then SQL over it") {
     val dir = tmpDir("catalog")
     writeLines(dir, "tx.dat", Seq("a b", "b c", "a b c"))
