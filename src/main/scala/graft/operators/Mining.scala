@@ -175,6 +175,42 @@ object Mining {
     * side identical to fpm_freq_items — one explode + hash agg with a
     * broadcast denominator. The column-pruned scan never materializes
     * tids here (only `items` is required). */
+  /** STORAGE-PARTITIONED JOIN end-to-end (the 100 TB shuffle-free join
+    * path — see graft.sources.fimi.FimiBuckets): the sf baskets and a
+    * per-basket group-label frame are written as CO-BUCKETED fimi
+    * tables (`bucket(8, tid)`, explicit-tid lines), read back through
+    * [[graft.catalog.GraftCatalog]] (whose FunctionCatalog serves the
+    * bucket transform), and joined on tid — with
+    * `spark.sql.sources.v2.bucketing.enabled` the two KeyGroupedPartitioning
+    * scans co-locate and the join plans WITHOUT a shuffle of either side
+    * (zero-exchange plan gated in FimiDsv2Spec, where broadcast is also
+    * disabled; here at test scale the small side may legally broadcast —
+    * content, not plan, is this key's oracle claim). Output: per-group
+    * per-item basket counts ≡ the parquet-fed tx aggregation. */
+  def fpmFimiSpj(s: SparkSession, dir: String): DataFrame = {
+    val sfName = new java.io.File(dir).getName
+    val root = new java.io.File(
+      sys.props("java.io.tmpdir"), "graft_fimi_spj").getAbsolutePath
+    new java.io.File(root, sfName).mkdirs()
+    val b = baskets(s, dir)
+    b.write.format("fimi").option("buckets", "8").mode("overwrite")
+      .save(s"$root/$sfName/ba.fimib")
+    b.select(col("tid"),
+        array(concat(lit("g"), (col("tid") % 3).cast("string"))).as("items"))
+      .write.format("fimi").option("buckets", "8").mode("overwrite")
+      .save(s"$root/$sfName/bb.fimib")
+    s.conf.set("spark.sql.catalog.graft_spj", "graft.catalog.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft_spj.root", root)
+    s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    val ta = s.table(s"graft_spj.`$sfName`.ba")
+    val tb = s.table(s"graft_spj.`$sfName`.bb")
+      .select(col("tid"), element_at(col("items"), 1).as("grp"))
+    ta.join(tb, "tid")
+      .select(col("grp"), explode(col("items")).as("item"))
+      .groupBy("grp", "item").agg(count(lit(1)).as("freq"))
+      .orderBy("grp", "item")
+  }
+
   def fpmFimiDsv2(s: SparkSession, dir: String): DataFrame = {
     val base = new java.io.File(
       new java.io.File(sys.props("java.io.tmpdir"), "graft_fimi_dsv2"),
@@ -1083,6 +1119,7 @@ object Mining {
     "fpm_freq_items"   -> (fpmFreqItems _),
     "fpm_fimi_roundtrip" -> (fpmFimiRoundtrip _),
     "fpm_fimi_dsv2"    -> (fpmFimiDsv2 _),
+    "fpm_fimi_spj"     -> (fpmFimiSpj _),
     "fpm_freq_pairs"   -> (fpmFreqPairs _),
     "fpm_topk_patterns" -> (fpmTopkPatterns _),
     "fpm_eclat"        -> (fpmEclat _),
@@ -1371,6 +1408,11 @@ object Mining {
         |FROM tx GROUP BY item
         |HAVING count(*) >= 0.05 * (SELECT n FROM nb)
         |ORDER BY item""".stripMargin),
+
+    "fpm_fimi_spj" -> (txCte + """
+        |SELECT 'g' || CAST(tid % 3 AS VARCHAR) AS grp, item,
+        |       CAST(count(*) AS BIGINT) AS freq
+        |FROM tx GROUP BY 1, 2 ORDER BY grp, item""".stripMargin),
 
     "fpm_eclat" -> (txCte +
       """
