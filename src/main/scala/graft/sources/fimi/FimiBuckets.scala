@@ -314,8 +314,10 @@ class FimiBucketDataWriter(
 
   private def writerFor(k: Int): java.io.BufferedWriter = {
     if (outs(k) == null) {
+      // MUST start with "part-": commit's truncate pass deletes exactly
+      // the part-* files of the previous write
       val p = new Path(stagingDir,
-        f"b$k%03d-part-$partitionId%05d-$taskId-$jobTag.dat")
+        f"part-b$k%03d-$partitionId%05d-$taskId-$jobTag.dat")
       paths(k) = p
       outs(k) = new java.io.BufferedWriter(
         new java.io.OutputStreamWriter(fs.create(p, true),

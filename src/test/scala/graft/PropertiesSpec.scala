@@ -37,6 +37,60 @@ class PropertiesSpec extends SparkSpec {
     (l1 ++ l2).filter(_._2 >= minCount).toMap
   }
 
+  test("bucketed fimi layout: random frames round-trip exactly at any bucket count and partitioning") {
+    val sp = spark
+    import sp.implicits._
+    val caseGen = for {
+      n <- Gen.chooseNum(1, 60)
+      tids <- Gen.listOfN(n, Gen.chooseNum(0L, 5000L)).map(_.distinct)
+      rows <- Gen.sequence[List[(Long, Set[String])], (Long, Set[String])](
+        tids.map(t => Gen.someOf(vocab).map(s =>
+          t -> (if (s.isEmpty) Set("a") else s.toSet))))
+      buckets <- Gen.chooseNum(1, 8)
+      parts <- Gen.chooseNum(1, 5)
+    } yield (rows, buckets, parts)
+    (1 to 4).foreach { i =>
+      val (rows, buckets, parts) =
+        caseGen.pureApply(Gen.Parameters.default, Seed(4242L + i))
+      val dest = java.nio.file.Files
+        .createTempDirectory(s"graft-fimib-prop$i").toString + "/t.fimib"
+      rows.map { case (t, s) => (t, s.toSeq) }.toDF("tid", "items")
+        .repartition(parts)
+        .write.format("fimi").option("buckets", buckets.toString)
+        .mode("overwrite").save(dest)
+      val back = spark.read.format("fimi").option("buckets", buckets.toString)
+        .load(dest)
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toList)
+      // exact multiset identity (tids unique by construction)
+      assert(back.length == rows.length, s"case $i: row count")
+      assert(back.toMap == rows.map { case (t, s) =>
+        t -> s.toList.distinct.sorted }.toMap, s"case $i: content")
+      // overwrite truncates the previous bucketed write (regression for
+      // the part-file naming contract commit's truncate pass relies on)
+      if (i == 1) {
+        rows.map { case (t, s) => (t, s.toSeq) }.toDF("tid", "items")
+          .write.format("fimi").option("buckets", buckets.toString)
+          .mode("overwrite").save(dest)
+        val n2 = spark.read.format("fimi").option("buckets", buckets.toString)
+          .load(dest).count()
+        assert(n2 == rows.length, s"overwrite doubled rows: $n2 vs ${rows.length}")
+      }
+      // layout invariant: every line sits in pmod(tid, buckets)
+      val base = new java.io.File(dest)
+      (0 until buckets).foreach { k =>
+        val bdir = new java.io.File(base, s"bucket=$k")
+        assert(bdir.isDirectory, s"case $i: missing bucket dir $k")
+        bdir.listFiles().filter(_.getName.startsWith("part-")).foreach { f =>
+          scala.io.Source.fromFile(f).getLines().filter(_.trim.nonEmpty).foreach { l =>
+            val tid = l.trim.split("\\s+").head.toLong
+            assert(graft.sources.fimi.FimiBucketFunction.bucketOf(tid, buckets) == k,
+              s"case $i: tid $tid in wrong bucket $k")
+          }
+        }
+      }
+    }
+  }
+
   test("downward closure: subsets of frequent itemsets are frequent") {
     samples(6).foreach { tx =>
       val fi = freqItemsets(tx, 2)
