@@ -251,6 +251,20 @@ object Streaming {
       .dropDuplicates("user_id", "event_type")
       .select(col("user_id"), col("event_type"), col("event_id"), col("ts"))
 
+  /** BOUNDED-STATE streaming dedup — `dropDuplicatesWithinWatermark`,
+    * the production form of [[dedupStream]]: dedup keys are guaranteed
+    * unique only WITHIN the watermark delay, which lets the state store
+    * EVICT keys once the watermark passes them (plain dropDuplicates
+    * keys grow without bound on an unbounded key stream — the state-OOM
+    * a 100 TB deployment hits first). The visible semantic difference —
+    * a key recurring far beyond the delay is re-emitted as new — is
+    * exactly what StreamingSpec pins down. */
+  def dedupWithinWatermarkStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+      .select(col("user_id"), col("event_type"), col("event_id"), col("ts"))
+
   /** Stream-stream interval join (click→purchase attribution): purchases
     * joined to the same user's clicks within the preceding 30 minutes.
     * Both sides carry watermarks so the state store can evict expired

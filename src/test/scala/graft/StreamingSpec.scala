@@ -113,6 +113,32 @@ class StreamingSpec extends SparkSpec {
     assert(ids == Set(1L))
   }
 
+  test("dropDuplicatesWithinWatermark: dups inside the delay drop, state evicts, far-later keys re-emit") {
+    val sp = spark
+    import sp.implicits._
+    implicit val ctx = sp.sqlContext
+    val ms = MemoryStream[Ev]
+    val q = Streaming.dedupWithinWatermarkStream(ms.toDF())
+      .writeStream.outputMode("append").format("memory").queryName("dedupww").start()
+    try {
+      // two arrivals of (1, click) within the 10-minute delay -> one row
+      ms.addData(
+        Ev(t("2024-01-01 10:00:00"), 1, "click", 1.0, 1),
+        Ev(t("2024-01-01 10:01:00"), 1, "click", 1.0, 2))
+      q.processAllAvailable()
+      // push the watermark hours past the key -> its state is evictable
+      ms.addData(Ev(t("2024-01-01 14:00:00"), 9, "view", 1.0, 3))
+      q.processAllAvailable()
+      // the SAME key recurring far beyond the delay is a NEW event (this
+      // is the bounded-state contract plain dropDuplicates doesn't have)
+      ms.addData(Ev(t("2024-01-01 14:01:00"), 1, "click", 1.0, 4))
+      q.processAllAvailable()
+    } finally q.stop()
+    val ids = spark.table("dedupww")
+      .filter(col("user_id") === 1).collect().map(_.getLong(2)).toSet
+    assert(ids == Set(1L, 4L), s"got $ids")
+  }
+
   test("transformWithState running stats: stream equals batch, state crosses a checkpoint restart") {
     val sp = spark
     import sp.implicits._
