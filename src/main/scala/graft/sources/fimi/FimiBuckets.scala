@@ -248,10 +248,15 @@ class FimiBucketedWrite(
     val fs = destPath.getFileSystem(conf)
     (0 until numBuckets).foreach(k => fs.mkdirs(new Path(destPath, s"bucket=$k")))
     if (truncate)
+      // truncate REPLACES the table: clear every visible data file in
+      // every bucket dir (a part-* -only filter would leave files from a
+      // writer with a different naming scheme alive forever, and the
+      // next read would see both generations)
       (0 until numBuckets).foreach { k =>
         val bdir = new Path(destPath, s"bucket=$k")
         Option(fs.listStatus(bdir)).getOrElse(Array.empty).foreach { st =>
-          if (st.isFile && st.getPath.getName.startsWith("part-"))
+          val n = st.getPath.getName
+          if (st.isFile && !n.startsWith("_") && !n.startsWith("."))
             fs.delete(st.getPath, false)
         }
       }
