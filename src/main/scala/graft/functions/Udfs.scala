@@ -94,9 +94,42 @@ object Udfs {
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)
   }
 
+  /** SQL TABLE function (`CREATE FUNCTION ... RETURNS TABLE`, Spark 4) —
+    * the set-returning tier above [[udfSqlFunction]]'s scalar: a
+    * parameterized order slice declared once in SQL and consumed as a
+    * table, then re-invoked LATERALLY with a correlated bound (each
+    * priority's rows above that priority's own mean — the per-group
+    * subquery pattern a reusable TVF cleans up). The analyzer INLINES
+    * the body both times, so the plan is the plain subquery's plan; the
+    * oracle states the inlined form.
+    *
+    * Scale posture: inlining means zero function-call machinery at
+    * runtime — filters land on the scan, the lateral correlation plans
+    * as the same join the hand-written subquery would. */
+  def udfSqlTableFunction(s: SparkSession, dir: String): DataFrame = {
+    graft.Tables.load(s, dir, "orders").createOrReplaceTempView("orders")
+    s.sql(
+      """CREATE OR REPLACE TEMPORARY FUNCTION graft_order_slice(lo DOUBLE)
+        |RETURNS TABLE (o_orderkey BIGINT, o_orderpriority STRING, o_totalprice DOUBLE)
+        |RETURN SELECT o_orderkey, o_orderpriority, o_totalprice
+        |       FROM orders WHERE o_totalprice >= lo""".stripMargin)
+    s.sql(
+      """WITH prio_mean AS (
+        |  SELECT o_orderpriority AS prio,
+        |         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |           / count(*) AS mean_price
+        |  FROM orders GROUP BY o_orderpriority)
+        |SELECT prio,
+        |       CAST(count(*) AS BIGINT) AS n_above_own_mean
+        |FROM prio_mean, LATERAL graft_order_slice(mean_price) sl
+        |WHERE sl.o_orderpriority = prio
+        |GROUP BY prio ORDER BY prio""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "udf_scalar"           -> (udfScalar _),
     "udf_sql_function"     -> (udfSqlFunction _),
+    "udf_sql_table_function" -> (udfSqlTableFunction _),
     "udaf_itemset_support" -> (udafItemsetSupport _),
     "udtf_generator"       -> (udtfGenerator _),
   )
@@ -108,6 +141,17 @@ object Udfs {
       |)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "udf_sql_table_function" ->
+      """WITH prio_mean AS (
+        |  SELECT o_orderpriority AS prio,
+        |         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |           / count(*) AS mean_price
+        |  FROM orders GROUP BY o_orderpriority)
+        |SELECT prio, CAST(count(*) AS BIGINT) AS n_above_own_mean
+        |FROM prio_mean JOIN orders
+        |  ON o_orderpriority = prio AND o_totalprice >= mean_price
+        |GROUP BY prio ORDER BY prio""".stripMargin,
+
     "udf_sql_function" ->
       """SELECT CASE WHEN o_totalprice > 300000 THEN 'high'
         |            WHEN o_totalprice > 150000 THEN 'mid'
