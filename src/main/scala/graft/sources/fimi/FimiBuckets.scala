@@ -101,6 +101,16 @@ class FimiBucketedScan(
   override def description(): String =
     s"fimi bucketed(n=$numBuckets) ${optionPaths.mkString(",")}"
 
+  /** Bucketed tables are batch-only: the micro-batch file-discovery log
+    * (FimiMicroBatchStream) tracks flat directories, and a streaming
+    * read could not preserve the key-grouped partitioning contract
+    * anyway. Fail with intent rather than the generic default. */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    throw new UnsupportedOperationException(
+      "bucketed fimi tables are batch-only (storage-partitioned join " +
+        "layout); stream the flat layout instead")
+
   override def outputPartitioning(): Partitioning =
     new KeyGroupedPartitioning(
       Array(Expressions.bucket(numBuckets, "tid")), numBuckets)
