@@ -128,19 +128,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
       (fs.exists(tablePath(ident, ".parquet")) || fs.exists(tablePath(ident, ".fimi")) ||
         fs.exists(tablePath(ident, ".fimib")))
 
-  override def loadTable(ident: Identifier): Table = cache.getOrElseUpdate(ident, {
-    val parquet = tablePath(ident, ".parquet")
-    val fimi = tablePath(ident, ".fimi")
+  override def loadTable(ident: Identifier): Table = {
     val fimib = tablePath(ident, ".fimib")
-    if (ident.namespace().length == 1 && fs.exists(parquet))
-      org.apache.spark.sql.graft.Bridge.parquetTable(
-        SparkSession.active, ident.toString, parquet.toString)
-    else if (ident.namespace().length == 1 && fs.exists(fimi))
-      new graft.sources.fimi.FimiTable(new CaseInsensitiveStringMap(
-        util.Collections.singletonMap("path", fimi.toString)))
-    else if (ident.namespace().length == 1 && fs.exists(fimib)) {
+    if (ident.namespace().length == 1 && fs.exists(fimib)) {
       // bucketed FIMI layout (storage-partitioned join capable): bucket
-      // count from the writer's _buckets marker
+      // count from the writer's _buckets marker. NOT cached — the count
+      // is table STATE, not just a path, and a rewrite with a different
+      // N must be visible without invalidateTable (a cached buckets=4
+      // table over a rewritten 8-bucket layout would silently list only
+      // half the bucket dirs); the per-load cost is one tiny file read.
       val markerPath = new Path(fimib, "_buckets")
       require(fs.exists(markerPath),
         s"bucketed fimi table $fimib has no _buckets marker")
@@ -154,8 +150,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
       opts.put("path", fimib.toString)
       opts.put("buckets", n.toString)
       new graft.sources.fimi.FimiTable(new CaseInsensitiveStringMap(opts))
-    } else throw new NoSuchTableException(ident)
-  })
+    } else cache.getOrElseUpdate(ident, {
+      val parquet = tablePath(ident, ".parquet")
+      val fimi = tablePath(ident, ".fimi")
+      if (ident.namespace().length == 1 && fs.exists(parquet))
+        org.apache.spark.sql.graft.Bridge.parquetTable(
+          SparkSession.active, ident.toString, parquet.toString)
+      else if (ident.namespace().length == 1 && fs.exists(fimi))
+        new graft.sources.fimi.FimiTable(new CaseInsensitiveStringMap(
+          util.Collections.singletonMap("path", fimi.toString)))
+      else throw new NoSuchTableException(ident)
+    })
+  }
 
   // --------------------------------------------------------- functions
 

@@ -186,7 +186,16 @@ object Mining {
     * (zero-exchange plan gated in FimiDsv2Spec, where broadcast is also
     * disabled; here at test scale the small side may legally broadcast —
     * content, not plan, is this key's oracle claim). Output: per-group
-    * per-item basket counts ≡ the parquet-fed tx aggregation. */
+    * per-item basket counts ≡ the parquet-fed tx aggregation.
+    *
+    * The three session confs set here (catalog registration ×2 and
+    * `spark.sql.sources.v2.bucketing.enabled`) deliberately PERSIST:
+    * the returned frame is lazy, so the confs must still hold when the
+    * caller executes it — a set/restore inside this function would
+    * un-register the catalog before planning even runs. All three are
+    * inert for every other key: the catalog names are only resolvable
+    * by this query, and the bucketing flag changes planning only where
+    * a KeyGroupedPartitioning v2 scan participates (none elsewhere). */
   def fpmFimiSpj(s: SparkSession, dir: String): DataFrame = {
     val sfName = new java.io.File(dir).getName
     val root = new java.io.File(

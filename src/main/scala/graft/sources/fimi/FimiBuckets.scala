@@ -80,7 +80,7 @@ object FimiBucketFunction extends UnboundFunction {
 
 case class FimiBucketInputPartition(
     bucketId: Int,
-    files: Seq[String]) extends InputPartition with HasPartitionKey {
+    files: Seq[(String, Long)]) extends InputPartition with HasPartitionKey {
   override def partitionKey(): InternalRow =
     new GenericInternalRow(Array[Any](bucketId))
 }
@@ -128,7 +128,7 @@ class FimiBucketedScan(
           fs.listStatus(bdir).filter(st => st.isFile &&
               !st.getPath.getName.startsWith("_") &&
               !st.getPath.getName.startsWith("."))
-            .map(_.getPath.toString).sorted.toSeq
+            .map(st => (st.getPath.toString, st.getLen)).sortBy(_._1).toSeq
         else Seq.empty
       FimiBucketInputPartition(k, files)
     }.toArray
@@ -141,12 +141,9 @@ class FimiBucketedScan(
     new FimiBucketReaderFactory(hadoopKVs, requiredSchema, sep, limit)
 
   override def estimateStatistics(): Statistics = new Statistics {
-    override def sizeInBytes(): OptionalLong = {
-      val conf = FimiTable.rebuildConf(hadoopKVs)
-      OptionalLong.of(partitions.flatMap(_.files).map { f =>
-        val p = new Path(f); p.getFileSystem(conf).getFileStatus(p).getLen
-      }.sum)
-    }
+    // lengths captured at listing time: a pure sum, no per-file I/O
+    override def sizeInBytes(): OptionalLong =
+      OptionalLong.of(partitions.flatMap(_.files).map(_._2).sum)
     override def numRows(): OptionalLong = OptionalLong.empty()
   }
 }
@@ -186,8 +183,8 @@ class FimiBucketReader(
     if (reader != null) { reader.close(); reader = null }
     fileIdx += 1
     if (fileIdx >= part.files.size) return false
-    val p = new Path(part.files(fileIdx))
-    val len = p.getFileSystem(conf).getFileStatus(p).getLen
+    val (fp, len) = part.files(fileIdx)
+    val p = new Path(fp)
     val r = new LineRecordReader()
     r.initialize(new FileSplit(p, 0, len, null),
       new TaskAttemptContextImpl(conf, new TaskAttemptID()))
@@ -329,8 +326,6 @@ class FimiBucketDataWriter(
 
   private def writerFor(k: Int): java.io.BufferedWriter = {
     if (outs(k) == null) {
-      // MUST start with "part-": commit's truncate pass deletes exactly
-      // the part-* files of the previous write
       val p = new Path(stagingDir,
         f"part-b$k%03d-$partitionId%05d-$taskId-$jobTag.dat")
       paths(k) = p

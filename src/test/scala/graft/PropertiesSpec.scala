@@ -65,8 +65,7 @@ class PropertiesSpec extends SparkSpec {
       assert(back.length == rows.length, s"case $i: row count")
       assert(back.toMap == rows.map { case (t, s) =>
         t -> s.toList.distinct.sorted }.toMap, s"case $i: content")
-      // overwrite truncates the previous bucketed write (regression for
-      // the part-file naming contract commit's truncate pass relies on)
+      // overwrite truncates the previous bucketed write completely
       if (i == 1) {
         rows.map { case (t, s) => (t, s.toSeq) }.toDF("tid", "items")
           .write.format("fimi").option("buckets", buckets.toString)
