@@ -222,6 +222,37 @@ object Relational {
       .select(col("e.item").as("priority"), col("e.count").as("cnt"))
       .orderBy(col("cnt").desc, col("priority"))
 
+  /** BITMAP-ACCELERATED EXACT DISTINCT (Spark 4 `bitmap_bucket_number` /
+    * `bitmap_bit_position` / `bitmap_construct_agg` / `bitmap_count` /
+    * `bitmap_or_agg`) — the EXACT-mergeable sibling of the HLL rollup
+    * ([[relAggSketchMerge]]): per-(priority, bucket) roaring-style
+    * bitmaps of the customer key space, distinct counts as bit
+    * popcounts, and month partials OR-merged WITHOUT re-scanning —
+    * stored bitmap columns give a warehouse exact incremental
+    * distinct-count rollups (32 Ki keys per 4 KiB bucket bitmap) where
+    * HLL gives approximate ones in constant space. Two aggregate levels,
+    * both mergeable; the bucket dimension bounds each bitmap. Keys are
+    * shifted +1: the bitmap position functions are 1-based and the
+    * synthetic custkey space starts at 0 (a 0 key would otherwise fall
+    * into engine-specific negative-bucket arithmetic).
+    *
+    * Fully oracle-checkable — bitmap counts are EXACT: the DuckDB
+    * oracle states plain COUNT(DISTINCT). The mergeability claim is in
+    * the key itself: level 2 counts the OR of level-1 month partials
+    * and must equal the per-priority distinct count. */
+  def relAggBitmapDistinct(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "orders")
+      .groupBy(col("o_orderpriority").as("priority"),
+        date_trunc("month", col("o_orderdate")).as("mon"),
+        expr("bitmap_bucket_number(o_custkey + 1)").as("bkt"))
+      .agg(expr("bitmap_construct_agg(bitmap_bit_position(o_custkey + 1))").as("bm"))
+      .groupBy("priority", "bkt")
+      .agg(expr("bitmap_or_agg(bm)").as("bm"))
+      .groupBy("priority")
+      .agg(expr("CAST(sum(bitmap_count(bm)) AS BIGINT)").as("distinct_customers"),
+        count(lit(1)).as("n_buckets"))
+      .orderBy("priority")
+
   def relAggRollup(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "lineitem")
       .rollup("l_returnflag", "l_linestatus")
@@ -1208,6 +1239,7 @@ object Relational {
     "rel_agg_sketch_merge" -> (relAggSketchMerge _),
     "rel_agg_theta"      -> (relAggTheta _),
     "rel_agg_approx_topk" -> (relAggApproxTopk _),
+    "rel_agg_bitmap_distinct" -> (relAggBitmapDistinct _),
     "rel_agg_rollup"     -> (relAggRollup _),
     "rel_agg_cube"       -> (relAggCube _),
     "rel_join_broadcast" -> (relJoinBroadcast _),
@@ -1245,6 +1277,14 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "rel_agg_bitmap_distinct" ->
+      """SELECT o_orderpriority AS priority,
+        |       CAST(count(DISTINCT o_custkey) AS BIGINT) AS distinct_customers,
+        |       CAST(count(DISTINCT (o_custkey // 32768 + 1)) AS BIGINT)
+        |         AS n_buckets
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY priority""".stripMargin,
+
     "rel_agg_theta" ->
       """WITH a AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'),
         |     b AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F')
