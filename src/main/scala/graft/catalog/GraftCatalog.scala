@@ -62,7 +62,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
 
   override def name(): String = catalogName
 
-  private def fs = root.getFileSystem(
+  // lazy: `root` is fixed at initialize() and a FileSystem handle is
+  // cached by scheme inside Hadoop anyway — but newHadoopConf() clones
+  // the FULL session conf per call, which a def here would pay on every
+  // exists/list during table resolution
+  private lazy val fs = root.getFileSystem(
     SparkSession.active.sessionState.newHadoopConf())
 
   // ------------------------------------------------------ namespaces
@@ -137,15 +141,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
       // N must be visible without invalidateTable (a cached buckets=4
       // table over a rewritten 8-bucket layout would silently list only
       // half the bucket dirs); the per-load cost is one tiny file read.
-      val markerPath = new Path(fimib, "_buckets")
-      require(fs.exists(markerPath),
-        s"bucketed fimi table $fimib has no _buckets marker")
-      val in = fs.open(markerPath)
-      val n = try {
-        val buf = new Array[Byte](32)
-        val read = in.read(buf)
-        new String(buf, 0, math.max(read, 0), "UTF-8").trim.toInt
-      } finally in.close()
+      val n = graft.sources.fimi.FimiTable.readBucketsMarker(fs, fimib)
+        .getOrElse(throw new IllegalStateException(
+          s"bucketed fimi table $fimib has no _buckets marker"))
       val opts = new util.HashMap[String, String]()
       opts.put("path", fimib.toString)
       opts.put("buckets", n.toString)

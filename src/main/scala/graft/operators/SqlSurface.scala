@@ -680,11 +680,17 @@ object SqlSurface {
   def sqlCatalogScan(s: SparkSession, dir: String): DataFrame = {
     val parent = new java.io.File(dir).getAbsoluteFile.getParent
     val ns = new java.io.File(dir).getName
-    s.conf.set("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")
-    s.conf.set("spark.sql.catalog.graft.root", parent)
+    // catalog NAME is derived from the root: CatalogManager caches the
+    // plugin instance per name after first resolution, so re-pointing a
+    // fixed name ("graft") at a different root in the same session
+    // would silently keep serving the old tree. One root = one name
+    // sidesteps the cache by construction.
+    val cat = "graft_" + java.lang.Integer.toHexString(parent.hashCode)
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.catalog.GraftCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.root", parent)
     s.sql(
       s"""SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS cnt
-         |FROM graft.`$ns`.lineitem
+         |FROM $cat.`$ns`.lineitem
          |GROUP BY l_returnflag, l_linestatus
          |ORDER BY l_returnflag, l_linestatus""".stripMargin)
   }

@@ -253,19 +253,32 @@ class FimiBucketedWrite(
     val conf = FimiTable.rebuildConf(hadoopKVs)
     val destPath = new Path(dest)
     val fs = destPath.getFileSystem(conf)
+    // LAYOUT GUARD: the _buckets marker is the table's declared N; an
+    // APPEND with a different N would interleave two incompatible
+    // bucket assignments under one declared transform (a subsequent
+    // storage-partitioned join would silently lose matches) — refuse.
+    // A truncate may change N: it replaces the whole layout below.
+    val existingN = FimiTable.readBucketsMarker(fs, destPath)
+    if (!truncate)
+      existingN.filter(_ != numBuckets).foreach { n =>
+        throw new IllegalArgumentException(
+          s"fimi: append with buckets=$numBuckets onto a table bucketed " +
+            s"with buckets=$n ($dest); rewrite with mode=overwrite to " +
+            "change the bucket count")
+      }
     (0 until numBuckets).foreach(k => fs.mkdirs(new Path(destPath, s"bucket=$k")))
     if (truncate)
       // truncate REPLACES the table: clear every visible data file in
-      // every bucket dir (a part-* -only filter would leave files from a
-      // writer with a different naming scheme alive forever, and the
-      // next read would see both generations)
-      (0 until numBuckets).foreach { k =>
-        val bdir = new Path(destPath, s"bucket=$k")
-        Option(fs.listStatus(bdir)).getOrElse(Array.empty).foreach { st =>
-          val n = st.getPath.getName
-          if (st.isFile && !n.startsWith("_") && !n.startsWith("."))
-            fs.delete(st.getPath, false)
-        }
+      // EVERY existing bucket dir — including dirs ≥ the new N when the
+      // count shrinks (a part-* -only or 0..N-1-only sweep would leave a
+      // stale generation a later wider write resurrects)
+      Option(fs.listStatus(destPath)).getOrElse(Array.empty).foreach { st =>
+        if (st.isDirectory && st.getPath.getName.startsWith("bucket="))
+          Option(fs.listStatus(st.getPath)).getOrElse(Array.empty).foreach { f =>
+            val n = f.getPath.getName
+            if (f.isFile && !n.startsWith("_") && !n.startsWith("."))
+              fs.delete(f.getPath, false)
+          }
       }
     messages.foreach {
       case FimiBucketCommitMessage(staged) =>
@@ -278,9 +291,11 @@ class FimiBucketedWrite(
       case other => throw new IllegalStateException(s"unexpected $other")
     }
     // layout marker: the catalog reads N from here (and the mkdirs above
-    // keep the bucket dir count consistent with it even for empty buckets)
-    val marker = fs.create(new Path(destPath, "_buckets"), true)
-    try marker.write(numBuckets.toString.getBytes("UTF-8")) finally marker.close()
+    // keep the bucket dir count consistent with it even for empty
+    // buckets). Written via temp + rename so a crash mid-write never
+    // leaves a torn marker; a crash BETWEEN data renames and this point
+    // is the documented mid-commit mix the next truncate-write clears.
+    FimiTable.writeBucketsMarker(fs, destPath, numBuckets, queryId)
     fs.delete(stagingDir, true)
   }
 

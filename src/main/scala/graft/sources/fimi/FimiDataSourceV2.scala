@@ -134,6 +134,37 @@ object FimiTable {
 
   private def visible(p: Path): Boolean =
     !p.getName.startsWith("_") && !p.getName.startsWith(".")
+
+  /** Bucket count of a bucketed table dir, if its `_buckets` marker
+    * exists. Reads to EOF (a single read() is not guaranteed to fill
+    * the buffer on non-local filesystems). */
+  def readBucketsMarker(fs: FileSystem, dir: Path): Option[Int] = {
+    val marker = new Path(dir, "_buckets")
+    if (!fs.exists(marker)) None
+    else {
+      val in = fs.open(marker)
+      try {
+        val out = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](64)
+        var n = in.read(buf)
+        while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+        Some(new String(out.toByteArray, "UTF-8").trim.toInt)
+      } finally in.close()
+    }
+  }
+
+  /** Write the `_buckets` marker atomically-enough: temp file + rename
+    * (delete-then-rename — HDFS rename does not overwrite), so readers
+    * never observe a torn marker. */
+  def writeBucketsMarker(fs: FileSystem, dir: Path, n: Int, tag: String): Unit = {
+    val tmp = new Path(dir, s".buckets-tmp-${tag.replaceAll("[^a-zA-Z0-9]", "").take(16)}")
+    val out = fs.create(tmp, true)
+    try out.write(n.toString.getBytes("UTF-8")) finally out.close()
+    val marker = new Path(dir, "_buckets")
+    if (fs.exists(marker)) fs.delete(marker, false)
+    if (!fs.rename(tmp, marker))
+      throw new java.io.IOException(s"fimi: rename $tmp -> $marker failed")
+  }
 }
 
 class FimiTable(options: CaseInsensitiveStringMap)
@@ -277,6 +308,18 @@ class FimiScan(
 
   private lazy val partitions: Array[FimiInputPartition] = {
     val conf = FimiTable.rebuildConf(hadoopKVs)
+    // a bucketed table dir read WITHOUT the buckets option would list
+    // zero files (bucket=K subdirs skipped, _buckets hidden) and return
+    // a silently EMPTY frame — fail with the remedy instead
+    optionPaths.foreach { p =>
+      val path = new Path(p)
+      val pfs = path.getFileSystem(conf)
+      if (pfs.exists(new Path(path, "_buckets")))
+        throw new IllegalArgumentException(
+          s"fimi: $p is a bucketed table directory (_buckets marker " +
+            "present); pass .option(\"buckets\", N) or read it through " +
+            "the graft catalog")
+    }
     val files = FimiTable.listDataFiles(conf, optionPaths)
     require(files.size < (1 << (63 - FimiTable.OffsetBits)),
       s"fimi: ${files.size} files exceeds the tid file-ordinal range")
@@ -297,9 +340,17 @@ class FimiScan(
           // the left is conservative by one byte — the boundary line
           // belongs to exactly one neighbor); empty intersection with
           // the pushed tid range ⇒ the split cannot yield a match.
-          val lo = (ord.toLong << FimiTable.OffsetBits) | s
-          val hi = (ord.toLong << FimiTable.OffsetBits) | (s + l)
-          lo <= tidHi && hi >= tidLo
+          // ONLY valid for uncompressed files: a compressed file's tids
+          // are LINE COUNTERS (see FimiPartitionReader), which exceed
+          // the compressed byte length whenever lines are shorter than
+          // their compression ratio — a byte bound there would prune
+          // live rows. Compressed files always pass to the residual
+          // filter instead.
+          !splittable || {
+            val lo = (ord.toLong << FimiTable.OffsetBits) | s
+            val hi = (ord.toLong << FimiTable.OffsetBits) | (s + l)
+            lo <= tidHi && hi >= tidLo
+          }
         }
         .filter(_._2 > 0)
         .map { case (s, l) => FimiInputPartition(st.getPath.toString, ord, s, l) }
@@ -454,8 +505,13 @@ class FimiBatchWrite(
     val fs = destPath.getFileSystem(conf)
     fs.mkdirs(destPath)
     if (truncate)
+      // truncate REPLACES the table: every visible data file goes — a
+      // part-*-only filter would leave pre-existing native .dat files
+      // (retail.dat-style inputs, this connector's primary read case)
+      // alive next to the new generation
       Option(fs.listStatus(destPath)).getOrElse(Array.empty).foreach { st =>
-        if (st.isFile && st.getPath.getName.startsWith("part-"))
+        val n = st.getPath.getName
+        if (st.isFile && !n.startsWith("_") && !n.startsWith("."))
           fs.delete(st.getPath, false)
       }
     messages.foreach {

@@ -74,7 +74,17 @@ class FimiMicroBatchStream(
     try out.write(
       files.mkString("", "\n", "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
-    fs.rename(tmp, new Path(logDir, name))
+    val target = new Path(logDir, name)
+    // a same-named entry can only be a finished duplicate of this exact
+    // increment (the name is the [from, to) range and entries are
+    // immutable) — e.g. a crash after a previous rename; keep it
+    if (fs.exists(target)) { fs.delete(tmp, false); return }
+    if (!fs.rename(tmp, target))
+      // the offset must NOT advance past an un-persisted increment: a
+      // restart could then never rebuild the checkpointed log range
+      throw new java.io.IOException(
+        s"fimi stream: rename $tmp -> $target failed; refusing to " +
+          "advance the offset past an un-persisted log increment")
   }
 
   override def initialOffset(): Offset = FimiOffset(0)

@@ -262,6 +262,62 @@ class FimiDsv2Spec extends SparkSpec {
     }
   }
 
+  test("bucketed layout guards: append N-mismatch refused, shrink clears stale dirs, optionless read errors") {
+    val sp = spark
+    import sp.implicits._
+    val dest = tmpDir("guards") + "/t.fimib"
+    val rows = (0L until 100L).map(t => (t, Seq(s"i${t % 5}"))).toDF("tid", "items")
+    rows.write.format("fimi").option("buckets", "8").mode("overwrite").save(dest)
+    // append with a different N would corrupt the declared layout
+    val ex = intercept[Exception] {
+      rows.write.format("fimi").option("buckets", "4").mode("append").save(dest)
+    }
+    assert(ex.getMessage.contains("buckets=4") || ex.getCause != null)
+    // shrinking overwrite clears the stale high bucket dirs
+    rows.write.format("fimi").option("buckets", "4").mode("overwrite").save(dest)
+    assert(spark.read.format("fimi").option("buckets", "4").load(dest).count() == 100)
+    (4 until 8).foreach { k =>
+      val bdir = new java.io.File(dest, s"bucket=$k")
+      val live = Option(bdir.listFiles()).getOrElse(Array.empty)
+        .filter(f => !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      assert(live.isEmpty, s"stale files survive in bucket=$k")
+    }
+    // growing back to 8 must not resurrect anything
+    rows.write.format("fimi").option("buckets", "8").mode("overwrite").save(dest)
+    assert(spark.read.format("fimi").option("buckets", "8").load(dest).count() == 100)
+    // an optionless read of a bucketed dir fails with the remedy, never
+    // returns a silently empty frame
+    val ex2 = intercept[Exception] {
+      spark.read.format("fimi").load(dest).count()
+    }
+    assert(ex2.getMessage.contains("bucketed") ||
+      String.valueOf(ex2.getCause).contains("bucketed"), s"got $ex2")
+  }
+
+  test("flat overwrite truncates native .dat inputs; compressed tids ignore byte-range pruning") {
+    val sp = spark
+    import sp.implicits._
+    // overwrite of a dir holding a native .dat must replace it entirely
+    val dir = tmpDir("truncnative")
+    writeLines(dir, "retail.dat", Seq("x y", "y z"))
+    Seq((0L, Seq("a", "b"))).toDF("tid", "items")
+      .write.format("fimi").mode("overwrite").save(dir)
+    val items = readFimi(dir).selectExpr("explode(items) AS i")
+      .collect().map(_.getString(0)).toSet
+    assert(items == Set("a", "b"), s"old generation visible: $items")
+    // compressed file: line-counter tids exceed the compressed byte
+    // length; a tid filter above that length must still return rows
+    val cdir = tmpDir("gztid")
+    val gz = new java.util.zip.GZIPOutputStream(
+      new java.io.FileOutputStream(s"$cdir/many.dat.gz"))
+    gz.write(Array.fill(50000)("w").mkString("", "\n", "\n").getBytes("UTF-8"))
+    gz.close()
+    // premise: line count (50000) far exceeds the compressed byte length
+    assert(new java.io.File(s"$cdir/many.dat.gz").length() < 10000)
+    val high = readFimi(cdir).filter(col("tid") >= 40000L).count()
+    assert(high == 10000L, s"pruning dropped compressed rows: $high")
+  }
+
   test("session catalog surface: CREATE TABLE ... USING fimi, then SQL over it") {
     val dir = tmpDir("catalog")
     writeLines(dir, "tx.dat", Seq("a b", "b c", "a b c"))
