@@ -15,8 +15,8 @@ case class SeqOut(user_id: Long, event_id: Long, seq: Long)
 case class BandDoc(doc_id: Long, band: Int, band_key: Long, sig: Long)
 case class NearDup(doc_id: Long, band: Int, dup_of: Long)
 
-/** Row/state shapes for the incremental EWMA operator. */
-case class EwmaEvent(ts: java.sql.Timestamp, user_id: Long, event_id: Long, value: Double)
+/** Output shape for the incremental EWMA operator (input rides
+  * [[TwsEvent]], the shared (ts, user_id, event_id, value) row). */
 case class EwmaOut(user_id: Long, event_id: Long, ewma: Double)
 
 /** Row/state shapes for the streaming CDC-apply operator. */
@@ -55,10 +55,8 @@ class RunningStatsProcessor extends StatefulProcessor[Long, TwsEvent, TwsOut] {
 
   override def handleInputRows(key: Long, rows: Iterator[TwsEvent],
       timers: TimerValues): Iterator[TwsOut] = {
-    def micros(t: java.sql.Timestamp): Long =
-      math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
     var st = Option(stats.get()).getOrElse(TwsStats(0L, Double.NegativeInfinity))
-    val out = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id)).map { e =>
+    val out = rows.toSeq.sortBy(e => (Streaming.micros(e.ts), e.event_id)).map { e =>
       st = TwsStats(st.cnt + 1, math.max(st.mx, e.value))
       TwsOut(e.user_id, e.event_id, st.cnt, st.mx)
     }
@@ -111,9 +109,8 @@ class SessionTimerProcessor(gapMs: Long)
   }
 }
 
-/** Row shapes for the list/map-state history operator. */
-case class HistEvent(ts: java.sql.Timestamp, user_id: Long, event_id: Long,
-    event_type: String)
+/** Output shape for the list/map-state history operator (input rides
+  * [[TransEvent]], the shared (ts, user_id, event_id, event_type) row). */
 case class HistOut(user_id: Long, event_id: Long, prev1: String, prev2: String,
     type_seen: Long)
 
@@ -127,7 +124,7 @@ case class HistOut(user_id: Long, event_id: Long, prev1: String, prev2: String,
   * invocation per key) and an in-order stream (state across
   * invocations) agree, and the window-function oracle (lag ×2 +
   * row_number per type) states the same feed. */
-class HistoryProcessor extends StatefulProcessor[Long, HistEvent, HistOut] {
+class HistoryProcessor extends StatefulProcessor[Long, TransEvent, HistOut] {
   @transient private var hist: org.apache.spark.sql.streaming.ListState[String] = _
   @transient private var seen: org.apache.spark.sql.streaming.MapState[String, Long] = _
 
@@ -138,28 +135,33 @@ class HistoryProcessor extends StatefulProcessor[Long, HistEvent, HistOut] {
       TTLConfig.NONE)
   }
 
-  override def handleInputRows(key: Long, rows: Iterator[HistEvent],
+  override def handleInputRows(key: Long, rows: Iterator[TransEvent],
       timers: TimerValues): Iterator[HistOut] = {
-    def micros(t: java.sql.Timestamp): Long =
-      math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
     var h = hist.get().toList // oldest-first, length ≤ 2
-    val out = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id)).map { e =>
-      val n = (if (seen.containsKey(e.event_type)) seen.getValue(e.event_type)
-               else 0L) + 1L
-      seen.updateValue(e.event_type, n)
+    // state-store reads are the per-row cost that matters here (a point
+    // lookup each): counts are read from the store at most once per
+    // DISTINCT type per invocation and written back once per type, with
+    // the per-row increments served from this local map
+    val local = scala.collection.mutable.Map.empty[String, Long]
+    rows.toSeq.sortBy(e => (Streaming.micros(e.ts), e.event_id)).map { e =>
+      val n = local.getOrElse(e.event_type,
+        if (seen.containsKey(e.event_type)) seen.getValue(e.event_type) else 0L) + 1L
+      local(e.event_type) = n
       val o = HistOut(e.user_id, e.event_id,
         h.lastOption.orNull, h.dropRight(1).lastOption.orNull, n)
       h = (h :+ e.event_type).takeRight(2)
       o
+    } match { case out =>
+      local.foreach { case (t, n) => seen.updateValue(t, n) }
+      hist.put(h.toArray)
+      out.iterator
     }
-    hist.put(h.toArray)
-    out.iterator
   }
 }
 
 case class TransEvent(ts: java.sql.Timestamp, user_id: Long, event_id: Long,
     event_type: String)
-case class TransState(ts_us: Long, event_id: Long, event_type: String)
+case class TransState(event_type: String)
 case class TransOut(user_id: Long, from_type: String, to_type: String)
 
 /** §E — streaming surface (SURVEY.md §2.1.E).
@@ -214,6 +216,14 @@ case class TransOut(user_id: Long, from_type: String, to_type: String)
   *    key-state pair; the latest-row read collapses it).
   */
 object Streaming {
+
+  /** Microsecond instant of a Timestamp — THE event-time sort key of
+    * every stateful fold here (events.ts is µs-grained: getTime alone
+    * would collapse sub-ms neighbors and diverge from the oracles'
+    * full-precision ORDER BY ts). One definition; a per-closure copy
+    * already drifted once (runningSeq used lossy getTime). */
+  private[graft] def micros(t: java.sql.Timestamp): Long =
+    math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
 
   // ------------------------------------------------------ stream transforms
 
@@ -314,7 +324,7 @@ object Streaming {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
         (uid: Long, it: Iterator[SeqEvent], state: GroupState[Long]) => {
           val start = state.getOption.getOrElse(0L)
-          val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          val sorted = it.toSeq.sortBy(e => (Streaming.micros(e.ts), e.event_id))
           state.update(start + sorted.size)
           sorted.iterator.zipWithIndex.map { case (e, i) =>
             SeqOut(uid, e.event_id, start + i + 1)
@@ -428,13 +438,11 @@ object Streaming {
   def ewmaStream(events: DataFrame): DataFrame = {
     val sp = events.sparkSession
     import sp.implicits._
-    def micros(t: java.sql.Timestamp): Long =
-      math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
     events.select(col("ts"), col("user_id"), col("event_id"), col("value"))
-      .as[EwmaEvent]
+      .as[TwsEvent]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
-        (uid: Long, it: Iterator[EwmaEvent], state: GroupState[(Boolean, Double)]) => {
+        (uid: Long, it: Iterator[TwsEvent], state: GroupState[(Boolean, Double)]) => {
           var (seeded, cur) = state.getOption.getOrElse((false, 0.0))
           val out = it.toSeq.sortBy(e => (micros(e.ts), e.event_id)).map { e =>
             cur = if (seeded) cur * 0.5 + e.value * 0.5 else e.value
@@ -463,8 +471,6 @@ object Streaming {
   def transitionStream(events: DataFrame): DataFrame = {
     val sp = events.sparkSession
     import sp.implicits._
-    def micros(t: java.sql.Timestamp): Long =
-      math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
     events.select(col("ts"), col("user_id"), col("event_id"), col("event_type"))
       .as[TransEvent]
       .groupByKey(_.user_id)
@@ -475,7 +481,7 @@ object Streaming {
             val r =
               if (last == null) Nil
               else List(TransOut(uid, last.event_type, e.event_type))
-            last = TransState(micros(e.ts), e.event_id, e.event_type)
+            last = TransState(e.event_type)
             r
           }
           state.update(last)
@@ -504,8 +510,6 @@ object Streaming {
     val sp = events.sparkSession
     import sp.implicits._
     val gapUs = 3600000000L // 1 hour, matching the batch key
-    def micros(t: java.sql.Timestamp): Long =
-      math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
     events.select(col("ts"), col("user_id"), col("event_id"), col("event_type"))
       .as[TransEvent]
       .groupByKey(_.user_id)
@@ -664,8 +668,6 @@ object Streaming {
   def cdcApplyStream(events: DataFrame): DataFrame = {
     val sp = events.sparkSession
     import sp.implicits._
-    def micros(t: java.sql.Timestamp): Long =
-      math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
     events.select(col("ts"), col("user_id"), col("event_id"),
         col("event_type"), col("value"))
       .as[CdcEvent]
@@ -759,8 +761,6 @@ object Streaming {
       capacity: Int = HHCapacity): DataFrame = {
     val sp = events.sparkSession
     import sp.implicits._
-    def micros(t: java.sql.Timestamp): Long =
-      math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
     events.select(col("ts"), col("user_id"), col("event_id")).as[SeqEvent]
       .groupByKey(e => math.floorMod(scala.util.hashing.byteswap64(e.user_id), shards.toLong))
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
@@ -855,7 +855,7 @@ object Streaming {
     val sp = events.sparkSession
     import sp.implicits._
     events.select(col("ts"), col("user_id"), col("event_id"), col("event_type"))
-      .as[HistEvent]
+      .as[TransEvent]
       .groupByKey(_.user_id)
       .transformWithState(new HistoryProcessor, TimeMode.None, OutputMode.Append)
       .toDF()
