@@ -40,6 +40,16 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
   private def elemIsFloat(e: Expression): Boolean =
     e.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
+  private def elemsNullable(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].containsNull
+
+  // a NULL ELEMENT nulls the whole product (matching the zip_with +
+  // aggregate HOF this expression is pinned bit-equal to — reading the
+  // zeroed slot as 0.0 would silently diverge), so the result can be
+  // null even with both array inputs non-null
+  override def nullable: Boolean =
+    super.nullable || elemsNullable(left) || elemsNullable(right)
+
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val ad = a.asInstanceOf[ArrayData]
     val bd = b.asInstanceOf[ArrayData]
@@ -49,6 +59,7 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (ad.isNullAt(i) || bd.isNullAt(i)) return null
       val x = if (lf) ad.getFloat(i).toDouble else ad.getDouble(i)
       val y = if (rf) bd.getFloat(i).toDouble else bd.getDouble(i)
       acc += x * y
@@ -60,17 +71,23 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val lGet = if (elemIsFloat(left)) "getFloat" else "getDouble"
     val rGet = if (elemIsFloat(right)) "getFloat" else "getDouble"
+    val checkNulls = elemsNullable(left) || elemsNullable(right)
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
+      val nullCheck =
+        if (checkNulls)
+          s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  $nullCheck
          |  $acc += ((double) $a.$lGet($i)) * ((double) $b.$rGet($i));
          |}
-         |${ev.value} = $acc;
+         |if (!${ev.isNull}) { ${ev.value} = $acc; }
        """.stripMargin
     })
   }
@@ -121,10 +138,7 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
         (exprs: Seq[Expression]) => TopRun(exprs.head)))
     ext.injectFunction(
       (FunctionIdentifier("graft_ngrams"), NGrams.info,
-        (exprs: Seq[Expression]) => NGrams(exprs(0),
-          exprs(1).eval(null).asInstanceOf[Int],
-          exprs(2).eval(null).asInstanceOf[Boolean],
-          exprs(3).eval(null).asInstanceOf[Boolean])))
+        (exprs: Seq[Expression]) => NGrams.build(exprs)))
     ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
   }
 }

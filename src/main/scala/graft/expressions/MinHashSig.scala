@@ -46,14 +46,22 @@ case class MinHashSig(left: Expression, right: Expression)
 
   @transient private lazy val numPerm: Int = right.eval().asInstanceOf[Int]
 
+  // an empty (or all-null) token set has NO signature: returning the
+  // Long.MaxValue sentinel vector instead would make every empty doc a
+  // perfect LSH near-dup of every other empty doc (the relational
+  // explode/groupBy/min formulation this is pinned to emits no row)
+  override def nullable: Boolean = true
+
   override protected def nullSafeEval(toks: Any, np: Any): Any = {
     val arr = toks.asInstanceOf[ArrayData]
     val mins = Array.fill(numPerm)(Long.MaxValue)
     val n = arr.numElements()
+    var any = false
     var i = 0
     while (i < n) {
       val tok = arr.getUTF8String(i)
       if (tok != null) {
+        any = true
         // one byte-scan per token; perms derive from the 8-byte base
         val base = XXH64.hashUnsafeBytes(
           tok.getBaseObject, tok.getBaseOffset, tok.numBytes, 42L)
@@ -66,7 +74,7 @@ case class MinHashSig(left: Expression, right: Expression)
       }
       i += 1
     }
-    new GenericArrayData(mins)
+    if (!any) null else new GenericArrayData(mins)
   }
 
   override protected def withNewChildrenInternal(

@@ -118,16 +118,36 @@ object NGrams {
 
   val info = new ExpressionInfo(classOf[NGrams].getName, "graft_ngrams")
 
+  /** The one SQL-facing builder (shared with GraftExtensions): validates
+    * arity and that args 2-4 are non-null foldable literals of the right
+    * type with k >= 1 — blind eval-and-cast surfaced raw
+    * ClassCastException / eval-on-attribute errors (and a null k
+    * silently became 0, which crashed per-row at execution). */
+  def build(exprs: Seq[Expression]): NGrams = {
+    def fail(msg: String) = throw new IllegalArgumentException(
+      s"graft_ngrams(text, k INT, keepDistinct BOOLEAN, shortWhole BOOLEAN): $msg")
+    if (exprs.length != 4) fail(s"expected 4 arguments, got ${exprs.length}")
+    def lit[T](i: Int, t: org.apache.spark.sql.types.DataType, what: String): T = {
+      val e = exprs(i)
+      if (!e.foldable || e.dataType != t) fail(s"argument ${i + 1} ($what) " +
+        s"must be a $t literal, got ${e.sql}: ${e.dataType.catalogString}")
+      val v = e.eval(null)
+      if (v == null) fail(s"argument ${i + 1} ($what) must not be NULL")
+      v.asInstanceOf[T]
+    }
+    val k = lit[Int](1, org.apache.spark.sql.types.IntegerType, "k")
+    if (k < 1) fail(s"k must be >= 1, got $k")
+    NGrams(exprs(0), k,
+      lit[Boolean](2, org.apache.spark.sql.types.BooleanType, "keepDistinct"),
+      lit[Boolean](3, org.apache.spark.sql.types.BooleanType, "shortWhole"))
+  }
+
   /** Idempotent runtime registration on an existing session. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     val id = FunctionIdentifier("graft_ngrams")
     if (!reg.functionExists(id)) {
-      reg.registerFunction(id, info, exprs => NGrams(
-        exprs(0),
-        exprs(1).eval(null).asInstanceOf[Int],
-        exprs(2).eval(null).asInstanceOf[Boolean],
-        exprs(3).eval(null).asInstanceOf[Boolean]))
+      reg.registerFunction(id, info, build _)
     }
   }
 

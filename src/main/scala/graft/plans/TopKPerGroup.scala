@@ -98,33 +98,59 @@ case class TopKPerGroupExec(
     child.execute().mapPartitions { it =>
       val keyProj = UnsafeProjection.create(groupExprsLocal, childOutput)
       val ord = RowOrdering.create(orderLocal, childOutput)
-      // PriorityQueue dequeues its Ordering's maximum = the WORST kept
-      // row under `ord` (ord.compare < 0 = sorts first = better).
-      var heaps = mutable.LinkedHashMap.empty[UnsafeRow, mutable.PriorityQueue[InternalRow]]
-      var flushed: Iterator[InternalRow] = Iterator.empty
-      while (it.hasNext) {
-        val row = it.next()
-        val key = keyProj(row)
-        heaps.get(key) match {
-          case None =>
-            if (partialLocal && heaps.size >= flushLocal) {
-              // overflow: hand the full map downstream and start fresh —
-              // correct for the partial pass only (final re-merges)
-              val old = heaps
-              flushed = flushed ++ old.iterator.flatMap {
-                case (_, pq) => pq.dequeueAll.reverseIterator
+      // LAZY INTERLEAVED drain: a flushed map's rows are handed to the
+      // consumer BEFORE more input is read (not chained into an iterator
+      // that only materializes after the whole partition is consumed —
+      // that shape silently kept every flushed heap reachable and made
+      // the documented O(flushThreshold·k) memory bound false). Live
+      // memory is ≤ the map being built + the map being drained.
+      new Iterator[InternalRow] {
+        // PriorityQueue dequeues its Ordering's maximum = the WORST kept
+        // row under `ord` (ord.compare < 0 = sorts first = better).
+        private var heaps =
+          mutable.LinkedHashMap.empty[UnsafeRow, mutable.PriorityQueue[InternalRow]]
+        private var pending: Iterator[InternalRow] = Iterator.empty
+        private var inputDone = false
+
+        private def drain(
+            m: mutable.LinkedHashMap[UnsafeRow, mutable.PriorityQueue[InternalRow]])
+            : Iterator[InternalRow] =
+          m.iterator.flatMap { case (_, pq) => pq.dequeueAll.reverseIterator }
+
+        private def fill(): Unit = {
+          while (!pending.hasNext && !inputDone) {
+            if (it.hasNext) {
+              val row = it.next()
+              val key = keyProj(row)
+              heaps.get(key) match {
+                case None =>
+                  if (partialLocal && heaps.size >= flushLocal) {
+                    // overflow: emit the full map downstream and start
+                    // fresh — correct for the partial pass only (the
+                    // final pass re-merges duplicate group keys)
+                    val old = heaps
+                    heaps = mutable.LinkedHashMap.empty
+                    pending = drain(old)
+                  }
+                  val pq = mutable.PriorityQueue.empty[InternalRow](ord)
+                  pq.enqueue(row.copy())
+                  heaps.put(key.copy(), pq)
+                case Some(pq) =>
+                  if (pq.size < kLocal) pq.enqueue(row.copy())
+                  else if (ord.compare(row, pq.head) < 0) {
+                    pq.dequeue(); pq.enqueue(row.copy())
+                  }
               }
-              heaps = mutable.LinkedHashMap.empty
+            } else {
+              inputDone = true
+              pending = drain(heaps)
             }
-            val pq = mutable.PriorityQueue.empty[InternalRow](ord)
-            pq.enqueue(row.copy())
-            heaps.put(key.copy(), pq)
-          case Some(pq) =>
-            if (pq.size < kLocal) pq.enqueue(row.copy())
-            else if (ord.compare(row, pq.head) < 0) { pq.dequeue(); pq.enqueue(row.copy()) }
+          }
         }
+
+        override def hasNext: Boolean = { fill(); pending.hasNext }
+        override def next(): InternalRow = { fill(); pending.next() }
       }
-      flushed ++ heaps.iterator.flatMap { case (_, pq) => pq.dequeueAll.reverseIterator }
     }
   }
 
@@ -159,13 +185,25 @@ object TopK {
     * analyzed child, so the node enters the planner fully resolved. */
   def perGroup(df: DataFrame, group: Seq[String],
                order: Seq[(String, Boolean)], k: Int): DataFrame = {
+    require(k >= 1, s"TopK.perGroup needs k >= 1, got $k")
+    require(group.nonEmpty,
+      "TopK.perGroup needs at least one group column (for a global " +
+        "top-k use orderBy(...).limit(k) — TakeOrderedAndProject)")
     val spark = df.sparkSession
     register(spark)
     val analyzed = df.queryExecution.analyzed
-    def attr(name: String): Attribute =
-      analyzed.output.find(_.name == name).getOrElse(
-        throw new IllegalArgumentException(
-          s"column $name not in ${analyzed.output.map(_.name).mkString(", ")}"))
+    // resolve like the rest of the session (case-insensitive unless
+    // spark.sql.caseSensitive), and REFUSE ambiguity instead of silently
+    // binding the first of two same-named post-join columns
+    val resolver = spark.sessionState.analyzer.resolver
+    def attr(name: String): Attribute = {
+      val hits = analyzed.output.filter(a => resolver(a.name, name))
+      require(hits.length == 1,
+        if (hits.isEmpty)
+          s"column $name not in ${analyzed.output.map(_.name).mkString(", ")}"
+        else s"column $name is ambiguous: ${hits.mkString(", ")}")
+      hits.head
+    }
     val sortOrder = order.map { case (name, asc) =>
       SortOrder(attr(name), if (asc) Ascending else Descending)
     }

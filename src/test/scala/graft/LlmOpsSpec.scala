@@ -494,6 +494,38 @@ class LlmOpsSpec extends SparkSpec {
     assert(diffs == 0)
   }
 
+  test("expression edges: dot null-element propagates, ngrams rejects bad args, empty minhash is null") {
+    graft.expressions.DotProduct.register(spark)
+    graft.expressions.NGrams.register(spark)
+    graft.expressions.MinHashSig.register(spark)
+    // a NULL element nulls the product, matching the HOF's null
+    // propagation (a zeroed slot would silently read as 0.0)
+    val row = spark.sql(
+      "SELECT graft_dot(array(1.0D, CAST(NULL AS DOUBLE)), array(2.0D, 3.0D)) d")
+      .collect().head
+    assert(row.isNullAt(0), s"expected NULL, got $row")
+    // bad ngrams arguments fail at build with the remedy, not a raw
+    // ClassCastException / per-row ArrayIndexOutOfBounds at execution
+    Seq(
+      "SELECT graft_ngrams('a b', '2', true, true)",
+      "SELECT graft_ngrams('a b', 0, true, true)",
+      "SELECT graft_ngrams('a b', CAST(NULL AS INT), true, true)",
+      "SELECT graft_ngrams('a b', 2)").foreach { q =>
+      val e = intercept[Exception](spark.sql(q).collect())
+      def chain(t: Throwable): Seq[String] =
+        if (t == null) Nil else t.getMessage +: chain(t.getCause)
+      assert(chain(e).exists(m => m != null && m.contains("graft_ngrams")),
+        s"$q raised ${e.getClass}: ${e.getMessage}")
+    }
+    // empty/all-null token arrays have NO signature (a MaxValue sentinel
+    // vector would make all empty docs perfect LSH near-dups)
+    val mh = spark.sql(
+      """SELECT graft_minhash_sig(CAST(array() AS ARRAY<STRING>), 8) a,
+        |       graft_minhash_sig(array(CAST(NULL AS STRING)), 8) b,
+        |       graft_minhash_sig(array('x'), 8) c""".stripMargin).collect().head
+    assert(mh.isNullAt(0) && mh.isNullAt(1) && !mh.isNullAt(2))
+  }
+
   test("knn: 10 rows, sims in [-1,1], strictly ordered") {
     val sims = LlmOps.similarityKnn(spark, sf).collect().map(_.getDouble(1))
     assert(sims.length == 10)

@@ -409,6 +409,18 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("TopK.perGroup API guards: k >= 1, non-empty groups, session-rule name resolution") {
+    val df = spark.range(10).selectExpr("id % 2 AS G", "id AS v")
+    intercept[IllegalArgumentException](
+      graft.plans.TopK.perGroup(df, Seq("G"), Seq("v" -> true), 0))
+    intercept[IllegalArgumentException](
+      graft.plans.TopK.perGroup(df, Seq.empty, Seq("v" -> true), 1))
+    // resolves case-insensitively like the rest of the session (the old
+    // exact-match find() rejected "g" against column "G")
+    val r = graft.plans.TopK.perGroup(df, Seq("g"), Seq("v" -> true), 1).collect()
+    assert(r.length == 2)
+  }
+
   test("mergeable HLL rollup: error bound holds per group; union estimate is partitioning-invariant") {
     val est = Relational.relAggSketchMerge(spark, sf).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
