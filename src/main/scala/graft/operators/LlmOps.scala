@@ -1042,25 +1042,26 @@ object LlmOps {
         .select(col("doc"), least(col("mid"), coalesce(col("root"), col("mid"))).as("cluster_id"))
         .localCheckpoint(true)
     }
-    def labelSum(df: DataFrame): java.math.BigDecimal = {
-      val r = df.agg(sum(col("cluster_id").cast("decimal(38,0)"))).head
-      if (r.isNullAt(0)) java.math.BigDecimal.ZERO else r.getDecimal(0)
-    }
+    // fixpoint test: EXACT changed-row count between rounds — works for
+    // any label type (numeric doc ids AND string item labels), unlike a
+    // label-sum, and min-label monotonicity guarantees changed==0 is a
+    // true fixpoint, not a collision artifact
+    def changed(cur: DataFrame, next: DataFrame): Long =
+      cur.select(col("doc"), col("cluster_id").as("prev"))
+        .join(next, "doc")
+        .filter(col("cluster_id") =!= col("prev")).count()
     val n = labels.count()
     if (n > 0) {
       val scheduled =
         math.ceil(math.log(n.toDouble.max(2.0)) / math.log(2.0)).toInt + 1
       for (_ <- 1 to scheduled) labels = round(labels)
-      // fixpoint verification: one extra round + two scalar aggregates,
+      // fixpoint verification: one extra round + one joined count,
       // replacing the per-round driver sync of the adaptive-only loop
-      var prevSum = labelSum(labels)
       var converged = false
       var guard = 0
       while (!converged && guard < 20) {
         val next = round(labels)
-        val sumNow = labelSum(next)
-        converged = sumNow.compareTo(prevSum) == 0
-        prevSum = sumNow
+        converged = changed(labels, next) == 0L
         labels = next
         guard += 1
       }

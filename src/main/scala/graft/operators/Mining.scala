@@ -563,12 +563,7 @@ object Mining {
     * bigger exchange) with localCheckpoint lineage truncation as in
     * labelPropagate. */
   def fpmPagerank(s: SparkSession, dir: String): DataFrame = {
-    val pairs = pairSupports(s, dir)
-      .crossJoin(broadcast(basketCount(s, dir)))
-      .filter(col("freq") >= col("n") * MinSupPairs)
-      .select(col("ia"), col("ib"))
-    val edges = pairs.select(col("ia").as("src"), col("ib").as("dst"))
-      .unionByName(pairs.select(col("ib").as("src"), col("ia").as("dst")))
+    val edges = coEdges(s, dir)
     val deg = edges.groupBy("src").agg(count(lit(1)).as("d"))
     val nodes = edges.select(col("src").as("node")).distinct()
     var rank = nodes.withColumn("rank", lit(1000000L))
@@ -584,6 +579,79 @@ object Mining {
             .as("rank"))
     }
     rank.select(col("node").as("item"), col("rank")).orderBy("item")
+  }
+
+  /** Symmetric edge frame of the frequent-pair CO-OCCURRENCE graph —
+    * the shared input of [[fpmPagerank]], [[fpmComponents]] and
+    * [[fpmBfsHops]]. Bounded by the item vocabulary at any corpus size
+    * (the pair frame is support-thresholded before it becomes edges). */
+  private def coEdges(s: SparkSession, dir: String): DataFrame = {
+    val pairs = pairSupports(s, dir)
+      .crossJoin(broadcast(basketCount(s, dir)))
+      .filter(col("freq") >= col("n") * MinSupPairs)
+      .select(col("ia"), col("ib"))
+    pairs.select(col("ia").as("src"), col("ib").as("dst"))
+      .unionByName(pairs.select(col("ib").as("src"), col("ia").as("dst")))
+  }
+
+  /** CONNECTED COMPONENTS over the co-occurrence graph — the classic
+    * "which item families exist" graph question, and the mining-side
+    * twin of LlmOps.labelPropagate (same min-label + pointer-jumping
+    * loop, O(log d) rounds, localCheckpoint lineage truncation). The
+    * component id is the lexicographic-min member item, so output is
+    * engine-independent; the DuckDB oracle states full reachability as
+    * a recursive CTE (`UNION` distinct semantics terminate on cycles)
+    * and takes min(label) per node — a different algorithm arriving at
+    * the same fixpoint, which is exactly what makes this key a strong
+    * correctness gate for the iterative form.
+    *
+    * Scale posture: inherited from labelPropagate — each round is one
+    * edge join + min-aggregate keyed by node plus a pointer-jump
+    * self-join; rounds grow with log(diameter), never with row count. */
+  def fpmComponents(s: SparkSession, dir: String): DataFrame =
+    LlmOps.labelPropagate(
+        coEdges(s, dir).select(col("src").as("doc_a"), col("dst").as("doc_b")))
+      .select(col("doc_id").as("item"), col("cluster_id").as("component"))
+      .orderBy("item")
+
+  /** BFS HOP DISTANCE from a deterministic seed (the lexicographic-min
+    * node) over the co-occurrence graph — single-source shortest paths
+    * in the unweighted case, the remaining classic next to components/
+    * pagerank/k-core/triangles. Frontier form: each round expands the
+    * newest frontier through one edge join, anti-joins the settled set,
+    * and stops early when the frontier empties (or at the 8-hop cap the
+    * oracle states). Reached nodes only; hops is BIGINT.
+    *
+    * The DuckDB oracle walks the same graph as a recursive CTE bounded
+    * at 8 hops and takes min(hops) per node — frontier BFS assigns
+    * first-discovery depth, which IS that minimum.
+    *
+    * Scale posture: per round one shuffle-join keyed by src plus one
+    * anti-join keyed by node; frontier/settled frames are node-bounded,
+    * lineage truncated per round. The per-round `head(1)` driver sync is
+    * a 0/1-row early-exit probe, not a data collect. */
+  def fpmBfsHops(s: SparkSession, dir: String): DataFrame = {
+    val edges = coEdges(s, dir).localCheckpoint(true)
+    val nodes = edges.select(col("src").as("node")).distinct()
+    val seed = broadcast(nodes.agg(min(col("node")).as("node")))
+    var dist = nodes.join(seed, Seq("node"), "left_semi")
+      .withColumn("hops", lit(0L)).localCheckpoint(true)
+    var frontier = dist
+    var h = 0L
+    var exhausted = frontier.head(1).isEmpty
+    while (h < 8 && !exhausted) {
+      h += 1
+      val next = edges
+        .join(frontier.select(col("node").as("src")), "src")
+        .select(col("dst").as("node")).distinct()
+        .join(dist, Seq("node"), "left_anti")
+        .withColumn("hops", lit(h))
+        .localCheckpoint(true)
+      exhausted = next.head(1).isEmpty
+      if (!exhausted) dist = dist.unionByName(next).localCheckpoint(true)
+      frontier = next
+    }
+    dist.select(col("node").as("item"), col("hops")).orderBy("item")
   }
 
   /** Sequential ASSOCIATION RULES a→b — [[fpmSeqPairs]]'s ordered-pair
@@ -1141,6 +1209,8 @@ object Mining {
     "fpm_seq_pairs"    -> (fpmSeqPairs _),
     "fpm_seq_rules"    -> (fpmSeqRules _),
     "fpm_pagerank"     -> (fpmPagerank _),
+    "fpm_components"   -> (fpmComponents _),
+    "fpm_bfs_hops"     -> (fpmBfsHops _),
   )
 
   private val txCte =
@@ -1148,6 +1218,20 @@ object Mining {
       |  SELECT DISTINCT l_orderkey AS tid, p_brand AS item
       |  FROM lineitem JOIN part ON l_partkey = p_partkey
       |), nb AS (SELECT count(DISTINCT tid) AS n FROM tx)""".stripMargin
+
+  /** [[txCte]] extended to the thresholded symmetric co-occurrence edge
+    * set — the oracle-side twin of [[coEdges]] — under `WITH RECURSIVE`
+    * so graph-walk oracles can append recursive members. */
+  private val graphCte =
+    txCte.replace("WITH tx", "WITH RECURSIVE tx") + """,
+      |fp AS (
+      |  SELECT a.item AS ia, b.item AS ib
+      |  FROM tx a JOIN tx b ON a.tid = b.tid AND a.item < b.item
+      |  GROUP BY a.item, b.item
+      |  HAVING count(*) >= 0.02 * (SELECT n FROM nb)),
+      |e AS (SELECT ia AS src, ib AS dst FROM fp
+      |      UNION ALL SELECT ib, ia FROM fp),
+      |nodes AS (SELECT DISTINCT src AS node FROM e)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "fpm_seq_rules_gap" ->
@@ -1553,6 +1637,27 @@ object Mining {
              |    GROUP BY e.dst) c ON c.node = n.node)""".stripMargin
         }.mkString(",\n")
       + "\nSELECT node AS item, rank FROM pr5 ORDER BY item"),
+
+    // The two graph-walk keys state full reachability as RECURSIVE CTEs
+    // (DuckDB's `UNION` distinct semantics terminate on cycles) over the
+    // same thresholded co-occurrence edge set the Spark side walks.
+    "fpm_components" -> (graphCte + """,
+        |reach(node, lbl) AS (
+        |  SELECT node, node FROM nodes
+        |  UNION
+        |  SELECT e.dst, r.lbl FROM reach r JOIN e ON e.src = r.node)
+        |SELECT node AS item, min(lbl) AS component
+        |FROM reach GROUP BY node ORDER BY item""".stripMargin),
+
+    "fpm_bfs_hops" -> (graphCte + """,
+        |seed AS (SELECT min(node) AS node FROM nodes),
+        |walk(node, hops) AS (
+        |  SELECT node, 0 FROM seed
+        |  UNION
+        |  SELECT e.dst, w.hops + 1 FROM walk w JOIN e ON e.src = w.node
+        |  WHERE w.hops < 8)
+        |SELECT node AS item, CAST(min(hops) AS BIGINT) AS hops
+        |FROM walk GROUP BY node ORDER BY item""".stripMargin),
 
     "fpm_seq_rules" ->
       """WITH ab AS (

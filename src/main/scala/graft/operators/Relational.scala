@@ -843,6 +843,32 @@ object Relational {
       .orderBy("day")
   }
 
+  /** RUNNING DISTINCT USERS — the cumulative-distinct growth curve
+    * (distinct users ever seen, per event day). Naive form re-scans
+    * history per day (`count(distinct)` over an expanding window);
+    * the scalable form classifies each user's FIRST day with one
+    * user-keyed aggregate, counts first-appearances per day, and
+    * prefix-sums the daily counts. All-integer arithmetic.
+    *
+    * Scale posture: the only data-sized shuffle is keyed by user_id
+    * (full cardinality, evenly spread); everything downstream is
+    * calendar-bounded — one row per day — so the unpartitioned
+    * prefix-sum window covers a domain that grows with TIME, not with
+    * data volume (~365 rows/year even at 100 TB). */
+  def relRunningDistinct(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+      .select(col("user_id"), to_date(date_trunc("day", col("ts"))).as("day"))
+    val firsts = ev.groupBy("user_id").agg(min(col("day")).as("day"))
+    val daily = firsts.groupBy("day").agg(count(lit(1)).as("new_users"))
+    val w = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.select("day").distinct()
+      .join(daily, Seq("day"), "left")
+      .select(col("day"), coalesce(col("new_users"), lit(0L)).as("new_users"))
+      .withColumn("cum_users", sum(col("new_users")).over(w))
+      .orderBy("day")
+  }
+
   /** CDC APPLY — materialize current state from a change log, the
     * consumer side of change-data-capture: events per user_id applied
     * in (ts, event_id) order, LATEST-WINS; a final `error` event is a
@@ -1268,6 +1294,7 @@ object Relational {
     "rel_unpivot"        -> (relUnpivot _),
     "rel_format_roundtrip" -> (relFormatRoundtrip _),
     "rel_date_spine"     -> (relDateSpine _),
+    "rel_running_distinct" -> (relRunningDistinct _),
     "rel_join_outer"     -> (relJoinOuter _),
     "rel_agg_mode"       -> (relAggMode _),
     "rel_agg_histogram"  -> (relAggHistogram _),
@@ -1809,6 +1836,23 @@ object Relational {
         |SELECT spine.day, coalesce(cnt, 0) AS cnt, coalesce(rev, 0.0) AS rev
         |FROM spine LEFT JOIN d ON d.day = spine.day
         |ORDER BY spine.day""".stripMargin,
+
+    "rel_running_distinct" ->
+      """WITH ev AS (
+        |  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+        |  FROM events),
+        |firsts AS (SELECT user_id, min(day) AS day FROM ev GROUP BY user_id),
+        |daily AS (SELECT day, CAST(count(*) AS BIGINT) AS new_users
+        |          FROM firsts GROUP BY day),
+        |days AS (SELECT DISTINCT day FROM ev)
+        |SELECT days.day,
+        |       CAST(COALESCE(daily.new_users, 0) AS BIGINT) AS new_users,
+        |       CAST(sum(COALESCE(daily.new_users, 0)) OVER (
+        |              ORDER BY days.day
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |            AS BIGINT) AS cum_users
+        |FROM days LEFT JOIN daily ON days.day = daily.day
+        |ORDER BY days.day""".stripMargin,
 
     "rel_unpivot" ->
       """SELECT o_orderkey, 'o_totalprice' AS metric, o_totalprice AS val FROM orders

@@ -490,4 +490,57 @@ class MiningSpec extends SparkSpec {
       .filter(col("item").rlike("\\s")).count()
     assert(sep == 0, s"$sep items contain whitespace — FIMI text would split them")
   }
+
+  // Driver-side ground truth for the two graph-walk keys: the same
+  // thresholded symmetric adjacency the operators derive in-plan.
+  private lazy val gtAdj: Map[String, Set[String]] = {
+    val edges = gtPairCnt.iterator.collect {
+      case ((a, b), c) if c >= 0.02 * gtN => (a, b)
+    }.toSet
+    val sym = edges ++ edges.map(_.swap)
+    sym.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2) }
+  }
+
+  test("connected components equal a driver-side union-find fixpoint") {
+    // min-reachable-label per node via naive BFS closure (graph is
+    // vocabulary-bounded, so the quadratic driver walk is fine here)
+    def component(start: String): String = {
+      var seen = Set(start)
+      var frontier = Set(start)
+      while (frontier.nonEmpty) {
+        frontier = frontier.flatMap(gtAdj.getOrElse(_, Set.empty)) -- seen
+        seen ++= frontier
+      }
+      seen.min
+    }
+    val expected = gtAdj.keys.map(n => n -> component(n)).toMap
+    val got = Mining.fpmComponents(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(got == expected)
+    assert(got.nonEmpty, "empty component assignment — vacuous test")
+    // component ids are members of their own component
+    got.foreach { case (_, c) => assert(got(c) == c, s"root $c not self-labeled") }
+  }
+
+  test("BFS hops equal a driver-side frontier walk from the min node") {
+    val seed = gtAdj.keys.min
+    var dist = Map(seed -> 0L)
+    var frontier = Set(seed)
+    var h = 0L
+    while (frontier.nonEmpty && h < 8) {
+      h += 1
+      frontier = frontier.flatMap(gtAdj.getOrElse(_, Set.empty)) -- dist.keySet
+      dist ++= frontier.map(_ -> h)
+    }
+    val got = Mining.fpmBfsHops(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got == dist)
+    assert(got(seed) == 0L)
+    // every non-seed reached node has a neighbor one hop closer
+    got.foreach { case (n, d) =>
+      if (d > 0L)
+        assert(gtAdj(n).exists(m => got.get(m).contains(d - 1L)),
+          s"$n at $d has no parent at ${d - 1}")
+    }
+  }
 }

@@ -1,7 +1,7 @@
 package graft
 
 import graft.operators.Relational
-import org.apache.spark.sql.functions.{col, count, countDistinct, date_trunc, expr, lit, when}
+import org.apache.spark.sql.functions.{col, count, countDistinct, date_trunc, expr, lit, to_date, when}
 
 /** Physical-plan assertions (SURVEY.md §4.2): the declarative queries must
   * actually produce the scale-correct plans — pushdown reaching parquet,
@@ -470,5 +470,29 @@ class RelationalSpec extends SparkSpec {
     // the forward direction must genuinely add matches (clicks whose only
     // in-range view is later) — else the nearest form is vacuous here
     assert(nearest.length > backward.size, "no forward-only matches in fixture")
+  }
+
+  test("running distinct: prefix-sum form equals naive expanding count(distinct)") {
+    val got = Relational.relRunningDistinct(spark, sf).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2)))
+    assert(got.nonEmpty)
+    // naive ground truth: for each day, distinct users with any event <= day
+    val ev = graft.Tables.load(spark, sf, "events")
+      .select(col("user_id"), to_date(date_trunc("day", col("ts"))).as("day"))
+      .collect().map(r => (r.getLong(0), r.getDate(1).toString))
+    val days = ev.map(_._2).distinct.sorted
+    val naive = days.map(d => d -> ev.collect { case (u, dd) if dd <= d => u }
+      .distinct.length.toLong).toMap
+    got.foreach { case (d, _, cum) =>
+      assert(cum == naive(d), s"day $d: cum $cum != naive ${naive(d)}")
+    }
+    // new_users telescopes into cum_users, and cum is monotone
+    got.sliding(2).foreach {
+      case Array((_, _, c1), (d2, nu2, c2)) =>
+        assert(c2 == c1 + nu2, s"day $d2 telescoping broken")
+        assert(c2 >= c1)
+      case _ =>
+    }
+    assert(got.last._3 == ev.map(_._1).distinct.length.toLong)
   }
 }
