@@ -184,6 +184,26 @@ class ContractSpec extends SparkSpec {
     assert(pipe == ansi, s"pipe plan diverged from ANSI: $pipe vs $ansi")
   }
 
+  test("round-11 third-wave plan gates: running-distinct scans pruned, window fed by aggregates") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    val df = SparkEntry.queries("rel_running_distinct")(spark, sf)
+    df.collect()
+    val ops = org.apache.spark.sql.graft.Bridge.runtimeOps(df.queryExecution.executedPlan)
+    // every events scan must be pruned to the two live columns — a scan
+    // reading the full row at 100 TB is the failure this key exists to avoid
+    val scans = ops.collect { case f: FileSourceScanExec => f }
+    assert(scans.nonEmpty)
+    scans.foreach { sc =>
+      assert(sc.requiredSchema.fields.length <= 2,
+        s"unpruned events scan: ${sc.requiredSchema.catalogString}")
+    }
+    // the unpartitioned prefix-sum window must exist, and the frame that
+    // feeds it must already be aggregated (calendar-bounded), never raw rows
+    assert(ops.exists(_.nodeName.contains("Window")), ops.map(_.nodeName).mkString(" | "))
+    assert(ops.count(_.nodeName.contains("HashAggregate")) >= 4, // 2 aggs × partial/final
+      ops.map(_.nodeName).mkString(" | "))
+  }
+
   test("parameterized SQL: named-param, EXECUTE IMMEDIATE, and session-variable forms agree") {
     val base = SparkEntry.queries("sql_parameterized")(spark, sf).collect().toSeq
     val immediate = spark.sql(

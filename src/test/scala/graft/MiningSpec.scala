@@ -522,6 +522,23 @@ class MiningSpec extends SparkSpec {
     got.foreach { case (_, c) => assert(got(c) == c, s"root $c not self-labeled") }
   }
 
+  test("graph keys agree: BFS coverage is exactly the seed's component; labels are min members") {
+    val comp = Mining.fpmComponents(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    val bfs = Mining.fpmBfsHops(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    val seed = comp.keys.min
+    // component ids are the min member, so every label <= its node
+    comp.foreach { case (n, c) => assert(c <= n, s"$n labeled $c > itself") }
+    // within the 8-hop cap, BFS from the min node covers exactly the min
+    // node's component — two independent operators, one reachability truth
+    val seedComponent = comp.collect { case (n, c) if c == comp(seed) => n }.toSet
+    if (bfs.values.max < 8L) // cap not binding ⇒ full component reached
+      assert(bfs.keySet == seedComponent,
+        s"BFS cover ${bfs.keySet} != component $seedComponent")
+    else assert(bfs.keySet.subsetOf(seedComponent))
+  }
+
   test("BFS hops equal a driver-side frontier walk from the min node") {
     val seed = gtAdj.keys.min
     var dist = Map(seed -> 0L)
