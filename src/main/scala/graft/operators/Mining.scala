@@ -630,8 +630,17 @@ object Mining {
     * anti-join keyed by node; frontier/settled frames are node-bounded,
     * lineage truncated per round. The per-round `head(1)` driver sync is
     * a 0/1-row early-exit probe, not a data collect. */
-  def fpmBfsHops(s: SparkSession, dir: String): DataFrame = {
-    val edges = coEdges(s, dir).localCheckpoint(true)
+  def fpmBfsHops(s: SparkSession, dir: String): DataFrame =
+    bfsFrom(coEdges(s, dir))
+      .select(col("node").as("item"), col("hops")).orderBy("item")
+
+  /** The BFS core over any symmetric (src, dst) edge frame, seeded at
+    * the min node — separated from [[fpmBfsHops]] so PropertiesSpec can
+    * drive it on adversarial random graphs (the sf fixture's graph is
+    * dense and shallow; chains/stars/forests exercise the depth cap and
+    * the multi-component early exit). Returns (node, hops), unsorted. */
+  private[graft] def bfsFrom(edgeFrame: DataFrame, maxHops: Long = 8L): DataFrame = {
+    val edges = edgeFrame.localCheckpoint(true)
     val nodes = edges.select(col("src").as("node")).distinct()
     val seed = broadcast(nodes.agg(min(col("node")).as("node")))
     var dist = nodes.join(seed, Seq("node"), "left_semi")
@@ -639,7 +648,7 @@ object Mining {
     var frontier = dist
     var h = 0L
     var exhausted = frontier.head(1).isEmpty
-    while (h < 8 && !exhausted) {
+    while (h < maxHops && !exhausted) {
       h += 1
       val next = edges
         .join(frontier.select(col("node").as("src")), "src")
@@ -651,7 +660,7 @@ object Mining {
       if (!exhausted) dist = dist.unionByName(next).localCheckpoint(true)
       frontier = next
     }
-    dist.select(col("node").as("item"), col("hops")).orderBy("item")
+    dist
   }
 
   /** Sequential ASSOCIATION RULES a→b — [[fpmSeqPairs]]'s ordered-pair

@@ -236,6 +236,52 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("BFS core: frontier walk equals driver BFS on chains, stars, and random forests") {
+    val sp = spark
+    import sp.implicits._
+    def groundTruth(edges: Seq[(Long, Long)], cap: Long): Map[Long, Long] = {
+      val adj = (edges ++ edges.map(_.swap)).groupBy(_._1)
+        .map { case (k, vs) => k -> vs.map(_._2).toSet }
+      val seed = adj.keys.min
+      var dist = Map(seed -> 0L)
+      var frontier = Set(seed)
+      var h = 0L
+      while (frontier.nonEmpty && h < cap) {
+        h += 1
+        frontier = frontier.flatMap(adj.getOrElse(_, Set.empty)) -- dist.keySet
+        dist ++= frontier.map(_ -> h)
+      }
+      dist
+    }
+    def run(edges: Seq[(Long, Long)], cap: Long): Map[Long, Long] = {
+      val sym = edges ++ edges.map(_.swap)
+      operators.Mining.bfsFrom(sym.toDF("src", "dst"), cap)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    // depth-cap adversary: a 12-node chain under an 8-hop cap must stop
+    // exactly at depth 8, not at the chain's end
+    val chain = (0L until 11L).map(i => (i, i + 1))
+    val capped = run(chain, 8L)
+    assert(capped == groundTruth(chain, 8L))
+    assert(capped.values.max == 8L && capped.size == 9)
+    // multi-component adversary: BFS must cover ONLY the seed's component
+    val twoComp = Seq((0L, 1L), (1L, 2L), (10L, 11L))
+    assert(run(twoComp, 8L) == Map(0L -> 0L, 1L -> 1L, 2L -> 2L))
+    // random sparse graphs: mixed chains, stars, isolated pairs
+    val edgeGen: Gen[List[(Long, Long)]] =
+      Gen.chooseNum(1, 60).flatMap { n =>
+        Gen.listOfN(n, for {
+          a <- Gen.chooseNum(0L, 30L)
+          b <- Gen.chooseNum(0L, 30L) if a != b
+        } yield (math.min(a, b), math.max(a, b)))
+      }
+    (1 to 4).foreach { i =>
+      val es = edgeGen.pureApply(Gen.Parameters.default, Seed(8100L + i))
+        .distinct.filter(e => e._1 != e._2)
+      if (es.nonEmpty) assert(run(es, 8L) == groundTruth(es, 8L), s"sample $i")
+    }
+  }
+
   test("sessionization: per-user session count is within [1, events-per-user]") {
     val sessions = streaming.Streaming.streamSession(spark, sf)
       .groupBy("user_id").agg(count(lit(1)).as("n_sessions"), sum(col("cnt")).as("n_events"))
