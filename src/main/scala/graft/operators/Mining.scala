@@ -609,10 +609,13 @@ object Mining {
     * edge join + min-aggregate keyed by node plus a pointer-jump
     * self-join; rounds grow with log(diameter), never with row count. */
   def fpmComponents(s: SparkSession, dir: String): DataFrame =
-    LlmOps.labelPropagate(
-        coEdges(s, dir).select(col("src").as("doc_a"), col("dst").as("doc_b")))
-      .select(col("doc_id").as("item"), col("cluster_id").as("component"))
-      .orderBy("item")
+    Tables.memo(s, dir, "itemComponents") {
+      // memoized converged labels, the clusterLabels pattern: a pipeline
+      // materializes its component table once per corpus
+      LlmOps.labelPropagate(
+          coEdges(s, dir).select(col("src").as("doc_a"), col("dst").as("doc_b")))
+        .select(col("doc_id").as("item"), col("cluster_id").as("component"))
+    }.orderBy("item")
 
   /** BFS HOP DISTANCE from a deterministic seed (the lexicographic-min
     * node) over the co-occurrence graph — single-source shortest paths
