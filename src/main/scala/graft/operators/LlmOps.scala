@@ -1011,10 +1011,12 @@ object LlmOps {
     * the fixpoint for n labeled nodes (diameter ≤ n − 1). The schedule is
     * FIXED from that upfront bound — one driver count before the loop,
     * zero per-round driver syncs beyond the eager checkpoint — then one
-    * verification round asserts the fixpoint (label sum unchanged; min-
-    * propagation only ever lowers labels) with an adaptive fallback that
-    * is provably dead but keeps correctness independent of the bound.
-    * Deterministic: cluster_id = smallest doc_id in the component. */
+    * verification round asserts the fixpoint (zero changed rows — an
+    * exact join count, type-agnostic so string labels work; min-
+    * propagation monotonicity makes changed==0 a true fixpoint) with an
+    * adaptive fallback that is provably dead but keeps correctness
+    * independent of the bound. Deterministic: cluster_id = smallest
+    * label in the component (doc_id or item string alike). */
   private[graft] def labelPropagate(pairs: DataFrame): DataFrame = {
     // localCheckpoint (eager) rather than persist: iterative plans nest
     // the previous iteration's plan TWICE (propagate join + pointer

@@ -585,11 +585,14 @@ object Mining {
     * the shared input of [[fpmPagerank]], [[fpmComponents]] and
     * [[fpmBfsHops]]. Bounded by the item vocabulary at any corpus size
     * (the pair frame is support-thresholded before it becomes edges). */
-  private def coEdges(s: SparkSession, dir: String): DataFrame = {
-    val pairs = pairSupports(s, dir)
+  private def coPairs(s: SparkSession, dir: String): DataFrame =
+    pairSupports(s, dir)
       .crossJoin(broadcast(basketCount(s, dir)))
       .filter(col("freq") >= col("n") * MinSupPairs)
       .select(col("ia"), col("ib"))
+
+  private def coEdges(s: SparkSession, dir: String): DataFrame = {
+    val pairs = coPairs(s, dir)
     pairs.select(col("ia").as("src"), col("ib").as("dst"))
       .unionByName(pairs.select(col("ib").as("src"), col("ia").as("dst")))
   }
@@ -612,8 +615,10 @@ object Mining {
     Tables.memo(s, dir, "itemComponents") {
       // memoized converged labels, the clusterLabels pattern: a pipeline
       // materializes its component table once per corpus
+      // un-symmetrized pairs: labelPropagate symmetrizes internally, so
+      // feeding it coEdges would double every edge for no semantic gain
       LlmOps.labelPropagate(
-          coEdges(s, dir).select(col("src").as("doc_a"), col("dst").as("doc_b")))
+          coPairs(s, dir).select(col("ia").as("doc_a"), col("ib").as("doc_b")))
         .select(col("doc_id").as("item"), col("cluster_id").as("component"))
     }.orderBy("item")
 
@@ -1630,14 +1635,8 @@ object Mining {
         |WHERE CAST(d.sab AS DOUBLE) / sa.s >= 0.15
         |ORDER BY antecedent, consequent""".stripMargin),
 
-    "fpm_pagerank" -> (txCte + """, fp AS (
-        |  SELECT a.item AS ia, b.item AS ib
-        |  FROM tx a JOIN tx b ON a.tid = b.tid AND a.item < b.item
-        |  GROUP BY a.item, b.item
-        |  HAVING count(*) >= 0.02 * (SELECT n FROM nb)),
-        |e AS (SELECT ia AS src, ib AS dst FROM fp UNION ALL SELECT ib, ia FROM fp),
+    "fpm_pagerank" -> (graphCte + """,
         |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY src),
-        |nodes AS (SELECT DISTINCT src AS node FROM e),
         |pr0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank FROM nodes),
         |""".stripMargin
       + (0 until 5).map { i =>
@@ -1664,7 +1663,7 @@ object Mining {
     "fpm_bfs_hops" -> (graphCte + """,
         |seed AS (SELECT min(node) AS node FROM nodes),
         |walk(node, hops) AS (
-        |  SELECT node, 0 FROM seed
+        |  SELECT node, 0 FROM seed WHERE node IS NOT NULL
         |  UNION
         |  SELECT e.dst, w.hops + 1 FROM walk w JOIN e ON e.src = w.node
         |  WHERE w.hops < 8)

@@ -185,7 +185,7 @@ class ContractSpec extends SparkSpec {
   }
 
   test("round-11 third-wave plan gates: running-distinct scans pruned, window fed by aggregates") {
-    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.FileSourceScanExec
     val df = SparkEntry.queries("rel_running_distinct")(spark, sf)
     df.collect()
     val ops = org.apache.spark.sql.graft.Bridge.runtimeOps(df.queryExecution.executedPlan)
