@@ -569,6 +569,38 @@ object Relational {
       .orderBy("col_name")
   }
 
+  /** DATA-QUALITY EXPECTATION CHECKS — the Deequ-style validation
+    * report a pipeline runs before publishing a table: completeness
+    * (non-null share), uniqueness (distinct share of the key),
+    * range conformance, and domain membership, each a (rule, metric,
+    * threshold, passed) row. ONE scan computes every input count as a
+    * partial-aggregable sum; the rule rows are stacked from the 1-row
+    * aggregate frame, so adding rules never adds scans.
+    *
+    * Metric arithmetic is a single division of exact BIGINT counts —
+    * deterministic in any engine. Scale posture: identical to
+    * rel_profile (the one-pass profile twin); uniqueness is the knob to
+    * swap for approx_count_distinct at extreme key cardinality. */
+  def relQualityChecks(s: SparkSession, dir: String): DataFrame = {
+    val wide = Tables.load(s, dir, "orders").agg(
+      count(lit(1)).as("n"),
+      count(col("o_custkey")).as("nn_cust"),
+      countDistinct(col("o_orderkey")).as("nd_key"),
+      sum(when(col("o_totalprice") >= 0 && col("o_totalprice") <= 1000000, 1L)
+        .otherwise(0L)).as("in_range"),
+      sum(when(col("o_orderstatus").isin("O", "F", "P"), 1L).otherwise(0L))
+        .as("in_domain"))
+    wide.selectExpr(
+      """stack(4,
+        |  'completeness_custkey', CAST(nn_cust AS DOUBLE) / n, 1.0D,
+        |  'membership_orderstatus', CAST(in_domain AS DOUBLE) / n, 0.95D,
+        |  'range_totalprice', CAST(in_range AS DOUBLE) / n, 1.0D,
+        |  'uniqueness_orderkey', CAST(nd_key AS DOUBLE) / n, 1.0D
+        |) AS (rule, metric, threshold)""".stripMargin)
+      .withColumn("passed", col("metric") >= col("threshold"))
+      .orderBy("rule")
+  }
+
   /** INCREMENTAL AGGREGATE MAINTENANCE — the materialized-view refresh
     * shape: an existing aggregate (the view) merges with the aggregate
     * of a newly ingested delta batch, and the merge equals re-aggregating
@@ -1295,6 +1327,7 @@ object Relational {
     "rel_format_roundtrip" -> (relFormatRoundtrip _),
     "rel_date_spine"     -> (relDateSpine _),
     "rel_running_distinct" -> (relRunningDistinct _),
+    "rel_quality_checks" -> (relQualityChecks _),
     "rel_join_outer"     -> (relJoinOuter _),
     "rel_agg_mode"       -> (relAggMode _),
     "rel_agg_histogram"  -> (relAggHistogram _),
@@ -1853,6 +1886,32 @@ object Relational {
         |            AS BIGINT) AS cum_users
         |FROM days LEFT JOIN daily ON days.day = daily.day
         |ORDER BY days.day""".stripMargin,
+
+    "rel_quality_checks" ->
+      """WITH w AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |         CAST(count(o_custkey) AS BIGINT) AS nn_cust,
+        |         CAST(count(DISTINCT o_orderkey) AS BIGINT) AS nd_key,
+        |         CAST(sum(CASE WHEN o_totalprice >= 0 AND o_totalprice <= 1000000
+        |                       THEN 1 ELSE 0 END) AS BIGINT) AS in_range,
+        |         CAST(sum(CASE WHEN o_orderstatus IN ('O','F','P')
+        |                       THEN 1 ELSE 0 END) AS BIGINT) AS in_domain
+        |  FROM orders)
+        |SELECT rule, metric, threshold, metric >= threshold AS passed
+        |FROM (
+        |  SELECT 'completeness_custkey' AS rule,
+        |         CAST(nn_cust AS DOUBLE) / n AS metric,
+        |         CAST(1.0 AS DOUBLE) AS threshold FROM w
+        |  UNION ALL
+        |  SELECT 'membership_orderstatus', CAST(in_domain AS DOUBLE) / n,
+        |         CAST(0.95 AS DOUBLE) FROM w
+        |  UNION ALL
+        |  SELECT 'range_totalprice', CAST(in_range AS DOUBLE) / n,
+        |         CAST(1.0 AS DOUBLE) FROM w
+        |  UNION ALL
+        |  SELECT 'uniqueness_orderkey', CAST(nd_key AS DOUBLE) / n,
+        |         CAST(1.0 AS DOUBLE) FROM w)
+        |ORDER BY rule""".stripMargin,
 
     "rel_unpivot" ->
       """SELECT o_orderkey, 'o_totalprice' AS metric, o_totalprice AS val FROM orders

@@ -472,6 +472,33 @@ class RelationalSpec extends SparkSpec {
     assert(nearest.length > backward.size, "no forward-only matches in fixture")
   }
 
+  test("quality checks: one scan, metrics equal driver recompute, pass flags consistent") {
+    val df = Relational.relQualityChecks(spark, sf)
+    val rows = df.collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getBoolean(3)))
+    assert(rows.map(_._1).toSeq ==
+      Seq("completeness_custkey", "membership_orderstatus",
+          "range_totalprice", "uniqueness_orderkey"))
+    rows.foreach { case (rule, m, t, p) =>
+      assert(m >= 0.0 && m <= 1.0, s"$rule metric $m out of [0,1]")
+      assert(p == (m >= t), s"$rule passed flag inconsistent")
+    }
+    // driver recompute from the raw table
+    val o = graft.Tables.load(spark, sf, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus").collect()
+    val n = o.length.toDouble
+    val got = rows.map(r => r._1 -> r._2).toMap
+    assert(got("completeness_custkey") == o.count(!_.isNullAt(1)) / n)
+    assert(got("uniqueness_orderkey") == o.map(_.getLong(0)).distinct.length / n)
+    assert(got("membership_orderstatus") ==
+      o.count(r => Set("O", "F", "P")(r.getString(3))) / n)
+    // the one-scan promise: adding rules must never add scans
+    val scans = org.apache.spark.sql.graft.Bridge.runtimeOps(
+      df.queryExecution.executedPlan)
+      .count(_.isInstanceOf[org.apache.spark.sql.execution.FileSourceScanExec])
+    assert(scans == 1, s"expected one orders scan, saw $scans")
+  }
+
   test("running distinct: prefix-sum form equals naive expanding count(distinct)") {
     val got = Relational.relRunningDistinct(spark, sf).collect()
       .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2)))
