@@ -569,6 +569,30 @@ object Relational {
       .orderBy("col_name")
   }
 
+  /** RETENTION COHORTS — the product-analytics cohort matrix: users
+    * cohorted by the ISO week of their FIRST event, active-user counts
+    * per (cohort, week offset). Both engines truncate weeks to ISO
+    * Monday, and the offset is an exact floor division of whole days
+    * between two week-truncated dates, so every cell is an exact
+    * BIGINT distinct count.
+    *
+    * Scale posture: one user-keyed aggregate for cohorts, one
+    * user-keyed join back, then a (cohort, offset)-keyed aggregate
+    * whose domain is calendar² — weeks × offsets — regardless of event
+    * volume; the (user, week) frame is pre-deduplicated so the join
+    * carries at most |users|·|weeks| rows, not raw events. */
+  def relRetentionCohorts(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+      .select(col("user_id"), to_date(date_trunc("week", col("ts"))).as("wk"))
+      .distinct()
+    val cohort = ev.groupBy("user_id").agg(min(col("wk")).as("cohort"))
+    ev.join(cohort, "user_id")
+      .groupBy(col("cohort"),
+        expr("CAST(datediff(wk, cohort) DIV 7 AS BIGINT)").as("week_offset"))
+      .agg(countDistinct(col("user_id")).as("active_users"))
+      .orderBy("cohort", "week_offset")
+  }
+
   /** DATA-QUALITY EXPECTATION CHECKS — the Deequ-style validation
     * report a pipeline runs before publishing a table: completeness
     * (non-null share), uniqueness (distinct share of the key),
@@ -1328,6 +1352,7 @@ object Relational {
     "rel_date_spine"     -> (relDateSpine _),
     "rel_running_distinct" -> (relRunningDistinct _),
     "rel_quality_checks" -> (relQualityChecks _),
+    "rel_retention_cohorts" -> (relRetentionCohorts _),
     "rel_join_outer"     -> (relJoinOuter _),
     "rel_agg_mode"       -> (relAggMode _),
     "rel_agg_histogram"  -> (relAggHistogram _),
@@ -1886,6 +1911,19 @@ object Relational {
         |            AS BIGINT) AS cum_users
         |FROM days LEFT JOIN daily ON days.day = daily.day
         |ORDER BY days.day""".stripMargin,
+
+    "rel_retention_cohorts" ->
+      """WITH ev AS (
+        |  SELECT DISTINCT user_id,
+        |         CAST(date_trunc('week', ts) AS DATE) AS wk
+        |  FROM events),
+        |cohort AS (SELECT user_id, min(wk) AS cohort FROM ev GROUP BY user_id)
+        |SELECT c.cohort,
+        |       CAST(date_diff('day', c.cohort, e.wk) // 7 AS BIGINT) AS week_offset,
+        |       CAST(count(DISTINCT e.user_id) AS BIGINT) AS active_users
+        |FROM ev e JOIN cohort c ON e.user_id = c.user_id
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
 
     "rel_quality_checks" ->
       """WITH w AS (

@@ -472,6 +472,28 @@ class RelationalSpec extends SparkSpec {
     assert(nearest.length > backward.size, "no forward-only matches in fixture")
   }
 
+  test("retention cohorts equal a driver recompute; offset-0 cell covers the whole cohort") {
+    val got = Relational.relRetentionCohorts(spark, sf).collect()
+      .map(r => ((r.getDate(0).toString, r.getLong(1)), r.getLong(2))).toMap
+    assert(got.nonEmpty)
+    // driver recompute from raw events via the same week truncation
+    val ev = graft.Tables.load(spark, sf, "events")
+      .select(col("user_id"), to_date(date_trunc("week", col("ts"))).as("wk"))
+      .distinct().collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate))
+    val cohort = ev.groupBy(_._1).map { case (u, xs) => u -> xs.map(_._2).min }
+    val naive = ev.groupBy { case (u, wk) =>
+      (cohort(u).toString,
+        java.time.temporal.ChronoUnit.DAYS.between(cohort(u), wk) / 7)
+    }.map { case (k, xs) => k -> xs.map(_._1).distinct.size.toLong }
+    assert(got == naive)
+    // each cohort's offset-0 cell counts every member of the cohort
+    val sizes = cohort.groupBy(_._2).map { case (c, xs) => c.toString -> xs.size.toLong }
+    sizes.foreach { case (c, n) => assert(got((c, 0L)) == n, s"cohort $c offset 0") }
+    // retention is live: some offset > 0 exists
+    assert(got.keys.exists(_._2 > 0L), "no retention offsets in fixture")
+  }
+
   test("quality checks: one scan, metrics equal driver recompute, pass flags consistent") {
     val df = Relational.relQualityChecks(spark, sf)
     val rows = df.collect()
