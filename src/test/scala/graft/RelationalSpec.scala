@@ -514,6 +514,9 @@ class RelationalSpec extends SparkSpec {
     assert(got("uniqueness_orderkey") == o.map(_.getLong(0)).distinct.length / n)
     assert(got("membership_orderstatus") ==
       o.count(r => Set("O", "F", "P")(r.getString(3))) / n)
+    assert(got("range_totalprice") ==
+      o.count(r => !r.isNullAt(2) &&
+        r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1000000.0) / n)
     // the one-scan promise: adding rules must never add scans
     val scans = org.apache.spark.sql.graft.Bridge.runtimeOps(
       df.queryExecution.executedPlan)
