@@ -1047,11 +1047,14 @@ object LlmOps {
     // fixpoint test: EXACT changed-row count between rounds — works for
     // any label type (numeric doc ids AND string item labels), unlike a
     // label-sum, and min-label monotonicity guarantees changed==0 is a
-    // true fixpoint, not a collision artifact
+    // true fixpoint, not a collision artifact. Full-outer so a row-set
+    // drift between rounds (a doc dropped or added) counts as changed
+    // rather than silently vanishing from the comparison.
     def changed(cur: DataFrame, next: DataFrame): Long =
       cur.select(col("doc"), col("cluster_id").as("prev"))
-        .join(next, "doc")
-        .filter(col("cluster_id") =!= col("prev")).count()
+        .join(next, Seq("doc"), "full_outer")
+        .filter(col("prev").isNull || col("cluster_id").isNull ||
+          col("cluster_id") =!= col("prev")).count()
     val n = labels.count()
     if (n > 0) {
       val scheduled =
@@ -1067,6 +1070,11 @@ object LlmOps {
         labels = next
         guard += 1
       }
+      // min-label + pointer-jump converges in O(log n) rounds, so 20
+      // verification rounds past the schedule can only be exhausted by a
+      // bug — fail loudly rather than return wrong labels silently
+      assert(converged,
+        s"labelPropagate: no fixpoint after $scheduled scheduled + $guard verification rounds")
     }
     labels.select(col("doc").as("doc_id"), col("cluster_id"))
   }

@@ -1245,7 +1245,7 @@ object Mining {
       |  SELECT a.item AS ia, b.item AS ib
       |  FROM tx a JOIN tx b ON a.tid = b.tid AND a.item < b.item
       |  GROUP BY a.item, b.item
-      |  HAVING count(*) >= 0.02 * (SELECT n FROM nb)),
+      |  HAVING count(*) >= CAST(0.02 * (SELECT n FROM nb) AS DOUBLE)),
       |e AS (SELECT ia AS src, ib AS dst FROM fp
       |      UNION ALL SELECT ib, ia FROM fp),
       |nodes AS (SELECT DISTINCT src AS node FROM e)""".stripMargin
@@ -1307,7 +1307,7 @@ object Mining {
       """, e AS (SELECT a.item AS x, b.item AS y
         |        FROM tx a JOIN tx b ON a.tid = b.tid AND a.item < b.item
         |        GROUP BY 1, 2
-        |        HAVING count(*) >= 0.02 * (SELECT n FROM nb)),
+        |        HAVING count(*) >= CAST(0.02 * (SELECT n FROM nb) AS DOUBLE)),
         |deg AS (SELECT item, CAST(count(*) AS BIGINT) AS deg
         |        FROM (SELECT x AS item FROM e UNION ALL SELECT y FROM e)
         |        GROUP BY item),
@@ -1332,7 +1332,7 @@ object Mining {
         |p AS (SELECT a.item AS ia, b.item AS ib, CAST(count(*) AS BIGINT) AS freq
         |      FROM tx a JOIN tx b ON a.tid = b.tid AND a.item < b.item
         |      GROUP BY 1, 2
-        |      HAVING count(*) >= 0.02 * (SELECT n FROM nb))
+        |      HAVING count(*) >= CAST(0.02 * (SELECT n FROM nb) AS DOUBLE))
         |SELECT ia, ib, freq, sa.s AS sa, sb.s AS sb,
         |       CAST(freq AS DOUBLE) / CAST(greatest(sa.s, sb.s) AS DOUBLE) AS h_confidence,
         |       CAST(least(sa.s, sb.s) AS DOUBLE)
@@ -1375,7 +1375,7 @@ object Mining {
       """, e AS (SELECT a.item AS x, b.item AS y
         |        FROM tx a JOIN tx b ON a.tid = b.tid AND a.item < b.item
         |        GROUP BY 1, 2
-        |        HAVING count(*) >= 0.02 * (SELECT n FROM nb)),
+        |        HAVING count(*) >= CAST(0.02 * (SELECT n FROM nb) AS DOUBLE)),
         |tri AS (SELECT ab.x AS a, ab.y AS b, bc.y AS c
         |        FROM e ab JOIN e bc ON ab.y = bc.x
         |        JOIN e ac ON ab.x = ac.x AND bc.y = ac.y)
@@ -1529,7 +1529,7 @@ object Mining {
         |SELECT a.item || ',' || b.item AS itemset, CAST(count(*) AS BIGINT) AS freq
         |FROM tx a JOIN tx b ON a.tid = b.tid AND a.item < b.item
         |GROUP BY a.item, b.item
-        |HAVING count(*) >= 0.02 * (SELECT n FROM nb)
+        |HAVING count(*) >= CAST(0.02 * (SELECT n FROM nb) AS DOUBLE)
         |ORDER BY itemset""".stripMargin),
 
     "fpm_freq_pairs" -> (txCte +
@@ -1537,7 +1537,7 @@ object Mining {
         |SELECT a.item || ',' || b.item AS itemset, CAST(count(*) AS BIGINT) AS freq
         |FROM tx a JOIN tx b ON a.tid = b.tid AND a.item < b.item
         |GROUP BY a.item, b.item
-        |HAVING count(*) >= 0.02 * (SELECT n FROM nb)
+        |HAVING count(*) >= CAST(0.02 * (SELECT n FROM nb) AS DOUBLE)
         |ORDER BY itemset""".stripMargin),
 
     "fpm_topk_patterns" -> (txCte +
@@ -1545,7 +1545,7 @@ object Mining {
         |  SELECT a.item AS ia, b.item AS ib, CAST(count(*) AS BIGINT) AS freq
         |  FROM tx a JOIN tx b ON a.tid = b.tid AND a.item < b.item
         |  GROUP BY a.item, b.item
-        |  HAVING count(*) >= 0.02 * (SELECT n FROM nb))
+        |  HAVING count(*) >= CAST(0.02 * (SELECT n FROM nb) AS DOUBLE))
         |SELECT ia, ib, freq
         |FROM (SELECT ia, ib, freq,
         |             row_number() OVER (PARTITION BY ia
@@ -1593,7 +1593,7 @@ object Mining {
         |  SELECT a.item AS ia, b.item AS ib, CAST(count(*) AS BIGINT) AS sab
         |  FROM tx a JOIN tx b ON a.tid = b.tid AND a.item < b.item
         |  GROUP BY a.item, b.item
-        |  HAVING count(*) >= 0.02 * (SELECT n FROM nb)
+        |  HAVING count(*) >= CAST(0.02 * (SELECT n FROM nb) AS DOUBLE)
         |), d AS (
         |  SELECT ia AS antecedent, ib AS consequent, sab FROM p
         |  UNION ALL
@@ -1619,7 +1619,7 @@ object Mining {
         |  SELECT a.item AS ia, b.item AS ib, CAST(count(*) AS BIGINT) AS sab
         |  FROM tx a JOIN tx b ON a.tid = b.tid AND a.item < b.item
         |  GROUP BY a.item, b.item
-        |  HAVING count(*) >= 0.02 * (SELECT n FROM nb)
+        |  HAVING count(*) >= CAST(0.02 * (SELECT n FROM nb) AS DOUBLE)
         |), d AS (
         |  SELECT ia AS antecedent, ib AS consequent, sab FROM p
         |  UNION ALL
