@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -543,13 +543,26 @@ object Relational {
     * to relax: swap `countDistinct` for `approx_count_distinct` per
     * column and this stays a one-scan profile with bounded sketch
     * state; min/max/count are cheap partial aggregates at any scale. */
-  def relProfile(s: SparkSession, dir: String): DataFrame = {
+  def relProfile(s: SparkSession, dir: String): DataFrame =
+    profileOver(s, dir, c => countDistinct(c))
+
+  /** The 100-TB twin of [[relProfile]]: identical one-scan profile shape
+    * with `approx_count_distinct` (HLL++, rsd 0.01) in the distinct
+    * slot — bounded sketch state per column instead of Expand ×
+    * exact-distinct hash state. Oracle-free (sketch estimates are
+    * engine-specific); RelationalSpec gates it against the exact
+    * profile: identical rows/min/max/non-null, distinct within rsd. */
+  def relProfileApprox(s: SparkSession, dir: String): DataFrame =
+    profileOver(s, dir, c => approx_count_distinct(c, 0.01))
+
+  private def profileOver(s: SparkSession, dir: String,
+      nd: Column => Column): DataFrame = {
     val numCols = Seq("o_custkey", "o_totalprice")
     val strCols = Seq("o_orderstatus", "o_orderpriority")
     val aggs =
       (numCols ++ strCols).flatMap(c => Seq(
         count(col(c)).as(s"nn_$c"),
-        countDistinct(col(c)).as(s"nd_$c"))) ++
+        nd(col(c)).as(s"nd_$c"))) ++
       numCols.flatMap(c => Seq(
         min(col(c)).cast("double").as(s"mn_$c"),
         max(col(c)).cast("double").as(s"mx_$c"))) ++
@@ -1339,6 +1352,7 @@ object Relational {
     "rel_agg_multidistinct" -> (relAggMultidistinct _),
     "rel_incremental_agg" -> (relIncrementalAgg _),
     "rel_profile" -> (relProfile _),
+    "rel_profile_approx" -> (relProfileApprox _),
     "rel_sessionize"     -> (relSessionize _),
     "rel_ewma"           -> (relEwma _),
     "rel_gap_fill"       -> (relGapFill _),

@@ -76,10 +76,16 @@ case class SessionOut(user_id: Long, n_events: Long)
   * the WATERMARK passes that instant — push-based session close (state
   * cleared on emit), vs `session_window`'s pull-based merge. TimeMode
   * .EventTime requires a watermark on the input stream; timers and state
-  * both live in the state store, so expiry survives restarts. This is
-  * the streaming-only API tier (timers never fire in batch TWS), so it
-  * ships as a StreamingSpec-gated operator like `stream_late_data`, not
-  * a `queries` key. */
+  * both live in the state store, so expiry survives restarts.
+  *
+  * An arriving event whose ms-gap from the held session exceeds `gapMs`
+  * closes that session INLINE (late close) before starting its own:
+  * without this, a session whose timer had not yet fired when the next
+  * burst arrived would silently merge into it, making the output depend
+  * on watermark pacing rather than the data. With it, once every timer
+  * has fired the emitted multiset is exactly ms-grain gap
+  * sessionization — the contract the declared `stream_session_timer`
+  * key states in batch and the DuckDB oracle checks. */
 class SessionTimerProcessor(gapMs: Long)
     extends StatefulProcessor[Long, TwsEvent, SessionOut] {
   @transient private var sess: ValueState[TwsSession] = _
@@ -91,20 +97,33 @@ class SessionTimerProcessor(gapMs: Long)
   override def handleInputRows(key: Long, rows: Iterator[TwsEvent],
       timers: TimerValues): Iterator[SessionOut] = {
     var st = Option(sess.get()).getOrElse(TwsSession(0L, 0L))
-    rows.foreach { e =>
-      st = TwsSession(st.cnt + 1, math.max(st.last_ms, e.ts.getTime))
+    val closed = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+    // event-time order within the invocation so the gap test sees the
+    // same consecutive-ms sequence the batch window function sees
+    rows.toSeq.sortBy(e => (Streaming.micros(e.ts), e.event_id)).foreach { e =>
+      val ms = e.ts.getTime
+      if (st.cnt > 0L && ms - st.last_ms > gapMs) {
+        closed += SessionOut(key, st.cnt) // late close: timer hadn't fired
+        st = TwsSession(0L, 0L)
+      }
+      st = TwsSession(st.cnt + 1, math.max(st.last_ms, ms))
     }
     sess.update(st)
     // one live timer per key: slide the close-out to the new session end
     getHandle.listTimers().foreach(getHandle.deleteTimer)
     getHandle.registerTimer(st.last_ms + gapMs)
-    Iterator.empty
+    closed.iterator
   }
 
   override def handleExpiredTimer(key: Long, timers: TimerValues,
       expired: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[SessionOut] = {
-    val out = Option(sess.get()).map(s => SessionOut(key, s.cnt))
-    sess.clear()
+    // stale-timer guard: if a late close already replaced the session
+    // this timer was registered for, the held session ends AFTER the
+    // expired instant and must not be flushed prematurely
+    val out = Option(sess.get())
+      .filter(s => s.cnt > 0L && s.last_ms + gapMs <= expired.getExpiryTimeInMs)
+      .map(s => SessionOut(key, s.cnt))
+    if (out.nonEmpty) sess.clear()
     out.iterator
   }
 }
@@ -598,6 +617,32 @@ object Streaming {
       .orderBy("user_id", "session_id")
   }
 
+  /** Declared batch equivalent of [[timerSessions]] — the session
+    * multiset [[SessionTimerProcessor]] emits once every timer has
+    * fired: ms-grain gap sessionization (the processor compares
+    * `Timestamp.getTime` milliseconds, NOT the µs grain
+    * [[streamSession]] uses) projected to the processor's output shape
+    * (user_id, n_events). StreamingSpec proves the equivalence by
+    * driving the real stream per-burst and flushing the tail sessions
+    * with a far-future sentinel. Duplicate (user, count) rows across a
+    * user's sessions are identical rows, so the (user_id, n_events)
+    * ORDER BY is hash-stable. */
+  def streamSessionTimer(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.load(s, dir, "events")
+      .withColumn("ms", expr("unix_micros(ts) DIV 1000"))
+      .withColumn("pms", lag(col("ms"), 1).over(byUser))
+      .withColumn("new_s",
+        when(col("pms").isNull || col("ms") - col("pms") > 1800000L, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("new_s")).over(run))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("n_events"))
+      .orderBy("user_id", "n_events")
+  }
+
   /** Declared batch equivalent of [[attributionJoin]], aggregated to
     * per-user attributed-pair counts (bounded output). One shuffle by
     * user_id; the time predicate is evaluated in integer microseconds
@@ -902,6 +947,7 @@ object Streaming {
     "stream_tumbling"       -> (streamTumbling _),
     "stream_sliding"        -> (streamSliding _),
     "stream_session"        -> (streamSession _),
+    "stream_session_timer"  -> (streamSessionTimer _),
     "stream_stateful_dedup" -> (streamStatefulDedup _),
     "stream_stream_join"    -> (streamStreamJoin _),
     "stream_static_join"    -> (streamStaticJoin _),
@@ -1033,6 +1079,25 @@ object Streaming {
         |       min(ts) AS session_start, max(ts) AS session_end
         |FROM z GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
+
+    "stream_session_timer" ->
+      """WITH x AS (
+        |  SELECT user_id, epoch_us(ts) // 1000 AS ms, event_id
+        |  FROM events),
+        |y AS (
+        |  SELECT user_id, ms, event_id,
+        |         CASE WHEN lag(ms) OVER w IS NULL
+        |                OR ms - lag(ms) OVER w > 1800000
+        |              THEN 1 ELSE 0 END AS new_s
+        |  FROM x WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)),
+        |z AS (
+        |  SELECT user_id,
+        |         sum(new_s) OVER (PARTITION BY user_id ORDER BY ms, event_id
+        |                          ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM y)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+        |FROM z GROUP BY user_id, session_id
+        |ORDER BY user_id, n_events""".stripMargin,
 
     "stream_stream_join" ->
       """SELECT a.user_id, CAST(count(*) AS BIGINT) AS attributed_pairs

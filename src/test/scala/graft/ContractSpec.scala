@@ -13,7 +13,8 @@ class ContractSpec extends SparkSpec {
 
   test("oracle coverage: only the declared sketch/LSH keys are oracle-free") {
     val oracleFree = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(oracleFree == Set("rel_agg_approx", "rel_agg_sketch_merge", "llm_minhash_neardup", "llm_simhash",
+    assert(oracleFree == Set("rel_agg_approx", "rel_profile_approx",
+      "rel_agg_sketch_merge", "llm_minhash_neardup", "llm_simhash",
       "fpm_fpgrowth_full", "fpm_prefixspan_full", "llm_ann_ivf_kmeans",
       "llm_simhash_neardup", "fpm_assoc_rules_full", "llm_dedup_clusters_lsh",
       "stream_neardup", "llm_dedup_keep_best_lsh", "llm_bloom_prefilter", "llm_ann_pq",

@@ -547,4 +547,27 @@ class RelationalSpec extends SparkSpec {
     }
     assert(got.last._3 == ev.map(_._1).distinct.length.toLong)
   }
+
+  test("rel_profile_approx: exact fields identical to rel_profile, distinct within HLL rsd") {
+    def byCol(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) -> r).toMap
+    val exact = byCol(Relational.relProfile(spark, sf))
+    val approx = byCol(Relational.relProfileApprox(spark, sf))
+    assert(approx.keySet == exact.keySet && approx.size == 4)
+    approx.foreach { case (c, a) =>
+      val e = exact(c)
+      // everything except the sketch slot is computed identically
+      assert(a.getLong(1) == e.getLong(1), s"$c non-null differs")
+      (3 to 6).foreach(i => assert(a.get(i) == e.get(i), s"$c field $i differs"))
+      // HLL++ at rsd 0.01: allow 5 sigma plus slack for tiny cardinalities
+      val (est, truth) = (a.getLong(2).toDouble, e.getLong(2).toDouble)
+      assert(math.abs(est - truth) <= math.max(5.0, 0.05 * truth),
+        s"$c distinct: est $est vs exact $truth")
+    }
+    // still a one-scan profile: the sketch swap must not add a scan
+    val scans = org.apache.spark.sql.graft.Bridge.runtimeOps(
+      Relational.relProfileApprox(spark, sf).queryExecution.executedPlan)
+      .count(_.isInstanceOf[org.apache.spark.sql.execution.FileSourceScanExec])
+    assert(scans == 1, s"expected one orders scan, saw $scans")
+  }
 }

@@ -213,6 +213,45 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("stream_session_timer: late close beats an unfired timer; flushed stream equals gap sessionization") {
+    val sp = spark
+    import sp.implicits._
+    implicit val ctx = sp.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ms = MemoryStream[Ev]
+      val q = Streaming.timerSessions(ms.toDF(), gapMs = 30 * 60 * 1000L)
+        .writeStream.outputMode("append").format("memory").queryName("tses").start()
+      try {
+        ms.addData(
+          Ev(t("2024-01-01 10:00:00"), 1, "click", 1.0, 1),
+          Ev(t("2024-01-01 10:10:00"), 1, "view", 1.0, 2))
+        q.processAllAvailable()
+        // 40-min gap, but the watermark (10:00) has NOT passed the 10:40
+        // close-out yet — without the inline late close this event would
+        // silently merge into the previous session
+        ms.addData(Ev(t("2024-01-01 10:50:00"), 1, "click", 1.0, 3))
+        q.processAllAvailable()
+        ms.addData(Ev(t("2024-01-01 11:00:00"), 2, "click", 1.0, 4))
+        q.processAllAvailable()
+        // far-future sentinel pushes the watermark past every open timer
+        ms.addData(Ev(t("2024-01-02 10:00:00"), 99, "click", 1.0, 5))
+        q.processAllAvailable()
+      } finally q.stop()
+      val got = spark.table("tses")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+      // = ms-grain gap sessionization of users 1 and 2 (the declared
+      // stream_session_timer batch form); the sentinel session stays open
+      assert(got == Seq((1L, 1L), (1L, 2L), (2L, 1L)), s"got $got")
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   test("transformWithState list+map state: history feed stream equals batch across a restart") {
     val sp = spark
     import sp.implicits._
@@ -926,7 +965,7 @@ class StreamingSpec extends SparkSpec {
     Ev(t("2024-01-01 10:40:00"), 3, "click", 64.0, 7),
     Ev(t("2024-01-01 12:10:00"), 2, "error", 0.0, 8))
 
-  test("checkpoint recovery: running seq resumes numbering from the recovered Long state") {
+  private def ckRecoverySeq(): Unit = {
     val sp = spark
     import sp.implicits._
     val out = runWithRestarts("seq", Streaming.runningSeq,
@@ -943,7 +982,7 @@ class StreamingSpec extends SparkSpec {
       s"u1 did not resume at 3 — state lost on restart: ${trip(out(1))}")
   }
 
-  test("checkpoint recovery: EWMA resumes bit-for-bit from the recovered (Boolean, Double) state") {
+  private def ckRecoveryEwma(): Unit = {
     val sp = spark
     import sp.implicits._
     val out = runWithRestarts("ewma", Streaming.ewmaStream,
@@ -957,7 +996,7 @@ class StreamingSpec extends SparkSpec {
       s"u1's smoothed value did not chain across restart: ${trip(out(1))}")
   }
 
-  test("checkpoint recovery: transition feed chains the cross-restart adjacency from recovered state") {
+  private def ckRecoveryTrans(): Unit = {
     val sp = spark
     import sp.implicits._
     val out = runWithRestarts("trans", Streaming.transitionStream,
@@ -971,7 +1010,7 @@ class StreamingSpec extends SparkSpec {
       s"cross-restart adjacency missing — TransState lost: ${trip(out(1))}")
   }
 
-  test("checkpoint recovery: gap-pair buffer survives restart, beyond-gap history stays pruned") {
+  private def ckRecoveryGap(): Unit = {
     val sp = spark
     import sp.implicits._
     val out = runWithRestarts("gap", Streaming.seqGapStream,
@@ -992,7 +1031,7 @@ class StreamingSpec extends SparkSpec {
       s"beyond-gap pair emitted from stale recovered buffer: $run2")
   }
 
-  test("checkpoint recovery: CDC latest-wins state and tombstones hold across restart") {
+  private def ckRecoveryCdc(): Unit = {
     val sp = spark
     import sp.implicits._
     val out = runWithRestarts("cdc", Streaming.cdcApplyStream,
@@ -1011,7 +1050,7 @@ class StreamingSpec extends SparkSpec {
     assert(lastPerKey(trip(out.flatten)).contains((2L, 8L, "error", 0.0)))
   }
 
-  test("checkpoint recovery: SpaceSaving summaries resume counting from recovered counters") {
+  private def ckRecoveryHh(): Unit = {
     val sp = spark
     import sp.implicits._
     val out = runWithRestarts("hh",
@@ -1032,7 +1071,7 @@ class StreamingSpec extends SparkSpec {
       s"u2's counter did not resume: ${lastPerKey(trip(out.flatten))}")
   }
 
-  test("checkpoint recovery: near-dup signatures recovered — a post-restart arrival dups against a pre-stop doc") {
+  private def ckRecoveryNdup(): Unit = {
     val sp = spark
     import sp.implicits._
     val p1 = Seq(Doc(1, "alpha beta gamma"), Doc(2, "alpha beta gamma"),
@@ -1048,6 +1087,36 @@ class StreamingSpec extends SparkSpec {
     // were recovered from the checkpointed List state
     assert(trip(out(1)).toSet == (0 until 4).map(b => (4L, b, 1L)).toSet,
       s"doc4 must dup against recovered doc1 in all 4 bands: ${trip(out(1))}")
+  }
+
+  /** The seven flatMapGroupsWithState recovery shapes, each restarting a
+    * real checkpoint (see [[runWithRestarts]]); run under BOTH state
+    * store providers — per-shape tests on the default HDFS-backed
+    * provider, one sweep on RocksDB (checkpoint layout, serializer
+    * round-trip, and snapshot/changelog recovery all differ there). */
+  private val ckRecoveryShapes = Seq(
+    "running seq resumes numbering from the recovered Long state" -> (() => ckRecoverySeq()),
+    "EWMA resumes bit-for-bit from the recovered (Boolean, Double) state" -> (() => ckRecoveryEwma()),
+    "transition feed chains the cross-restart adjacency from recovered state" -> (() => ckRecoveryTrans()),
+    "gap-pair buffer survives restart, beyond-gap history stays pruned" -> (() => ckRecoveryGap()),
+    "CDC latest-wins state and tombstones hold across restart" -> (() => ckRecoveryCdc()),
+    "SpaceSaving summaries resume counting from recovered counters" -> (() => ckRecoveryHh()),
+    "near-dup signatures recovered — a post-restart arrival dups against a pre-stop doc" -> (() => ckRecoveryNdup()))
+
+  ckRecoveryShapes.foreach { case (name, body) =>
+    test(s"checkpoint recovery: $name")(body())
+  }
+
+  test("checkpoint recovery under RocksDB: all seven state shapes restart from RocksDB checkpoints") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try ckRecoveryShapes.foreach(_._2())
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
   }
 
   test("foreachBatch exactly-once: a replayed batch duplicates an append sink but not an overwrite-by-batchId sink") {
