@@ -1328,6 +1328,20 @@ object LlmOps {
     val pairs = byShingle.select(explode(pairsOfShingle).as("p"))
       .groupBy(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
       .agg(count(lit(1)).as("shared"))
+      // global-min prune BEFORE the size joins: containment ≥ 0.5 needs
+      // shared ≥ 0.5·min(na,nb) ≥ 0.5·(corpus-min shingle count), so
+      // 2·shared ≥ minN is NECESSARY — integer-exact, result-preserving.
+      // On this degenerate corpus it cuts the join probe ~1000× (1.13 M
+      // aggregated pairs → ~1 k; median shared is 1): the candidate
+      // aggregation itself is irreducible (the 31-token vocabulary makes
+      // every posting list dense — real corpora are sparser), but
+      // everything after it collapses. The one-row min frame broadcasts
+      // (the heavy-hitters totals pattern), no driver-side action.
+      .join(broadcast(Tables.load(s, dir, "documents")
+        .select(size(shingles(s, col("text"), 3)).cast("long").as("n"))
+        .agg(min(col("n")).as("min_n"))))
+      .filter(col("shared") * lit(2L) >= col("min_n"))
+      .drop("min_n")
     pairs
       .join(sz.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(sz.as("sb"), col("doc_b") === col("sb.doc_id"))
