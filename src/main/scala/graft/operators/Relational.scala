@@ -498,7 +498,14 @@ object Relational {
     * are exactly this shape: exact moments partial-combined on the map
     * side, the fp formula evaluated once per group at the boundary. */
   def relAggCorr(s: SparkSession, dir: String): DataFrame = {
-    val x = dec("l_quantity"); val y = dec("l_extendedprice")
+    // moments on INTEGER CENTS (scale-0 decimals), not scale-2/4 ones:
+    // correlation is scale-invariant, and casting an integer-valued
+    // decimal to double is a single correctly-rounded conversion in
+    // both engines — whereas a scale-4 decimal whose unscaled value
+    // exceeds 2^53 (syy does from sf0.001 up) makes the ÷10⁴ rounding
+    // engine-dependent (observed: one-ulp corr disagreement at sf0.001)
+    val x = (dec("l_quantity") * lit(100)).cast("decimal(18,0)")
+    val y = (dec("l_extendedprice") * lit(100)).cast("decimal(18,0)")
     def d(c: String) = col(c).cast("double")
     Tables.load(s, dir, "lineitem")
       .groupBy("l_returnflag")
@@ -1470,8 +1477,8 @@ object Relational {
     "rel_agg_corr" ->
       """WITH t AS (
         |  SELECT l_returnflag,
-        |         CAST(l_quantity AS DECIMAL(18,2)) AS x,
-        |         CAST(l_extendedprice AS DECIMAL(18,2)) AS y
+        |         CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS DECIMAL(18,0)) AS x,
+        |         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS DECIMAL(18,0)) AS y
         |  FROM lineitem),
         |a AS (
         |  SELECT l_returnflag, count(*) AS n_rows,
