@@ -1259,6 +1259,122 @@ object LlmOps {
       .orderBy("doc_id")
   }
 
+  /** BENCHMARK DECONTAMINATION applied — [[contamination]] promoted from
+    * a per-doc report to the curation ACTION: per source, how many docs
+    * survive the ≥ 0.15 shingle-overlap drop rule and how many clean
+    * characters remain — the audit row a pipeline publishes when it
+    * removes eval-set leakage from a training corpus. The threshold test
+    * compares the exact-integer-ratio double against 0.15 identically in
+    * both engines (the fixture's overlap distribution spans 0–0.22 plus
+    * two near-1.0 plants, so the rule genuinely fires).
+    *
+    * Scale posture: inherits [[contamination]]'s broadcast-benchmark
+    * shape (eval suites are dim-sized), then one source-keyed map-side-
+    * combined aggregate over the per-doc frame. */
+  def decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val cont = contamination(s, dir).select(col("doc_id"), col("contamination"))
+    Tables.load(s, dir, "documents")
+      .filter(col("source") =!= "src0")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .join(cont, "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("contamination") >= 0.15, 1L).otherwise(0L)).as("n_dropped"),
+        sum(when(col("contamination") < 0.15, col("n_chars")).otherwise(0L))
+          .as("kept_chars"))
+      .select(col("source"), col("n_docs"), col("n_dropped"),
+        (col("n_docs") - col("n_dropped")).as("n_kept"), col("kept_chars"))
+      .orderBy("source")
+  }
+
+  /** COLLOCATIONS — adjacent-bigram association strength (the
+    * Manning-&-Schütze collocation table, with the same log-free lift
+    * ratio as [[cooccurrence]] because ln is libm-dependent):
+    * lift = c(ab)·N / (c(a)·c(b)) over POSITIONAL bigram/unigram counts
+    * — ADJACENCY, where cooccurrence measures within-doc co-presence.
+    * Support ≥ 0.02 % of bigram positions (integer cross-multiply) and
+    * lift ≥ 1.05 (measured mid-gap: corpus p90 ≈ 1.04, p97 ≈ 1.08 at
+    * sf0.1) keep the table to genuine collocations. The score is one
+    * double division of two exact int64 products (c·N and c_a·c_b
+    * bound by N² — DECIMAL(38,0) past ~3·10⁹ tokens).
+    *
+    * Scale posture: bigram counts ride the native [[shingles]] kernel
+    * (one pass, no interpreted lambda) into a map-side-combined
+    * aggregate; the unigram frame is vocabulary-bounded and broadcast
+    * twice; N derives from the aggregated bigram frame, not a second
+    * corpus scan. */
+  def collocations(s: SparkSession, dir: String): DataFrame = {
+    val bc = Tables.load(s, dir, "documents")
+      .select(explode(graft.expressions.NGrams.ngrams(s, col("text"), 2,
+        keepDistinct = false, shortWhole = false)).as("b"))
+      .groupBy("b").agg(count(lit(1)).as("cab"))
+    val uc = Tables.load(s, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val tot = broadcast(bc.agg(sum("cab").as("nb")))
+    bc.select(col("cab"),
+        split(col("b"), " ").getItem(0).as("word_a"),
+        split(col("b"), " ").getItem(1).as("word_b"))
+      .join(broadcast(uc.select(col("w").as("word_a"), col("c").as("ca"))), "word_a")
+      .join(broadcast(uc.select(col("w").as("word_b"), col("c").as("cb"))), "word_b")
+      .crossJoin(tot)
+      .filter(col("cab") * 5000 >= col("nb"))
+      .select(col("word_a"), col("word_b"), col("cab").as("n_adjacent"),
+        ((col("cab") * col("nb")).cast("double")
+          / (col("ca") * col("cb")).cast("double")).as("lift"))
+      .filter(col("lift") >= 1.05)
+      .orderBy(col("lift").desc, col("word_a"), col("word_b"))
+  }
+
+  /** END-TO-END CURATION PIPELINE — the C4-style chain as ONE declarative
+    * plan: normalize → language gate (stopword-hit langid = 'en') →
+    * quality gate (fixed-order score ≥ 0.64, between the corpus p05 and
+    * p25) → exact dedup on the md5 of the NORMALIZED text (keep min
+    * doc_id — normalization makes punctuation/case variants collide,
+    * which raw-text fingerprints miss) → per-source cap (top-20 by
+    * quality through the TopKPerGroup heap operator) → per-source corpus
+    * report (docs, tokens, chars, quality floor). Every stage reuses the
+    * oracle-proven expression of its standalone key, so the full chain
+    * hash-checks end to end — the point: a real pipeline is these six
+    * stages COMPOSED, and Catalyst still sees one plan to optimize
+    * across (the gates collapse into one scan's filters before any
+    * shuffle).
+    *
+    * Scale posture: one corpus scan for stage the gates + fingerprint;
+    * dedup and cap are both bounded-heap TopKPerGroup exchanges (never a
+    * global sort); the report is a source-keyed partial+final aggregate.
+    * min(quality) is order-independent — no float sum crosses a
+    * partition boundary. */
+  def pipelineE2e(s: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val n = size(toks).cast("double")
+    val distinctRatio = size(array_distinct(toks)).cast("double") / n
+    val stopRatio = size(filter(toks, t => t.isin(Stopwords: _*))).cast("double") / n
+    val shortRatio = size(filter(toks, t => length(t) <= 2)).cast("double") / n
+    val cleaned = trim(regexp_replace(regexp_replace(lower(col("text")),
+      "[.,!?;:]", ""), " +", " "))
+    val staged = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("source"), cleaned.as("norm_text"),
+        (distinctRatio * 0.5 + (lit(1.0) - stopRatio) * 0.3
+          + (lit(1.0) - shortRatio) * 0.2).as("quality"),
+        size(filter(toks, t => t.isin(Stopwords: _*))).as("stop_hits"))
+      .filter(col("stop_hits") > 0)
+      .filter(col("quality") >= 0.64)
+      .withColumn("fp", md5(col("norm_text")))
+    val deduped = graft.plans.TopK.perGroup(
+      staged.select(col("doc_id"), col("source"), col("norm_text"),
+        col("quality"), col("fp")),
+      Seq("fp"), Seq("doc_id" -> true), k = 1)
+    val capped = graft.plans.TopK.perGroup(deduped, Seq("source"),
+      Seq("quality" -> false, "doc_id" -> true), k = 20)
+    capped.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("norm_text"), " "))).cast("long").as("total_toks"),
+        sum(length(col("norm_text"))).cast("long").as("total_chars"),
+        min(col("quality")).as("quality_floor"))
+      .orderBy("source")
+  }
+
   /** Corpus token-distribution (Zipf) table: per-token frequency, rank
     * by descending frequency, and share of all token occurrences — the
     * corpus statistics a pipeline reads before choosing stopword lists,
@@ -2878,6 +2994,9 @@ object LlmOps {
     "llm_contamination"      -> (contamination _),
     "llm_zipf_stats"         -> (zipfStats _),
     "llm_containment_dedup"  -> (containmentDedup _),
+    "llm_decontaminate"      -> (decontaminate _),
+    "llm_collocations"       -> (collocations _),
+    "llm_pipeline_e2e"       -> (pipelineE2e _),
     "llm_incremental_dedup"  -> (incrementalDedup _),
     "llm_temperature_weights" -> (temperatureWeights _),
     "llm_fuzzy_editdist"     -> (fuzzyEditdist _),
@@ -3572,6 +3691,87 @@ object LlmOps {
         |       CAST(rank() OVER (ORDER BY freq DESC, token) AS BIGINT) AS rnk,
         |       CAST(freq AS DOUBLE) / CAST(sum(freq) OVER () AS DOUBLE) AS freq_frac
         |FROM tf ORDER BY rnk""".stripMargin,
+
+    "llm_decontaminate" ->
+      """WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+        |sh AS (
+        |  SELECT doc_id, source,
+        |         unnest(CASE WHEN len(t) >= 3
+        |                THEN list_distinct(list_transform(generate_series(1, len(t) - 2),
+        |                       i -> array_to_string(t[i:i+2], ' ')))
+        |                ELSE [array_to_string(t, ' ')] END) AS g
+        |  FROM toks),
+        |bench AS (SELECT DISTINCT g FROM sh WHERE source = 'src0'),
+        |hits AS (
+        |  SELECT s.doc_id,
+        |         CAST(sum(CASE WHEN b.g IS NULL THEN 0 ELSE 1 END) AS DOUBLE)
+        |           / CAST(count(*) AS DOUBLE) AS contamination
+        |  FROM sh s LEFT JOIN bench b ON b.g = s.g
+        |  WHERE s.source <> 'src0'
+        |  GROUP BY s.doc_id)
+        |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(CASE WHEN h.contamination >= 0.15 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_dropped,
+        |       CAST(sum(CASE WHEN h.contamination >= 0.15 THEN 0 ELSE 1 END) AS BIGINT)
+        |         AS n_kept,
+        |       CAST(sum(CASE WHEN h.contamination < 0.15 THEN d.n_chars ELSE 0 END) AS BIGINT)
+        |         AS kept_chars
+        |FROM documents d JOIN hits h ON h.doc_id = d.doc_id
+        |WHERE d.source <> 'src0'
+        |GROUP BY d.source ORDER BY d.source""".stripMargin,
+
+    "llm_collocations" ->
+      """WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+        |bg AS (SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+        |              i -> array_to_string(t[i:i+1], ' '))) AS b
+        |       FROM toks WHERE len(t) >= 2),
+        |bc AS (SELECT b, CAST(count(*) AS BIGINT) AS cab FROM bg GROUP BY b),
+        |uc AS (SELECT unnest(t) AS w FROM toks),
+        |ucc AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM uc GROUP BY w),
+        |n AS (SELECT CAST(sum(cab) AS BIGINT) AS nb FROM bc),
+        |lifted AS (
+        |  SELECT string_split(b, ' ')[1] AS word_a, string_split(b, ' ')[2] AS word_b,
+        |         cab AS n_adjacent,
+        |         CAST(cab * nb AS DOUBLE) / CAST(ca.c * cb.c AS DOUBLE) AS lift
+        |  FROM bc JOIN ucc ca ON ca.w = string_split(b, ' ')[1]
+        |          JOIN ucc cb ON cb.w = string_split(b, ' ')[2], n
+        |  WHERE cab * 5000 >= nb)
+        |SELECT word_a, word_b, n_adjacent, lift FROM lifted
+        |WHERE lift >= 1.05
+        |ORDER BY lift DESC, word_a, word_b""".stripMargin,
+
+    "llm_pipeline_e2e" ->
+      """WITH q AS (
+        |  SELECT doc_id, source,
+        |         trim(regexp_replace(regexp_replace(lower(text),
+        |              '[.,!?;:]', '', 'g'), ' +', ' ', 'g')) AS norm_text,
+        |         CAST(len(string_split(text, ' ')) AS DOUBLE) AS n,
+        |         CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) AS nd,
+        |         CAST(len(list_filter(string_split(text, ' '),
+        |              t -> t = 'a' OR t = 'the')) AS DOUBLE) AS nstop,
+        |         CAST(len(list_filter(string_split(text, ' '),
+        |              t -> length(t) <= 2)) AS DOUBLE) AS nshort
+        |  FROM documents),
+        |staged AS (
+        |  SELECT doc_id, source, norm_text, md5(norm_text) AS fp,
+        |         (nd / n) * 0.5 + (1.0 - nstop / n) * 0.3
+        |           + (1.0 - nshort / n) * 0.2 AS quality
+        |  FROM q
+        |  WHERE nstop > 0
+        |    AND (nd / n) * 0.5 + (1.0 - nstop / n) * 0.3
+        |        + (1.0 - nshort / n) * 0.2 >= 0.64),
+        |deduped AS (
+        |  SELECT * FROM staged
+        |  QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1),
+        |capped AS (
+        |  SELECT * FROM deduped
+        |  QUALIFY row_number() OVER (PARTITION BY source
+        |          ORDER BY quality DESC, doc_id) <= 20)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(len(string_split(norm_text, ' '))) AS BIGINT) AS total_toks,
+        |       CAST(sum(length(norm_text)) AS BIGINT) AS total_chars,
+        |       min(quality) AS quality_floor
+        |FROM capped GROUP BY source ORDER BY source""".stripMargin,
 
     "llm_containment_dedup" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),

@@ -671,6 +671,115 @@ object Mining {
     dist
   }
 
+  /** GRAPH MODULARITY audit of the item-family partition — Newman's Q
+    * for the connected-component communities of the co-occurrence
+    * graph, in ALL-INTEGER arithmetic: per community c the contribution
+    * is (4m·e_c − d_c²)/(4m²) with m = undirected edge count, e_c =
+    * intra-community edges, d_c = community degree sum — numerator and
+    * denominator are exact integers, converted to double for ONE
+    * division per row (engine-identical). The per-community row set
+    * (size, intra edges, degree mass, Q share) is the partition-quality
+    * report a clustering pipeline gates on before trusting "families".
+    *
+    * Scale posture: rides the memoized component labels; everything
+    * else is two node-keyed broadcast joins and vocabulary-bounded
+    * aggregates. At web-graph scale the integer products move to
+    * DECIMAL(38,0) (4m² overflows int64 past ~10⁹ edges) — the
+    * arithmetic stays exact either way. */
+  def fpmModularity(s: SparkSession, dir: String): DataFrame = {
+    val labels = fpmComponents(s, dir)
+      .select(col("item"), col("component"))
+    val pairs = coPairs(s, dir)
+    val mTot = broadcast(pairs.agg(count(lit(1)).as("m")))
+    val la = labels.select(col("item").as("ia"), col("component").as("ca"))
+    val lb = labels.select(col("item").as("ib"), col("component").as("cb"))
+    val intra = pairs.join(broadcast(la), "ia").join(broadcast(lb), "ib")
+      .filter(col("ca") === col("cb"))
+      .groupBy(col("ca").as("component")).agg(count(lit(1)).as("intra_edges"))
+    val deg = coEdges(s, dir).groupBy(col("src").as("item"))
+      .agg(count(lit(1)).as("d"))
+    val byComp = labels.join(broadcast(deg), "item")
+      .groupBy("component")
+      .agg(count(lit(1)).as("n_nodes"), sum("d").as("deg_sum"))
+    byComp.join(broadcast(intra), "component").crossJoin(mTot)
+      .select(col("component"), col("n_nodes"), col("intra_edges"), col("deg_sum"),
+        ((lit(4) * col("m") * col("intra_edges") - col("deg_sum") * col("deg_sum"))
+          .cast("double")
+          / (lit(4) * col("m") * col("m")).cast("double")).as("q_share"))
+      .orderBy("component")
+  }
+
+  /** DEGREE ASSORTATIVITY of the co-occurrence graph (Newman, PRL
+    * 2002): Pearson correlation of endpoint degrees over all directed
+    * edge instances — do hubs attach to hubs? For the symmetric edge
+    * frame Σx = Σy and Σx² = Σy², so r collapses to the pure INTEGER
+    * ratio (n·Σxy − (Σx)²)/(n·Σx² − (Σx)²) — one double division, no
+    * sqrt, engine-exact (the [[Relational.relAggCorr]] integer-moment
+    * discipline applied to graph structure). NULL for a regular graph
+    * (zero variance), guarded identically in both engines.
+    *
+    * Scale posture: the degree frame is node-keyed (broadcast here;
+    * shuffle-join at web scale), moments are one map-side-combined
+    * aggregate over edges; int64 is exact to ~10⁹-edge graphs with
+    * degrees ≤ 2²¹ (n·Σx² bound), DECIMAL(38,0) past that. */
+  def fpmDegreeAssort(s: SparkSession, dir: String): DataFrame = {
+    val e = coEdges(s, dir)
+    val deg = e.groupBy("src").agg(count(lit(1)).as("d"))
+    val xy = e
+      .join(broadcast(deg.select(col("src").as("es"), col("d").as("x"))),
+        col("src") === col("es"))
+      .join(broadcast(deg.select(col("src").as("ed"), col("d").as("y"))),
+        col("dst") === col("ed"))
+    val mo = xy.agg(count(lit(1)).as("n"), sum("x").as("sx"),
+      sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+    mo.select(
+      expr("n div 2").as("n_edges"),
+      when(col("n") * col("sxx") - col("sx") * col("sx") === 0, lit(null))
+        .otherwise((col("n") * col("sxy") - col("sx") * col("sx")).cast("double")
+          / (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+        .as("assortativity"))
+  }
+
+  /** ECCENTRICITY per node (max shortest-path hops to any reachable
+    * node, 8-hop cap) over the co-occurrence graph via MULTI-SOURCE
+    * frontier BFS: the [[bfsFrom]] loop lifted to state keyed by
+    * (src, node) — every node is a source simultaneously, so one
+    * edge-join per round advances ALL sources' frontiers at once (the
+    * all-pairs-shortest-hops building block; diameter = max ecc,
+    * radius = min ecc, both read off this frame). Early exit when the
+    * global frontier empties; per-(src,node) first-discovery depth ≡
+    * the oracle's min-hops over the 8-bounded recursive walk.
+    *
+    * Scale posture: rounds are O(diameter) joins keyed by frontier
+    * node; state is (src, node) pairs — quadratic in the VOCABULARY
+    * (bounded here), which is why real deployments run it on the
+    * item/concept graph, not the raw-document graph; lineage truncated
+    * per round like every iterative op in this library. */
+  def fpmEccentricity(s: SparkSession, dir: String): DataFrame = {
+    val edges = coEdges(s, dir).localCheckpoint(true)
+    val nodes = edges.select("src").distinct()
+    var dist = nodes.select(col("src"), col("src").as("node"))
+      .withColumn("hops", lit(0L)).localCheckpoint(true)
+    var frontier = dist
+    var h = 0L
+    var exhausted = frontier.head(1).isEmpty
+    while (h < 8 && !exhausted) {
+      h += 1
+      val next = edges.select(col("src").as("via"), col("dst"))
+        .join(frontier.select(col("src"), col("node").as("via")), "via")
+        .select(col("src"), col("dst").as("node")).distinct()
+        .join(dist, Seq("src", "node"), "left_anti")
+        .withColumn("hops", lit(h))
+        .localCheckpoint(true)
+      exhausted = next.head(1).isEmpty
+      if (!exhausted) dist = dist.unionByName(next).localCheckpoint(true)
+      frontier = next
+    }
+    dist.groupBy(col("src").as("item"))
+      .agg(max("hops").as("ecc"), count(lit(1)).as("n_reached"))
+      .orderBy("item")
+  }
+
   /** Sequential ASSOCIATION RULES a→b — [[fpmSeqPairs]]'s ordered-pair
     * supports upgraded to rules: confidence = users(a→b) / users(a),
     * one double division of exact distinct-user counts (deterministic
@@ -1228,6 +1337,9 @@ object Mining {
     "fpm_pagerank"     -> (fpmPagerank _),
     "fpm_components"   -> (fpmComponents _),
     "fpm_bfs_hops"     -> (fpmBfsHops _),
+    "fpm_modularity"   -> (fpmModularity _),
+    "fpm_degree_assort" -> (fpmDegreeAssort _),
+    "fpm_eccentricity" -> (fpmEccentricity _),
   )
 
   private val txCte =
@@ -1652,6 +1764,58 @@ object Mining {
     // The two graph-walk keys state full reachability as RECURSIVE CTEs
     // (DuckDB's `UNION` distinct semantics terminate on cycles) over the
     // same thresholded co-occurrence edge set the Spark side walks.
+    "fpm_modularity" -> (graphCte + """,
+        |reach(node, lbl) AS (
+        |  SELECT node, node FROM nodes
+        |  UNION
+        |  SELECT e.dst, r.lbl FROM reach r JOIN e ON e.src = r.node),
+        |lab AS (SELECT node, min(lbl) AS comp FROM reach GROUP BY node),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM fp),
+        |intra AS (
+        |  SELECT la.comp AS component, CAST(count(*) AS BIGINT) AS intra_edges
+        |  FROM fp JOIN lab la ON la.node = fp.ia
+        |          JOIN lab lb ON lb.node = fp.ib
+        |  WHERE la.comp = lb.comp
+        |  GROUP BY la.comp),
+        |deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY src),
+        |bycomp AS (
+        |  SELECT lab.comp AS component, CAST(count(*) AS BIGINT) AS n_nodes,
+        |         CAST(sum(deg.d) AS BIGINT) AS deg_sum
+        |  FROM lab JOIN deg ON deg.node = lab.node
+        |  GROUP BY lab.comp)
+        |SELECT b.component, b.n_nodes, i.intra_edges, b.deg_sum,
+        |       CAST(4 * m.m * i.intra_edges - b.deg_sum * b.deg_sum AS DOUBLE)
+        |         / CAST(4 * m.m * m.m AS DOUBLE) AS q_share
+        |FROM bycomp b JOIN intra i ON i.component = b.component, m
+        |ORDER BY b.component""".stripMargin),
+
+    "fpm_degree_assort" -> (graphCte + """,
+        |deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY src),
+        |xy AS (SELECT da.d AS x, db.d AS y
+        |       FROM e JOIN deg da ON da.node = e.src
+        |              JOIN deg db ON db.node = e.dst),
+        |mo AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |              CAST(sum(x) AS BIGINT) AS sx,
+        |              CAST(sum(x * y) AS BIGINT) AS sxy,
+        |              CAST(sum(x * x) AS BIGINT) AS sxx
+        |       FROM xy)
+        |SELECT CAST(n // 2 AS BIGINT) AS n_edges,
+        |       CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+        |            ELSE CAST(n * sxy - sx * sx AS DOUBLE)
+        |                 / CAST(n * sxx - sx * sx AS DOUBLE) END AS assortativity
+        |FROM mo""".stripMargin),
+
+    "fpm_eccentricity" -> (graphCte + """,
+        |walk(src, node, hops) AS (
+        |  SELECT node, node, 0 FROM nodes
+        |  UNION
+        |  SELECT w.src, e.dst, w.hops + 1 FROM walk w JOIN e ON e.src = w.node
+        |  WHERE w.hops < 8),
+        |sp AS (SELECT src, node, min(hops) AS d FROM walk GROUP BY src, node)
+        |SELECT src AS item, CAST(max(d) AS BIGINT) AS ecc,
+        |       CAST(count(*) AS BIGINT) AS n_reached
+        |FROM sp GROUP BY src ORDER BY item""".stripMargin),
+
     "fpm_components" -> (graphCte + """,
         |reach(node, lbl) AS (
         |  SELECT node, node FROM nodes

@@ -1312,6 +1312,94 @@ object Relational {
       .orderBy("l_returnflag", "p")
   }
 
+  /** SKYLINE (Pareto frontier) over part: minimize p_retailprice,
+    * maximize p_size — the multi-criteria shortlist query (Börzsönyi et
+    * al., ICDE 2001). A part is on the skyline iff no other part is at
+    * most as expensive AND at least as large with strict improvement in
+    * one dimension.
+    *
+    * Spark-first shape instead of the O(n²) dominance self-join: reduce
+    * to one row per DISTINCT PRICE first — a skyline point must carry
+    * the max size at its price, so `groupBy(price).max(size)` (map-side
+    * combined, one shuffle bounded by |distinct prices|, not |parts|)
+    * loses nothing. Over that reduced frame the 2-D skyline is a single
+    * prefix-max window: a price survives iff its max size strictly
+    * exceeds the max size of every strictly cheaper price
+    * (`rangeBetween(unboundedPreceding, -1)` on integer CENTS — the
+    * range frame is what makes "strictly cheaper" exact; a rows frame
+    * would misread price ties). The global-order window runs over the
+    * aggregate-reduced frame only; survivors then join back (broadcast —
+    * a skyline is dim-sized) to recover every partkey at the surviving
+    * (price, max-size) points. Ties on (price, size) are all reported,
+    * per strict-dominance semantics. */
+  def relSkyline(s: SparkSession, dir: String): DataFrame = {
+    val part = Tables.load(s, dir, "part")
+      .select(col("p_partkey"), col("p_size"), col("p_retailprice"),
+        (dec("p_retailprice") * lit(100)).cast("long").as("price_c"))
+    val perPrice = part.groupBy("price_c").agg(max("p_size").as("best_size"))
+    val wLower = Window.orderBy("price_c").rangeBetween(Window.unboundedPreceding, -1)
+    val frontier = perPrice
+      .withColumn("lower_best", max("best_size").over(wLower))
+      .filter(col("lower_best").isNull || col("lower_best") < col("best_size"))
+      .select(col("price_c").as("f_price"), col("best_size"))
+    part.join(broadcast(frontier),
+        col("price_c") === col("f_price") && col("p_size") === col("best_size"))
+      .select(col("p_partkey"), col("p_size"), col("p_retailprice"))
+      .orderBy("p_partkey")
+  }
+
+  /** GAPS-AND-ISLANDS — consecutive-active-day streaks per user over the
+    * events stream (the engagement-streak query every activity dashboard
+    * runs). Classic row_number trick: within a user's ordered distinct
+    * active days, `epoch_day − row_number()` is constant exactly along a
+    * run of consecutive days, so grouping by it yields one row per
+    * island with start/end/length — two window-free integer aggregates
+    * around one per-user window. Scale: the input reduces to distinct
+    * (user, day) first (map-side combined); the window partitions by
+    * user — no global order anywhere. */
+  def relIslands(s: SparkSession, dir: String): DataFrame = {
+    val days = Tables.load(s, dir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val w = Window.partitionBy("user_id").orderBy("day")
+    days
+      .withColumn("grp", datediff(col("day"), lit("1970-01-01")) - row_number().over(w))
+      .groupBy("user_id", "grp")
+      .agg(min("day").as("island_start"), max("day").as("island_end"),
+        count(lit(1)).as("n_days"))
+      .select(col("user_id"), col("island_start"), col("island_end"), col("n_days"))
+      .orderBy("user_id", "island_start")
+  }
+
+  /** ABC / PARETO CLASSIFICATION of parts by revenue — the 80/95 rule
+    * inventory analysis: rank parts by exact-decimal lineitem revenue,
+    * class A = parts up to 80 % of cumulative revenue, B to 95 %, C the
+    * tail. All threshold tests are INTEGER-CENT cross-multiplications
+    * (5·cum ≤ 4·total, 20·cum ≤ 19·total) — no percentage division
+    * anywhere, so class boundaries are engine-exact even when a part
+    * straddles the cut. Scale: the fact scan reduces to a per-part
+    * aggregate (map-side combined) before any window; the cumulative
+    * window orders the part-sized frame (with partkey tiebreak — revenue
+    * ties must accumulate identically in both engines), and the output
+    * is the 3-row class summary. */
+  def relAbcPareto(s: SparkSession, dir: String): DataFrame = {
+    val perPart = Tables.load(s, dir, "lineitem")
+      .groupBy("l_partkey")
+      .agg(sum((dec("l_extendedprice") * lit(100)).cast("decimal(18,0)")).as("rev_c"))
+    val wCum = Window.orderBy(col("rev_c").desc, col("l_partkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val classed = perPart
+      .withColumn("cum_c", sum("rev_c").over(wCum))
+      .crossJoin(broadcast(perPart.agg(sum("rev_c").as("total_c"))))
+      .withColumn("abc_class",
+        when(col("cum_c") * 5 <= col("total_c") * 4, "A")
+          .when(col("cum_c") * 20 <= col("total_c") * 19, "B")
+          .otherwise("C"))
+    classed.groupBy("abc_class")
+      .agg(count(lit(1)).as("n_parts"),
+        (sum("rev_c").cast("decimal(28,0)") / 100).cast("double").as("revenue"))
+      .orderBy("abc_class")
+  }
+
   /** Materialize the bucketed layout for the timed dir (Bench calls this
     * outside the timers, like Mining.warm / LlmOps.warm). */
   def warm(s: SparkSession, dir: String): Unit =
@@ -1380,9 +1468,55 @@ object Relational {
     "rel_sort_limit"     -> (relSortLimit _),
     "rel_topk_group"     -> (relTopkGroup _),
     "rel_set_ops"        -> (relSetOps _),
+    "rel_skyline"        -> (relSkyline _),
+    "rel_islands"        -> (relIslands _),
+    "rel_abc_pareto"     -> (relAbcPareto _),
   )
 
   val oracle: Map[String, String] = Map(
+    "rel_skyline" ->
+      """WITH p AS (SELECT p_partkey, p_size, p_retailprice,
+        |                  CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_c
+        |           FROM part)
+        |SELECT p_partkey, p_size, p_retailprice
+        |FROM p
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM p q
+        |  WHERE q.price_c <= p.price_c AND q.p_size >= p.p_size
+        |    AND (q.price_c < p.price_c OR q.p_size > p.p_size))
+        |ORDER BY p_partkey""".stripMargin,
+
+    "rel_islands" ->
+      """WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |     marked AS (
+        |  SELECT user_id, day,
+        |         (day - DATE '1970-01-01')
+        |           - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS grp
+        |  FROM days)
+        |SELECT user_id, min(day) AS island_start, max(day) AS island_end,
+        |       CAST(count(*) AS BIGINT) AS n_days
+        |FROM marked GROUP BY user_id, grp
+        |ORDER BY user_id, island_start""".stripMargin,
+
+    "rel_abc_pareto" ->
+      """WITH per_part AS (
+        |  SELECT l_partkey,
+        |         sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS DECIMAL(18,0))) AS rev_c
+        |  FROM lineitem GROUP BY l_partkey),
+        |cum AS (
+        |  SELECT l_partkey, rev_c,
+        |         sum(rev_c) OVER (ORDER BY rev_c DESC, l_partkey
+        |                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_c,
+        |         (SELECT sum(rev_c) FROM per_part) AS total_c
+        |  FROM per_part)
+        |SELECT CASE WHEN cum_c * 5 <= total_c * 4 THEN 'A'
+        |            WHEN cum_c * 20 <= total_c * 19 THEN 'B'
+        |            ELSE 'C' END AS abc_class,
+        |       CAST(count(*) AS BIGINT) AS n_parts,
+        |       CAST(CAST(sum(rev_c) AS DECIMAL(28,0)) / 100 AS DOUBLE) AS revenue
+        |FROM cum GROUP BY 1
+        |ORDER BY abc_class""".stripMargin,
+
     "rel_agg_bitmap_distinct" ->
       """SELECT o_orderpriority AS priority,
         |       CAST(count(DISTINCT o_custkey) AS BIGINT) AS distinct_customers,

@@ -20,6 +20,9 @@ case class NearDup(doc_id: Long, band: Int, dup_of: Long)
 case class EwmaOut(user_id: Long, event_id: Long, ewma: Double)
 
 /** Row/state shapes for the streaming CDC-apply operator. */
+case class AnomState(last_ts_us: Long, n: Long, s: Long, q: Long)
+case class AnomOut(user_id: Long, event_id: Long, gap_s: Long, n_prior: Long,
+    is_anomaly: Boolean)
 case class CdcEvent(ts: java.sql.Timestamp, user_id: Long, event_id: Long,
     event_type: String, value: Double)
 case class CdcState(ts_us: Long, event_id: Long, op: String, value: Double)
@@ -472,6 +475,78 @@ object Streaming {
           out.iterator
         })
       .toDF()
+  }
+
+  /** Streaming INTER-ARRIVAL ANOMALY detector — per-user online z-score
+    * on inter-event gaps with EXACT INTEGER moments: state per user is
+    * (last_ts_us, n, Σgap, Σgap²) — four longs regardless of stream
+    * length — and an arriving event's gap is flagged when it sits more
+    * than 2σ from the mean of the user's PRIOR gaps, via the
+    * cross-multiplied test (n·g − S)² > 4·(n·Q − S²) — no division, no
+    * sqrt, no float state, so stream ≡ batch ≡ oracle bit-for-bit (a
+    * Welford float recurrence would be batch-boundary-dependent).
+    * Gaps are floor-seconds (exact integer µs division); the square is
+    * taken in BigInt (the batch form uses DECIMAL(38,0)) because
+    * (n·g−S)² can exceed int64 at real per-user event counts. Needs
+    * n ≥ 2 prior gaps (a 1-gap σ is degenerate). Same in-order
+    * envelope as [[ewmaStream]]/[[runningSeq]]. */
+  def anomalyStream(events: DataFrame): DataFrame = {
+    val sp = events.sparkSession
+    import sp.implicits._
+    events.select(col("ts"), col("user_id"), col("event_id"), col("value"))
+      .as[TwsEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (uid: Long, it: Iterator[TwsEvent], state: GroupState[AnomState]) => {
+          var st = state.getOption.getOrElse(AnomState(Long.MinValue, 0L, 0L, 0L))
+          val out = scala.collection.mutable.ArrayBuffer[AnomOut]()
+          it.toSeq.sortBy(e => (micros(e.ts), e.event_id)).foreach { e =>
+            val tu = micros(e.ts)
+            if (st.last_ts_us == Long.MinValue) st = AnomState(tu, 0L, 0L, 0L)
+            else {
+              val g = math.floorDiv(tu - st.last_ts_us, 1000000L)
+              if (st.n >= 2L) {
+                val a = BigInt(st.n) * BigInt(g) - BigInt(st.s)
+                val b = BigInt(4) *
+                  (BigInt(st.n) * BigInt(st.q) - BigInt(st.s) * BigInt(st.s))
+                out += AnomOut(uid, e.event_id, g, st.n, a * a > b)
+              }
+              st = AnomState(tu, st.n + 1L, st.s + g, st.q + g * g)
+            }
+          }
+          state.update(st)
+          out.iterator
+        })
+      .toDF()
+  }
+
+  /** Declared batch form of [[anomalyStream]]: the same exact-integer
+    * 2σ gap test stated with lag + prior-frame windows — n/S/Q are
+    * `rows between unbounded preceding and 1 preceding` sums over the
+    * per-user gap sequence, and the comparison squares in DECIMAL(38,0)
+    * (the oracle's HUGEINT) because (n·g−S)² exceeds int64 within
+    * real per-user histories. */
+  def streamAnomaly(s: SparkSession, dir: String): DataFrame = {
+    def d38(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val wOrd = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val wPrior = wOrd.rowsBetween(Window.unboundedPreceding, -1)
+    val gaps = Tables.load(s, dir, "events")
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"))
+      .withColumn("prev_us", lag("ts_us", 1).over(wOrd))
+      .filter(col("prev_us").isNotNull)
+      .withColumn("gap_s", expr("(ts_us - prev_us) div 1000000"))
+    gaps
+      .withColumn("n_prior", count("gap_s").over(wPrior))
+      .withColumn("s_prior", sum("gap_s").over(wPrior))
+      .withColumn("q_prior", sum(col("gap_s") * col("gap_s")).over(wPrior))
+      .filter(col("n_prior") >= 2)
+      .select(col("user_id"), col("event_id"), col("gap_s"), col("n_prior"),
+        ((d38(col("n_prior") * col("gap_s") - col("s_prior"))
+          * d38(col("n_prior") * col("gap_s") - col("s_prior")))
+          > d38(lit(4)) * (d38(col("n_prior")) * d38(col("q_prior"))
+            - d38(col("s_prior")) * d38(col("s_prior"))))
+          .as("is_anomaly"))
+      .orderBy("user_id", "event_id")
   }
 
   /** Streaming TRANSITION FEED — the incremental form of
@@ -949,11 +1024,36 @@ object Streaming {
     "stream_session"        -> (streamSession _),
     "stream_session_timer"  -> (streamSessionTimer _),
     "stream_stateful_dedup" -> (streamStatefulDedup _),
+    "stream_anomaly"        -> (streamAnomaly _),
     "stream_stream_join"    -> (streamStreamJoin _),
     "stream_static_join"    -> (streamStaticJoin _),
   )
 
   val oracle: Map[String, String] = Map(
+    "stream_anomaly" ->
+      """WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+        |g AS (
+        |  SELECT user_id, event_id, ts_us,
+        |         (ts_us - lag(ts_us) OVER (PARTITION BY user_id
+        |              ORDER BY ts_us, event_id)) // 1000000 AS gap_s
+        |  FROM ev),
+        |p AS (
+        |  SELECT user_id, event_id, gap_s,
+        |         CAST(count(gap_s) OVER w AS BIGINT) AS n_prior,
+        |         CAST(sum(gap_s) OVER w AS BIGINT) AS s_prior,
+        |         CAST(sum(gap_s * gap_s) OVER w AS BIGINT) AS q_prior
+        |  FROM g WHERE gap_s IS NOT NULL
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        |SELECT user_id, event_id, gap_s, n_prior,
+        |       CAST(n_prior * gap_s - s_prior AS HUGEINT)
+        |         * CAST(n_prior * gap_s - s_prior AS HUGEINT)
+        |       > 4 * (CAST(n_prior AS HUGEINT) * CAST(q_prior AS HUGEINT)
+        |              - CAST(s_prior AS HUGEINT) * CAST(s_prior AS HUGEINT))
+        |         AS is_anomaly
+        |FROM p WHERE n_prior >= 2
+        |ORDER BY user_id, event_id""".stripMargin,
+
     "stream_transform_with_state" ->
       """SELECT user_id, event_id,
         |       CAST(row_number() OVER w AS BIGINT) AS run_cnt,

@@ -342,6 +342,43 @@ class StreamingSpec extends SparkSpec {
       (2L, 3L, 7.0), (2L, 5L, 4.0)))
   }
 
+  test("flatMapGroupsWithState gap anomaly: stream equals batch, 2-sigma flag exact") {
+    val sp = spark
+    import sp.implicits._
+    implicit val ctx = sp.sqlContext
+    // user 1 gaps: 60, 120, 60, 600 s — only the 4th has >=2 prior gaps
+    // AND |n·g−S|² > 4(nQ−S²): gap 60 vs prior {60,120} → (120−180)²=3600
+    // ≤ 14400 (calm); gap 600 vs prior {60,120,60} → 1560² > 28800 (spike)
+    val batch1 = Seq(
+      Ev(t("2024-01-01 10:00:00"), 1, "click", 0.0, 1),
+      Ev(t("2024-01-01 10:01:00"), 1, "view", 0.0, 2),
+      Ev(t("2024-01-01 10:03:00"), 1, "view", 0.0, 3))
+    val batch2 = Seq( // moments (n=2,S=180,Q=18000) must carry across batches
+      Ev(t("2024-01-01 10:04:00"), 1, "click", 0.0, 4),
+      Ev(t("2024-01-01 10:14:00"), 1, "click", 0.0, 5))
+    val ms = MemoryStream[Ev]
+    val q = Streaming.anomalyStream(ms.toDF())
+      .writeStream.outputMode("append").format("memory").queryName("anom").start()
+    try {
+      ms.addData(batch1); q.processAllAvailable()
+      ms.addData(batch2); q.processAllAvailable()
+    } finally q.stop()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4))
+    val streamed = spark.table("anom").collect().map(key).toSet
+    val batchRes = Streaming.anomalyStream((batch1 ++ batch2).toDF())
+      .collect().map(key).toSet
+    assert(streamed == batchRes)
+    assert(streamed == Set((1L, 4L, 60L, 2L, false), (1L, 5L, 600L, 3L, true)))
+    // the declared window-form key agrees with the stateful form on the
+    // full fixture (same rows, both engines' exact-integer test)
+    val dir = "/root/testdata/sf0.001"
+    val declared = Streaming.streamAnomaly(spark, dir).collect().map(key).toSet
+    val stateful = Streaming.anomalyStream(
+      graft.Tables.load(spark, dir, "events")).collect().map(key).toSet
+    assert(declared == stateful && declared.nonEmpty)
+  }
+
   test("watermarked stream-stream join equals batch interval join") {
     val sp = spark
     import sp.implicits._
