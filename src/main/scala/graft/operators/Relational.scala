@@ -1400,6 +1400,103 @@ object Relational {
       .orderBy("abc_class")
   }
 
+  /** IQR OUTLIER AUDIT — Tukey fences over per-(user, type) inter-event
+    * gaps, reported per event type: rank-based quartiles (the
+    * [[relAggQuantile]] integer-rank discipline — interpolation formulas
+    * differ in final-ulp fp across engines, rank arithmetic doesn't) and
+    * CROSS-MULTIPLIED fence tests (2·g < 5·Q1 − 3·Q3 ∨ 2·g > 5·Q3 −
+    * 3·Q1 ≡ the ±1.5·IQR rule) — every comparison exact int64 seconds,
+    * no division anywhere. The report row is (type, n_gaps, n_outliers,
+    * outlier rate) — the monitoring query that pages when a source's
+    * arrival cadence degenerates.
+    *
+    * Scale posture: gaps are one per-(user,type) lag window; quartiles
+    * one per-type rank window over the gap frame; the fence probe joins
+    * the type-bounded quartile frame back by broadcast. */
+  def relOutlierIqr(s: SparkSession, dir: String): DataFrame = {
+    val wLag = Window.partitionBy("user_id", "event_type").orderBy("ts_us", "event_id")
+    val gaps = Tables.load(s, dir, "events")
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"))
+      .withColumn("prev_us", lag("ts_us", 1).over(wLag))
+      .filter(col("prev_us").isNotNull)
+      .select(col("event_type"), expr("(ts_us - prev_us) div 1000000").as("g"))
+    val wRank = Window.partitionBy("event_type").orderBy("g")
+    val ranked = gaps.withColumn("rn", row_number().over(wRank))
+    val counts = gaps.groupBy("event_type").agg(count(lit(1)).as("n"))
+    val quart = ranked.join(broadcast(counts), "event_type")
+      .groupBy("event_type")
+      .agg(max(when(col("rn") === ceil(lit(0.25) * col("n")).cast("long"), col("g")))
+          .as("q1"),
+        max(when(col("rn") === ceil(lit(0.75) * col("n")).cast("long"), col("g")))
+          .as("q3"))
+    gaps.join(broadcast(quart), "event_type")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_gaps"),
+        sum(when(col("g") * 2 < col("q1") * 5 - col("q3") * 3
+          || col("g") * 2 > col("q3") * 5 - col("q1") * 3, 1L).otherwise(0L))
+          .as("n_outliers"))
+      .select(col("event_type"), col("n_gaps"), col("n_outliers"),
+        (col("n_outliers").cast("double") / col("n_gaps").cast("double"))
+          .as("outlier_rate"))
+      .orderBy("event_type")
+  }
+
+  /** EQUI-DEPTH HISTOGRAM — the quantile-bucket twin of the equi-width
+    * [[relAggHistogram]]: ntile(4) per returnflag over extendedprice
+    * with a UNIQUE total order (price cents, orderkey, linenumber) so
+    * tie placement at bucket boundaries is engine-identical (bare
+    * ntile over a non-unique order is nondeterministic — the same trap
+    * rank-based quantiles dodge); per bucket: row count and the exact
+    * value range it spans. Scale: one window per group + one grouped
+    * aggregate; the optimizer's two-phase ntile beats any
+    * percentile-then-join formulation at fact scale. */
+  def relHistEquidepth(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("l_returnflag")
+      .orderBy(col("price_c"), col("l_orderkey"), col("l_linenumber"))
+    Tables.load(s, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+        (dec("l_extendedprice") * lit(100)).cast("long").as("price_c"))
+      .withColumn("bucket", ntile(4).over(w).cast("long"))
+      .groupBy("l_returnflag", "bucket")
+      .agg(count(lit(1)).as("n_rows"),
+        (min("price_c").cast("decimal(18,0)") / 100).cast("double").as("price_lo"),
+        (max("price_c").cast("decimal(18,0)") / 100).cast("double").as("price_hi"))
+      .orderBy("l_returnflag", "bucket")
+  }
+
+  /** BENFORD first-digit audit of order totals — the fraud/data-quality
+    * screen: observed leading-digit distribution vs Benford's expected
+    * log10(1+1/d), the latter stated as nine compile-time DOUBLE
+    * LITERALS (identical text both engines — computing log10 at runtime
+    * would be libm-dependent, the same reason the lift keys are
+    * log-free). The leading digit comes off the DECIMAL(18,2) string
+    * form (both engines render decimals canonically); deviation is one
+    * subtraction of identical doubles. One scan, digit-bounded output. */
+  def relBenford(s: SparkSession, dir: String): DataFrame = {
+    val expected = Seq(
+      1 -> 0.3010299956639812, 2 -> 0.17609125905568124,
+      3 -> 0.12493873660829993, 4 -> 0.09691001300805642,
+      5 -> 0.07918124604762482, 6 -> 0.06694678963061322,
+      7 -> 0.05799194697768673, 8 -> 0.05115252244738129,
+      9 -> 0.04575749056067514)
+    val expCol = expected.foldLeft(lit(null).cast("double")) {
+      case (acc, (d, e)) => when(col("digit") === d.toString, lit(e)).otherwise(acc)
+    }
+    val digits = Tables.load(s, dir, "orders")
+      .select(substring(dec("o_totalprice").cast("string"), 1, 1).as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n_orders"))
+    digits
+      .crossJoin(broadcast(digits.agg(sum("n_orders").as("total"))))
+      .select(col("digit"), col("n_orders"),
+        (col("n_orders").cast("double") / col("total").cast("double"))
+          .as("obs_frac"),
+        expCol.as("exp_frac"),
+        ((col("n_orders").cast("double") / col("total").cast("double")) - expCol)
+          .as("deviation"))
+      .orderBy("digit")
+  }
+
   /** Materialize the bucketed layout for the timed dir (Bench calls this
     * outside the timers, like Mining.warm / LlmOps.warm). */
   def warm(s: SparkSession, dir: String): Unit =
@@ -1471,9 +1568,74 @@ object Relational {
     "rel_skyline"        -> (relSkyline _),
     "rel_islands"        -> (relIslands _),
     "rel_abc_pareto"     -> (relAbcPareto _),
+    "rel_outlier_iqr"    -> (relOutlierIqr _),
+    "rel_hist_equidepth" -> (relHistEquidepth _),
+    "rel_benford"        -> (relBenford _),
   )
 
   val oracle: Map[String, String] = Map(
+    "rel_outlier_iqr" ->
+      """WITH g0 AS (
+        |  SELECT event_type,
+        |         (epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id, event_type
+        |              ORDER BY epoch_us(ts), event_id)) // 1000000 AS g
+        |  FROM events),
+        |g AS (SELECT event_type, g FROM g0 WHERE g IS NOT NULL),
+        |r AS (SELECT event_type, g,
+        |             row_number() OVER (PARTITION BY event_type ORDER BY g) AS rn,
+        |             count(*) OVER (PARTITION BY event_type) AS n
+        |      FROM g),
+        |q AS (SELECT event_type,
+        |             max(CASE WHEN rn = CAST(ceil(0.25 * n) AS BIGINT) THEN g END) AS q1,
+        |             max(CASE WHEN rn = CAST(ceil(0.75 * n) AS BIGINT) THEN g END) AS q3
+        |      FROM r GROUP BY event_type)
+        |SELECT g.event_type, CAST(count(*) AS BIGINT) AS n_gaps,
+        |       CAST(sum(CASE WHEN 2 * g < 5 * q1 - 3 * q3
+        |                       OR 2 * g > 5 * q3 - 3 * q1 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_outliers,
+        |       CAST(sum(CASE WHEN 2 * g < 5 * q1 - 3 * q3
+        |                       OR 2 * g > 5 * q3 - 3 * q1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |         / CAST(count(*) AS DOUBLE) AS outlier_rate
+        |FROM g JOIN q ON q.event_type = g.event_type
+        |GROUP BY g.event_type ORDER BY g.event_type""".stripMargin,
+
+    "rel_hist_equidepth" ->
+      """WITH c AS (
+        |  SELECT l_returnflag, l_orderkey, l_linenumber,
+        |         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_c
+        |  FROM lineitem),
+        |b AS (
+        |  SELECT l_returnflag,
+        |         CAST(ntile(4) OVER (PARTITION BY l_returnflag
+        |              ORDER BY price_c, l_orderkey, l_linenumber) AS BIGINT) AS bucket,
+        |         price_c
+        |  FROM c)
+        |SELECT l_returnflag, bucket, CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(CAST(min(price_c) AS DECIMAL(18,0)) / 100 AS DOUBLE) AS price_lo,
+        |       CAST(CAST(max(price_c) AS DECIMAL(18,0)) / 100 AS DOUBLE) AS price_hi
+        |FROM b GROUP BY l_returnflag, bucket
+        |ORDER BY l_returnflag, bucket""".stripMargin,
+
+    "rel_benford" ->
+      """WITH d AS (
+        |  SELECT left(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR), 1) AS digit,
+        |         CAST(count(*) AS BIGINT) AS n_orders
+        |  FROM orders GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_orders) AS BIGINT) AS total FROM d),
+        |e(digit, exp_frac) AS (VALUES
+        |  ('1', 3.010299956639812e-1), ('2', 1.7609125905568124e-1),
+        |  ('3', 1.2493873660829993e-1), ('4', 9.691001300805642e-2),
+        |  ('5', 7.918124604762482e-2), ('6', 6.694678963061322e-2),
+        |  ('7', 5.799194697768673e-2), ('8', 5.115252244738129e-2),
+        |  ('9', 4.575749056067514e-2))
+        |SELECT d.digit, d.n_orders,
+        |       CAST(d.n_orders AS DOUBLE) / CAST(t.total AS DOUBLE) AS obs_frac,
+        |       CAST(e.exp_frac AS DOUBLE) AS exp_frac,
+        |       CAST(d.n_orders AS DOUBLE) / CAST(t.total AS DOUBLE)
+        |         - CAST(e.exp_frac AS DOUBLE) AS deviation
+        |FROM d JOIN e ON e.digit = d.digit, t
+        |ORDER BY d.digit""".stripMargin,
+
     "rel_skyline" ->
       """WITH p AS (SELECT p_partkey, p_size, p_retailprice,
         |                  CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_c
