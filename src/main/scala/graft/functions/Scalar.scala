@@ -51,7 +51,11 @@ object Scalar {
         ((lit(1) + taxD) * (lit(1) + taxD)).cast("double").as("tax_sq"),
         greatest(col("l_quantity"), col("l_extendedprice") / 1000).as("hi"),
         least(col("l_quantity"), col("l_extendedprice") / 1000).as("lo"))
-      .orderBy("l_orderkey", "l_linenumber")
+      // rule-1 totality: (orderkey, linenumber) is non-unique in the
+      // synthetic lineitem — order by every output column (see
+      // Relational.relScanProject note)
+      .orderBy("l_orderkey", "l_linenumber", "qty_r", "disc_dev",
+        "price_ceil", "price_floor", "tax_sq", "hi", "lo")
   }
 
   /** Array functions over the mining baskets. */
@@ -228,7 +232,8 @@ object Scalar {
         shiftleft(col("l_linenumber"), 3).cast("long").as("b_shl"),
         shiftright(col("l_orderkey"), 2).as("b_shr"),
         bit_count(col("l_orderkey")).cast("long").as("b_pop"))
-      .orderBy("l_orderkey", "l_linenumber")
+      .orderBy("l_orderkey", "l_linenumber", "b_and", "b_or", "b_xor",
+        "b_shl", "b_shr", "b_pop")
 
   /** MAP-typed column surface — build a map from parallel arrays,
     * extract by key, cardinality, key membership (config blobs, feature
@@ -249,7 +254,8 @@ object Scalar {
         element_at(col("m"), "price").as("m_price"),
         size(col("m")).cast("long").as("m_size"),
         array_contains(map_keys(col("m")), "disc").as("has_disc"))
-      .orderBy("l_orderkey", "l_linenumber")
+      .orderBy("l_orderkey", "l_linenumber", "m_qty", "m_price",
+        "m_size", "has_disc")
 
   /** Interval / calendar arithmetic surface: month addition (end-of-
     * month clamping identical in both engines), day addition, month-end,
@@ -394,7 +400,9 @@ object Scalar {
         |       m['price'][1] AS m_price,
         |       CAST(cardinality(m) AS BIGINT) AS m_size,
         |       list_contains(map_keys(m), 'disc') AS has_disc
-        |FROM m ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |FROM m
+        |ORDER BY l_orderkey, l_linenumber, m_qty, m_price, m_size,
+        |         has_disc""".stripMargin,
 
     "fn_string" ->
       """SELECT p_partkey, lower(p_name) AS name_lc,
@@ -422,7 +430,9 @@ object Scalar {
         |       CAST((1 + CAST(l_tax AS DECIMAL(18,2))) * (1 + CAST(l_tax AS DECIMAL(18,2))) AS DOUBLE) AS tax_sq,
         |       greatest(l_quantity, l_extendedprice / 1000) AS hi,
         |       least(l_quantity, l_extendedprice / 1000) AS lo
-        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, qty_r, disc_dev, price_ceil,
+        |         price_floor, tax_sq, hi, lo""".stripMargin,
 
     "fn_array" ->
       """WITH b AS (
@@ -478,7 +488,9 @@ object Scalar {
         |       CAST(l_linenumber << 3 AS BIGINT) AS b_shl,
         |       l_orderkey >> 2 AS b_shr,
         |       CAST(bit_count(l_orderkey) AS BIGINT) AS b_pop
-        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, b_and, b_or, b_xor, b_shl,
+        |         b_shr, b_pop""".stripMargin,
 
     "fn_hash" ->
       """SELECT c_custkey,

@@ -39,10 +39,16 @@ object Relational {
 
   // ---------------------------------------------------------------- queries
 
+  // NOTE (determinism rule 1): (l_orderkey, l_linenumber) is NOT unique
+  // in the synthetic lineitem (~20 % duplicate pairs, measured), so
+  // per-row projections must ORDER BY every output column — remaining
+  // ties are then full-duplicate rows, which compare equal in any
+  // order. Exposed by the sf1 fixture (multi-file input breaks the
+  // stable-sort tie coincidence that hid it on single-file dirs).
   def relScanProject(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "lineitem")
       .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
-      .orderBy("l_orderkey", "l_linenumber")
+      .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
 
   def relFilterPred(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "lineitem")
@@ -50,7 +56,8 @@ object Relational {
         && col("l_discount").between(0.02, 0.06)
         && col("l_returnflag") =!= "R")
       .select("l_orderkey", "l_linenumber", "l_shipdate", "l_discount", "l_returnflag")
-      .orderBy("l_orderkey", "l_linenumber")
+      .orderBy("l_orderkey", "l_linenumber", "l_shipdate", "l_discount",
+        "l_returnflag")
 
   /** TPC-H Q1-style pricing summary. */
   def relAggHash(s: SparkSession, dir: String): DataFrame =
@@ -2038,7 +2045,8 @@ object Relational {
 
     "rel_scan_project" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
-        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice""".stripMargin,
 
     "rel_filter_pred" ->
       """SELECT l_orderkey, l_linenumber, l_shipdate, l_discount, l_returnflag
@@ -2046,7 +2054,8 @@ object Relational {
         |WHERE l_shipdate >= TIMESTAMP '1998-01-01'
         |  AND l_discount BETWEEN 0.02 AND 0.06
         |  AND l_returnflag <> 'R'
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |ORDER BY l_orderkey, l_linenumber, l_shipdate, l_discount,
+        |         l_returnflag""".stripMargin,
 
     "rel_agg_hash" ->
       s"""SELECT l_returnflag, l_linestatus,
