@@ -93,9 +93,20 @@ object ScaleUp {
     write(sharded(ev)
       .withColumn("event_id", bump("event_id", oE))
       .withColumn("user_id", bump("user_id", oU)), "events")
+    // The suffix must VARY IN LENGTH per shard and n_chars must be
+    // recomputed: with the old fixed-width " shardN" suffix every
+    // shard copy kept the same n_chars, so the (lang, n_chars)
+    // blocking keys of the pairwise dedup operators saw blocks grow
+    // ~factor×, i.e. candidate pairs grew ~factor² — the quadratic
+    // clone blowup this scaler exists to avoid (a 100×-pair DuckDB
+    // oracle wedged at 21 GB of spill before this fix). Distinct
+    // lengths keep each shard its own block: linear growth, the real-
+    // corpus shape.
     write(sharded(docs)
       .withColumn("doc_id", bump("doc_id", oD))
-      .withColumn("text", concat(col("text"), lit(" shard"), col("_s"))),
+      .withColumn("text", concat(col("text"), lit(" shard"),
+        expr("repeat('x', CAST(_s AS INT))"), col("_s")))
+      .withColumn("n_chars", length(col("text")).cast("long")),
       "documents", 8)
     write(sharded(emb)
       .withColumn("vec_id", bump("vec_id", oV))

@@ -1342,8 +1342,13 @@ object Mining {
     "fpm_eccentricity" -> (fpmEccentricity _),
   )
 
+  // MATERIALIZED: DuckDB 1.0 inlines plain CTEs PER REFERENCE, so the
+  // multi-reference graph/pagerank oracles recompute this 6M-row
+  // join+distinct once per mention — measured 21 GB of temp spill and a
+  // wedged check at the sf1 fixture. The hint pins one evaluation
+  // (verified supported inside WITH RECURSIVE lists on 1.0.0).
   private val txCte =
-    """WITH tx AS (
+    """WITH tx AS MATERIALIZED (
       |  SELECT DISTINCT l_orderkey AS tid, p_brand AS item
       |  FROM lineitem JOIN part ON l_partkey = p_partkey
       |), nb AS (SELECT count(DISTINCT tid) AS n FROM tx)""".stripMargin
@@ -1353,12 +1358,12 @@ object Mining {
     * so graph-walk oracles can append recursive members. */
   private val graphCte =
     txCte.replace("WITH tx", "WITH RECURSIVE tx") + """,
-      |fp AS (
+      |fp AS MATERIALIZED (
       |  SELECT a.item AS ia, b.item AS ib
       |  FROM tx a JOIN tx b ON a.tid = b.tid AND a.item < b.item
       |  GROUP BY a.item, b.item
       |  HAVING count(*) >= CAST(0.02 * (SELECT n FROM nb) AS DOUBLE)),
-      |e AS (SELECT ia AS src, ib AS dst FROM fp
+      |e AS MATERIALIZED (SELECT ia AS src, ib AS dst FROM fp
       |      UNION ALL SELECT ib, ia FROM fp),
       |nodes AS (SELECT DISTINCT src AS node FROM e)""".stripMargin
 
