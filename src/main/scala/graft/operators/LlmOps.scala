@@ -3059,15 +3059,17 @@ object LlmOps {
       """WITH toks AS (
         |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
         |  FROM documents),
+        |tl AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS tl
+        |       FROM documents),
         |sz AS (SELECT doc_id, count(*) AS nt FROM toks GROUP BY doc_id),
         |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
         |       FROM documents a JOIN documents b
         |         ON a.lang = b.lang AND a.n_chars = b.n_chars AND a.doc_id < b.doc_id),
         |inter AS (
-        |  SELECT doc_a, doc_b, count(*) AS i
-        |  FROM pr JOIN toks ta ON ta.doc_id = doc_a
-        |          JOIN toks tb ON tb.doc_id = doc_b AND tb.tok = ta.tok
-        |  GROUP BY doc_a, doc_b),
+        |  SELECT doc_a, doc_b,
+        |         CAST(len(list_intersect(la.tl, lb.tl)) AS BIGINT) AS i
+        |  FROM pr JOIN tl la ON la.doc_id = doc_a
+        |          JOIN tl lb ON lb.doc_id = doc_b),
         |pairs AS (
         |  SELECT doc_a, doc_b,
         |         CAST(i AS DOUBLE) / (sa.nt + sb.nt - i) AS jaccard
@@ -3526,15 +3528,17 @@ object LlmOps {
       """WITH RECURSIVE toks AS (
         |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
         |  FROM documents),
+        |tl AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS tl
+        |       FROM documents),
         |sz AS (SELECT doc_id, count(*) AS nt FROM toks GROUP BY doc_id),
         |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
         |       FROM documents a JOIN documents b
         |         ON a.lang = b.lang AND a.n_chars = b.n_chars AND a.doc_id < b.doc_id),
         |inter AS (
-        |  SELECT doc_a, doc_b, count(*) AS i
-        |  FROM pr JOIN toks ta ON ta.doc_id = doc_a
-        |          JOIN toks tb ON tb.doc_id = doc_b AND tb.tok = ta.tok
-        |  GROUP BY doc_a, doc_b),
+        |  SELECT doc_a, doc_b,
+        |         CAST(len(list_intersect(la.tl, lb.tl)) AS BIGINT) AS i
+        |  FROM pr JOIN tl la ON la.doc_id = doc_a
+        |          JOIN tl lb ON lb.doc_id = doc_b),
         |pairs AS (
         |  SELECT doc_a, doc_b
         |  FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
@@ -3889,15 +3893,17 @@ object LlmOps {
       """WITH toks AS (
         |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
         |  FROM documents),
+        |tl AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS tl
+        |       FROM documents),
         |sz AS (SELECT doc_id, count(*) AS nt FROM toks GROUP BY doc_id),
         |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
         |       FROM documents a JOIN documents b
         |         ON a.lang = b.lang AND a.n_chars = b.n_chars AND a.doc_id < b.doc_id),
         |inter AS (
-        |  SELECT doc_a, doc_b, count(*) AS i
-        |  FROM pr JOIN toks ta ON ta.doc_id = doc_a
-        |          JOIN toks tb ON tb.doc_id = doc_b AND tb.tok = ta.tok
-        |  GROUP BY doc_a, doc_b)
+        |  SELECT doc_a, doc_b,
+        |         CAST(len(list_intersect(la.tl, lb.tl)) AS BIGINT) AS i
+        |  FROM pr JOIN tl la ON la.doc_id = doc_a
+        |          JOIN tl lb ON lb.doc_id = doc_b)
         |SELECT doc_a, doc_b, CAST(i AS DOUBLE) / (sa.nt + sb.nt - i) AS jaccard
         |FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
         |WHERE CAST(i AS DOUBLE) / (sa.nt + sb.nt - i) >= 0.5
@@ -4034,15 +4040,17 @@ object LlmOps {
       """WITH RECURSIVE toks AS (
         |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
         |  FROM documents),
+        |tl AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS tl
+        |       FROM documents),
         |sz AS (SELECT doc_id, count(*) AS nt FROM toks GROUP BY doc_id),
         |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
         |       FROM documents a JOIN documents b
         |         ON a.lang = b.lang AND a.n_chars = b.n_chars AND a.doc_id < b.doc_id),
         |inter AS (
-        |  SELECT doc_a, doc_b, count(*) AS i
-        |  FROM pr JOIN toks ta ON ta.doc_id = doc_a
-        |          JOIN toks tb ON tb.doc_id = doc_b AND tb.tok = ta.tok
-        |  GROUP BY doc_a, doc_b),
+        |  SELECT doc_a, doc_b,
+        |         CAST(len(list_intersect(la.tl, lb.tl)) AS BIGINT) AS i
+        |  FROM pr JOIN tl la ON la.doc_id = doc_a
+        |          JOIN tl lb ON lb.doc_id = doc_b),
         |pairs AS (
         |  SELECT doc_a, doc_b
         |  FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
@@ -4078,15 +4086,17 @@ object LlmOps {
       """WITH RECURSIVE toks AS (
         |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
         |  FROM documents),
+        |tl AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS tl
+        |       FROM documents),
         |sz AS (SELECT doc_id, count(*) AS nt FROM toks GROUP BY doc_id),
         |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
         |       FROM documents a JOIN documents b
         |         ON a.lang = b.lang AND a.n_chars = b.n_chars AND a.doc_id < b.doc_id),
         |inter AS (
-        |  SELECT doc_a, doc_b, count(*) AS i
-        |  FROM pr JOIN toks ta ON ta.doc_id = doc_a
-        |          JOIN toks tb ON tb.doc_id = doc_b AND tb.tok = ta.tok
-        |  GROUP BY doc_a, doc_b),
+        |  SELECT doc_a, doc_b,
+        |         CAST(len(list_intersect(la.tl, lb.tl)) AS BIGINT) AS i
+        |  FROM pr JOIN tl la ON la.doc_id = doc_a
+        |          JOIN tl lb ON lb.doc_id = doc_b),
         |pairs AS (
         |  SELECT doc_a, doc_b
         |  FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
