@@ -80,6 +80,16 @@ def main():
             continue
         if set_compare:
             try:
+                # fresh connection per key: a long-lived connection's
+                # accumulated buffer-pool state was observed to flip one
+                # key's join plan into a 40 GB wedge in-sequence while
+                # the same key checked in seconds standalone
+                con.close()
+                con = duckdb.connect()
+                for t in TABLES:
+                    p = f"{sf_dir}/{t}.parquet"
+                    src = f"'{p}/*.parquet'" if os.path.isdir(p) else f"'{p}'"
+                    con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet({src})")
                 con.sql(f"CREATE OR REPLACE TEMP VIEW _exp AS {sql}")
                 con.sql(f"CREATE OR REPLACE TEMP VIEW _got AS "
                         f"SELECT * FROM read_parquet({files!r})")
