@@ -1272,11 +1272,17 @@ object LlmOps {
     * shape (eval suites are dim-sized), then one source-keyed map-side-
     * combined aggregate over the per-doc frame. */
   def decontaminate(s: SparkSession, dir: String): DataFrame = {
+    // LEFT join + coalesce-to-0, matching the oracle's LEFT JOIN: a doc
+    // whose shingle explode yields no rows (e.g. NULL text) has nothing
+    // to overlap with the benchmark, so it counts as clean — an inner
+    // join would silently drop it from n_docs/n_kept (no fixture has
+    // such a doc today, but the count semantics must not depend on that).
     val cont = contamination(s, dir).select(col("doc_id"), col("contamination"))
     Tables.load(s, dir, "documents")
       .filter(col("source") =!= "src0")
       .select(col("doc_id"), col("source"), col("n_chars"))
-      .join(cont, "doc_id")
+      .join(cont, Seq("doc_id"), "left")
+      .withColumn("contamination", coalesce(col("contamination"), lit(0.0)))
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("contamination") >= 0.15, 1L).otherwise(0L)).as("n_dropped"),
@@ -3722,13 +3728,13 @@ object LlmOps {
         |  WHERE s.source <> 'src0'
         |  GROUP BY s.doc_id)
         |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
-        |       CAST(sum(CASE WHEN h.contamination >= 0.15 THEN 1 ELSE 0 END) AS BIGINT)
-        |         AS n_dropped,
-        |       CAST(sum(CASE WHEN h.contamination >= 0.15 THEN 0 ELSE 1 END) AS BIGINT)
-        |         AS n_kept,
-        |       CAST(sum(CASE WHEN h.contamination < 0.15 THEN d.n_chars ELSE 0 END) AS BIGINT)
-        |         AS kept_chars
-        |FROM documents d JOIN hits h ON h.doc_id = d.doc_id
+        |       CAST(sum(CASE WHEN coalesce(h.contamination, 0) >= 0.15 THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n_dropped,
+        |       CAST(sum(CASE WHEN coalesce(h.contamination, 0) >= 0.15 THEN 0 ELSE 1 END)
+        |         AS BIGINT) AS n_kept,
+        |       CAST(sum(CASE WHEN coalesce(h.contamination, 0) < 0.15 THEN d.n_chars ELSE 0 END)
+        |         AS BIGINT) AS kept_chars
+        |FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
         |WHERE d.source <> 'src0'
         |GROUP BY d.source ORDER BY d.source""".stripMargin,
 

@@ -1484,8 +1484,8 @@ object Mining {
         |           AND greatest(sa.item, sb.item) = p.ib
         |WHERE CAST(coalesce(p.c, 0) AS DOUBLE) * (SELECT n FROM nb)
         |        / (sa.s * sb.s) < 0.9
-        |  AND sa.s >= 0.05 * (SELECT n FROM nb)
-        |  AND sb.s >= 0.05 * (SELECT n FROM nb)
+        |  AND sa.s >= CAST(0.05 * (SELECT n FROM nb) AS DOUBLE)
+        |  AND sb.s >= CAST(0.05 * (SELECT n FROM nb) AS DOUBLE)
         |ORDER BY antecedent, consequent""".stripMargin),
 
     "fpm_triangle_count" -> (txCte +
@@ -1518,25 +1518,25 @@ object Mining {
         |SELECT ia || ',' || ib AS itemset, CAST(c AS BIGINT) AS freq,
         |       CAST(putil AS DOUBLE) AS utility
         |FROM pu, t
-        |WHERE CAST(putil AS DOUBLE) >= 0.012 * tot
+        |WHERE CAST(putil AS DOUBLE) >= CAST(0.012 * tot AS DOUBLE)
         |ORDER BY itemset""".stripMargin,
 
     "fpm_closed" -> (txCte +
       """, l1 AS (
         |  SELECT item, CAST(count(*) AS BIGINT) AS freq FROM tx GROUP BY item
-        |  HAVING count(*) >= 0.005 * (SELECT n FROM nb)
+        |  HAVING count(*) >= CAST(0.005 * (SELECT n FROM nb) AS DOUBLE)
         |), l2 AS (
         |  SELECT a.item AS ia, b.item AS ib, CAST(count(*) AS BIGINT) AS freq
         |  FROM tx a JOIN tx b ON a.tid = b.tid AND a.item < b.item
         |  GROUP BY a.item, b.item
-        |  HAVING count(*) >= 0.005 * (SELECT n FROM nb)
+        |  HAVING count(*) >= CAST(0.005 * (SELECT n FROM nb) AS DOUBLE)
         |), l3 AS (
         |  SELECT a.item AS ia, b.item AS ib, c.item AS ic, CAST(count(*) AS BIGINT) AS freq
         |  FROM tx a
         |  JOIN tx b ON a.tid = b.tid AND a.item < b.item
         |  JOIN tx c ON b.tid = c.tid AND b.item < c.item
         |  GROUP BY a.item, b.item, c.item
-        |  HAVING count(*) >= 0.005 * (SELECT n FROM nb)
+        |  HAVING count(*) >= CAST(0.005 * (SELECT n FROM nb) AS DOUBLE)
         |)
         |SELECT itemset, CAST(size AS BIGINT) AS size, freq FROM (
         |  SELECT item AS itemset, 1 AS size, freq FROM l1
@@ -1557,19 +1557,19 @@ object Mining {
     "fpm_maximal" -> (txCte +
       """, l1 AS (
         |  SELECT item, CAST(count(*) AS BIGINT) AS freq FROM tx GROUP BY item
-        |  HAVING count(*) >= 0.005 * (SELECT n FROM nb)
+        |  HAVING count(*) >= CAST(0.005 * (SELECT n FROM nb) AS DOUBLE)
         |), l2 AS (
         |  SELECT a.item AS ia, b.item AS ib, CAST(count(*) AS BIGINT) AS freq
         |  FROM tx a JOIN tx b ON a.tid = b.tid AND a.item < b.item
         |  GROUP BY a.item, b.item
-        |  HAVING count(*) >= 0.005 * (SELECT n FROM nb)
+        |  HAVING count(*) >= CAST(0.005 * (SELECT n FROM nb) AS DOUBLE)
         |), l3 AS (
         |  SELECT a.item AS ia, b.item AS ib, c.item AS ic, CAST(count(*) AS BIGINT) AS freq
         |  FROM tx a
         |  JOIN tx b ON a.tid = b.tid AND a.item < b.item
         |  JOIN tx c ON b.tid = c.tid AND b.item < c.item
         |  GROUP BY a.item, b.item, c.item
-        |  HAVING count(*) >= 0.005 * (SELECT n FROM nb)
+        |  HAVING count(*) >= CAST(0.005 * (SELECT n FROM nb) AS DOUBLE)
         |)
         |SELECT itemset, CAST(size AS BIGINT) AS size, freq FROM (
         |  SELECT item AS itemset, 1 AS size, freq FROM l1
@@ -1591,14 +1591,14 @@ object Mining {
         |  SELECT event_type AS pattern, 1 AS len,
         |         count(DISTINCT user_id) AS freq
         |  FROM events GROUP BY event_type
-        |  HAVING count(DISTINCT user_id) >= 0.05 * (SELECT n FROM nu)
+        |  HAVING count(DISTINCT user_id) >= CAST(0.05 * (SELECT n FROM nu) AS DOUBLE)
         |), l2 AS (
         |  SELECT a.event_type || '>' || b.event_type AS pattern, 2 AS len,
         |         count(DISTINCT a.user_id) AS freq
         |  FROM events a JOIN events b ON a.user_id = b.user_id
         |   AND (a.ts < b.ts OR (a.ts = b.ts AND a.event_id < b.event_id))
         |  GROUP BY a.event_type, b.event_type
-        |  HAVING count(DISTINCT a.user_id) >= 0.05 * (SELECT n FROM nu)
+        |  HAVING count(DISTINCT a.user_id) >= CAST(0.05 * (SELECT n FROM nu) AS DOUBLE)
         |)
         |SELECT pattern, CAST(len AS BIGINT) AS len, CAST(freq AS BIGINT) AS freq
         |FROM (SELECT * FROM l1 UNION ALL SELECT * FROM l2)
@@ -1616,7 +1616,7 @@ object Mining {
       """
         |SELECT item, CAST(count(*) AS BIGINT) AS freq
         |FROM tx GROUP BY item
-        |HAVING count(*) >= 0.05 * (SELECT n FROM nb)
+        |HAVING count(*) >= CAST(0.05 * (SELECT n FROM nb) AS DOUBLE)
         |ORDER BY item""".stripMargin),
 
     // Content-identity oracle: the FIMI write→read→mine loop must land
@@ -1625,7 +1625,7 @@ object Mining {
       """
         |SELECT item, CAST(count(*) AS BIGINT) AS freq
         |FROM tx GROUP BY item
-        |HAVING count(*) >= 0.05 * (SELECT n FROM nb)
+        |HAVING count(*) >= CAST(0.05 * (SELECT n FROM nb) AS DOUBLE)
         |ORDER BY item""".stripMargin),
 
     // Same content-identity oracle through the DataSourceV2 connector.
@@ -1633,7 +1633,7 @@ object Mining {
       """
         |SELECT item, CAST(count(*) AS BIGINT) AS freq
         |FROM tx GROUP BY item
-        |HAVING count(*) >= 0.05 * (SELECT n FROM nb)
+        |HAVING count(*) >= CAST(0.05 * (SELECT n FROM nb) AS DOUBLE)
         |ORDER BY item""".stripMargin),
 
     "fpm_fimi_spj" -> (txCte + """
@@ -1679,26 +1679,26 @@ object Mining {
         |JOIN tx b ON a.tid = b.tid AND a.item < b.item
         |JOIN tx c ON b.tid = c.tid AND b.item < c.item
         |GROUP BY a.item, b.item, c.item
-        |HAVING count(*) >= 0.005 * (SELECT n FROM nb)
+        |HAVING count(*) >= CAST(0.005 * (SELECT n FROM nb) AS DOUBLE)
         |ORDER BY itemset""".stripMargin),
 
     "fpm_fpgrowth" -> (txCte +
       """, l1 AS (
         |  SELECT item AS itemset, 1 AS sz, count(*) AS freq
         |  FROM tx GROUP BY item
-        |  HAVING count(*) >= 0.005 * (SELECT n FROM nb)
+        |  HAVING count(*) >= CAST(0.005 * (SELECT n FROM nb) AS DOUBLE)
         |), l2 AS (
         |  SELECT a.item || ',' || b.item AS itemset, 2 AS sz, count(*) AS freq
         |  FROM tx a JOIN tx b ON a.tid = b.tid AND a.item < b.item
         |  GROUP BY a.item, b.item
-        |  HAVING count(*) >= 0.005 * (SELECT n FROM nb)
+        |  HAVING count(*) >= CAST(0.005 * (SELECT n FROM nb) AS DOUBLE)
         |), l3 AS (
         |  SELECT a.item || ',' || b.item || ',' || c.item AS itemset, 3 AS sz, count(*) AS freq
         |  FROM tx a
         |  JOIN tx b ON a.tid = b.tid AND a.item < b.item
         |  JOIN tx c ON b.tid = c.tid AND b.item < c.item
         |  GROUP BY a.item, b.item, c.item
-        |  HAVING count(*) >= 0.005 * (SELECT n FROM nb)
+        |  HAVING count(*) >= CAST(0.005 * (SELECT n FROM nb) AS DOUBLE)
         |)
         |SELECT itemset, CAST(sz AS BIGINT) AS size, CAST(freq AS BIGINT) AS freq
         |FROM (SELECT * FROM l1 UNION ALL SELECT * FROM l2 UNION ALL SELECT * FROM l3)
@@ -1847,7 +1847,7 @@ object Mining {
         |   AND (a.ts < b.ts OR (a.ts = b.ts AND a.event_id < b.event_id))
         |  GROUP BY 1, 2
         |  HAVING count(DISTINCT a.user_id) >=
-        |         0.05 * (SELECT count(DISTINCT user_id) FROM events)),
+        |         CAST(0.05 * (SELECT count(DISTINCT user_id) FROM events) AS DOUBLE)),
         |asup AS (SELECT event_type AS eta,
         |                CAST(count(DISTINCT user_id) AS BIGINT) AS a_users
         |         FROM events GROUP BY 1)
@@ -1863,7 +1863,7 @@ object Mining {
         | AND (a.ts < b.ts OR (a.ts = b.ts AND a.event_id < b.event_id))
         |GROUP BY a.event_type, b.event_type
         |HAVING count(DISTINCT a.user_id) >=
-        |       0.05 * (SELECT count(DISTINCT user_id) FROM events)
+        |       CAST(0.05 * (SELECT count(DISTINCT user_id) FROM events) AS DOUBLE)
         |ORDER BY eta, etb""".stripMargin,
   )
 }

@@ -1678,8 +1678,10 @@ object Relational {
         |                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_c,
         |         (SELECT sum(rev_c) FROM per_part) AS total_c
         |  FROM per_part)
-        |SELECT CASE WHEN cum_c * 5 <= total_c * 4 THEN 'A'
-        |            WHEN cum_c * 20 <= total_c * 19 THEN 'B'
+        |SELECT CASE WHEN CAST(cum_c AS DECIMAL(28,0)) * 5
+        |              <= CAST(total_c AS DECIMAL(28,0)) * 4 THEN 'A'
+        |            WHEN CAST(cum_c AS DECIMAL(28,0)) * 20
+        |              <= CAST(total_c AS DECIMAL(28,0)) * 19 THEN 'B'
         |            ELSE 'C' END AS abc_class,
         |       CAST(count(*) AS BIGINT) AS n_parts,
         |       CAST(CAST(sum(rev_c) AS DECIMAL(28,0)) / 100 AS DOUBLE) AS revenue

@@ -90,18 +90,34 @@ def main():
                     p = f"{sf_dir}/{t}.parquet"
                     src = f"'{p}/*.parquet'" if os.path.isdir(p) else f"'{p}'"
                     con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet({src})")
+                # Pin the session timezone so TIMESTAMPTZ -> TIMESTAMP
+                # conversion below is host-independent (Spark dumps
+                # UTC-session naive instants; a non-UTC host would
+                # otherwise shift them during the cast).
+                con.sql("SET TimeZone = 'UTC'")
                 con.sql(f"CREATE OR REPLACE TEMP VIEW _exp AS {sql}")
                 con.sql(f"CREATE OR REPLACE TEMP VIEW _got AS "
                         f"SELECT * FROM read_parquet({files!r})")
-                ec = sorted(r[0] for r in con.sql(
-                    "DESCRIBE _exp").fetchall())
-                gc = sorted(r[0] for r in con.sql(
-                    "DESCRIBE _got").fetchall())
+                edesc = {r[0]: r[1] for r in con.sql("DESCRIBE _exp").fetchall()}
+                gdesc = {r[0]: r[1] for r in con.sql("DESCRIBE _got").fetchall()}
+                ec, gc = sorted(edesc), sorted(gdesc)
                 if ec != gc:
                     print(f"FAIL {key}: columns spark={gc} oracle={ec}")
                     failed.append(key)
                     continue
-                cols = ", ".join(f'"{c}"' for c in ec)
+                # Normalize the type classes the default path's norm()
+                # also collapses, so set-compare can't spuriously differ
+                # from it: Spark's UTC-instant TIMESTAMPTZ vs the
+                # oracle's naive TIMESTAMP, and DECIMAL vs DOUBLE.
+                def nexpr(c):
+                    t = (edesc[c] + " " + gdesc[c]).upper()
+                    if "TIMESTAMP" in t:
+                        return f'CAST("{c}" AS TIMESTAMP) AS "{c}"'
+                    if "DECIMAL" in t or "DOUBLE" in t or "FLOAT" in t \
+                            or "HUGEINT" in t:
+                        return f'CAST("{c}" AS DOUBLE) AS "{c}"'
+                    return f'"{c}"'
+                cols = ", ".join(nexpr(c) for c in ec)
                 ne, ng, d1, d2 = (
                     con.sql("SELECT count(*) FROM _exp").fetchone()[0],
                     con.sql("SELECT count(*) FROM _got").fetchone()[0],
