@@ -561,13 +561,19 @@ object Relational {
     profileOver(s, dir, c => countDistinct(c))
 
   /** The 100-TB twin of [[relProfile]]: identical one-scan profile shape
-    * with `approx_count_distinct` (HLL++, rsd 0.01) in the distinct
+    * with `approx_count_distinct` (HLL++, rsd 0.02) in the distinct
     * slot — bounded sketch state per column instead of Expand ×
     * exact-distinct hash state. Oracle-free (sketch estimates are
     * engine-specific); RelationalSpec gates it against the exact
-    * profile: identical rows/min/max/non-null, distinct within rsd. */
+    * profile (identical rows/min/max/non-null, distinct within 5σ) and
+    * plan-gates the no-Expand single-scan shape. rsd 0.02 over 0.01 is
+    * a measured fixed-cost call, not an accuracy one: the per-query
+    * overhead scales with HLL register count (rsd 0.01 ⇒ p=14 ⇒ 1536
+    * buffer words/column ⇒ 1.3 s fixed at ANY SF; 0.02 ⇒ 0.25× the
+    * registers ⇒ 0.66 s; 2% error is ample for a profile's distinct
+    * slot, and at 100 TB the sketch is 4× smaller to ship). */
   def relProfileApprox(s: SparkSession, dir: String): DataFrame =
-    profileOver(s, dir, c => approx_count_distinct(c, 0.01))
+    profileOver(s, dir, c => approx_count_distinct(c, 0.02))
 
   private def profileOver(s: SparkSession, dir: String,
       nd: Column => Column): DataFrame = {
@@ -1300,21 +1306,38 @@ object Relational {
     * across engines while interpolation formulas differ in final-ulp fp
     * ((a+(b−a)·f) vs ((1−f)·a+f·b)). Ties are harmless: the value at a
     * rank is determined by the sorted multiset regardless of tie order.
-    * One shuffle (window by group); the per-group target ranks join in as
-    * a broadcast. p ∈ {0.25, 0.5, 0.75} are exact binary fractions, so
-    * ceil(p·n) is engine-identical. */
+    * p ∈ {0.25, 0.5, 0.75} are exact binary fractions, so ceil(p·n) is
+    * engine-identical.
+    *
+    * TWO-PHASE rank, never a full-fact sort: phase 1 collapses the fact
+    * to per-(group, value) counts (map-side-combined — the shuffle
+    * carries |distinct values|, not |rows|); phase 2 runs the cumulative
+    * window over THAT aggregated frame, so each value owns the closed
+    * rank interval [hi−cnt+1, hi] and the target rank joins in by
+    * interval containment (broadcast — |groups|×|ps| rows). The value at
+    * rank t is the value whose interval contains t, identical to the
+    * row_number form (ties share one value, hence one interval). At
+    * 100 TB the sorted frame is the value histogram, not the fact —
+    * the r12 sf1 probe measured the row_number form at 4.8×/decade,
+    * the histogram form holds ≤3× (plan-gated: window input must be a
+    * HashAggregate, not raw rows). */
   def relAggQuantile(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val w = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
-    val ranked = Tables.load(s, dir, "lineitem")
+    val vals = Tables.load(s, dir, "lineitem")
       .select(col("l_returnflag"), col("l_extendedprice"))
-      .withColumn("rn", row_number().over(w))
-    val cnts = ranked.groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+      .groupBy("l_returnflag", "l_extendedprice")
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+    val ranked = vals
+      .withColumn("hi", sum(col("cnt")).over(w))
+      .withColumn("lo", col("hi") - col("cnt") + lit(1L))
+    val cnts = vals.groupBy("l_returnflag").agg(sum(col("cnt")).as("n"))
     val targets = cnts.crossJoin(Seq(0.25, 0.5, 0.75).toDF("p"))
       .select(col("l_returnflag").as("rf"), col("p"),
         ceil(col("p") * col("n")).cast("long").as("t"))
     ranked.join(broadcast(targets),
-        col("l_returnflag") === col("rf") && col("rn") === col("t"))
+        col("l_returnflag") === col("rf")
+          && col("t") >= col("lo") && col("t") <= col("hi"))
       .select(col("l_returnflag"), col("p"), col("l_extendedprice").as("q_value"))
       .orderBy("l_returnflag", "p")
   }

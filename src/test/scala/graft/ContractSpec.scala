@@ -205,6 +205,32 @@ class ContractSpec extends SparkSpec {
       ops.map(_.nodeName).mkString(" | "))
   }
 
+  test("round-13 plan gate: exact quantile windows the value histogram, never the raw fact") {
+    // rel_agg_quantile's two-phase form: the cumulative-rank Window must
+    // consume the (group, value) COUNT aggregate, not raw lineitem rows —
+    // the r12 sf1 probe measured the raw-fact row_number form at
+    // 4.8×/decade; the histogram form held 1.07×. Gate: walking down
+    // from the Window, a HashAggregate must appear before any scan.
+    val df = SparkEntry.queries("rel_agg_quantile")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    def findWindow(p: org.apache.spark.sql.execution.SparkPlan):
+        Option[org.apache.spark.sql.execution.SparkPlan] = {
+      val self = org.apache.spark.sql.graft.Bridge.runtimeOps(p)
+        .find(_.nodeName.contains("Window"))
+      self
+    }
+    val win = findWindow(plan)
+    assert(win.isDefined, "no Window in rel_agg_quantile plan")
+    val below = org.apache.spark.sql.graft.Bridge.runtimeOps(win.get)
+      .drop(1) // the window node itself
+    val aggIdx = below.indexWhere(_.nodeName.contains("HashAggregate"))
+    val scanIdx = below.indexWhere(_.nodeName.contains("Scan"))
+    assert(aggIdx >= 0 && (scanIdx < 0 || aggIdx < scanIdx),
+      s"Window fed by raw rows, not the value histogram: " +
+        below.map(_.nodeName).mkString(" | "))
+  }
+
   test("parameterized SQL: named-param, EXECUTE IMMEDIATE, and session-variable forms agree") {
     val base = SparkEntry.queries("sql_parameterized")(spark, sf).collect().toSeq
     val immediate = spark.sql(

@@ -559,15 +559,22 @@ class RelationalSpec extends SparkSpec {
       // everything except the sketch slot is computed identically
       assert(a.getLong(1) == e.getLong(1), s"$c non-null differs")
       (3 to 6).foreach(i => assert(a.get(i) == e.get(i), s"$c field $i differs"))
-      // HLL++ at rsd 0.01: allow 5 sigma plus slack for tiny cardinalities
+      // HLL++ at rsd 0.02: allow 5 sigma plus slack for tiny cardinalities
       val (est, truth) = (a.getLong(2).toDouble, e.getLong(2).toDouble)
-      assert(math.abs(est - truth) <= math.max(5.0, 0.05 * truth),
+      assert(math.abs(est - truth) <= math.max(5.0, 0.10 * truth),
         s"$c distinct: est $est vs exact $truth")
     }
-    // still a one-scan profile: the sketch swap must not add a scan
-    val scans = org.apache.spark.sql.graft.Bridge.runtimeOps(
+    // still a one-scan profile: the sketch swap must not add a scan —
+    // and, unlike the exact twin, it must NOT plan an Expand: the whole
+    // point of the HLL slot is bounded sketch state instead of the
+    // rows × profiled-columns Expand replication (the 100 TB claim,
+    // asserted here rather than argued in the scaladoc)
+    val ops = org.apache.spark.sql.graft.Bridge.runtimeOps(
       Relational.relProfileApprox(spark, sf).queryExecution.executedPlan)
-      .count(_.isInstanceOf[org.apache.spark.sql.execution.FileSourceScanExec])
+    val scans = ops.count(
+      _.isInstanceOf[org.apache.spark.sql.execution.FileSourceScanExec])
     assert(scans == 1, s"expected one orders scan, saw $scans")
+    assert(!ops.exists(_.nodeName.contains("Expand")),
+      s"approx profile must not Expand: ${ops.map(_.nodeName).mkString(" | ")}")
   }
 }
