@@ -24,6 +24,7 @@ object TimeKeys {
     step { operators.Mining.warm(spark, sfDir) }
     step { operators.LlmOps.warm(spark, sfDir) }
     step { operators.Relational.warm(spark, sfDir) }
+    step { operators.SqlSurface.warm(spark, sfDir) }
     args.foreach { k => step { SparkEntry.queries(k)(spark, sfDir).count() } }
     val results = args.map { k =>
       val times = (1 to passes).map { _ =>

@@ -51,6 +51,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
   private var root: Path = _
   // TrieMap: loadTable can be hit from concurrent query threads
   private val cache = scala.collection.concurrent.TrieMap.empty[Identifier, Table]
+  // Property ANNOTATIONS per table (owner, comment, quality tier, ...):
+  // `ALTER TABLE ... SET/UNSET TBLPROPERTIES` round-trips through
+  // `DESCRIBE EXTENDED`. Deliberately session-scoped (in-memory): the
+  // data plane stays immutable (corpus snapshots), and the driver's
+  // testdata root is not even writable — a sidecar file would fail
+  // there. A production deployment would back this map with its
+  // metastore; the catalog API surface is identical either way.
+  private val props =
+    scala.collection.concurrent.TrieMap.empty[Identifier, Map[String, String]]
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
@@ -132,7 +141,31 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
       (fs.exists(tablePath(ident, ".parquet")) || fs.exists(tablePath(ident, ".fimi")) ||
         fs.exists(tablePath(ident, ".fimib")))
 
-  override def loadTable(ident: Identifier): Table = {
+  /** Thin delegate that overlays annotation properties on a served
+    * table. Read planning forwards to the delegate untouched (same
+    * pushdown/pruning/splits); only `properties()` differs. */
+  private class AnnotatedTable(d: Table, extra: Map[String, String])
+      extends Table with SupportsRead {
+    override def name(): String = d.name()
+    override def schema(): StructType = d.schema()
+    override def columns(): Array[Column] = d.columns()
+    override def partitioning(): Array[Transform] = d.partitioning()
+    override def capabilities(): util.Set[TableCapability] = d.capabilities()
+    override def properties(): util.Map[String, String] = {
+      val m = new util.HashMap[String, String](d.properties())
+      extra.foreach { case (k, v) => m.put(k, v) }
+      m
+    }
+    override def newScanBuilder(options: CaseInsensitiveStringMap)
+        : org.apache.spark.sql.connector.read.ScanBuilder =
+      d.asInstanceOf[SupportsRead].newScanBuilder(options)
+  }
+
+  private def withAnnotations(ident: Identifier, t: Table): Table =
+    props.get(ident).filter(_.nonEmpty)
+      .map(new AnnotatedTable(t, _): Table).getOrElse(t)
+
+  override def loadTable(ident: Identifier): Table = withAnnotations(ident, {
     val fimib = tablePath(ident, ".fimib")
     if (ident.namespace().length == 1 && fs.exists(fimib)) {
       // bucketed FIMI layout (storage-partitioned join capable): bucket
@@ -159,7 +192,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
           util.Collections.singletonMap("path", fimi.toString)))
       else throw new NoSuchTableException(ident)
     })
-  }
+  })
 
   // --------------------------------------------------------- functions
 
@@ -184,9 +217,27 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
       s"catalog ${name()} is read-only: write through the connector paths " +
         "(df.write.format(\"fimi\"/\"parquet\")) instead")
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      s"catalog ${name()} is read-only: datasets are corpus snapshots")
+  /** Property annotations are the ONE mutable surface: `SET/UNSET
+    * TBLPROPERTIES` maintains session-scoped metadata (see [[props]]);
+    * any schema/data change is still rejected — datasets are corpus
+    * snapshots. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val unsupported = changes.filterNot(c =>
+      c.isInstanceOf[TableChange.SetProperty] ||
+        c.isInstanceOf[TableChange.RemoveProperty])
+    if (unsupported.nonEmpty)
+      throw new UnsupportedOperationException(
+        s"catalog ${name()} is read-only: only table-property annotations " +
+          s"may change (rejected: ${unsupported.mkString(", ")})")
+    val next = changes.foldLeft(props.getOrElse(ident, Map.empty)) {
+      case (m, sp: TableChange.SetProperty) => m + (sp.property -> sp.value)
+      case (m, rp: TableChange.RemoveProperty) => m - rp.property
+      case (m, _) => m
+    }
+    if (next.isEmpty) props.remove(ident) else props(ident) = next
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean =
     throw new UnsupportedOperationException(

@@ -1008,7 +1008,50 @@ object Streaming {
       .orderBy("user_id", "event_id")
   }
 
+  /** LATE-DATA DROP REPORT — the watermark audit a pipeline publishes
+    * for a replayed stream: feed events as a DETERMINISTIC two-batch
+    * arrival (batch 2 = `event_id % 3 == 0` — arrival order is an
+    * ingestion property, so a fixed id rule stands in for it), run the
+    * [[tumblingStream]] aggregation (1 h windows per event_type,
+    * 10-minute watermark, append mode), and report per window cell the
+    * count the stream emits plus how many batch-2 arrivals the
+    * watermark dropped.
+    *
+    * The drop rule is Spark's own, restated as exact integer µs
+    * arithmetic so a DuckDB oracle can verify it: after batch 1 the
+    * watermark is `max(batch-1 event time)` — tracked by the engine in
+    * MILLISECONDS — minus the 10-minute delay, and a batch-2 row is
+    * dropped iff its window END (hour truncation + 1 h) is ≤ that
+    * watermark (the same predicate that evicts closed window state;
+    * batch-1 rows see watermark 0 and always land). StreamingSpec
+    * replays the same two batches through a real MemoryStream (plus a
+    * sentinel flush batch that closes every window) and proves the
+    * emitted multiset equals this report's cnt>0 rows and the fed−
+    * emitted difference equals Σ n_dropped.
+    *
+    * Scale posture: one broadcast 1-row watermark frame, one map-side-
+    * combined aggregate keyed by (hour, type) — calendar-bounded output
+    * regardless of event volume, the same envelope as stream_tumbling. */
+  def streamLateData(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+      .select(col("ts"), col("event_type"), col("event_id"))
+    val isB2 = col("event_id") % 3 === 0
+    val wm1 = ev.filter(!isB2).agg(
+      (expr("unix_micros(max(ts)) DIV 1000 * 1000") - lit(600000000L))
+        .as("wm_us"))
+    ev.crossJoin(broadcast(wm1))
+      .withColumn("dropped",
+        isB2 && (unix_micros(date_trunc("hour", col("ts"))) + lit(3600000000L)
+          <= col("wm_us")))
+      .groupBy(date_trunc("hour", col("ts")).as("window_start"),
+        col("event_type"))
+      .agg(sum(when(col("dropped"), 0L).otherwise(1L)).as("cnt"),
+        sum(when(col("dropped"), 1L).otherwise(0L)).as("n_dropped"))
+      .orderBy("window_start", "event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_late_data" -> (streamLateData _),
     "stream_transform_with_state" -> (streamTransformWithState _),
     "stream_tws_history"   -> (streamTwsHistory _),
     "stream_heavyhitters"  -> (streamHeavyhitters _),
@@ -1030,6 +1073,22 @@ object Streaming {
   )
 
   val oracle: Map[String, String] = Map(
+    "stream_late_data" ->
+      """WITH wm AS (
+        |  SELECT epoch_us(max(ts)) // 1000 * 1000 - 600000000 AS wm_us
+        |  FROM events WHERE event_id % 3 <> 0),
+        |f AS (
+        |  SELECT date_trunc('hour', ts) AS window_start, event_type,
+        |         (event_id % 3 = 0) AND
+        |         (epoch_us(date_trunc('hour', ts)) + 3600000000
+        |            <= (SELECT wm_us FROM wm)) AS dropped
+        |  FROM events)
+        |SELECT window_start, event_type,
+        |       CAST(sum(CASE WHEN dropped THEN 0 ELSE 1 END) AS BIGINT) AS cnt,
+        |       CAST(sum(CASE WHEN dropped THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+        |FROM f GROUP BY 1, 2
+        |ORDER BY window_start, event_type""".stripMargin,
+
     "stream_anomaly" ->
       """WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
         |g AS (

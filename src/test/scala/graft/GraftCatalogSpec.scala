@@ -60,6 +60,73 @@ class GraftCatalogSpec extends SparkSpec {
     assert(freq == Seq(("x", 2L), ("y", 3L), ("z", 2L)))
   }
 
+  test("ALTER TABLE SET TBLPROPERTIES round-trips through DESCRIBE EXTENDED") {
+    spark.sql("ALTER TABLE graft.`sf0.001`.orders " +
+      "SET TBLPROPERTIES ('steward' = 'curation', 'tier' = 'gold')")
+    val desc = spark.sql("DESCRIBE TABLE EXTENDED graft.`sf0.001`.orders")
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    val shown = desc.getOrElse("Table Properties", "")
+    assert(shown.contains("steward=curation") && shown.contains("tier=gold"),
+      s"properties not visible in DESCRIBE EXTENDED: $shown")
+    // UNSET removes exactly the named key and keeps the rest
+    spark.sql("ALTER TABLE graft.`sf0.001`.orders UNSET TBLPROPERTIES ('steward')")
+    val after = spark.sql("DESCRIBE TABLE EXTENDED graft.`sf0.001`.orders")
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+      .getOrElse("Table Properties", "")
+    assert(!after.contains("steward=curation") && after.contains("tier=gold"), after)
+    spark.sql("ALTER TABLE graft.`sf0.001`.orders UNSET TBLPROPERTIES ('tier')")
+  }
+
+  test("property annotations never touch the data plane or its pushdown") {
+    val before = spark.sql(
+      "SELECT CAST(count(*) AS BIGINT) FROM graft.`sf0.001`.orders")
+      .head().getLong(0)
+    spark.sql("ALTER TABLE graft.`sf0.001`.orders " +
+      "SET TBLPROPERTIES ('note' = 'annotated')")
+    val after = spark.sql(
+      "SELECT CAST(count(*) AS BIGINT) FROM graft.`sf0.001`.orders")
+      .head().getLong(0)
+    assert(before == after && before > 0)
+    // the annotated table still delegates scan planning: filters push down
+    val plan = spark.sql(
+      "SELECT o_orderkey FROM graft.`sf0.001`.orders WHERE o_totalprice > 1000")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(o_totalprice), GreaterThan(o_totalprice"),
+      plan.take(2000))
+    spark.sql("ALTER TABLE graft.`sf0.001`.orders UNSET TBLPROPERTIES ('note')")
+  }
+
+  test("schema-changing ALTER is still rejected: snapshots, not mutable tables") {
+    val e = intercept[Exception] {
+      spark.sql("ALTER TABLE graft.`sf0.001`.orders ADD COLUMN bogus INT")
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("read-only")), msgs(e).mkString(" / "))
+  }
+
+  test("one root serves multiple namespaces; DESCRIBE NAMESPACE shows each location") {
+    val root = Files.createTempDirectory("graft-cat-multi").toString
+    for (ns <- Seq("bronze", "silver")) {
+      val dir = java.nio.file.Paths.get(root, ns, "tx.fimi")
+      Files.createDirectories(dir)
+      Files.write(dir.resolve("a.dat"),
+        (if (ns == "bronze") "a b\n" else "a b\nc d\n").getBytes("UTF-8"))
+    }
+    spark.conf.set("spark.sql.catalog.graft4", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft4.root", root)
+    val ns = spark.sql("SHOW NAMESPACES IN graft4")
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(ns == Seq("bronze", "silver"), ns.toString)
+    // the same table name resolves independently per namespace
+    assert(spark.sql("SELECT * FROM graft4.bronze.tx").count() == 1)
+    assert(spark.sql("SELECT * FROM graft4.silver.tx").count() == 2)
+    val loc = spark.sql("DESCRIBE NAMESPACE EXTENDED graft4.silver")
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(loc.getOrElse("location", loc.getOrElse("Location", ""))
+      .contains("silver"), loc.toString)
+  }
+
   test("the catalog is read-only; invalidateTable picks up an external rewrite") {
     val e = intercept[Exception] {
       spark.sql("DROP TABLE graft.`sf0.001`.lineitem")

@@ -379,6 +379,51 @@ class StreamingSpec extends SparkSpec {
     assert(declared == stateful && declared.nonEmpty)
   }
 
+  test("stream_late_data: the declared drop report equals a real two-batch replay") {
+    val sp = spark
+    import sp.implicits._
+    implicit val ctx = sp.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val fixture = graft.Tables.load(spark, dir, "events")
+      .select(col("ts"), col("user_id"), col("event_type"),
+        col("value"), col("event_id"))
+      .collect().map(r => Ev(r.getTimestamp(0), r.getLong(1), r.getString(2),
+        r.getDouble(3), r.getLong(4)))
+    val (b1, b2) = fixture.partition(_.event_id % 3 != 0)
+    val maxTs = fixture.map(_.ts.getTime).max
+    // sentinel 2 h past the global max: its watermark closes EVERY real
+    // window (window end <= max_hour+1h < max+2h-10min); its own window
+    // never closes and is excluded below by event_type
+    val sentinel = Ev(new Timestamp(maxTs + 2 * 3600 * 1000L), 0L,
+      "zz_sentinel", 0.0, -1L)
+    val ms = MemoryStream[Ev]
+    val q = Streaming.tumblingStream(ms.toDF())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("late_report").start()
+    try {
+      ms.addData(b1.toSeq); q.processAllAvailable()
+      ms.addData(b2.toSeq); q.processAllAvailable()
+      ms.addData(sentinel); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("late_report")
+      .filter(col("event_type") =!= "zz_sentinel")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
+      .toSet
+    val report = Streaming.streamLateData(spark, dir).collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // emitted multiset: the report's cnt>0 cells, exactly
+    val expected = report.filter(_._3 > 0).map(t => (t._1, t._2, t._3)).toSet
+    assert(streamed == expected,
+      s"stream vs report: only-stream=${streamed -- expected} " +
+        s"only-report=${expected -- streamed}")
+    // accounting: fed rows = emitted + dropped, and drops really occur
+    val emitted = report.map(_._3).sum
+    val dropped = report.map(_._4).sum
+    assert(emitted + dropped == fixture.length.toLong,
+      s"$emitted emitted + $dropped dropped != ${fixture.length} fed")
+    assert(dropped > 0, "fixture produced no late drops - gate is vacuous")
+  }
+
   test("watermarked stream-stream join equals batch interval join") {
     val sp = spark
     import sp.implicits._
