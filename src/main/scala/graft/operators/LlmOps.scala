@@ -202,14 +202,29 @@ object LlmOps {
   /** Exact word-set Jaccard over (lang, n_chars)-blocked candidate pairs —
     * the verifiable n-gram-Jaccard dedup path. */
   def ngramJaccard(s: SparkSession, dir: String): DataFrame =
-    ngramJaccardCapped(s, dir, 1024)
+    ngramJaccardCapped(s, dir, ExactBlockCap)
+
+  /** Default block cap for the exact (lang, n_chars)-blocked pair
+    * family. 128 is a GLOBAL work bound, not a tuning knob: the cell
+    * domain is bounded (|langs| × |plausible char lengths| ≈ 5 × ~650 ≈
+    * 3 k cells), so capping each cell at 128 docs bounds TOTAL exact
+    * pair work at cells × cap·(cap−1)/2 ≈ 26 M pairs at ANY corpus
+    * size — the hot remainder belongs to the MinHash-LSH path by
+    * contract. The round-13 sf10 probe is what moved this from 1024:
+    * at 500 k docs the cells average 160 docs, so the old cap never
+    * fired and candidate pairs went 629 k → 60.4 M in one decade
+    * (quadratic — the pair aggregation alone held the probe > 30 min);
+    * at 128 the valve drops the dense cells and sf10 carries 2.6 M
+    * pairs (4.2× sf1, linear-shaped). No-op at every oracle SF (max
+    * block 11 at sf0.1) and at sf1 (max block 55) — hashes unchanged. */
+  private val ExactBlockCap = 128
 
   /** Blocked pair generation is quadratic INSIDE a block, so blocks
     * larger than `blockCap` are dropped entirely (same policy as the
     * MinHash bucket cap): one hot (lang, n_chars) cell must not go O(n²)
-    * at corpus scale. The default cap is a proven no-op at test SFs
-    * (max block ≈ 11 rows at sf0.1); LlmOpsSpec proves the cap path is
-    * live by shrinking it. */
+    * at corpus scale — see [[ExactBlockCap]] for the global bound. The
+    * default cap is a proven no-op at test SFs (max block ≈ 11 rows at
+    * sf0.1); LlmOpsSpec proves the cap path is live by shrinking it. */
   def ngramJaccardCapped(s: SparkSession, dir: String, blockCap: Int): DataFrame = {
     val docs0 = Tables.load(s, dir, "documents")
     val smallBlocks = docs0.groupBy("lang", "n_chars")
@@ -1547,14 +1562,16 @@ object LlmOps {
     * `llm_ngram_jaccard`, O(block²) never O(corpus²)). Levenshtein is
     * unit-cost edit distance in both engines — identical integers. */
   def fuzzyEditdist(s: SparkSession, dir: String): DataFrame =
-    fuzzyEditdistCapped(s, dir, 1024)
+    fuzzyEditdistCapped(s, dir, ExactBlockCap)
 
   /** Capped form: blocks larger than `blockCap` are dropped entirely —
     * the SAME policy (and the same broadcast-semi-join shape) as
     * [[ngramJaccardCapped]] and the MinHash bucket cap, because one hot
     * (lang, n_chars) cell (en × a common length) must not go O(n²) at
-    * corpus scale. The default cap is a proven no-op at test SFs (max
-    * block = 11 rows at sf0.1, measured), so the hash oracle is
+    * corpus scale (the [[ExactBlockCap]] global bound — and the
+    * edit-distance kernel is O(len²) per pair, so this family needs it
+    * even more than Jaccard). The default cap is a proven no-op at test
+    * SFs (max block = 11 rows at sf0.1, measured), so the hash oracle is
     * unchanged; LlmOpsSpec proves the cap path is live by shrinking it.
     * `levenshtein` is computed ONCE per pair in a projected column and
     * both outputs derive from it (not two evaluations of the O(|ta|·|tb|)
