@@ -42,11 +42,20 @@ object Bench {
     // JIT/codegen warm: run EVERY query once on the tiny sf so each timed
     // measurement sees compiled code paths, not first-call JIT + codegen
     // compilation (which otherwise lands arbitrarily across the run).
-    val warmDir = "/root/testdata/sf0.001"
-    SparkEntry.queries.foreach { case (_, f) =>
-      step { f(spark, warmDir).count() }
+    // Optional key subset for targeted scale probes (comma-separated
+    // exact names, or a `prefix*` glob per entry). The driver never sets
+    // this — BENCH_r*.json always carries the full surface.
+    val keyFilter: String => Boolean = sys.env.get("SPARK_GRAFT_KEYS") match {
+      case None => _ => true
+      case Some(spec) =>
+        val pats = spec.split(',').map(_.trim).filter(_.nonEmpty)
+        k => pats.exists(p => if (p.endsWith("*")) k.startsWith(p.dropRight(1)) else k == p)
     }
-    val keys = SparkEntry.queries.keys.toSeq.sorted
+    val warmDir = "/root/testdata/sf0.001"
+    SparkEntry.queries.foreach { case (name, f) =>
+      if (keyFilter(name)) step { f(spark, warmDir).count() }
+    }
+    val keys = SparkEntry.queries.keys.toSeq.filter(keyFilter).sorted
     // pass record: seconds, run position within its sweep, start epoch
     // ms, and whether the query completed — a pass that THROWS must not
     // masquerade as a fast passing run (the failure is recorded per
