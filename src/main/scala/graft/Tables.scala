@@ -61,6 +61,36 @@ object Tables {
     }
   }
 
+  /** Row-group parallelize valve for per-row-HEAVY first stages
+    * (shingling, fingerprinting, wide multi-distinct aggregation).
+    *
+    * A parquet row group is unsplittable, so an input written as one
+    * file with one row group scans as ONE task no matter how many cores
+    * the session has — and everything fused into that scan stage
+    * (explode, hash, partial aggregation) serializes on one core. The
+    * test fixtures are exactly that shape (single file, single row
+    * group at every SF), which is also the real-world shape of a small
+    * dimension snapshot or a few-big-gzip-files ingest. When the scan
+    * yields fewer partitions than the session's parallelism, round-robin
+    * repartition to the core count BEFORE the heavy stage; when the
+    * input already scans wide (the 100 TB case — thousands of row
+    * groups), this is a NO-OP: no exchange is added, map-side combine
+    * stays on the scan tasks, and the plan is byte-identical. Apply it
+    * only where the first stage does real per-row compute — for cheap
+    * scans the exchange costs more than the serialism. */
+  def fanOut(df: DataFrame, by: org.apache.spark.sql.Column*): DataFrame = {
+    val cores = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= cores) df
+    // Prefer hash-partitioning on the downstream grouping keys: it skips
+    // round-robin's local sort-before-repartition (retry determinism
+    // costs a full in-task sort of the narrow frame) AND the following
+    // aggregate reuses the exchange (partitioning already matches), so
+    // the valve adds zero net shuffles. Round-robin only when no key
+    // column exists before the heavy stage (e.g. pre-explode frames).
+    else if (by.isEmpty) df.repartition(cores)
+    else df.repartition(cores, by: _*)
+  }
+
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     // Timestamp columns have drifted across generator versions:
     // TIMESTAMP(NANOS) (which Spark 4 rejects by default — read such

@@ -621,7 +621,11 @@ object LlmOps {
     * shuffle blow-up; kept below as [[simhashExploded]] and pinned
     * equal in LlmOpsSpec.) */
   def simhash(s: SparkSession, dir: String): DataFrame = {
-    val toks = Tables.load(s, dir, "documents")
+    // fanOut: the tokenize+explode+65-buffer partial aggregate otherwise
+    // fuses into a single-row-group scan's ONE task (Tables.fanOut —
+    // no-op on any input that already scans wide)
+    val toks = Tables.fanOut(Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("text")), col("doc_id"))
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .select(col("doc_id"), xxhash64(col("tok")).as("h"))
     val ones = (0 until 64).map(b =>
@@ -1455,7 +1459,18 @@ object LlmOps {
     * join formulation's three — measured 6.6 s → 4.1 s at sf0.1). */
   def containmentDedup(s: SparkSession, dir: String): DataFrame = {
     val dfCap = 50
-    val sh = Tables.load(s, dir, "documents")
+    // fanOut + eager localCheckpoint on the doc projection: the 3-gram
+    // shingling is the per-row-heavy stage here and it runs ×3 (posting
+    // lists, sizes, corpus-min) — a single-row-group fixture scan would
+    // serialize all three on one task (Tables.fanOut — no-op on wide
+    // inputs), and the checkpoint materializes the two-column frame ONCE
+    // so the three consumers read memory instead of re-scanning (the
+    // same policy as the simhash fingerprint frame; at corpus scale a
+    // pipeline materializes its doc projection before a 3-pass op).
+    val docs = Tables.fanOut(Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("text")), col("doc_id"))
+      .localCheckpoint(true)
+    val sh = docs
       .select(col("doc_id"), explode(shingles(s, col("text"), 3)).as("g"))
     val byShingle = sh.groupBy("g")
       .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
@@ -1468,7 +1483,7 @@ object LlmOps {
     // a pure projection, NOT a second explode+shuffle pass over the
     // corpus (the posting-list build above is the only tokenize pass
     // that shuffles; the two size-join probes read two columns each)
-    val sz = Tables.load(s, dir, "documents")
+    val sz = docs
       .select(col("doc_id"), size(shingles(s, col("text"), 3)).cast("long").as("n"))
     val pairs = byShingle.select(explode(pairsOfShingle).as("p"))
       .groupBy(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
@@ -1482,7 +1497,7 @@ object LlmOps {
       // every posting list dense — real corpora are sparser), but
       // everything after it collapses. The one-row min frame broadcasts
       // (the heavy-hitters totals pattern), no driver-side action.
-      .join(broadcast(Tables.load(s, dir, "documents")
+      .join(broadcast(docs
         .select(size(shingles(s, col("text"), 3)).cast("long").as("n"))
         .agg(min(col("n")).as("min_n"))))
       .filter(col("shared") * lit(2L) >= col("min_n"))
