@@ -205,6 +205,31 @@ class ContractSpec extends SparkSpec {
       ops.map(_.nodeName).mkString(" | "))
   }
 
+  test("round-13 gate: Tables.fanOut is a literal no-op on inputs that already scan wide") {
+    // The row-group parallelize valve's 100 TB claim is identity, not
+    // speed: on an input whose scan already yields >= cores partitions
+    // it must return the SAME DataFrame (no exchange, byte-identical
+    // plan). On the one-row-group fixture it must add exactly one
+    // exchange partitioned to the core count on the requested keys.
+    val tmp = "/tmp/graft_fanout_wide"
+    Tables.load(spark, sf, "documents").select("doc_id", "text")
+      .repartition(8).write.mode("overwrite").parquet(tmp)
+    val wide = spark.read.parquet(tmp)
+    assert(wide.rdd.getNumPartitions >= spark.sparkContext.defaultParallelism)
+    assert(Tables.fanOut(wide, col("doc_id")) eq wide,
+      "fanOut must return the identical DataFrame on a wide input")
+    val narrow = Tables.load(spark, sf, "documents").select("doc_id", "text")
+    assert(narrow.rdd.getNumPartitions < spark.sparkContext.defaultParallelism,
+      "fixture assumption broken: single-file docs should scan narrow")
+    val fanned = Tables.fanOut(narrow, col("doc_id"))
+    assert(fanned.rdd.getNumPartitions == spark.sparkContext.defaultParallelism)
+    val exs = org.apache.spark.sql.graft.Bridge.runtimeOps(
+      fanned.queryExecution.executedPlan)
+      .filter(_.nodeName.contains("Exchange"))
+    assert(exs.size == 1 && exs.head.toString.contains("hashpartitioning"),
+      s"expected one hash exchange on the narrow path: ${exs.map(_.nodeName)}")
+  }
+
   test("round-13 plan gate: exact quantile windows the value histogram, never the raw fact") {
     // rel_agg_quantile's two-phase form: the cumulative-rank Window must
     // consume the (group, value) COUNT aggregate, not raw lineitem rows —
