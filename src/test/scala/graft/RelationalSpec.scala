@@ -172,6 +172,19 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("rel_agg_quantile_bucketed ≡ the histogram exact form, at default and stress cell widths") {
+    val want = Relational.relAggQuantile(spark, sf).collect().toSeq
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    // B=1024 (the declared key), B=7 (multiple targets share a cell),
+    // B=1 (degenerate: every row in cell 0 — the selection pass must
+    // reduce to the plain per-group rank) all agree with the exact form
+    Seq(1024, 7, 1).foreach { b =>
+      val got = Relational.relAggQuantileBucketedB(spark, sf, b).collect().toSeq
+        .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+      assert(got == want, s"B=$b diverged: got=$got want=$want")
+    }
+  }
+
   test("rel_bucketed_join: declared key joins with no shuffle on either side") {
     // broadcast off: at test SF Catalyst would broadcast (also shuffle-
     // free) and bypass the bucketed layout this key exists to prove

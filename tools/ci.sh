@@ -1,7 +1,7 @@
 #!/usr/bin/env bash
 # One-command reproduction of the full green state, for a fresh session:
 #
-#   tools/ci.sh            # compile + 267-key Verify + DuckDB oracle sweep
+#   tools/ci.sh            # compile + 268-key Verify + DuckDB oracle sweep
 #                          #   at sf0.001 (~2 min)
 #   tools/ci.sh --full     # ... plus the entry smoke and the whole
 #                          #   scalatest suite (~10 min)
