@@ -78,9 +78,28 @@ object Tables {
     * stays on the scan tasks, and the plan is byte-identical. Apply it
     * only where the first stage does real per-row compute — for cheap
     * scans the exchange costs more than the serialism. */
+  /** Scan-width decisions, keyed by (session, input file set, cores):
+    * the narrow/wide answer depends only on the LEAF scan's split
+    * count — identical for every projection of the same files — but
+    * reading it via `df.rdd.getNumPartitions` forces a full physical
+    * planning + RDD-conversion pass, so pay that once per file set per
+    * session, not once per caller (r13 ADVICE). Static split counts
+    * are what AQE itself starts from — AQE re-plans SHUFFLE
+    * partitioning at runtime, never file-scan splits, so the cached
+    * decision cannot drift from execution. */
+  private val scanWidthCache =
+    scala.collection.concurrent.TrieMap[(Int, Int, Int), Boolean]()
+
   def fanOut(df: DataFrame, by: org.apache.spark.sql.Column*): DataFrame = {
     val cores = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= cores) df
+    val files = df.inputFiles
+    val wide =
+      if (files.isEmpty) df.rdd.getNumPartitions >= cores // non-file input: no stable key
+      else scanWidthCache.getOrElseUpdate(
+        (System.identityHashCode(df.sparkSession),
+          java.util.Arrays.hashCode(files.asInstanceOf[Array[AnyRef]]), cores),
+        df.rdd.getNumPartitions >= cores)
+    if (wide) df
     // Prefer hash-partitioning on the downstream grouping keys: it skips
     // round-robin's local sort-before-repartition (retry determinism
     // costs a full in-task sort of the narrow frame) AND the following

@@ -1287,18 +1287,52 @@ object Relational {
     * function (equal-size buckets, earlier buckets take the remainder —
     * the ANSI definition both engines implement identically in integer
     * arithmetic). Total order (totalprice desc, orderkey) makes the
-    * assignment deterministic. Rolled up to per-(priority, quartile)
-    * price sums: one shuffle for the window, one for the bounded
-    * aggregate. */
+    * assignment deterministic; the reported roll-up is per-(priority,
+    * quartile) row counts and price sums.
+    *
+    * Round 14: DERIVED, not materialized — r13 ran the literal ntile
+    * window, sorting each priority's full slice of the fact in one
+    * task (5 tasks × n/5 rows: the dimension-cardinality-partitioned
+    * sort the round-14 gate forbids). Every output field is
+    * tie-independent, so the per-row quartile never needs to exist:
+    * bucket k's size is ntile's closed form (n DIV 4 + (k ≤ n mod 4)),
+    * and its price sum is S(b_k) − S(b_{k+1}), where S(r) = Σ of the
+    * group's r SMALLEST price cents (ascending rank = n − desc rank
+    * + 1, so desc-bucket k covers ascending ranks (b_{k+1}, b_k],
+    * b_k = n − (k−1)·(n DIV 4) − min(k−1, n mod 4)) — and S(r) at the
+    * 4 boundary ranks is exactly [[valuesAtRanks]]' cumulative-sum
+    * channel (equal prices at a boundary may swap across the ntile cut
+    * by orderkey, but a sum over any r smallest of the multiset is the
+    * same — the identical tie argument to [[relAggQuantile]]).
+    * Buckets ntile would leave empty (n < 4) are filtered in the
+    * target set; `lead` then skips their duplicate boundary exactly.
+    * Integer cents end to end; the final /100 → double matches the
+    * oracle's CAST(sum(DECIMAL) AS DOUBLE) bit for bit. The only
+    * windows are the shared selection's (cell-partitioned or
+    * cell-aggregate-fed) and a 4-row-per-group lead. */
   def relWindowNtile(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("o_orderpriority")
-      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
-    Tables.load(s, dir, "orders")
-      .select(col("o_orderpriority"), col("o_totalprice"),
-        ntile(4).over(w).as("quartile"))
-      .groupBy("o_orderpriority", "quartile")
-      .agg(count(lit(1)).as("cnt"),
-        sum(dec("o_totalprice")).cast("double").as("price_sum"))
+    val fact = Tables.fanOut(Tables.load(s, dir, "orders")
+        .select(col("o_orderpriority").as("grp"),
+          (dec("o_totalprice") * lit(100)).cast("long").as("v")),
+        col("grp"), col("v"))
+    val targets = (stats: DataFrame) => stats
+      .select(col("grp"), col("n"), explode(expr(
+        """filter(
+          |  transform(sequence(1, 4), k -> named_struct(
+          |    'label', concat(k, ':', (n DIV 4L) + IF(CAST(k AS BIGINT) <= n % 4L, 1L, 0L)),
+          |    't', n - (CAST(k AS BIGINT) - 1L) * (n DIV 4L)
+          |         - LEAST(CAST(k AS BIGINT) - 1L, n % 4L))),
+          |  st -> CAST(split(st.label, ':')[1] AS BIGINT) > 0L)""".stripMargin)).as("b"))
+      .select(col("grp"), col("b.label").as("label"), col("b.t").as("t"))
+    val wLead = Window.partitionBy("grp").orderBy("k")
+    valuesAtRanks(fact, 64, targets)
+      .withColumn("k", split(col("label"), ":").getItem(0).cast("int"))
+      .withColumn("sz", split(col("label"), ":").getItem(1).cast("long"))
+      .withColumn("next_cum", lead(col("cum"), 1, 0L).over(wLead))
+      .select(col("grp").as("o_orderpriority"), col("k").as("quartile"),
+        col("sz").as("cnt"),
+        ((col("cum") - col("next_cum")).cast("decimal(28,0)") / 100)
+          .cast("double").as("price_sum"))
       .orderBy("o_orderpriority", "quartile")
   }
 
@@ -1379,39 +1413,36 @@ object Relational {
     * the form that stays exact when the value domain is continuous or
     * unbounded and the histogram does not reduce.
     *
-    * Three passes, all map-side combined, nothing sorted but 1/B of one
-    * group:
-    *  1. stats: per-group min/max/n (|groups| rows, broadcast);
-    *  2. bucket counts: count per (group, cell) where cell is a
-    *     monotone fixed-width index over [min, max] (B = 1024) — at
-    *     most |groups|·B count rows; a cumulative window over THAT
-    *     (tiny — plan-gated through the shared quantile gate's
-    *     HashAggregate-below-Window rule) gives each cell its closed
-    *     rank interval, and each target rank t = ceil(p·n) resolves to
-    *     (winning cell, residual rank r = t − lo + 1);
-    *  3. selection: broadcast-join the fact to the ≤ |groups|·|ps|
-    *     winning cells, row_number ONLY inside those cells (≈ n/B rows
-    *     each, partitioned per target so shared cells stay correct),
-    *     keep rank r.
-    * Equal values share a cell (the index is a pure monotone function
-    * of the value), so tie order is irrelevant exactly as in the
-    * histogram form. One more 2→3 iteration bounds the sorted slice at
-    * n/B² for ≥10¹⁰-row groups; not needed below that and documented
-    * rather than built. RelationalSpec pins this key row-for-row equal
-    * to [[relAggQuantile]]; the driver checks both against the same
+    * Round 14: TWO passes (was three) — the per-group min/max stats
+    * scan is gone because [[valuesAtRanks]] now bins with the
+    * data-independent equal-ratio [[logCell]] index instead of
+    * fixed-width cells over a measured [min, max]; per-group n falls
+    * out of the tiny cell frame. Pass 1 counts per (group, cell) —
+    * map-side combined, a cumulative window over THAT frame only
+    * (plan-gated by the round-14 cell-discipline gate: every Window is
+    * either cell-partitioned or fed by the cell aggregate) gives each
+    * cell its closed rank interval, and each target rank t = ceil(p·n)
+    * resolves to (winning cell, residual rank r = t − lo + 1). Pass 2
+    * broadcast-joins the fact to the ≤ |groups|·|ps| winning cells and
+    * keeps rank r by row_number inside each (≈ one cell's rows each,
+    * partitioned per target so shared cells stay correct). Equal values
+    * share a cell (the index is a pure monotone function of the value),
+    * so tie order is irrelevant exactly as in the histogram form.
+    * RelationalSpec pins this key row-for-row equal to
+    * [[relAggQuantile]]; the driver checks both against the same
     * DuckDB rank oracle. */
   def relAggQuantileBucketed(s: SparkSession, dir: String): DataFrame =
-    relAggQuantileBucketedB(s, dir, 1024)
+    relAggQuantileBucketedB(s, dir, 64)
 
-  /** Parameterized form — RelationalSpec shrinks B (down to 1, the
-    * degenerate everything-in-one-cell case) to prove the cell walk,
-    * the residual rank, and shared-cell targets are live, not just
-    * exercised at the default width. */
-  def relAggQuantileBucketedB(s: SparkSession, dir: String, B: Int): DataFrame = {
+  /** Parameterized form — RelationalSpec shrinks the cells-per-e-fold
+    * K (down to 0, the degenerate everything-in-one-cell case) to
+    * prove the cell walk, the residual rank, and shared-cell targets
+    * are live, not just exercised at the default width. */
+  def relAggQuantileBucketedB(s: SparkSession, dir: String, k: Int): DataFrame = {
     val fact = Tables.fanOut(Tables.load(s, dir, "lineitem")
         .select(col("l_returnflag").as("grp"), col("l_extendedprice").as("v")),
         col("grp"), col("v"))
-    valuesAtRanks(fact, B, stats => stats
+    valuesAtRanks(fact, k, stats => stats
       .select(col("grp"), col("n"),
         explode(array(lit(0.25), lit(0.5), lit(0.75))).as("p"))
       .select(col("grp"), col("p").cast("string").as("label"),
@@ -1421,48 +1452,82 @@ object Relational {
       .orderBy("l_returnflag", "p")
   }
 
+  /** Monotone EQUAL-RATIO cell index (the DDSketch/HDR bucket family):
+    * floor(ln v · K) — K cells per e-fold, cell width ratio γ = e^(1/K)
+    * (≈ 1.6 % at K = 64) — data-INDEPENDENT, so no min/max stats pass
+    * is ever needed to bin, and the same value bins identically on
+    * every pass that sees it. The two properties the selection and
+    * prefix-scan algebra rely on both hold: v₁ ≤ v₂ ⇒ cell(v₁) ≤
+    * cell(v₂), and equal values share a cell. The natural log is libm
+    * but cells never cross the engine boundary — only rank-exact
+    * VALUES and exact integer counts/sums do. K ≤ 0 degenerates to the
+    * single-cell case (the spec stress knob). Non-positive v (none in
+    * the shipped callers — prices/revenue cents are > 0) collapses
+    * into one guard cell below every log cell, preserving
+    * monotonicity. A bounded-domain table with manifest/footer min-max
+    * statistics could use fixed-width cells instead; the log cell
+    * needs no bounds at all, which is what removes a full fact scan. */
+  private def logCell(v: Column, k: Int): Column =
+    when(v.cast("double") <= 0d, lit(Int.MinValue / 2))
+      .otherwise(floor(log(v.cast("double")) * lit(k)).cast("int"))
+
   /** Shared core of the bucketed two-level EXACT RANK SELECTION
-    * ([[relAggQuantileBucketed]], [[relHistEquidepth]]): `fact` is a
-    * two-column (grp, v) frame; `mkTargets` maps the per-group stats
-    * frame (grp, mn, mx, n) to target ranks (grp, label, t) — 1-based
-    * ranks in the group's ascending v order — and the result is (grp,
-    * label, v-at-rank-t). Three map-side-combined passes over the fact
-    * (stats, cell counts, winner-cell selection), a cumulative window
-    * over at most |groups|·B count rows, and a rank window over ONLY
-    * the winning cells (≈ n/B rows per target): nothing larger than
-    * n/B is ever sorted, no matter how the values are distributed —
-    * the property that makes this the robust form when the value
-    * domain is continuous/unbounded and a (grp, v) histogram would not
-    * reduce (see [[relAggQuantile]]'s honesty note). Equal values
-    * always share a cell (the index is a pure monotone function of v),
-    * so tie order cannot change the value at any rank. */
-  private def valuesAtRanks(fact: DataFrame, B: Int,
+    * ([[relAggQuantileBucketed]], [[relHistEquidepth]], and — through
+    * the cumulative-sum channel — [[relWindowNtile]]): `fact` is a
+    * two-column (grp, v) frame; `mkTargets` maps the per-group size
+    * frame (grp, n) to target ranks (grp, label, t) — 1-based ranks in
+    * the group's ascending v order — and the result is (grp, label,
+    * v-at-rank-t, cum = Σ of the group's t smallest v).
+    *
+    * TWO map-side-combined passes over the fact (was three in r13 —
+    * the [[logCell]] bin is a pure function of the value, so the
+    * per-group min/max pass is gone and n falls out of the cell frame):
+    * pass 1 aggregates count + Σv per (grp, cell); a cumulative window
+    * over THAT tiny frame only gives each cell its closed rank interval
+    * [lo, hi] and exclusive prefix sum, and each target resolves to
+    * (winning cell, residual rank r = t − lo + 1); pass 2
+    * broadcast-joins the fact to the winning cells only and a
+    * row_number + running-sum window partitioned per (grp, cell, label)
+    * keeps rank r. Nothing larger than ONE CELL is ever sorted, no
+    * matter how the values are distributed — the property that makes
+    * this the robust form when the value domain is continuous/unbounded
+    * and a (grp, v) histogram would not reduce (see
+    * [[relAggQuantile]]'s honesty note). Cell widths are ratio-bounded,
+    * so a cell's row share is bounded for any distribution without a
+    * point mass inside one γ-band; an all-ties cell degenerates to
+    * sorting equal keys (any rank returns that value — harmless), and
+    * the escalation for adversarial tie mass is one hash-refined
+    * sub-cell pass, documented rather than built. The cumulative sum is
+    * exact when v is integral (the cents-scaled callers); callers on
+    * double v ignore `cum` and Catalyst prunes the sum aggregates away. */
+  private def valuesAtRanks(fact: DataFrame, k: Int,
       mkTargets: DataFrame => DataFrame): DataFrame = {
-    val stats = fact.groupBy("grp").agg(
-      min(col("v")).as("mn"), max(col("v")).as("mx"), count(lit(1)).as("n"))
-    // monotone cell index: a degenerate single-value group collapses to
-    // cell 0 via the +1e-9
-    def cellOf(v: Column, mn: Column, mx: Column): Column =
-      least(greatest(floor((v - mn).cast("double")
-          / ((mx - mn).cast("double") + lit(1e-9)) * lit(B)).cast("int"),
-        lit(0)), lit(B - 1))
-    val withCell = fact.join(broadcast(stats), "grp")
-      .withColumn("cell", cellOf(col("v"), col("mn"), col("mx")))
-    val counts = withCell.groupBy("grp", "cell").agg(count(lit(1)).as("c"))
+    val withCell = fact.withColumn("cell", logCell(col("v"), k))
+    val counts = withCell.groupBy("grp", "cell")
+      .agg(count(lit(1)).as("c"), sum(col("v")).as("s"))
+    // per-group n from the cell frame — an aggregate over |grp|·|cells|
+    // rows whose shuffle subtree is identical to `counts`' own, so AQE
+    // exchange reuse runs the fact-side partial aggregate once
+    val stats = counts.groupBy("grp").agg(sum(col("c")).as("n"))
     val wCum = Window.partitionBy("grp").orderBy("cell")
     val cum = counts
       .withColumn("hi", sum(col("c")).over(wCum))
       .withColumn("lo", col("hi") - col("c") + lit(1L))
+      .withColumn("s_below", sum(col("s")).over(wCum) - col("s"))
     val winners = cum.join(mkTargets(stats), Seq("grp"))
       .filter(col("t") >= col("lo") && col("t") <= col("hi"))
       .select(col("grp").as("g2"), col("cell").as("wc"),
-        col("label"), (col("t") - col("lo") + lit(1L)).as("r"))
+        col("label"), (col("t") - col("lo") + lit(1L)).as("r"),
+        col("s_below"))
     val wSel = Window.partitionBy("grp", "cell", "label").orderBy("v")
     withCell.join(broadcast(winners),
         col("grp") === col("g2") && col("cell") === col("wc"))
       .withColumn("rn", row_number().over(wSel))
+      .withColumn("run_s", sum(col("v"))
+        .over(wSel.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .filter(col("rn") === col("r"))
-      .select(col("grp"), col("label"), col("v"))
+      .select(col("grp"), col("label"), col("v"),
+        (col("s_below") + col("run_s")).as("cum"))
   }
 
   /** SKYLINE (Pareto frontier) over part: minimize p_retailprice,
@@ -1475,14 +1540,29 @@ object Relational {
     * to one row per DISTINCT PRICE first — a skyline point must carry
     * the max size at its price, so `groupBy(price).max(size)` (map-side
     * combined, one shuffle bounded by |distinct prices|, not |parts|)
-    * loses nothing. Over that reduced frame the 2-D skyline is a single
-    * prefix-max window: a price survives iff its max size strictly
-    * exceeds the max size of every strictly cheaper price
-    * (`rangeBetween(unboundedPreceding, -1)` on integer CENTS — the
-    * range frame is what makes "strictly cheaper" exact; a rows frame
-    * would misread price ties). The global-order window runs over the
-    * aggregate-reduced frame only; survivors then join back (broadcast —
-    * a skyline is dim-sized) to recover every partkey at the surviving
+    * loses nothing. Over that reduced frame the 2-D skyline is a
+    * prefix-max scan: a price survives iff its max size strictly
+    * exceeds the max size of every strictly cheaper price.
+    *
+    * Round 14: the prefix max runs as a BUCKETED TWO-LEVEL SCAN, not
+    * one unpartitioned window — r13's `rangeBetween` window sorted the
+    * whole distinct-price frame in ONE task (fine at |part| = 20 k,
+    * a single-task dimension sort at 10⁹ parts). Two-level form
+    * (Blelloch scan as Spark plans): (1) max size per [[logCell]]
+    * price cell — map-side combined; (2) one cumulative-max window
+    * over the ≤ |cells| frame ONLY gives each cell its EXCLUSIVE
+    * carry-in (`rowsBetween(…, -1)` over cells ordered ascending —
+    * every price in a strictly lower cell is strictly cheaper, by
+    * monotonicity of the cell index); (3) the within-cell strictly-
+    * cheaper max comes from a window PARTITIONED BY CELL
+    * (`rangeBetween(…, -1)` on integer CENTS — the range frame is what
+    * makes "strictly cheaper" exact under price ties; cells run in
+    * parallel, each sorting only its own γ-band of prices).
+    * `greatest` (null-skipping) fuses carry-in and in-cell max; a
+    * strictly-lower-cell price ∪ a cheaper same-cell price is exactly
+    * the strictly-cheaper set, so survivors are identical to the
+    * single-window form row for row. Survivors join back (broadcast —
+    * a skyline is tiny) to recover every partkey at the surviving
     * (price, max-size) points. Ties on (price, size) are all reported,
     * per strict-dominance semantics. */
   def relSkyline(s: SparkSession, dir: String): DataFrame = {
@@ -1490,9 +1570,17 @@ object Relational {
       .select(col("p_partkey"), col("p_size"), col("p_retailprice"),
         (dec("p_retailprice") * lit(100)).cast("long").as("price_c"))
     val perPrice = part.groupBy("price_c").agg(max("p_size").as("best_size"))
-    val wLower = Window.orderBy("price_c").rangeBetween(Window.unboundedPreceding, -1)
-    val frontier = perPrice
-      .withColumn("lower_best", max("best_size").over(wLower))
+      .withColumn("cell", logCell(col("price_c"), 64))
+    val cellMax = perPrice.groupBy("cell").agg(max("best_size").as("cm"))
+    val wCarry = Window.orderBy("cell")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carries = cellMax
+      .select(col("cell").as("cc"), max("cm").over(wCarry).as("carry"))
+    val wInCell = Window.partitionBy("cell").orderBy("price_c")
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val frontier = perPrice.join(broadcast(carries), col("cell") === col("cc"))
+      .withColumn("lower_best",
+        greatest(col("carry"), max("best_size").over(wInCell)))
       .filter(col("lower_best").isNull || col("lower_best") < col("best_size"))
       .select(col("price_c").as("f_price"), col("best_size"))
     part.join(broadcast(frontier),
@@ -1530,19 +1618,42 @@ object Relational {
     * (5·cum ≤ 4·total, 20·cum ≤ 19·total) — no percentage division
     * anywhere, so class boundaries are engine-exact even when a part
     * straddles the cut. Scale: the fact scan reduces to a per-part
-    * aggregate (map-side combined) before any window; the cumulative
-    * window orders the part-sized frame (with partkey tiebreak — revenue
-    * ties must accumulate identically in both engines), and the output
-    * is the 3-row class summary. */
+    * aggregate (map-side combined) before any window.
+    *
+    * Round 14: the cumulative revenue runs as a BUCKETED TWO-LEVEL
+    * PREFIX SUM — r13's unpartitioned window sorted the whole
+    * part-sized frame in one task (20 k rows here; 10⁹ at a 100 TB
+    * part dimension). Two-level scan: (1) Σ rev per [[logCell]]
+    * revenue cell (negated — the scan order is rev DESC — so the cell
+    * index stays monotone in scan order; equal revenues share a cell,
+    * so the partkey tiebreak never crosses cells); (2) one cumulative
+    * window over the ≤ |cells| frame gives each cell its EXCLUSIVE
+    * carry-in, and the grand total comes from the same tiny frame —
+    * no second fact pass for the denominator; (3) the within-cell
+    * running sum is a window PARTITIONED BY CELL ordered (rev desc,
+    * partkey) — cells scan in parallel, each sorting only its γ-band.
+    * carry + in-cell sum ≡ the single-window cumulative sum row for
+    * row (revenue cents are exact decimals; addition is associative —
+    * no fp anywhere), so class boundaries are unchanged. */
   def relAbcPareto(s: SparkSession, dir: String): DataFrame = {
     val perPart = Tables.load(s, dir, "lineitem")
       .groupBy("l_partkey")
       .agg(sum((dec("l_extendedprice") * lit(100)).cast("decimal(18,0)")).as("rev_c"))
-    val wCum = Window.orderBy(col("rev_c").desc, col("l_partkey"))
+      .withColumn("cell", -logCell(col("rev_c"), 64))
+    val cellSum = perPart.groupBy("cell")
+      .agg(sum("rev_c").cast("decimal(28,0)").as("cs"))
+    val wCarry = Window.orderBy("cell")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carries = cellSum
+      .select(col("cell").as("cc"),
+        coalesce(sum("cs").over(wCarry), lit(0).cast("decimal(28,0)")).as("carry"))
+    val totals = cellSum.agg(sum("cs").cast("decimal(28,0)").as("total_c"))
+    val wInCell = Window.partitionBy("cell")
+      .orderBy(col("rev_c").desc, col("l_partkey"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val classed = perPart
-      .withColumn("cum_c", sum("rev_c").over(wCum))
-      .crossJoin(broadcast(perPart.agg(sum("rev_c").as("total_c"))))
+    val classed = perPart.join(broadcast(carries), col("cell") === col("cc"))
+      .withColumn("cum_c", col("carry") + sum("rev_c").over(wInCell))
+      .crossJoin(broadcast(totals))
       .withColumn("abc_class",
         when(col("cum_c") * 5 <= col("total_c") * 4, "A")
           .when(col("cum_c") * 20 <= col("total_c") * 19, "B")
@@ -1615,8 +1726,9 @@ object Relational {
     * literal form ran ntile over the raw fact — one task per group
     * sorting the whole group: the round-13 FULL-SURFACE sf10 bench
     * measured it at 65 s / 60 M rows (the worst key in the surface, a
-    * genuine scale cliff); with selection nothing larger than n/B is
-    * ever sorted regardless of the value distribution. */
+    * genuine scale cliff); with selection nothing larger than one
+    * ratio-bounded cell is ever sorted regardless of the value
+    * distribution. */
   def relHistEquidepth(s: SparkSession, dir: String): DataFrame = {
     val fact = Tables.fanOut(
         Tables.load(s, dir, "lineitem")
@@ -1639,7 +1751,7 @@ object Relational {
           |           + LEAST(CAST(k AS BIGINT), n % 4L))))),
           |  st -> CAST(split(st.label, ':')[2] AS BIGINT) > 0L)""".stripMargin)).as("b"))
       .select(col("grp"), col("b.label").as("label"), col("b.t").as("t"))
-    valuesAtRanks(fact, 1024, targets)
+    valuesAtRanks(fact, 64, targets)
       .select(col("grp"), split(col("label"), ":").as("parts"), col("v"))
       .groupBy(col("grp").as("l_returnflag"),
         col("parts").getItem(0).cast("long").as("bucket"))

@@ -211,23 +211,31 @@ class ContractSpec extends SparkSpec {
     // it must return the SAME DataFrame (no exchange, byte-identical
     // plan). On the one-row-group fixture it must add exactly one
     // exchange partitioned to the core count on the requested keys.
+    // r13 ADVICE: derive the wide fixture's width from the session's
+    // own parallelism (a hard-coded repartition(8) silently narrows if
+    // the test master ever rises above local[8]) and clean up the dir.
     val tmp = "/tmp/graft_fanout_wide"
-    Tables.load(spark, sf, "documents").select("doc_id", "text")
-      .repartition(8).write.mode("overwrite").parquet(tmp)
-    val wide = spark.read.parquet(tmp)
-    assert(wide.rdd.getNumPartitions >= spark.sparkContext.defaultParallelism)
-    assert(Tables.fanOut(wide, col("doc_id")) eq wide,
-      "fanOut must return the identical DataFrame on a wide input")
-    val narrow = Tables.load(spark, sf, "documents").select("doc_id", "text")
-    assert(narrow.rdd.getNumPartitions < spark.sparkContext.defaultParallelism,
-      "fixture assumption broken: single-file docs should scan narrow")
-    val fanned = Tables.fanOut(narrow, col("doc_id"))
-    assert(fanned.rdd.getNumPartitions == spark.sparkContext.defaultParallelism)
-    val exs = org.apache.spark.sql.graft.Bridge.runtimeOps(
-      fanned.queryExecution.executedPlan)
-      .filter(_.nodeName.contains("Exchange"))
-    assert(exs.size == 1 && exs.head.toString.contains("hashpartitioning"),
-      s"expected one hash exchange on the narrow path: ${exs.map(_.nodeName)}")
+    val cores = spark.sparkContext.defaultParallelism
+    try {
+      Tables.load(spark, sf, "documents").select("doc_id", "text")
+        .repartition(cores * 2).write.mode("overwrite").parquet(tmp)
+      val wide = spark.read.parquet(tmp)
+      assert(wide.rdd.getNumPartitions >= cores)
+      assert(Tables.fanOut(wide, col("doc_id")) eq wide,
+        "fanOut must return the identical DataFrame on a wide input")
+      val narrow = Tables.load(spark, sf, "documents").select("doc_id", "text")
+      assert(narrow.rdd.getNumPartitions < cores,
+        "fixture assumption broken: single-file docs should scan narrow")
+      val fanned = Tables.fanOut(narrow, col("doc_id"))
+      assert(fanned.rdd.getNumPartitions == cores)
+      val exs = org.apache.spark.sql.graft.Bridge.runtimeOps(
+        fanned.queryExecution.executedPlan)
+        .filter(_.nodeName.contains("Exchange"))
+      assert(exs.size == 1 && exs.head.toString.contains("hashpartitioning"),
+        s"expected one hash exchange on the narrow path: ${exs.map(_.nodeName)}")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp)): Unit
+    }
   }
 
   test("round-13 plan gate: exact quantile windows the value histogram, never the raw fact") {
@@ -254,6 +262,61 @@ class ContractSpec extends SparkSpec {
     assert(aggIdx >= 0 && (scanIdx < 0 || aggIdx < scanIdx),
       s"Window fed by raw rows, not the value histogram: " +
         below.map(_.nodeName).mkString(" | "))
+  }
+
+  test("round-14 plan gate: cell discipline — no dimension-sized single-task window sort") {
+    // The bucketed two-level scan/selection family must never sort more
+    // than one ratio-bounded cell in a single task. Rule: every
+    // WindowExec either (a) PARTITIONS BY the cell column — per-cell
+    // slices run in parallel; (b) is fed (through Sort / Exchange /
+    // Project / Filter / AQE plumbing only) by a HashAggregate whose
+    // grouping keys include the cell — the ≤|cells| carry/interval
+    // frame; or (c) consumes the already-capped output of a window
+    // that itself satisfies the rule (rel_window_ntile's
+    // 4-rows-per-group lead over the selection output). The r13 forms
+    // (unpartitioned prefix sum over every part, 5-task full ntile
+    // sort) all violate this rule.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    def refsCell(exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]): Boolean =
+      exprs.exists(_.references.exists(_.name == "cell"))
+    def firstInteresting(p: SparkPlan): Option[SparkPlan] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        firstInteresting(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        firstInteresting(q.plan)
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+        firstInteresting(r.child)
+      case _: org.apache.spark.sql.execution.SortExec
+         | _: org.apache.spark.sql.execution.ProjectExec
+         | _: org.apache.spark.sql.execution.FilterExec
+         | _: org.apache.spark.sql.execution.ColumnarToRowExec
+         | _: org.apache.spark.sql.execution.InputAdapter
+         | _: org.apache.spark.sql.execution.WholeStageCodegenExec
+         | _: org.apache.spark.sql.execution.exchange.Exchange
+         | _: org.apache.spark.sql.execution.adaptive.AQEShuffleReadExec =>
+        firstInteresting(p.children.head)
+      case other => Some(other)
+    }
+    def windowOk(w: WindowExec): Boolean =
+      refsCell(w.partitionSpec) || (firstInteresting(w.child) match {
+        case Some(a: BaseAggregateExec) => refsCell(a.groupingExpressions)
+        case Some(inner: WindowExec)    => windowOk(inner)
+        case _                          => false
+      })
+    for (key <- Seq("rel_skyline", "rel_abc_pareto", "rel_window_ntile",
+        "rel_hist_equidepth", "rel_agg_quantile_bucketed")) {
+      val df = SparkEntry.queries(key)(spark, sf)
+      df.collect()
+      val wins = org.apache.spark.sql.graft.Bridge
+        .runtimeOps(df.queryExecution.executedPlan)
+        .collect { case w: WindowExec => w }
+      assert(wins.nonEmpty, s"$key: expected Window nodes in the plan")
+      wins.foreach(w => assert(windowOk(w),
+        s"$key: window not cell-partitioned, cell-aggregate-fed, or " +
+          s"capped-window-fed:\n$w"))
+    }
   }
 
   test("parameterized SQL: named-param, EXECUTE IMMEDIATE, and session-variable forms agree") {

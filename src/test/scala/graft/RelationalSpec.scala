@@ -175,10 +175,11 @@ class RelationalSpec extends SparkSpec {
   test("rel_agg_quantile_bucketed ≡ the histogram exact form, at default and stress cell widths") {
     val want = Relational.relAggQuantile(spark, sf).collect().toSeq
       .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
-    // B=1024 (the declared key), B=7 (multiple targets share a cell),
-    // B=1 (degenerate: every row in cell 0 — the selection pass must
-    // reduce to the plain per-group rank) all agree with the exact form
-    Seq(1024, 7, 1).foreach { b =>
+    // K=64 cells/e-fold (the declared key), K=1 (cells ~e× wide —
+    // multiple targets share a cell), K=0 (degenerate: every row in
+    // cell 0 — the selection pass must reduce to the plain per-group
+    // rank) all agree with the exact form
+    Seq(64, 1, 0).foreach { b =>
       val got = Relational.relAggQuantileBucketedB(spark, sf, b).collect().toSeq
         .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
       assert(got == want, s"B=$b diverged: got=$got want=$want")
