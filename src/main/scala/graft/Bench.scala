@@ -132,10 +132,15 @@ object Bench {
     // r13 ADVICE: a key-filtered or off-default-SF scratch run must not
     // clobber the committed full-surface sf0.1 artifact — route it to
     // BENCH_SUBSET.json / BENCH_FULL_<sf>.json instead.
+    // Canonical-path compare (r14 ADVICE): a trailing slash, symlink, or
+    // relative spelling of the default sf dir must still route to
+    // BENCH_FULL.json, not silently leave it stale.
+    def canon(p: String): String =
+      try new java.io.File(p).getCanonicalPath catch { case _: Throwable => p }
     val outFile =
       if (sys.env.contains("SPARK_GRAFT_KEYS")) "BENCH_SUBSET.json"
-      else if (sfDir != "/root/testdata/sf0.1")
-        "BENCH_FULL_" + new java.io.File(sfDir).getName + ".json"
+      else if (canon(sfDir) != canon("/root/testdata/sf0.1"))
+        "BENCH_FULL_" + new java.io.File(canon(sfDir)).getName + ".json"
       else "BENCH_FULL.json"
     try {
       val w = new java.io.PrintWriter(outFile)

@@ -22,11 +22,26 @@ object Tables {
     * persisted copy instead of re-deriving the join+distinct each time.
     * Keyed by session identity so a fresh session never sees stale plans. */
   private val memoCache =
-    scala.collection.concurrent.TrieMap[(Int, String, String), DataFrame]()
+    scala.collection.concurrent.TrieMap[(String, String, String), DataFrame]()
+
+  /** Stable per-session key: a fresh UUID minted on first sight of each
+    * live session and held in a WEAK-keyed map — unlike
+    * identityHashCode, a tag can never be reused by a later session
+    * (r14 ADVICE: identity-hash reuse after GC could replay a stale
+    * cache line), and dead sessions' entries are collectable. */
+  private val sessionTags =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, String]())
+  private def sessionTag(spark: SparkSession): String =
+    sessionTags.synchronized {
+      val t = sessionTags.get(spark)
+      if (t != null) t
+      else { val u = java.util.UUID.randomUUID().toString; sessionTags.put(spark, u); u }
+    }
 
   def memo(spark: SparkSession, dir: String, key: String)(build: => DataFrame): DataFrame =
     memoCache.getOrElseUpdate(
-      (System.identityHashCode(spark), dir, key),
+      (sessionTag(spark), dir, key),
       build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
   /** Column names declared TIMESTAMP(NANOS) in the parquet footer of
@@ -78,17 +93,20 @@ object Tables {
     * stays on the scan tasks, and the plan is byte-identical. Apply it
     * only where the first stage does real per-row compute — for cheap
     * scans the exchange costs more than the serialism. */
-  /** Scan-width decisions, keyed by (session, input file set, cores):
-    * the narrow/wide answer depends only on the LEAF scan's split
-    * count — identical for every projection of the same files — but
-    * reading it via `df.rdd.getNumPartitions` forces a full physical
-    * planning + RDD-conversion pass, so pay that once per file set per
-    * session, not once per caller (r13 ADVICE). Static split counts
-    * are what AQE itself starts from — AQE re-plans SHUFFLE
-    * partitioning at runtime, never file-scan splits, so the cached
-    * decision cannot drift from execution. */
+  /** Scan-width decisions, keyed by (session UUID, input file set,
+    * cores): the narrow/wide answer depends only on the LEAF scan's
+    * split count — identical for every projection of the same files —
+    * but reading it via `df.rdd.getNumPartitions` forces a full
+    * physical planning + RDD-conversion pass, so pay that once per file
+    * set per session, not once per caller (r13 ADVICE). The key holds
+    * FULL values (no int hashes — r14 ADVICE: a 32-bit collision would
+    * silently replay the other file set's narrow/wide verdict), and the
+    * session UUID cannot be reused after GC the way identityHashCode
+    * can. Static split counts are what AQE itself starts from — AQE
+    * re-plans SHUFFLE partitioning at runtime, never file-scan splits,
+    * so the cached decision cannot drift from execution. */
   private val scanWidthCache =
-    scala.collection.concurrent.TrieMap[(Int, Int, Int), Boolean]()
+    scala.collection.concurrent.TrieMap[(String, Seq[String], Int), Boolean]()
 
   def fanOut(df: DataFrame, by: org.apache.spark.sql.Column*): DataFrame = {
     val cores = df.sparkSession.sparkContext.defaultParallelism
@@ -96,8 +114,7 @@ object Tables {
     val wide =
       if (files.isEmpty) df.rdd.getNumPartitions >= cores // non-file input: no stable key
       else scanWidthCache.getOrElseUpdate(
-        (System.identityHashCode(df.sparkSession),
-          java.util.Arrays.hashCode(files.asInstanceOf[Array[AnyRef]]), cores),
+        (sessionTag(df.sparkSession), files.toSeq, cores),
         df.rdd.getNumPartitions >= cores)
     if (wide) df
     // Prefer hash-partitioning on the downstream grouping keys: it skips

@@ -1498,13 +1498,21 @@ object Relational {
     * sorting equal keys (any rank returns that value — harmless), and
     * the escalation for adversarial tie mass is one hash-refined
     * sub-cell pass, documented rather than built. The cumulative sum is
-    * exact when v is integral (the cents-scaled callers); callers on
-    * double v ignore `cum` and Catalyst prunes the sum aggregates away. */
+    * exact when v is integral (the cents-scaled callers) — summed as
+    * DECIMAL(28,0), not long, so a 100 TB group of max-cent values
+    * overflows to null loudly instead of wrapping silently (r14
+    * ADVICE; long sums wrap in non-ANSI mode). Callers on double v
+    * ignore `cum`, keep double sums (a decimal cast would truncate),
+    * and Catalyst prunes the sum aggregates away. */
   private def valuesAtRanks(fact: DataFrame, k: Int,
       mkTargets: DataFrame => DataFrame): DataFrame = {
+    val sumSafe: Column => Column =
+      if (fact.schema("v").dataType == org.apache.spark.sql.types.LongType)
+        v => v.cast("decimal(28,0)")
+      else identity
     val withCell = fact.withColumn("cell", logCell(col("v"), k))
     val counts = withCell.groupBy("grp", "cell")
-      .agg(count(lit(1)).as("c"), sum(col("v")).as("s"))
+      .agg(count(lit(1)).as("c"), sum(sumSafe(col("v"))).as("s"))
     // per-group n from the cell frame — an aggregate over |grp|·|cells|
     // rows whose shuffle subtree is identical to `counts`' own, so AQE
     // exchange reuse runs the fact-side partial aggregate once
@@ -1523,7 +1531,7 @@ object Relational {
     withCell.join(broadcast(winners),
         col("grp") === col("g2") && col("cell") === col("wc"))
       .withColumn("rn", row_number().over(wSel))
-      .withColumn("run_s", sum(col("v"))
+      .withColumn("run_s", sum(sumSafe(col("v")))
         .over(wSel.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .filter(col("rn") === col("r"))
       .select(col("grp"), col("label"), col("v"),
