@@ -114,6 +114,36 @@ object FimiTable {
     c
   }
 
+  /** Data files at `versionAsOf` (latest when None): a path that is a
+    * [[FimiLog]] snapshot directory resolves through its manifest log
+    * (commit-order ordinals; orphans from failed commit attempts
+    * invisible — the exactly-once read view); any other path falls back
+    * to [[listDataFiles]]' path-sorted listing. The plain multi-path
+    * case takes the one global sorted listing, byte-identical to the
+    * pre-snapshot behavior. */
+  def resolveDataFiles(
+      conf: Configuration,
+      optionPaths: Seq[String],
+      versionAsOf: Option[Long]): Seq[FileStatus] = {
+    val dirs = optionPaths.map { p =>
+      val path = new Path(p)
+      val fs = path.getFileSystem(conf)
+      (p, path, fs, fs.exists(path) && fs.getFileStatus(path).isDirectory &&
+        FimiLog.exists(fs, path))
+    }
+    if (dirs.forall(!_._4)) {
+      require(versionAsOf.isEmpty,
+        s"fimi: versionAsOf given but no path in $optionPaths has a " +
+          s"${FimiLog.DirName} snapshot log")
+      listDataFiles(conf, optionPaths)
+    } else dirs.flatMap {
+      case (_, path, fs, true) =>
+        FimiLog.resolve(fs, path, versionAsOf)
+          .map(name => fs.getFileStatus(new Path(path, name)))
+      case (p, _, _, false) => listDataFiles(conf, Seq(p))
+    }
+  }
+
   /** Expand the option paths (files, directories, globs) to the sorted
     * data-file list that defines file ordinals. Hidden files (`_`/`.`
     * prefixes — including our own staging dirs) are skipped. */
@@ -180,6 +210,7 @@ class FimiTable(options: CaseInsensitiveStringMap)
       TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE,
+      TableCapability.STREAMING_WRITE,
       TableCapability.TRUNCATE,
       TableCapability.ACCEPT_ANY_SCHEMA)
 
@@ -263,7 +294,8 @@ class FimiScanBuilder(options: CaseInsensitiveStringMap)
           (math.max(lo, l), math.min(hi, h))
         }
       new FimiScan(FimiTable.paths(options).toIndexedSeq, hadoopKVs, requiredSchema,
-        maxSplitBytes, sep, limit, bound._1, bound._2)
+        maxSplitBytes, sep, limit, bound._1, bound._2,
+        Option(options.get("versionAsOf")).map(_.toLong))
     }
   }
 }
@@ -282,7 +314,8 @@ class FimiScan(
     sep: String,
     limit: Int,
     tidLo: Long,
-    tidHi: Long) extends Scan with Batch with SupportsReportStatistics {
+    tidHi: Long,
+    versionAsOf: Option[Long] = None) extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = requiredSchema
   override def toBatch: Batch = this
@@ -303,7 +336,8 @@ class FimiScan(
       if (tidLo != Long.MinValue || tidHi != Long.MaxValue)
         s", tidRange=[$tidLo,$tidHi]"
       else ""
-    s"fimi ${optionPaths.mkString(",")}$lim$rng"
+    val ver = versionAsOf.map(v => s", versionAsOf=$v").getOrElse("")
+    s"fimi ${optionPaths.mkString(",")}$lim$rng$ver"
   }
 
   private lazy val partitions: Array[FimiInputPartition] = {
@@ -320,7 +354,7 @@ class FimiScan(
             "present); pass .option(\"buckets\", N) or read it through " +
             "the graft catalog")
     }
-    val files = FimiTable.listDataFiles(conf, optionPaths)
+    val files = FimiTable.resolveDataFiles(conf, optionPaths, versionAsOf)
     require(files.size < (1 << (63 - FimiTable.OffsetBits)),
       s"fimi: ${files.size} files exceeds the tid file-ordinal range")
     val codecs = new CompressionCodecFactory(conf)
@@ -474,7 +508,8 @@ class FimiWriteBuilder(options: CaseInsensitiveStringMap, info: LogicalWriteInfo
       new FimiBucketedWrite(dest, kvs, tidIdx, itemsIdx, info.queryId(),
         truncateExisting, buckets)
     } else
-      new FimiBatchWrite(dest, kvs, itemsIdx, info.queryId(), truncateExisting)
+      new FimiBatchWrite(dest, kvs, itemsIdx, info.queryId(), truncateExisting,
+        Option(options.get("snapshots")).exists(_.toBoolean))
   }
 }
 
@@ -485,9 +520,17 @@ class FimiBatchWrite(
     hadoopKVs: Array[(String, String)],
     itemsIdx: Int,
     queryId: String,
-    truncate: Boolean) extends Write with BatchWrite {
+    truncate: Boolean,
+    snapshots: Boolean = false) extends Write with BatchWrite {
 
   override def toBatch: BatchWrite = this
+
+  /** Streaming sink form — exactly-once epochs via the manifest log
+    * (see [[FimiStreamingWrite]]). A streaming write always makes the
+    * destination a snapshot table: the manifest IS the epoch-dedup
+    * ledger. */
+  override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+    new FimiStreamingWrite(dest, hadoopKVs, itemsIdx)
 
   private def stagingDir = new Path(dest, s".graft-staging-$queryId")
 
@@ -498,13 +541,21 @@ class FimiBatchWrite(
     * part files under truncate, then rename each COMMITTED task file
     * into place. Rename is per-file-atomic on HDFS-like stores; a crash
     * mid-commit leaves a mix the next truncate-write clears, never a
-    * torn file. */
+    * torn file.
+    *
+    * SNAPSHOT MODE (`.option("snapshots", "true")` on the first write,
+    * auto-detected from `_fimi_log` thereafter): old generations stay
+    * on disk so `versionAsOf` reads keep working; visibility is decided
+    * by the manifest alone — truncate is a marker in the new manifest,
+    * and the manifest rename is the atomic commit point, AFTER which
+    * the staging dir is cleared. */
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val conf = FimiTable.rebuildConf(hadoopKVs)
     val destPath = new Path(dest)
     val fs = destPath.getFileSystem(conf)
     fs.mkdirs(destPath)
-    if (truncate)
+    val snapshotMode = snapshots || FimiLog.exists(fs, destPath)
+    if (truncate && !snapshotMode)
       // truncate REPLACES the table: every visible data file goes — a
       // part-*-only filter would leave pre-existing native .dat files
       // (retail.dat-style inputs, this connector's primary read case)
@@ -514,13 +565,26 @@ class FimiBatchWrite(
         if (st.isFile && !n.startsWith("_") && !n.startsWith("."))
           fs.delete(st.getPath, false)
       }
-    messages.foreach {
+    val finalNames = messages.toSeq.map {
       case FimiCommitMessage(staged) =>
         val s = new Path(staged)
         if (!fs.rename(s, new Path(destPath, s.getName)))
           throw new java.io.IOException(
             s"fimi commit: rename $s -> $destPath/${s.getName} failed")
+        s.getName
       case other => throw new IllegalStateException(s"unexpected $other")
+    }
+    if (snapshotMode) {
+      // first snapshot commit of a dir with pre-existing native files
+      // adopts them as generation 0 so they stay readable
+      val adopted =
+        if (FimiLog.exists(fs, destPath)) Seq.empty
+        else FimiTable.listDataFiles(conf, Seq(dest))
+          .map(_.getPath.getName).filterNot(finalNames.contains)
+      var v = FimiLog.latestVersion(fs, destPath).map(_ + 1).getOrElse(0L)
+      while (!FimiLog.write(fs, destPath, v, None, truncate,
+          (if (truncate) Seq.empty else adopted) ++ finalNames))
+        v += 1
     }
     fs.delete(stagingDir, true)
   }
@@ -537,28 +601,28 @@ class FimiWriterFactory(
     hadoopKVs: Array[(String, String)],
     itemsIdx: Int) extends DataWriterFactory {
 
-  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new FimiDataWriter(stagingDir, FimiTable.rebuildConf(hadoopKVs),
-      itemsIdx, partitionId, taskId)
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
+    // The job-unique staging-dir suffix rides into the FINAL name too:
+    // taskIds restart at 0 in a fresh session, so append-mode jobs from
+    // different sessions would otherwise collide on part-00000-0.dat.
+    val jobTag = new Path(stagingDir).getName
+      .stripPrefix(".graft-staging-").replaceAll("[^a-zA-Z0-9]", "").take(8)
+    val file = new Path(stagingDir, f"part-$partitionId%05d-$taskId-$jobTag.dat")
+    new FimiLineWriter(file, FimiTable.rebuildConf(hadoopKVs), itemsIdx)
+  }
 }
 
 /** Task-side writer: streams lines into one staged file; `commit`
   * closes it and hands the path to the driver. Task retries write
-  * distinct files (taskId in the name) — only the winner's message
-  * reaches job commit, the loser's file dies with the staging dir. */
-class FimiDataWriter(
-    stagingDir: String,
+  * distinct files (a per-attempt component in the name) — only the
+  * winner's message reaches job commit, the loser's file dies with the
+  * staging dir. Shared by the batch and streaming writer factories,
+  * which differ only in staging layout and naming. */
+class FimiLineWriter(
+    file: Path,
     conf: Configuration,
-    itemsIdx: Int,
-    partitionId: Int,
-    taskId: Long) extends DataWriter[InternalRow] {
+    itemsIdx: Int) extends DataWriter[InternalRow] {
 
-  // The job-unique staging-dir suffix rides into the FINAL name too:
-  // taskIds restart at 0 in a fresh session, so append-mode jobs from
-  // different sessions would otherwise collide on part-00000-0.dat.
-  private val jobTag = new Path(stagingDir).getName
-    .stripPrefix(".graft-staging-").replaceAll("[^a-zA-Z0-9]", "").take(8)
-  private val file = new Path(stagingDir, f"part-$partitionId%05d-$taskId-$jobTag.dat")
   private val fs = file.getFileSystem(conf)
   private val out = new java.io.BufferedWriter(
     new java.io.OutputStreamWriter(fs.create(file, true),

@@ -90,7 +90,11 @@ class FimiMicroBatchStream(
   override def initialOffset(): Offset = FimiOffset(0)
 
   override def latestOffset(): Offset = {
-    val fresh = FimiTable.listDataFiles(conf, optionPaths)
+    // resolveDataFiles: a manifest-logged (snapshot / streaming-sink)
+    // directory discovers through its log — committed files only, in
+    // commit order; orphans from failed sink attempts never enter the
+    // stream. Plain directories keep modTime-ordered listing discovery.
+    val fresh = FimiTable.resolveDataFiles(conf, optionPaths, None)
       .filterNot(st => seen.contains(st.getPath.toString))
       .sortBy(st => (st.getModificationTime, st.getPath.toString))
       .map(_.getPath.toString)

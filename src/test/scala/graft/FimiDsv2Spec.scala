@@ -318,6 +318,123 @@ class FimiDsv2Spec extends SparkSpec {
     assert(high == 10000L, s"pruning dropped compressed rows: $high")
   }
 
+  test("streaming write: readStream→writeStream is exactly-once across restart AND a replayed epoch") {
+    val src = tmpDir("swrite-src")
+    val dest = tmpDir("swrite-dest") + "/sink"
+    val ck = tmpDir("swrite-ck") + "/ck"
+    // the engine's per-session checkpoint-file cache would flag our
+    // hand-deleted commit marker as a concurrent writer; a genuine
+    // crash-replay starts a fresh driver with no such cache — disable
+    // it so the replay below exercises the sink, not the cache
+    val cacheKey = "spark.sql.streaming.metadataCache.enabled"
+    val prevCache = spark.conf.getOption(cacheKey)
+    spark.conf.set(cacheKey, "false")
+    def run(): Unit = {
+      val q = spark.readStream.format("fimi").load(src)
+        .select(col("tid"), col("items"))
+        .writeStream.format("fimi").outputMode("append")
+        .option("checkpointLocation", ck)
+        .start(dest)
+      try q.processAllAvailable() finally q.stop()
+    }
+    def sinkBaskets(): Seq[String] =
+      spark.read.format("fimi").load(dest)
+        .select(concat_ws(",", col("items")).as("b"))
+        .collect().map(_.getString(0)).sorted.toSeq
+    def ckState(tag: String): Unit = {
+      def ls(d: String) = Option(new java.io.File(ck, d).listFiles())
+        .getOrElse(Array.empty).map(_.getName).sorted.mkString(",")
+      info(s"[$tag] offsets={${ls("offsets")}} commits={${ls("commits")}}")
+    }
+    writeLines(src, "a.dat", Seq("x y", "y z"))
+    run()
+    ckState("after run1")
+    assert(sinkBaskets() == Seq("x,y", "y,z"))
+    // file lands while the query is DOWN; restart emits only the delta
+    writeLines(src, "b.dat", Seq("p q"))
+    run()
+    ckState("after run2")
+    assert(sinkBaskets() == Seq("p,q", "x,y", "y,z"))
+    // FORCED EPOCH REPLAY — the exactly-once failure mode the sink must
+    // absorb: deleting the engine's commit marker for the last batch
+    // makes the restarted query re-execute that epoch and re-commit it
+    // to the sink; the manifest's #epoch ledger must drop the replay.
+    val commits = new java.io.File(ck, "commits").listFiles()
+      .filter(_.getName.matches("\\d+")).sortBy(_.getName.toInt)
+    assert(commits.nonEmpty, "no engine commit markers written")
+    // delete the checksum sibling too: a genuine crash wrote neither,
+    // and a stale local-FS .crc makes the replayed commit's re-create
+    // throw FileAlreadyExists before the sink is even reached
+    val crc = new java.io.File(commits.last.getParent, s".${commits.last.getName}.crc")
+    if (crc.exists()) assert(crc.delete())
+    assert(commits.last.delete())
+    run()
+    assert(sinkBaskets() == Seq("p,q", "x,y", "y,z"),
+      "replayed epoch duplicated rows")
+    // nothing new → restart emits nothing, sink unchanged
+    run()
+    assert(sinkBaskets() == Seq("p,q", "x,y", "y,z"))
+    // no staging residue, and every data file is manifest-accounted
+    val leftovers = new java.io.File(dest).listFiles()
+      .filter(_.getName.startsWith(".graft-streaming"))
+    assert(leftovers.isEmpty, leftovers.mkString(","))
+    val fs = new org.apache.hadoop.fs.Path(dest)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val manifested = graft.sources.fimi.FimiLog
+      .resolve(fs, new org.apache.hadoop.fs.Path(dest), None).toSet
+    val onDisk = new java.io.File(dest).listFiles()
+      .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      .map(_.getName).toSet
+    assert(onDisk == manifested, s"disk $onDisk vs manifest $manifested")
+    prevCache match {
+      case Some(v) => spark.conf.set(cacheKey, v)
+      case None => spark.conf.unset(cacheKey)
+    }
+  }
+
+  test("snapshot log: versionAsOf time travel; truncate keeps old generations; staged writes invisible") {
+    val sp = spark
+    import sp.implicits._
+    val dest = tmpDir("snap") + "/t"
+    def baskets(df: DataFrame): Seq[String] =
+      df.select(concat_ws(",", col("items")).as("b"))
+        .collect().map(_.getString(0)).sorted.toSeq
+    def readV(v: Option[Long]): DataFrame =
+      v.foldLeft(spark.read.format("fimi"))((r, x) => r.option("versionAsOf", x))
+        .load(dest)
+    // v0: overwrite with snapshots on; v1: append; v2: overwrite (reset)
+    Seq((0L, Seq("a", "b"))).toDF("tid", "items")
+      .write.format("fimi").option("snapshots", "true").mode("overwrite").save(dest)
+    Seq((1L, Seq("c", "d"))).toDF("tid", "items")
+      .write.format("fimi").mode("append").save(dest)
+    Seq((2L, Seq("e"))).toDF("tid", "items")
+      .write.format("fimi").mode("overwrite").save(dest)
+    assert(baskets(readV(Some(0L))) == Seq("a,b"))
+    assert(baskets(readV(Some(1L))) == Seq("a,b", "c,d"))
+    assert(baskets(readV(Some(2L))) == Seq("e"))
+    assert(baskets(readV(None)) == Seq("e"), "latest must be the reset generation")
+    // truncate kept generation-0/1 files on disk (time travel depends on it)
+    assert(baskets(readV(Some(1L))) == Seq("a,b", "c,d"),
+      "old generation unreadable after truncate")
+    // an unknown version fails loudly, never reads as empty
+    val ex = intercept[Exception] { readV(Some(99L)).count() }
+    assert(ex.getMessage.contains("versionAsOf") ||
+      String.valueOf(ex.getCause).contains("versionAsOf"), s"got $ex")
+    // a CONCURRENT STAGED WRITE (files present, manifest not yet
+    // committed) is invisible: a reader's snapshot only moves on commit
+    val staged = new java.io.File(dest, ".graft-staging-concurrent")
+    staged.mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(staged.toString, "part-00000-x.dat"),
+      "q r\n".getBytes("UTF-8"))
+    // and even a DATA file dropped into the dir without a manifest entry
+    // (the crash-between-rename-and-manifest orphan) stays invisible
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dest, "part-orphan.dat"),
+      "s t\n".getBytes("UTF-8"))
+    assert(baskets(readV(None)) == Seq("e"), "uncommitted write leaked into a snapshot read")
+  }
+
   test("session catalog surface: CREATE TABLE ... USING fimi, then SQL over it") {
     val dir = tmpDir("catalog")
     writeLines(dir, "tx.dat", Seq("a b", "b c", "a b c"))
