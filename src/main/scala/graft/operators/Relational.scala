@@ -763,15 +763,26 @@ object Relational {
   }
 
   /** Skew-safe SALTED JOIN — the join-side companion of
-    * [[relAggSalted]]: when one fact key is hot enough that AQE's
-    * skew-split can't help (a single key's rows exceed one task), the
-    * classic fix replicates the build side across N salts and scatters
-    * the fact side by a per-row salt, so the hot key's rows spread over
-    * N tasks instead of one. Result is identical to the plain join
-    * (every fact row meets exactly the one replica sharing its salt).
-    * Salt count 8 matches [[relAggSalted]]; the replicated side is the
-    * already-reduced orders projection, so replication cost is 8× a
-    * 2-column key frame, not 8× the fact. */
+    * [[relAggSalted]]: replicate the build side across N salts and
+    * scatter the fact side by a per-row salt, so a hot key's rows
+    * spread over N tasks instead of one. Result is identical to the
+    * plain join (every fact row meets exactly the one replica sharing
+    * its salt). Salt count 8 matches [[relAggSalted]]; the replicated
+    * side is the already-reduced orders projection, so replication
+    * cost is 8× a 2-column key frame, not 8× the fact.
+    *
+    * WHEN the salt is actually needed (measured, ContractSpec "AQE
+    * skew join" gate): for plain shuffle JOINS it usually is NOT —
+    * AQE's OptimizeSkewedJoin splits a skewed partition by mapper
+    * ranges (a single hot key still splits) and the gate proves it
+    * fires on a 60%-one-key fixture with zero salt columns. The manual
+    * salt remains the tool where AQE cannot reach: (a) skewed
+    * AGGREGATION — one giant group's state builds on one task and no
+    * partition split can divide a group ([[relAggSalted]]'s case);
+    * (b) exchange-free joins (storage-partitioned / bucketed layouts —
+    * AQE only re-plans shuffle reads, and SPJ has no shuffle to
+    * re-read); (c) streaming stateful keys, where state itself is
+    * partitioned by the hot key. */
   def relJoinSkewSalted(s: SparkSession, dir: String): DataFrame = {
     val nSalt = 8
     val fact = Tables.load(s, dir, "lineitem")

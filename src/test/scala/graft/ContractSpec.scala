@@ -333,6 +333,59 @@ class ContractSpec extends SparkSpec {
     }
   }
 
+  test("AQE skew join: OptimizeSkewedJoin splits the hot partition; no manual salt needed") {
+    // r13/r14 verdict task: prove the claim that AQE covers JOIN skew
+    // (so the manual salt in rel_join_skew_salted is an aggregation /
+    // no-exchange tool, not a join necessity). Fixture: 60 % of the
+    // left rows share ONE key — the single-hot-key shape. AQE splits
+    // the skewed shuffle partition by MAPPER RANGES (a single key's
+    // partition still splits; the other side's matching partition is
+    // replicated per split), so the hot key spreads over many tasks
+    // with no salt column anywhere in the query.
+    val sp = spark
+    import sp.implicits._
+    val scoped = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      // shrink thresholds so the ~8 MB test fixture counts as skewed
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "65536",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "32768",
+      "spark.sql.adaptive.coalescePartitions.minPartitionSize" -> "32768",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = scoped.map { case (k, _) => k -> spark.conf.getOption(k) }
+    scoped.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // payload is md5 text: skew detection reads COMPRESSED map-output
+      // bytes, so a repetitive pad would deflate under the threshold
+      val left = spark.range(0, 200000).select(
+        when(col("id") % 10 < 6, lit(0L)).otherwise(col("id")).as("k"),
+        md5(col("id").cast("string")).as("payload"))
+      val right = spark.range(0, 5000).select(col("id").as("k"),
+        (col("id") * 7).as("v"))
+      val joined = left.join(right, "k")
+      // collect() executes THIS queryExecution (a count() would plan a
+      // separate pruned query whose payload-less hot partition
+      // compresses under the skew threshold) and keeps the payload in
+      // the shuffle, the realistic wide-row shape
+      val n = joined.collect().length.toLong
+      // correctness first: hot key 0 matches (120 k rows), plus the
+      // 4-in-10 distinct ids below 5000 that survive the skew rewrite
+      val expect = 120000L + (0 until 5000).count(i => i % 10 >= 6).toLong
+      assert(n == expect, s"skew-join result wrong: $n vs $expect")
+      val smjs = org.apache.spark.sql.graft.Bridge
+        .runtimeOps(joined.queryExecution.executedPlan)
+        .collect { case s: org.apache.spark.sql.execution.joins.SortMergeJoinExec => s }
+      assert(smjs.nonEmpty, "expected a sort-merge join")
+      assert(smjs.exists(_.isSkewJoin),
+        "OptimizeSkewedJoin did not fire on the hot-key fixture — " +
+          "the AQE-covers-join-skew claim is unproven")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("parameterized SQL: named-param, EXECUTE IMMEDIATE, and session-variable forms agree") {
     val base = SparkEntry.queries("sql_parameterized")(spark, sf).collect().toSeq
     val immediate = spark.sql(

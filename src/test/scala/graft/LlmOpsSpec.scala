@@ -174,13 +174,19 @@ class LlmOpsSpec extends SparkSpec {
     assert(approx.length == exact.length)
     val exactKeep = exact.map(e => e._1 -> e._3).toMap
     val disagree = approx.filter { case (id, _, _, _, k) => exactKeep(id) != k }
-    // the sketch can only blur the boundary: per language at most a
-    // couple of docs right at the median flip, nothing away from it
-    assert(disagree.length.toDouble / approx.length <= 0.02,
-      s"${disagree.length}/${approx.length} keep-flags disagree")
-    disagree.groupBy(_._2).foreach { case (lang, ds) =>
-      assert(ds.length <= 2, s"$lang: ${ds.length} boundary disagreements")
-    }
+    // PINNED measured disagreement (r14 verdict task 7: the ≤2%
+    // allowance was a ceiling, not evidence). At this fixture the
+    // sketch flips EXACTLY four keep-flags — one per non-English
+    // language, each a single doc at its language's median boundary.
+    // The pin is deterministic: percentile_approx is a fixed-seed
+    // deterministic sketch over a fixed frame. If the fixture or the
+    // sketch's accuracy parameter changes, re-measure and re-pin.
+    assert(disagree.length == 4,
+      s"${disagree.length}/${approx.length} keep-flags disagree (pinned: 4)")
+    assert(disagree.groupBy(_._2).view.mapValues(_.length).toMap ==
+      Map("de" -> 1, "fr" -> 1, "es" -> 1, "zh" -> 1),
+      s"disagreement drifted off the pinned per-language boundary set: " +
+        disagree.groupBy(_._2).view.mapValues(_.length).toMap.toString)
     // approx keep decisions are internally consistent with the
     // broadcast threshold they carry
     approx.foreach { case (id, _, q, thr, k) =>

