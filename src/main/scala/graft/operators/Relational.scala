@@ -1322,12 +1322,12 @@ object Relational {
     * windows are the shared selection's (cell-partitioned or
     * cell-aggregate-fed) and a 4-row-per-group lead. */
   def relWindowNtile(s: SparkSession, dir: String): DataFrame = {
-    val fact = Tables.memo(s, dir, "ntile_cents") {
-      Tables.fanOut(Tables.load(s, dir, "orders")
-          .select(col("o_orderpriority").as("grp"),
-            (dec("o_totalprice") * lit(100)).cast("long").as("v")),
-          col("grp"), col("v"))
-    }
+    // raw fact left as a scan — only the cell frame memoizes (see
+    // qselCentsFact's note on why caching a fact regresses at scale)
+    val fact = Tables.fanOut(Tables.load(s, dir, "orders")
+        .select(col("o_orderpriority").as("grp"),
+          (dec("o_totalprice") * lit(100)).cast("long").as("v")),
+        col("grp"), col("v"))
     val targets = (stats: DataFrame) => stats
       .select(col("grp"), col("n"), explode(expr(
         """filter(
@@ -1454,18 +1454,24 @@ object Relational {
 
   /** Shared CENTS FACT of the lineitem selection family
     * ([[relAggQuantileBucketedB]] and [[relHistEquidepth]] both select
-    * per-returnflag extendedprice ranks): one memoized two-column frame
-    * instead of one parquet scan + fan-out exchange per query per pass.
-    * Integer cents are exact (prices are DECIMAL(18,2) by contract) and
-    * round-trip to the raw double via decimal/100 — the conversion the
-    * equidepth oracle has hash-verified at three SFs. */
+    * per-returnflag extendedprice ranks). Integer cents are exact
+    * (prices are DECIMAL(18,2) by contract) and round-trip to the raw
+    * double via decimal/100 — the conversion the equidepth oracle has
+    * hash-verified at three SFs.
+    *
+    * Deliberately NOT memoized: only SUBLINEAR derived frames (the
+    * (grp, cell) counts, the value histogram, the per-part rollup) are
+    * cached — a persisted RAW fact loses to the codegen'd parquet scan
+    * once it no longer fits executor storage (measured at sf10: the
+    * 60 M-row cached fact pushed the memo pool into eviction and the
+    * selection keys' rescue passes degraded to 25–32 s; with the fact
+    * left as a scan and only the cell frame cached, pass 2 is a plain
+    * pruned scan + broadcast join at every scale). */
   private def qselCentsFact(s: SparkSession, dir: String): DataFrame =
-    Tables.memo(s, dir, "qsel_cents") {
-      Tables.fanOut(Tables.load(s, dir, "lineitem")
-          .select(col("l_returnflag").as("grp"),
-            (dec("l_extendedprice") * lit(100)).cast("long").as("v")),
-        col("grp"), col("v"))
-    }
+    Tables.fanOut(Tables.load(s, dir, "lineitem")
+        .select(col("l_returnflag").as("grp"),
+          (dec("l_extendedprice") * lit(100)).cast("long").as("v")),
+      col("grp"), col("v"))
 
   /** Parameterized form — RelationalSpec shrinks the cells-per-e-fold
     * K (down to 0, the degenerate everything-in-one-cell case) to
