@@ -234,6 +234,51 @@ object Mining {
       .orderBy("item")
   }
 
+  /** SNAPSHOT TIME TRAVEL through the fimi connector's manifest log
+    * (graft.sources.fimi.FimiLog): the real baskets are committed as
+    * snapshot version 0, then two LATER commits poison the table — an
+    * appended decoy flood (one `zz_decoy` basket per real basket, which
+    * would clear every support threshold if visible) and a truncating
+    * reset to a single `zz_reset` basket (so the LATEST version shares
+    * nothing with version 0 either). A `versionAsOf=0` read must
+    * reproduce exactly the parquet-fed frequent-items result: any leak
+    * of a later generation — or of the reset's truncation backwards —
+    * surfaces as a decoy row or a missing item and fails the hash.
+    *
+    * Scale posture: manifest resolution is driver-side O(committed
+    * files) string work (one manifest per COMMIT, not per file); the
+    * versioned read then plans the same split-planned, column-pruned
+    * scan as `fpm_fimi_dsv2` over the resolved file list. The table is
+    * rebuilt from scratch each call so the version numbers are
+    * deterministic. */
+  def fpmFimiTimetravel(s: SparkSession, dir: String): DataFrame = {
+    val base = new java.io.File(
+      new java.io.File(sys.props("java.io.tmpdir"), "graft_fimi_tt"),
+      new java.io.File(dir).getName).getAbsolutePath
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    rm(new java.io.File(base))
+    val b = baskets(s, dir)
+    // v0: the genuine snapshot
+    b.write.format("fimi").option("snapshots", "true")
+      .mode("overwrite").save(base)
+    // v1: decoy flood — zz_decoy's support would be 100% if it leaked
+    b.select(array(lit("zz_decoy")).as("items"))
+      .write.format("fimi").mode("append").save(base)
+    // v2: truncating reset — latest generation is disjoint from v0
+    s.range(1).select(array(lit("zz_reset")).as("items"))
+      .write.format("fimi").mode("overwrite").save(base)
+    val back = s.read.format("fimi").option("versionAsOf", "0").load(base)
+    back.select(explode(col("items")).as("item"))
+      .groupBy("item").agg(count(lit(1)).as("freq"))
+      .crossJoin(broadcast(back.select(count(lit(1)).as("n"))))
+      .filter(col("freq") >= col("n") * MinSupItems)
+      .select(col("item"), col("freq"))
+      .orderBy("item")
+  }
+
   /** Frequent items at the k-itemset threshold — downward-closure prune set. */
   private def f1(s: SparkSession, dir: String, minSup: Double): DataFrame =
     itemSupports(s, dir)
@@ -1322,6 +1367,7 @@ object Mining {
     "fpm_freq_items"   -> (fpmFreqItems _),
     "fpm_fimi_roundtrip" -> (fpmFimiRoundtrip _),
     "fpm_fimi_dsv2"    -> (fpmFimiDsv2 _),
+    "fpm_fimi_timetravel" -> (fpmFimiTimetravel _),
     "fpm_fimi_spj"     -> (fpmFimiSpj _),
     "fpm_freq_pairs"   -> (fpmFreqPairs _),
     "fpm_topk_patterns" -> (fpmTopkPatterns _),
@@ -1630,6 +1676,17 @@ object Mining {
 
     // Same content-identity oracle through the DataSourceV2 connector.
     "fpm_fimi_dsv2" -> (txCte +
+      """
+        |SELECT item, CAST(count(*) AS BIGINT) AS freq
+        |FROM tx GROUP BY item
+        |HAVING count(*) >= CAST(0.05 * (SELECT n FROM nb) AS DOUBLE)
+        |ORDER BY item""".stripMargin),
+
+    // Content-identity oracle for the versionAsOf=0 snapshot read: the
+    // time-travel result must equal the parquet-fed frequent items —
+    // the decoy/reset generations committed AFTER version 0 must be
+    // invisible (a leak shows up as a zz_decoy row and fails the hash).
+    "fpm_fimi_timetravel" -> (txCte +
       """
         |SELECT item, CAST(count(*) AS BIGINT) AS freq
         |FROM tx GROUP BY item

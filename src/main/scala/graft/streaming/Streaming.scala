@@ -629,6 +629,53 @@ object Streaming {
 
   // ------------------------------------------- declared batch equivalents
 
+  /** REAL STREAMING EXECUTION through the fimi connector, end to end:
+    * events are staged as one-basket-per-event fimi lines
+    * ([event_type, u<user_id mod 10>]), a `readStream.format("fimi")`
+    * micro-batch scan filters the purchase baskets in-flight, and the
+    * EXACTLY-ONCE streaming sink (`writeStream.format("fimi")`,
+    * sources/fimi/FimiStreamingWrite.scala — epoch-manifest two-phase
+    * commit) lands them; the sink table is then read back and mined for
+    * item frequencies. Unlike the other `stream_*` keys (declared batch
+    * equivalents whose stream forms are proven in StreamingSpec), this
+    * key RUNS the stream on every call — the oracle compares the
+    * DuckDB-side purchase counts against rows that actually traversed
+    * readStream→filter→epoch-committed sink, so any loss or duplication
+    * anywhere in the connector's streaming path fails the hash at every
+    * SF the driver sweeps.
+    *
+    * Scale posture: the source is the connector's split-planned text
+    * scan (micro-batched), the transform is a stateless filter, and the
+    * sink's per-epoch driver work is one manifest write + |tasks|
+    * renames (no file rewrites, no driver state) — each epoch's cost is
+    * O(its own data), the streaming invariant. The work dir is rebuilt
+    * each call so epochs and checkpoints are deterministic. */
+  def streamFimiSink(s: SparkSession, dir: String): DataFrame = {
+    val root = new java.io.File(
+      new java.io.File(sys.props("java.io.tmpdir"), "graft_fimi_sink"),
+      new java.io.File(dir).getName).getAbsolutePath
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    rm(new java.io.File(root))
+    Tables.load(s, dir, "events")
+      .select(array(col("event_type"),
+        concat(lit("u"), (col("user_id") % 10).cast("string"))).as("items"))
+      .write.format("fimi").mode("overwrite").save(s"$root/src")
+    val q = s.readStream.format("fimi").load(s"$root/src")
+      .filter(array_contains(col("items"), "purchase"))
+      .select(col("items"))
+      .writeStream.format("fimi").outputMode("append")
+      .option("checkpointLocation", s"$root/ck")
+      .start(s"$root/sink")
+    try q.processAllAvailable() finally q.stop()
+    val back = s.read.format("fimi").load(s"$root/sink")
+    back.select(explode(col("items")).as("item"))
+      .groupBy("item").agg(count(lit(1)).as("freq"))
+      .orderBy("item")
+  }
+
   def streamRunningSeq(s: SparkSession, dir: String): DataFrame =
     runningSeq(Tables.load(s, dir, "events"))
       .orderBy("user_id", "seq")
@@ -1070,6 +1117,7 @@ object Streaming {
     "stream_anomaly"        -> (streamAnomaly _),
     "stream_stream_join"    -> (streamStreamJoin _),
     "stream_static_join"    -> (streamStaticJoin _),
+    "stream_fimi_sink"      -> (streamFimiSink _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -1203,6 +1251,17 @@ object Streaming {
         |       event_type, cnt
         |FROM w QUALIFY rnk <= 2
         |ORDER BY window_start, rnk""".stripMargin,
+
+    // Content-identity oracle for the streaming fimi sink: item counts
+    // over the baskets that traversed readStream→filter→exactly-once
+    // sink must equal the purchase-event counts computed from parquet.
+    "stream_fimi_sink" ->
+      """SELECT item, CAST(count(*) AS BIGINT) AS freq FROM (
+        |  SELECT event_type AS item FROM events WHERE event_type = 'purchase'
+        |  UNION ALL
+        |  SELECT 'u' || CAST(user_id % 10 AS VARCHAR) FROM events
+        |  WHERE event_type = 'purchase')
+        |GROUP BY item ORDER BY item""".stripMargin,
 
     "stream_tumbling" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
