@@ -279,6 +279,48 @@ object Mining {
       .orderBy("item")
   }
 
+  /** SMALL-FILE COMPACTION (OPTIMIZE) on a fimi snapshot table
+    * (graft.sources.fimi.FimiCompact): the baskets are committed as a
+    * deliberately over-filed snapshot v0 (24 part files — the shape a
+    * streaming sink's per-epoch commits leave behind), compacted into a
+    * single-file generation v1 (order-preserving byte concatenation,
+    * one task per bin, committed as a `#truncate` manifest), and the
+    * LATEST version is read back and re-mined for frequent items. Any
+    * compaction defect — a lost line, a doubled member, a torn line at
+    * a member boundary, an old-generation leak through the truncate
+    * marker — changes an item's support and fails the hash against the
+    * parquet-fed oracle.
+    *
+    * Scale posture: compaction moves bytes (no parsing, no shuffle),
+    * one task per output bin; the subsequent read plans |bins| files
+    * instead of |epochs| — the maintenance op that keeps a streaming
+    * sink's table scannable at 100 TB. Old versions stay readable
+    * (spec-gated in FimiDsv2Spec); tids are generation-scoped by
+    * design, so the mining query keys on content, not tid. */
+  def fpmFimiCompact(s: SparkSession, dir: String): DataFrame = {
+    val base = new java.io.File(
+      new java.io.File(sys.props("java.io.tmpdir"), "graft_fimi_compact"),
+      new java.io.File(dir).getName).getAbsolutePath
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    rm(new java.io.File(base))
+    baskets(s, dir).repartition(24)
+      .write.format("fimi").option("snapshots", "true")
+      .mode("overwrite").save(base)
+    val nOut = graft.sources.fimi.FimiCompact.compact(s, base)
+    require(nOut > 0 && nOut < 24,
+      s"fimi compact: expected a real compaction of 24 part files, got $nOut")
+    val back = s.read.format("fimi").load(base)
+    back.select(explode(col("items")).as("item"))
+      .groupBy("item").agg(count(lit(1)).as("freq"))
+      .crossJoin(broadcast(back.select(count(lit(1)).as("n"))))
+      .filter(col("freq") >= col("n") * MinSupItems)
+      .select(col("item"), col("freq"))
+      .orderBy("item")
+  }
+
   /** Frequent items at the k-itemset threshold — downward-closure prune set. */
   private def f1(s: SparkSession, dir: String, minSup: Double): DataFrame =
     itemSupports(s, dir)
@@ -1368,6 +1410,7 @@ object Mining {
     "fpm_fimi_roundtrip" -> (fpmFimiRoundtrip _),
     "fpm_fimi_dsv2"    -> (fpmFimiDsv2 _),
     "fpm_fimi_timetravel" -> (fpmFimiTimetravel _),
+    "fpm_fimi_compact" -> (fpmFimiCompact _),
     "fpm_fimi_spj"     -> (fpmFimiSpj _),
     "fpm_freq_pairs"   -> (fpmFreqPairs _),
     "fpm_topk_patterns" -> (fpmTopkPatterns _),
@@ -1687,6 +1730,17 @@ object Mining {
     // the decoy/reset generations committed AFTER version 0 must be
     // invisible (a leak shows up as a zz_decoy row and fails the hash).
     "fpm_fimi_timetravel" -> (txCte +
+      """
+        |SELECT item, CAST(count(*) AS BIGINT) AS freq
+        |FROM tx GROUP BY item
+        |HAVING count(*) >= CAST(0.05 * (SELECT n FROM nb) AS DOUBLE)
+        |ORDER BY item""".stripMargin),
+
+    // Content-identity oracle for the compacted generation: frequent
+    // items over the single-file compacted snapshot must equal the
+    // parquet-fed result — a lost/doubled/torn line or an old-generation
+    // leak shifts a support count and fails the hash.
+    "fpm_fimi_compact" -> (txCte +
       """
         |SELECT item, CAST(count(*) AS BIGINT) AS freq
         |FROM tx GROUP BY item

@@ -1,0 +1,133 @@
+package graft.sources.fimi
+
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.hadoop.io.compress.CompressionCodecFactory
+import org.apache.spark.sql.SparkSession
+
+/** OPTIMIZE / small-file COMPACTION for fimi snapshot tables — the
+  * lakehouse maintenance operation a streaming sink makes necessary:
+  * every micro-batch epoch commits its own small files, so after N
+  * epochs the latest generation is N× over-filed and scan planning,
+  * split scheduling, and the manifest fold all pay per-file costs that
+  * compaction amortizes away.
+  *
+  * Semantics (Delta/Iceberg OPTIMIZE, minus row tracking):
+  *  - content-identical: the compacted generation holds exactly the
+  *    latest generation's lines, in the same global order (consecutive
+  *    bin-packing + in-order byte concatenation — never a shuffle);
+  *  - a NEW snapshot version with a `#truncate` marker: older versions'
+  *    files stay on disk, so `versionAsOf` time travel keeps working
+  *    across a compaction, and a reader mid-scan on the old file list
+  *    never sees a file vanish;
+  *  - tids are GENERATION-SCOPED: `tid = fileOrdinal << 40 | byteOffset`
+  *    (FimiDataSourceV2), so merging files necessarily re-tids the new
+  *    generation — same as OPTIMIZE re-rowing in engines without row
+  *    tracking. Old versions' tids are untouched. Anything keyed on tid
+  *    must be derived per-snapshot (the same rule the batch scan's
+  *    path-ordinal tids already impose).
+  *
+  * Execution shape: the driver does O(files) planning (greedy
+  * consecutive bins up to `targetBytes`), each BIN is one task doing a
+  * streaming byte copy of its files (no parsing, no decompression — a
+  * 100 TB compaction moves bytes at disk/network speed), and the driver
+  * collects only the O(bins) output names before the usual two-phase
+  * commit: staged dot-dir → rename into the table → manifest rename as
+  * the atomic commit point. A crash anywhere before the manifest write
+  * leaves only invisible orphans.
+  */
+object FimiCompact {
+
+  /** Compact the LATEST generation of `table` into files of about
+    * `targetBytes`. Returns the number of files the new generation
+    * holds, or 0 if compaction would not reduce the file count (no
+    * commit is made in that case). */
+  def compact(
+      spark: SparkSession,
+      table: String,
+      targetBytes: Long = 128L << 20): Int = {
+    val conf = spark.sessionState.newHadoopConf()
+    val destPath = new Path(table)
+    val fs = destPath.getFileSystem(conf)
+    require(FimiLog.exists(fs, destPath),
+      s"fimi compact: $table has no ${FimiLog.DirName} snapshot log — " +
+        "compaction only applies to snapshot tables (write with " +
+        ".option(\"snapshots\", \"true\") first)")
+    val names = FimiLog.resolve(fs, destPath, None)
+    val stats: Seq[FileStatus] =
+      names.map(n => fs.getFileStatus(new Path(destPath, n)))
+    // Raw byte concatenation is only line-safe for uncompressed text
+    // (the reader treats extension-less output as plain); a compressed
+    // member would be silently mis-read, so refuse loudly.
+    val codecs = new CompressionCodecFactory(conf)
+    stats.foreach { st =>
+      require(codecs.getCodec(st.getPath) == null,
+        s"fimi compact: ${st.getPath} is compressed; compaction " +
+          "requires uncompressed members")
+    }
+    // Greedy CONSECUTIVE bins (order-preserving): a bin closes once it
+    // holds >= targetBytes; single oversized files ride alone unchanged.
+    val bins = Vector.newBuilder[Vector[FileStatus]]
+    var cur = Vector.empty[FileStatus]
+    var curBytes = 0L
+    stats.foreach { st =>
+      if (cur.nonEmpty && curBytes + st.getLen > targetBytes) {
+        bins += cur; cur = Vector.empty; curBytes = 0L
+      }
+      cur :+= st; curBytes += st.getLen
+    }
+    if (cur.nonEmpty) bins += cur
+    val packed = bins.result()
+    if (packed.size >= stats.size) return 0
+    val tag = java.util.UUID.randomUUID().toString.take(8)
+    val stagingDir = new Path(destPath, s".graft-compact-$tag")
+    val stagingStr = stagingDir.toString
+    val kvs = FimiTable.confKVs(conf)
+    val work = packed.zipWithIndex.map { case (fsts, i) =>
+      (i, fsts.map(_.getPath.toString))
+    }
+    // One task per bin: stream-copy members in order, guaranteeing a
+    // line terminator between members (native .dat inputs may lack the
+    // trailing newline the connector's own writer always emits).
+    val outNames = spark.sparkContext
+      .parallelize(work, math.max(1, work.size))
+      .map { case (i, paths) =>
+        val c = FimiTable.rebuildConf(kvs)
+        val outName = f"compact-$i%05d-$tag.dat"
+        val outPath = new Path(stagingStr, outName)
+        val sfs = outPath.getFileSystem(c)
+        val out = sfs.create(outPath, true)
+        try {
+          val buf = new Array[Byte](1 << 20)
+          var last: Byte = '\n'
+          paths.foreach { p =>
+            if (last != '\n') { out.write('\n'); last = '\n' }
+            val in = sfs.open(new Path(p))
+            try {
+              var n = in.read(buf)
+              while (n > 0) {
+                out.write(buf, 0, n)
+                last = buf(n - 1)
+                n = in.read(buf)
+              }
+            } finally in.close()
+          }
+          if (last != '\n') out.write('\n')
+        } finally out.close()
+        outName
+      }
+      .collect() // O(bins) names — driver-side by design
+      .sorted // zero-padded bin index: name order == bin order
+      .toSeq
+    outNames.foreach { n =>
+      val s = new Path(stagingDir, n)
+      if (!fs.rename(s, new Path(destPath, n)))
+        throw new java.io.IOException(
+          s"fimi compact: rename $s -> $destPath/$n failed")
+    }
+    var v = FimiLog.latestVersion(fs, destPath).map(_ + 1).getOrElse(0L)
+    while (!FimiLog.write(fs, destPath, v, None, truncate = true, outNames))
+      v += 1
+    fs.delete(stagingDir, true)
+    outNames.size
+  }
+}

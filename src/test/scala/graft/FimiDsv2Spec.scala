@@ -435,6 +435,69 @@ class FimiDsv2Spec extends SparkSpec {
     assert(baskets(readV(None)) == Seq("e"), "uncommitted write leaked into a snapshot read")
   }
 
+  test("compaction: bin-packs the latest generation, preserves content AND order, keeps time travel, handles missing trailing newlines, no-ops when already compact") {
+    val sp = spark
+    import sp.implicits._
+    val dest = tmpDir("compact") + "/t"
+    def baskets(df: DataFrame): Seq[String] =
+      df.orderBy("tid").select(concat_ws(",", col("items")).as("b"))
+        .collect().map(_.getString(0)).toSeq
+    // gen 0: a native file WITHOUT a trailing newline, adopted by the
+    // first snapshot commit; then three appended epochs → 4+ small files
+    new java.io.File(dest).mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dest, "native.dat"),
+      "a b\nc d".getBytes("UTF-8")) // no trailing \n — boundary hazard
+    Seq((0L, Seq("e", "f"))).toDF("tid", "items")
+      .write.format("fimi").option("snapshots", "true").mode("append").save(dest)
+    Seq((1L, Seq("g"))).toDF("tid", "items")
+      .write.format("fimi").mode("append").save(dest)
+    Seq((2L, Seq("h", "i"))).toDF("tid", "items")
+      .write.format("fimi").mode("append").save(dest)
+    val before = baskets(spark.read.format("fimi").load(dest))
+    val filesBefore = graft.sources.fimi.FimiLog.resolve(
+      new org.apache.hadoop.fs.Path(dest).getFileSystem(
+        spark.sessionState.newHadoopConf()),
+      new org.apache.hadoop.fs.Path(dest), None)
+    assert(filesBefore.size >= 4, s"fixture under-filed: $filesBefore")
+    val nOut = graft.sources.fimi.FimiCompact.compact(spark, dest)
+    assert(nOut == 1, s"expected one compacted file, got $nOut")
+    val after = spark.read.format("fimi").load(dest)
+    // content AND global order preserved (order-preserving concatenation)
+    assert(baskets(after) == before, "compaction changed content or order")
+    // the new generation really is one file
+    val fs = new org.apache.hadoop.fs.Path(dest).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    val filesAfter = graft.sources.fimi.FimiLog.resolve(
+      fs, new org.apache.hadoop.fs.Path(dest), None)
+    assert(filesAfter.size == 1 && filesAfter.head.startsWith("compact-"),
+      s"got $filesAfter")
+    // time travel across the compaction: every pre-compaction version
+    // still resolves to its own files and content
+    val v0 = spark.read.format("fimi").option("versionAsOf", "0").load(dest)
+    assert(baskets(v0) == Seq("a,b", "c,d", "e,f"),
+      "compaction broke versionAsOf=0")
+    // idempotence: a second compact finds nothing to do and commits nothing
+    val vBefore = graft.sources.fimi.FimiLog.latestVersion(
+      fs, new org.apache.hadoop.fs.Path(dest))
+    assert(graft.sources.fimi.FimiCompact.compact(spark, dest) == 0)
+    val vAfter = graft.sources.fimi.FimiLog.latestVersion(
+      fs, new org.apache.hadoop.fs.Path(dest))
+    assert(vBefore == vAfter, "no-op compaction must not commit a version")
+    // a small targetBytes splits into multiple bins, still content-exact
+    val dest2 = tmpDir("compact2") + "/t"
+    (0 until 12).foreach { i =>
+      Seq((i.toLong, Seq(s"x$i", "y"))).toDF("tid", "items")
+        .write.format("fimi")
+        .option("snapshots", "true")
+        .mode(if (i == 0) "overwrite" else "append").save(dest2)
+    }
+    val before2 = baskets(spark.read.format("fimi").load(dest2))
+    val n2 = graft.sources.fimi.FimiCompact.compact(spark, dest2, targetBytes = 16L)
+    assert(n2 > 1 && n2 < 12, s"expected multi-bin compaction, got $n2")
+    assert(baskets(spark.read.format("fimi").load(dest2)) == before2)
+  }
+
   test("session catalog surface: CREATE TABLE ... USING fimi, then SQL over it") {
     val dir = tmpDir("catalog")
     writeLines(dir, "tx.dat", Seq("a b", "b c", "a b c"))
