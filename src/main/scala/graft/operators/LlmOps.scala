@@ -311,8 +311,11 @@ object LlmOps {
 
   /** Label blocks larger than `blockCap` are dropped before the pair
     * join (MinHash bucket-cap policy): all-pairs inside one fat label is
-    * O(n²) at scale. Default cap is a no-op at test SFs (max label block
-    * ≈ 218 rows at sf0.1); LlmOpsSpec proves the cap path is live. */
+    * O(n²) at scale. The cap is part of the declared semantics, so the
+    * DuckDB oracle models it too (a no-op at driver SFs — max label
+    * block ≈ 218 rows at sf0.1 — but it ENGAGES at sf1 where every
+    * label block is ≈ 2000 rows); LlmOpsSpec proves the cap path is
+    * live. */
   def embedCosineNeardupCapped(s: SparkSession, dir: String, blockCap: Int): DataFrame = {
     DotProduct.register(s)
     val emb0 = Tables.load(s, dir, "embeddings")
@@ -1840,10 +1843,11 @@ object LlmOps {
     * rather than dropping it — a knn graph over a truncated block is
     * still a knn graph (every survivor gets its k neighbors from the
     * capped pool); dropping the block would orphan every vector in it.
-    * Default cap is a no-op at test SFs (max label block = 218 rows at
-    * sf0.1, measured) so the hash oracle is unchanged; LlmOpsSpec
-    * shrinks the cap and asserts survivors still get exactly k
-    * neighbors. */
+    * The truncation is declared semantics, so the ORACLE models it too
+    * (QUALIFY row_number per label) — a no-op at driver SFs (max label
+    * block = 218 rows at sf0.1, measured), engaging at sf1 (≈2000-row
+    * label blocks); LlmOpsSpec shrinks the cap and asserts survivors
+    * still get exactly k neighbors. */
   def knnGraphCapped(s: SparkSession, dir: String, blockCap: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     DotProduct.register(s)
@@ -3451,7 +3455,8 @@ object LlmOps {
          |  SELECT vec_id, label,
          |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ed,
          |         ${sqlNorm("embedding")} AS nrm
-         |  FROM embeddings),
+         |  FROM embeddings
+         |  QUALIFY row_number() OVER (PARTITION BY label ORDER BY vec_id) <= 1024),
          |p AS (
          |  SELECT a.vec_id AS src, b.vec_id AS dst,
          |         ${sqlDot("a.ed", "b.ed")} / (a.nrm * b.nrm) AS sim
@@ -4211,9 +4216,13 @@ object LlmOps {
          |ORDER BY sim DESC, a.vec_id LIMIT 10""".stripMargin,
 
     "llm_dedup_clusters_emb" ->
-      s"""WITH RECURSIVE pairs AS (
+      s"""WITH RECURSIVE eok AS (
+         |  SELECT * FROM embeddings WHERE label IN (
+         |    SELECT label FROM embeddings GROUP BY label
+         |    HAVING count(*) <= 1024)),
+         |pairs AS (
          |  SELECT a.vec_id AS va, b.vec_id AS vb
-         |  FROM embeddings a JOIN embeddings b
+         |  FROM eok a JOIN eok b
          |    ON a.label = b.label AND a.vec_id < b.vec_id
          |  WHERE ${sqlDot("a.embedding", "b.embedding")}
          |        / (${sqlNorm("a.embedding")} * ${sqlNorm("b.embedding")}) > 0.3),
@@ -4227,10 +4236,14 @@ object LlmOps {
          |FROM reach GROUP BY doc ORDER BY vec_id""".stripMargin,
 
     "llm_embed_cos_neardup" ->
-      s"""SELECT a.vec_id AS va, b.vec_id AS vb,
+      s"""WITH eok AS (
+         |  SELECT * FROM embeddings WHERE label IN (
+         |    SELECT label FROM embeddings GROUP BY label
+         |    HAVING count(*) <= 1024))
+         |SELECT a.vec_id AS va, b.vec_id AS vb,
          |       ${sqlDot("a.embedding", "b.embedding")}
          |       / (${sqlNorm("a.embedding")} * ${sqlNorm("b.embedding")}) AS cos
-         |FROM embeddings a JOIN embeddings b
+         |FROM eok a JOIN eok b
          |  ON a.label = b.label AND a.vec_id < b.vec_id
          |WHERE ${sqlDot("a.embedding", "b.embedding")}
          |      / (${sqlNorm("a.embedding")} * ${sqlNorm("b.embedding")}) > 0.3
