@@ -44,17 +44,27 @@ object SqlSurface {
     * BOTH engines (unchecked (18,2)³ products would overflow precision
     * and round engine-specifically); averages are stated as
     * CAST(sum AS DOUBLE)/count — one double division, identical text
-    * both sides. */
+    * both sides. The two high-scale money sums route decimal→STRING→
+    * DOUBLE (round-15 sf1 finding): DuckDB's direct decimal→double goes
+    * through the unscaled integer and stops being correctly rounded
+    * once |unscaled| > 2^53 — the scale-6 charge sum crosses that at
+    * sf1 (5.08e16) and came back one ulp low, while Spark's BigDecimal
+    * path rounds correctly. Both engines print exact decimal digits and
+    * parse strings correctly rounded, so the string route is exact at
+    * any width, with identical SQL text. (A scale-down re-cast instead
+    * hits the other trap: Spark rounds decimal ties HALF_UP, DuckDB
+    * half-to-even.) */
   private val q1Sql =
     """SELECT l_returnflag, l_linestatus,
       |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
       |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-      |       CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+      |       CAST(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
       |                * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4)))
-      |            AS DOUBLE) AS sum_disc_price,
-      |       CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+      |            AS STRING) AS DOUBLE) AS sum_disc_price,
+      |       CAST(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
       |                * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))
-      |                * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+      |                * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS STRING)
+      |            AS DOUBLE) AS sum_charge,
       |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
       |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
       |       CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_disc,
