@@ -194,6 +194,50 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     })
   })
 
+  // ------------------------------------------------------- time travel
+
+  /** SQL `VERSION AS OF <v>` — Spark routes the table reference here.
+    * Serves a version-pinned connector table for `.fimi` snapshot
+    * tables (the `versionAsOf` option merges into every scan the table
+    * plans); an unknown version fails loudly at scan planning
+    * (FimiLog.resolve), never as an empty read. Deliberately uncached:
+    * the identifier cache holds latest-version tables only. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val fimi = tablePath(ident, ".fimi")
+    if (ident.namespace().length == 1 && fs.exists(fimi) &&
+        graft.sources.fimi.FimiLog.exists(fs, fimi)) {
+      val opts = new util.HashMap[String, String]()
+      opts.put("path", fimi.toString)
+      opts.put("versionAsOf", version)
+      withAnnotations(ident,
+        new graft.sources.fimi.FimiTable(new CaseInsensitiveStringMap(opts)))
+    } else if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    else throw new UnsupportedOperationException(
+      s"table ${name()}.$ident keeps no snapshot log; VERSION AS OF " +
+        "applies to fimi snapshot tables (written with " +
+        ".option(\"snapshots\", \"true\"))")
+  }
+
+  /** SQL `TIMESTAMP AS OF <ts>` — Spark passes MICROSECONDS since
+    * epoch. Resolves to the largest version committed at or before the
+    * instant (the manifest rename is the commit time — Delta's rule),
+    * then serves that pinned version. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val fimi = tablePath(ident, ".fimi")
+    if (ident.namespace().length == 1 && fs.exists(fimi) &&
+        graft.sources.fimi.FimiLog.exists(fs, fimi)) {
+      val tsMillis = timestamp / 1000L
+      val v = graft.sources.fimi.FimiLog.versionAt(fs, fimi, tsMillis)
+        .getOrElse(throw new IllegalArgumentException(
+          s"${name()}.$ident: no snapshot committed at or before " +
+            s"timestamp $tsMillis ms"))
+      loadTable(ident, v.toString)
+    } else if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    else throw new UnsupportedOperationException(
+      s"table ${name()}.$ident keeps no snapshot log; TIMESTAMP AS OF " +
+        "applies to fimi snapshot tables")
+  }
+
   // --------------------------------------------------------- functions
 
   /** The one catalog function: the FIMI bucketed-layout transform.

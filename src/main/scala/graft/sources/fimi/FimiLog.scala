@@ -105,6 +105,26 @@ object FimiLog {
   def latestVersion(fs: FileSystem, table: Path): Option[Long] =
     manifests(fs, table).lastOption.map(_.version)
 
+  /** Largest committed version whose manifest existed at or before
+    * `tsMillis` — TIMESTAMP AS OF semantics. The manifest rename IS the
+    * commit instant, so its modification time is the commit time; the
+    * fold over versions is monotone in both version and mtime, making
+    * the max well-defined. None = no version was committed yet at that
+    * instant (distinct from an unknown explicit version, which fails
+    * loudly in [[resolve]]). */
+  def versionAt(fs: FileSystem, table: Path, tsMillis: Long): Option[Long] = {
+    val dir = logDir(table)
+    if (!fs.exists(dir)) return None
+    fs.listStatus(dir).toSeq
+      .flatMap { st =>
+        st.getPath.getName match {
+          case NameRe(v) if st.getModificationTime <= tsMillis => Some(v.toLong)
+          case _ => None
+        }
+      }
+      .sorted.lastOption
+  }
+
   def epochCommitted(fs: FileSystem, table: Path, epoch: Long): Boolean =
     manifests(fs, table).exists(_.epoch.contains(epoch))
 

@@ -60,6 +60,56 @@ class GraftCatalogSpec extends SparkSpec {
     assert(freq == Seq(("x", 2L), ("y", 3L), ("z", 2L)))
   }
 
+  test("SQL VERSION AS OF / TIMESTAMP AS OF resolve through the catalog to pinned fimi snapshots") {
+    val sp = spark
+    import sp.implicits._
+    val root = Files.createTempDirectory("graft-cat-tt").toString
+    Files.createDirectories(java.nio.file.Paths.get(root, "corpus"))
+    val dest = s"$root/corpus/tx.fimi"
+    spark.conf.set("spark.sql.catalog.graft_tt", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_tt.root", root)
+    // v0, then a later overwrite v1 — with a commit-time gap so
+    // TIMESTAMP AS OF can land between the two manifests
+    Seq((0L, Seq("a", "b"))).toDF("tid", "items")
+      .write.format("fimi").option("snapshots", "true").mode("overwrite").save(dest)
+    val betweenMs = {
+      Thread.sleep(1100) // manifest mtimes are second-grain on some filesystems
+      val t = System.currentTimeMillis(); Thread.sleep(1100); t
+    }
+    Seq((1L, Seq("c"))).toDF("tid", "items")
+      .write.format("fimi").mode("overwrite").save(dest)
+    def q(sql: String): Seq[String] =
+      spark.sql(sql).collect().map(_.getString(0)).sorted.toSeq
+    // latest = the reset generation; VERSION AS OF 0 = the original
+    assert(q("SELECT concat_ws(',', items) FROM graft_tt.corpus.tx") == Seq("c"))
+    assert(q("SELECT concat_ws(',', items) FROM graft_tt.corpus.tx VERSION AS OF 0")
+      == Seq("a,b"))
+    assert(q("SELECT concat_ws(',', items) FROM graft_tt.corpus.tx VERSION AS OF 1")
+      == Seq("c"))
+    // TIMESTAMP AS OF between the commits resolves to v0
+    val ts = new java.sql.Timestamp(betweenMs).toString
+    assert(q(s"SELECT concat_ws(',', items) FROM graft_tt.corpus.tx TIMESTAMP AS OF '$ts'")
+      == Seq("a,b"), "timestamp between commits must resolve to v0")
+    // unknown version fails loudly, never reads as empty
+    val ex = intercept[Exception] {
+      spark.sql("SELECT * FROM graft_tt.corpus.tx VERSION AS OF 99").count()
+    }
+    assert(ex.getMessage.contains("versionAsOf") ||
+      String.valueOf(ex.getCause).contains("versionAsOf"), s"got $ex")
+    // a timestamp before the first commit fails loudly too
+    val ex2 = intercept[Exception] {
+      spark.sql("SELECT * FROM graft_tt.corpus.tx TIMESTAMP AS OF '1999-01-01 00:00:00'").count()
+    }
+    assert(String.valueOf(ex2.getMessage).contains("no snapshot") ||
+      String.valueOf(ex2.getCause).contains("no snapshot"), s"got $ex2")
+    // a log-less table rejects time travel with the remedy named
+    val ex3 = intercept[Exception] {
+      spark.sql("SELECT * FROM graft.`sf0.001`.orders VERSION AS OF 0").count()
+    }
+    assert(String.valueOf(ex3.getMessage).contains("snapshot log") ||
+      String.valueOf(ex3.getCause).contains("snapshot log"), s"got $ex3")
+  }
+
   test("ALTER TABLE SET TBLPROPERTIES round-trips through DESCRIBE EXTENDED") {
     spark.sql("ALTER TABLE graft.`sf0.001`.orders " +
       "SET TBLPROPERTIES ('steward' = 'curation', 'tier' = 'gold')")
