@@ -36,20 +36,6 @@ object Bench {
       try body catch { case _: Throwable => () }
       finally warmNs += System.nanoTime() - t0
     }
-    step { Tables.names.foreach(t => Tables.load(spark, sfDir, t).count()) }
-    step { SparkEntry.entry(spark).count() }
-    // Materialize the shared memoized frames + index artifacts (mining
-    // supports, PFP models, rule table, sequences, cluster labels, ANN
-    // codebook) on the timed dir: one-time index/materialization cost is
-    // not a per-query cost (observed: 17 s absorbed by fpm_maximal in
-    // r01, 17.6 s by fpm_fpgrowth_full in r02 without this).
-    step { operators.Mining.warm(spark, sfDir) }
-    step { operators.LlmOps.warm(spark, sfDir) }
-    step { operators.Relational.warm(spark, sfDir) }
-    step { operators.SqlSurface.warm(spark, sfDir) }
-    // JIT/codegen warm: run EVERY query once on the tiny sf so each timed
-    // measurement sees compiled code paths, not first-call JIT + codegen
-    // compilation (which otherwise lands arbitrarily across the run).
     // Optional key subset for targeted scale probes (comma-separated
     // exact names, or a `prefix*` glob per entry). The driver never sets
     // this — BENCH_r*.json always carries the full surface.
@@ -59,6 +45,28 @@ object Bench {
         val pats = spec.split(',').map(_.trim).filter(_.nonEmpty)
         k => pats.exists(p => if (p.endsWith("*")) k.startsWith(p.dropRight(1)) else k == p)
     }
+    val selected = SparkEntry.queries.keys.filter(keyFilter).toSeq
+    step { Tables.names.foreach(t => Tables.load(spark, sfDir, t).count()) }
+    step { SparkEntry.entry(spark).count() }
+    // Materialize the shared memoized frames + index artifacts (mining
+    // supports, PFP models, rule table, sequences, cluster labels, ANN
+    // codebook) on the timed dir: one-time index/materialization cost is
+    // not a per-query cost (observed: 17 s absorbed by fpm_maximal in
+    // r01, 17.6 s by fpm_fpgrowth_full in r02 without this).
+    // A SUBSET probe only warms the families it times (a 3-key sf10
+    // probe must not pay the 40-min full-surface warm); a skipped warm
+    // at most shifts a memo build into the key's FIRST pass, which the
+    // min-of-passes timing already discards. Driver runs (no key
+    // filter) warm everything, as before.
+    def famSelected(prefix: String): Boolean = selected.exists(_.startsWith(prefix))
+    if (famSelected("fpm_")) step { operators.Mining.warm(spark, sfDir) }
+    if (famSelected("llm_")) step { operators.LlmOps.warm(spark, sfDir) }
+    if (famSelected("rel_")) step { operators.Relational.warm(spark, sfDir) }
+    if (famSelected("sql_")) step { operators.SqlSurface.warm(spark, sfDir) }
+    // JIT/codegen warm: run EVERY (selected) query once on the tiny sf so
+    // each timed measurement sees compiled code paths, not first-call
+    // JIT + codegen compilation (which otherwise lands arbitrarily
+    // across the run).
     val warmDir = "/root/testdata/sf0.001"
     SparkEntry.queries.foreach { case (name, f) =>
       if (keyFilter(name)) step { f(spark, warmDir).count() }
