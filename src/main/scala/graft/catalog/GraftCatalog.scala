@@ -220,8 +220,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
 
   /** SQL `TIMESTAMP AS OF <ts>` — Spark passes MICROSECONDS since
     * epoch. Resolves to the largest version committed at or before the
-    * instant (the manifest rename is the commit time — Delta's rule),
-    * then serves that pinned version. */
+    * instant via the `#ts` header each commit stamps into its manifest
+    * (so a copied/restored log keeps its history; mtime is only the
+    * legacy fallback), then serves that pinned version. A timestamp
+    * whose true version was vacuumed fails loudly (FimiLog.versionAt),
+    * never silently resolving to a later snapshot. */
   override def loadTable(ident: Identifier, timestamp: Long): Table = {
     val fimi = tablePath(ident, ".fimi")
     if (ident.namespace().length == 1 && fs.exists(fimi) &&

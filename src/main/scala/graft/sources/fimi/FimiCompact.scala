@@ -19,6 +19,12 @@ import org.apache.spark.sql.SparkSession
   *    files stay on disk, so `versionAsOf` time travel keeps working
   *    across a compaction, and a reader mid-scan on the old file list
   *    never sees a file vanish;
+  *  - single-file bins are NOT rewritten: the new manifest references
+  *    the original file by name (files are immutable and may be shared
+  *    across generations — [[FimiLog.vacuum]]'s keep-set is
+  *    reference-counted across retained versions, so sharing is safe).
+  *    At 100 TB this is the difference between moving the small-file
+  *    tail and moving the whole table;
   *  - tids are GENERATION-SCOPED: `tid = fileOrdinal << 40 | byteOffset`
   *    (FimiDataSourceV2), so merging files necessarily re-tids the new
   *    generation — same as OPTIMIZE re-rowing in engines without row
@@ -26,16 +32,37 @@ import org.apache.spark.sql.SparkSession
   *    must be derived per-snapshot (the same rule the batch scan's
   *    path-ordinal tids already impose).
   *
+  * CONCURRENCY: compaction must not clobber a commit that lands while
+  * it is copying (the streaming sink is exactly the workload it runs
+  * alongside). The truncate manifest it writes lists a snapshot of the
+  * file set it READ — committing that list after someone else's commit
+  * would silently erase the interloper's files from every later read.
+  * So the commit is OPTIMISTIC: the manifest is attempted only at
+  * `observed latest + 1`; if that version is already taken, this
+  * attempt's output files are deleted (they are unreferenced orphans —
+  * invisible) and the whole compaction restarts from a fresh file
+  * list, up to [[MaxAttempts]] before aborting with a
+  * ConcurrentModificationException — the Delta/Iceberg OPTIMIZE
+  * conflict rule, never commit-a-stale-truncate.
+  *
   * Execution shape: the driver does O(files) planning (greedy
-  * consecutive bins up to `targetBytes`), each BIN is one task doing a
-  * streaming byte copy of its files (no parsing, no decompression — a
-  * 100 TB compaction moves bytes at disk/network speed), and the driver
-  * collects only the O(bins) output names before the usual two-phase
-  * commit: staged dot-dir → rename into the table → manifest rename as
-  * the atomic commit point. A crash anywhere before the manifest write
-  * leaves only invisible orphans.
+  * consecutive bins up to `targetBytes`), each MULTI-FILE bin is one
+  * task doing a streaming byte copy of its files (no parsing, no
+  * decompression — a 100 TB compaction moves bytes at disk/network
+  * speed), and the driver collects only the O(bins) output names
+  * before the usual two-phase commit: staged dot-dir → rename into the
+  * table → manifest rename as the atomic commit point. A crash
+  * anywhere before the manifest write leaves only invisible orphans.
   */
 object FimiCompact {
+
+  /** Optimistic-commit attempts before giving up on a hot table. */
+  val MaxAttempts = 3
+
+  /** Test-only: runs immediately before each attempt's manifest commit —
+    * the injection point FimiLogSpec uses to land a concurrent commit in
+    * the window the optimistic check protects. */
+  private[fimi] var beforeCommitHook: () => Unit = () => ()
 
   /** Compact the LATEST generation of `table` into files of about
     * `targetBytes`. Returns the number of files the new generation
@@ -52,7 +79,33 @@ object FimiCompact {
       s"fimi compact: $table has no ${FimiLog.DirName} snapshot log — " +
         "compaction only applies to snapshot tables (write with " +
         ".option(\"snapshots\", \"true\") first)")
-    val names = FimiLog.resolve(fs, destPath, None)
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      attemptOnce(spark, fs, destPath, targetBytes) match {
+        case Some(n) => return n
+        case None if attempt >= MaxAttempts =>
+          throw new java.util.ConcurrentModificationException(
+            s"fimi compact: $table gained new commits during each of " +
+              s"$MaxAttempts compaction attempts; re-run when the " +
+              "write rate allows, or raise targetBytes")
+        case None => () // conflicting commit landed: restart from fresh list
+      }
+    }
+    0 // unreachable
+  }
+
+  /** One optimistic attempt: Some(newFileCount) on success (0 = nothing
+    * to do), None when a concurrent commit invalidated the snapshot the
+    * attempt was built on. */
+  private def attemptOnce(
+      spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem,
+      destPath: Path,
+      targetBytes: Long): Option[Int] = {
+    val conf = spark.sessionState.newHadoopConf()
+    val baseVersion = FimiLog.latestVersion(fs, destPath)
+    val names = FimiLog.resolve(fs, destPath, baseVersion)
     val stats: Seq[FileStatus] =
       names.map(n => fs.getFileStatus(new Path(destPath, n)))
     // Raw byte concatenation is only line-safe for uncompressed text
@@ -65,7 +118,7 @@ object FimiCompact {
           "requires uncompressed members")
     }
     // Greedy CONSECUTIVE bins (order-preserving): a bin closes once it
-    // holds >= targetBytes; single oversized files ride alone unchanged.
+    // holds >= targetBytes.
     val bins = Vector.newBuilder[Vector[FileStatus]]
     var cur = Vector.empty[FileStatus]
     var curBytes = 0L
@@ -77,19 +130,21 @@ object FimiCompact {
     }
     if (cur.nonEmpty) bins += cur
     val packed = bins.result()
-    if (packed.size >= stats.size) return 0
+    if (packed.size >= stats.size) return Some(0)
     val tag = java.util.UUID.randomUUID().toString.take(8)
     val stagingDir = new Path(destPath, s".graft-compact-$tag")
     val stagingStr = stagingDir.toString
     val kvs = FimiTable.confKVs(conf)
-    val work = packed.zipWithIndex.map { case (fsts, i) =>
-      (i, fsts.map(_.getPath.toString))
+    // Only multi-file bins copy bytes; single-file bins keep their
+    // original name in the new manifest (zero data movement).
+    val copyWork = packed.zipWithIndex.collect {
+      case (fsts, i) if fsts.size > 1 => (i, fsts.map(_.getPath.toString))
     }
-    // One task per bin: stream-copy members in order, guaranteeing a
-    // line terminator between members (native .dat inputs may lack the
+    // One task per copied bin: stream-copy members in order, guaranteeing
+    // a line terminator between members (native .dat inputs may lack the
     // trailing newline the connector's own writer always emits).
-    val outNames = spark.sparkContext
-      .parallelize(work, math.max(1, work.size))
+    val copied: Map[Int, String] = spark.sparkContext
+      .parallelize(copyWork, math.max(1, copyWork.size))
       .map { case (i, paths) =>
         val c = FimiTable.rebuildConf(kvs)
         val outName = f"compact-$i%05d-$tag.dat"
@@ -113,21 +168,34 @@ object FimiCompact {
           }
           if (last != '\n') out.write('\n')
         } finally out.close()
-        outName
+        (i, outName)
       }
-      .collect() // O(bins) names — driver-side by design
-      .sorted // zero-padded bin index: name order == bin order
-      .toSeq
-    outNames.foreach { n =>
+      .collect() // O(copied bins) names — driver-side by design
+      .toMap
+    copied.values.toSeq.sorted.foreach { n =>
       val s = new Path(stagingDir, n)
       if (!fs.rename(s, new Path(destPath, n)))
         throw new java.io.IOException(
           s"fimi compact: rename $s -> $destPath/$n failed")
     }
-    var v = FimiLog.latestVersion(fs, destPath).map(_ + 1).getOrElse(0L)
-    while (!FimiLog.write(fs, destPath, v, None, truncate = true, outNames))
-      v += 1
-    fs.delete(stagingDir, true)
-    outNames.size
+    // manifest order = bin order (the new generation's tid ordinals)
+    val outNames = packed.indices.map { i =>
+      copied.getOrElse(i, packed(i).head.getPath.getName)
+    }
+    // OPTIMISTIC commit: only at observed-base + 1 — a taken version
+    // means someone committed since `names` was resolved, and this
+    // truncate list is stale. Clean up and signal a restart.
+    beforeCommitHook()
+    val v = baseVersion.map(_ + 1).getOrElse(0L)
+    val won = FimiLog.write(fs, destPath, v, None, truncate = true, outNames)
+    if (won) {
+      FimiLog.maybeCheckpoint(fs, destPath)
+      fs.delete(stagingDir, true)
+      Some(outNames.size)
+    } else {
+      copied.values.foreach(n => fs.delete(new Path(destPath, n), false))
+      fs.delete(stagingDir, true)
+      None
+    }
   }
 }

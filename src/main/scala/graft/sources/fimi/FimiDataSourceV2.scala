@@ -585,6 +585,7 @@ class FimiBatchWrite(
       while (!FimiLog.write(fs, destPath, v, None, truncate,
           (if (truncate) Seq.empty else adopted) ++ finalNames))
         v += 1
+      FimiLog.maybeCheckpoint(fs, destPath)
     }
     fs.delete(stagingDir, true)
   }

@@ -32,11 +32,15 @@ import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactor
   * Spark's own FileStreamSink metadata log; two concurrent queries
   * streaming into one directory are out of contract there and here.
   *
-  * Scale posture: per-epoch driver work is one log listing + one
-  * manifest write + |tasks| renames; no file content is ever read back
-  * or rewritten, and state on the driver is nothing at all (the log IS
-  * the state, rebuilt by listing on every commit — restart-safe by
-  * construction).
+  * Scale posture: per-epoch driver work is one names-only log listing
+  * + one manifest write + |tasks| renames. The replay check and the
+  * next-version probe ride [[FimiLog]]'s incremental fold: manifests
+  * parse once per JVM (immutable, cached) and a checkpoint lands every
+  * [[FimiLog.CheckpointInterval]] epochs, so per-epoch manifest OPENS
+  * are O(1) for the stream's whole lifetime and a RESTARTED driver
+  * rebuilds its replay state from checkpoint + tail, not from every
+  * epoch ever committed. No durable driver state beyond the log itself
+  * — restart-safe by construction.
   */
 class FimiStreamingWrite(
     dest: String,
@@ -77,6 +81,9 @@ class FimiStreamingWrite(
     var v = FimiLog.latestVersion(fs, destPath).map(_ + 1).getOrElse(0L)
     while (!FimiLog.write(fs, destPath, v, Some(epochId), truncate = false, finalNames))
       v += 1
+    // periodic checkpoint keeps cold-reader planning and restarted-driver
+    // replay checks bounded however many epochs this stream ever commits
+    FimiLog.maybeCheckpoint(fs, destPath)
     fs.delete(stagingDir(epochId), true)
   }
 

@@ -1,0 +1,269 @@
+package graft.sources.fimi
+
+import java.nio.file.Files
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Contract tests for the manifest log's SCALE posture — the properties
+  * VERDICT r15 flagged as the one remaining scale-killer:
+  * bounded manifest opens per streaming-epoch commit and per cold read
+  * (incremental fold + checkpoints), commit-time `#ts` resolution for
+  * TIMESTAMP AS OF (mtime-independent), VACUUM retention, and
+  * compaction's optimistic-commit conflict rule. */
+class FimiLogSpec extends graft.SparkSpec {
+
+  private def tmpDir(tag: String): String =
+    Files.createTempDirectory(s"graft-fimilog-$tag").toString
+
+  private def hfs(dir: String) =
+    new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+
+  private def baskets(df: DataFrame): Seq[String] =
+    df.select(concat_ws(",", col("items")).as("b"))
+      .collect().map(_.getString(0)).sorted.toSeq
+
+  test("per-commit opens are O(1): a 60-epoch commit loop opens ~1 manifest per epoch; cold reads are checkpoint-bounded") {
+    val table = new Path(tmpDir("opens") + "/t")
+    val fs = hfs(table.toString)
+    fs.mkdirs(table)
+    val epochs = 60
+    val before = FimiLog.contentOpens.get()
+    // the streaming sink's per-epoch driver sequence, verbatim:
+    // replay check → next version probe → manifest write → checkpoint
+    (0 until epochs).foreach { e =>
+      assert(!FimiLog.epochCommitted(fs, table, e))
+      var v = FimiLog.latestVersion(fs, table).map(_ + 1).getOrElse(0L)
+      while (!FimiLog.write(fs, table, v, Some(e), truncate = false, Seq(f"f$e%03d.dat")))
+        v += 1
+      FimiLog.maybeCheckpoint(fs, table)
+    }
+    val warmDelta = FimiLog.contentOpens.get() - before
+    // pre-r16 behavior re-read EVERY manifest on EVERY commit:
+    // ~epochs²/2 = 1800 opens. Incremental fold: each manifest parses
+    // once (+ first read of each landed checkpoint) — linear, small.
+    assert(warmDelta <= 3L * epochs,
+      s"warm 60-epoch loop cost $warmDelta content opens — the fold is not incremental")
+    // checkpoints actually landed (every CheckpointInterval commits)
+    val ckpts = fs.listStatus(FimiLog.logDir(table))
+      .map(_.getPath.getName).filter(_.endsWith(".checkpoint")).sorted
+    assert(ckpts.length == epochs / FimiLog.CheckpointInterval, ckpts.mkString(","))
+    // COLD reader (fresh JVM simulated): latest resolve = checkpoint + tail
+    FimiLog.clearCache()
+    val b1 = FimiLog.contentOpens.get()
+    val files = FimiLog.resolve(fs, table, None)
+    val coldResolve = FimiLog.contentOpens.get() - b1
+    assert(files == (0 until epochs).map(e => f"f$e%03d.dat"),
+      "fold order broken")
+    assert(coldResolve <= FimiLog.CheckpointInterval + 1,
+      s"cold resolve of a $epochs-version log cost $coldResolve opens")
+    // COLD replay check: checkpoint's epoch ledger + tail
+    FimiLog.clearCache()
+    val b2 = FimiLog.contentOpens.get()
+    assert(FimiLog.epochCommitted(fs, table, 30))
+    assert(!FimiLog.epochCommitted(fs, table, 9999))
+    assert(FimiLog.contentOpens.get() - b2 <= FimiLog.CheckpointInterval + 2,
+      "cold replay check is not checkpoint-bounded")
+    // checkpointed resolve ≡ manifest-only fold at EVERY version,
+    // truncate semantics included — prove on a log with a mid-history
+    // truncate landing before a checkpoint
+    val t2 = new Path(tmpDir("fold") + "/t")
+    fs.mkdirs(t2)
+    FimiLog.write(fs, t2, 0L, None, truncate = false, Seq("a.dat", "b.dat"))
+    FimiLog.write(fs, t2, 1L, None, truncate = true, Seq("c.dat"))
+    (2 until 14).foreach { v =>
+      FimiLog.write(fs, t2, v.toLong, None, truncate = false, Seq(s"d$v.dat"))
+      FimiLog.maybeCheckpoint(fs, t2)
+    }
+    def expected(v: Long): Seq[String] =
+      if (v == 0) Seq("a.dat", "b.dat")
+      else Seq("c.dat") ++ (2L to v).map(i => s"d$i.dat")
+    (0L until 14L).foreach { v =>
+      val warm = FimiLog.resolve(fs, t2, Some(v))
+      FimiLog.clearCache()
+      val cold = FimiLog.resolve(fs, t2, Some(v))
+      assert(warm == expected(v) && cold == warm, s"v=$v warm=$warm cold=$cold")
+    }
+  }
+
+  test("TIMESTAMP AS OF rides the #ts header: a copied log dir (fresh mtimes) keeps its commit history") {
+    val sp = spark
+    import sp.implicits._
+    val dest = tmpDir("ts") + "/t"
+    def commitAndStamp(items: Seq[String], mode: String): Long = {
+      Seq((0L, items)).toDF("tid", "items")
+        .write.format("fimi").option("snapshots", "true").mode(mode).save(dest)
+      Thread.sleep(15) // ensure the NEXT commit's #ts is strictly later
+      val t = System.currentTimeMillis()
+      Thread.sleep(15)
+      t
+    }
+    val afterV0 = commitAndStamp(Seq("a"), "overwrite")
+    val afterV1 = commitAndStamp(Seq("b"), "append")
+    val afterV2 = commitAndStamp(Seq("c"), "append")
+    val fs = hfs(dest)
+    val p = new Path(dest)
+    assert(FimiLog.versionAt(fs, p, afterV0).contains(0L))
+    assert(FimiLog.versionAt(fs, p, afterV1).contains(1L))
+    assert(FimiLog.versionAt(fs, p, afterV2).contains(2L))
+    assert(FimiLog.versionAt(fs, p, afterV0 - 10000).isEmpty)
+    // restore-from-backup: byte-copy the whole table dir — every copied
+    // file gets a FRESH mtime, which is exactly what mtime-based
+    // resolution mis-reads as "everything committed now"
+    val copy = tmpDir("ts-copy") + "/t"
+    val srcRoot = java.nio.file.Paths.get(dest)
+    java.nio.file.Files.walk(srcRoot).forEach { s =>
+      val d = java.nio.file.Paths.get(copy).resolve(srcRoot.relativize(s))
+      if (java.nio.file.Files.isDirectory(s)) java.nio.file.Files.createDirectories(d)
+      else java.nio.file.Files.copy(s, d) // deliberately NOT copying attributes
+    }
+    FimiLog.clearCache()
+    val cp = new Path(copy)
+    assert(FimiLog.versionAt(fs, cp, afterV0).contains(0L),
+      "copied log lost its commit history — resolution fell back to mtime")
+    assert(FimiLog.versionAt(fs, cp, afterV1).contains(1L))
+    assert(FimiLog.versionAt(fs, cp, afterV2).contains(2L))
+    // and the resolved snapshots read identically
+    assert(baskets(spark.read.format("fimi").option("versionAsOf", "1").load(copy))
+      == Seq("a", "b"))
+  }
+
+  test("vacuum: retained versions read unchanged, expired versions fail loudly, only expired-only files are deleted") {
+    val sp = spark
+    import sp.implicits._
+    val dest = tmpDir("vac") + "/t"
+    def commit(items: Seq[String], mode: String): Long = {
+      Seq((0L, items)).toDF("tid", "items")
+        .write.format("fimi").option("snapshots", "true").mode(mode).save(dest)
+      Thread.sleep(15); val t = System.currentTimeMillis(); Thread.sleep(15); t
+    }
+    val afterV0 = commit(Seq("a", "b"), "overwrite")
+    commit(Seq("c", "d"), "append")          // v1
+    commit(Seq("e"), "overwrite")            // v2: truncate → v0/v1 files expire
+    commit(Seq("f", "g"), "append")          // v3
+    val fs = hfs(dest)
+    val p = new Path(dest)
+    // crash-orphan: present on disk, referenced by no manifest
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dest, "part-orphan.dat"), "zz\n".getBytes("UTF-8"))
+    def readV(v: Long): Seq[String] =
+      baskets(spark.read.format("fimi").option("versionAsOf", v.toString).load(dest))
+    val v2Before = readV(2L)
+    val v3Before = readV(3L)
+    val deadFiles = FimiLog.resolve(fs, p, Some(1L)) // v0+v1 files, all expired
+    assert(deadFiles.nonEmpty)
+    val stats = FimiLog.vacuum(fs, p, retainLast = 2)
+    assert(stats.retainedFrom == 2L && stats.manifestsDeleted == 2)
+    assert(stats.dataFilesDeleted == deadFiles.size, s"$stats vs $deadFiles")
+    // retained versions: byte-identical reads
+    assert(readV(2L) == v2Before)
+    assert(readV(3L) == v3Before)
+    assert(baskets(spark.read.format("fimi").load(dest)) == v3Before)
+    // expired explicit version: loud, names the boundary
+    val ex = intercept[Exception] {
+      spark.read.format("fimi").option("versionAsOf", "0").load(dest).count()
+    }
+    val msg = ex.getMessage + String.valueOf(ex.getCause)
+    assert(msg.contains("vacuumed") && msg.contains("2"), msg)
+    // expired TIMESTAMP: loud, never silently resolves to a later snapshot
+    val ex2 = intercept[IllegalArgumentException] {
+      FimiLog.versionAt(fs, p, afterV0)
+    }
+    assert(ex2.getMessage.contains("vacuumed"), ex2.getMessage)
+    // disk: dead generation files gone; live + orphan untouched
+    val onDisk = new java.io.File(dest).listFiles()
+      .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      .map(_.getName).toSet
+    deadFiles.foreach(f => assert(!onDisk.contains(f), s"expired $f survived vacuum"))
+    FimiLog.resolve(fs, p, Some(3L)).foreach(f =>
+      assert(onDisk.contains(f), s"live $f deleted by vacuum"))
+    assert(onDisk.contains("part-orphan.dat"),
+      "vacuum deleted an orphan that may belong to an in-flight commit")
+    // idempotent: nothing left to retire
+    val again = FimiLog.vacuum(fs, p, retainLast = 2)
+    assert(again.dataFilesDeleted == 0 && again.manifestsDeleted == 0)
+    // retention wider than history: a no-op, never an error
+    assert(FimiLog.vacuum(fs, p, retainLast = 99).dataFilesDeleted == 0)
+  }
+
+  test("compaction conflict: a commit landing mid-compaction restarts the attempt; a hot table aborts, never a stale truncate") {
+    val sp = spark
+    import sp.implicits._
+    val dest = tmpDir("conflict") + "/t"
+    (0 until 6).foreach { i =>
+      Seq((i.toLong, Seq(s"x$i"))).toDF("tid", "items")
+        .write.format("fimi").option("snapshots", "true")
+        .mode(if (i == 0) "overwrite" else "append").save(dest)
+    }
+    def interlope(tag: String): Unit =
+      Seq((99L, Seq(tag))).toDF("tid", "items")
+        .write.format("fimi").mode("append").save(dest)
+    // one-shot race: an appended commit lands in the window between
+    // compaction's file-list snapshot and its manifest write
+    var fired = false
+    FimiCompact.beforeCommitHook = () =>
+      if (!fired) { fired = true; interlope("zz_interloper") }
+    try {
+      val n = FimiCompact.compact(spark, dest)
+      assert(n >= 1)
+    } finally FimiCompact.beforeCommitHook = () => ()
+    val after = baskets(spark.read.format("fimi").load(dest))
+    assert(after == ((0 until 6).map(i => s"x$i") :+ "zz_interloper").sorted,
+      s"conflicting commit was erased or duplicated: $after")
+    // permanently hot table: every attempt loses → loud abort, and the
+    // table keeps EVERY commit (no stale truncate ever landed).
+    // Re-fragment first — the generation the first compact left is a
+    // single file, which compaction correctly no-ops on.
+    interlope("y0"); interlope("y1")
+    var count = 0
+    FimiCompact.beforeCommitHook = () => { count += 1; interlope(s"hot_$count") }
+    try {
+      val ex = intercept[java.util.ConcurrentModificationException] {
+        FimiCompact.compact(spark, dest)
+      }
+      assert(ex.getMessage.contains("compact"), ex.getMessage)
+    } finally FimiCompact.beforeCommitHook = () => ()
+    val hot = baskets(spark.read.format("fimi").load(dest))
+    val expected = ((0 until 6).map(i => s"x$i") :+ "zz_interloper") ++
+      Seq("y0", "y1") ++ (1 to count).map(i => s"hot_$i")
+    assert(hot == expected.sorted, s"aborted compaction lost a commit: $hot")
+  }
+
+  test("single-file bins are referenced by name, never rewritten") {
+    val sp = spark
+    import sp.implicits._
+    val dest = tmpDir("reuse") + "/t"
+    // ordinal order: two tiny files, then one big file
+    Seq((0L, Seq("s0"))).toDF("tid", "items")
+      .write.format("fimi").option("snapshots", "true").mode("overwrite").save(dest)
+    Seq((1L, Seq("s1"))).toDF("tid", "items")
+      .write.format("fimi").mode("append").save(dest)
+    (0 until 50).map(i => (i.toLong, Seq(s"big$i", "pad"))).toDF("tid", "items")
+      .repartition(1).write.format("fimi").mode("append").save(dest)
+    val fs = hfs(dest)
+    val p = new Path(dest)
+    val filesBefore = FimiLog.resolve(fs, p, None)
+    assert(filesBefore.size == 3, filesBefore.mkString(","))
+    val bigName = filesBefore.last
+    val bigMtime = fs.getFileStatus(new Path(p, bigName)).getModificationTime
+    val contentBefore = baskets(spark.read.format("fimi").load(dest))
+    // target sized so [s0, s1] bin-pack together and big rides alone
+    val n = FimiCompact.compact(spark, dest, targetBytes = 64L)
+    assert(n == 2, s"expected [s0+s1, big], got $n files")
+    val filesAfter = FimiLog.resolve(fs, p, None)
+    assert(filesAfter.exists(_.startsWith("compact-")), filesAfter.mkString(","))
+    assert(filesAfter.contains(bigName),
+      s"single-file bin was rewritten instead of referenced: $filesAfter")
+    assert(fs.getFileStatus(new Path(p, bigName)).getModificationTime == bigMtime,
+      "the referenced file's bytes were touched")
+    assert(baskets(spark.read.format("fimi").load(dest)) == contentBefore)
+    // the shared file serves BOTH generations (old version still reads)
+    assert(baskets(spark.read.format("fimi").option("versionAsOf", "2").load(dest))
+      == contentBefore)
+    // and vacuum's reference counting keeps the shared file alive
+    FimiLog.vacuum(fs, p, retainLast = 1)
+    assert(baskets(spark.read.format("fimi").load(dest)) == contentBefore,
+      "vacuum deleted a file shared between an expired and the retained generation")
+  }
+}
