@@ -94,9 +94,24 @@ object Bench {
     // Rescue pass: a key whose min is STILL slow either is genuinely
     // expensive or was hit in both sweeps — give it one more chance at
     // yet another point in time. Clean-run cost: only the handful of
-    // genuinely >2 s keys re-run (~10-20 s total). A key with no clean
+    // genuinely slow keys re-run (~10-20 s total). A key with no clean
     // pass yet is also rescued (the failure may be transient).
-    val rescueAt = 2.0
+    //
+    // The bar SCALES with the fixture (r15 VERDICT #4: a fixed 2.0 s bar
+    // rescued 80/271 keys at sf10, destroying the contention signal that
+    // is so useful at sf0.1): per-key times grow ~2.13× per data decade
+    // on this surface (measured sf0.1→sf10: 104.93 s → 474.0 s total,
+    // BENCH_FULL vs BENCH_FULL_sf10), so the bar grows by the same
+    // exponent — 2.0 s at the sf0.1 reference (behavior there unchanged),
+    // ~9.1 s at sf10, floored at 2.0 below the reference. Overridable
+    // via SPARK_GRAFT_RESCUE_SEC for probes; the artifact records the
+    // bar either way (rescue_threshold_sec).
+    val rescueAt = sys.env.get("SPARK_GRAFT_RESCUE_SEC").map(_.toDouble).getOrElse {
+      val sfNum = """sf([0-9.]+)""".r.findFirstMatchIn(new java.io.File(sfDir).getName)
+        .map(_.group(1).toDouble).getOrElse(0.1)
+      val decades = math.log10(math.max(sfNum / 0.1, 1.0))
+      2.0 * math.pow(2.13, decades)
+    }
     def okSecs(k: String): Seq[Double] = passes(k).filter(_.ok).map(_.sec)
     val rescue = keys.filter(k => okSecs(k).isEmpty || okSecs(k).min > rescueAt)
     for ((name, i) <- rescue.zipWithIndex)

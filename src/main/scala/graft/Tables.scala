@@ -39,10 +39,73 @@ object Tables {
       else { val u = java.util.UUID.randomUUID().toString; sessionTags.put(spark, u); u }
     }
 
-  def memo(spark: SparkSession, dir: String, key: String)(build: => DataFrame): DataFrame =
+  def memo(spark: SparkSession, dir: String, key: String)(build: => DataFrame): DataFrame = {
+    val tag = sessionTag(spark)
+    touch(tag)
     memoCache.getOrElseUpdate(
-      (sessionTag(spark), dir, key),
+      (tag, dir, key),
       build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  }
+
+  /** SESSION-RETENTION bound (r15 VERDICT #3): a memoized DataFrame
+    * strongly references its SparkSession, so a cache that only ever
+    * grows pins every session a JVM ever created — dropped sessions
+    * (and their persisted blocks) would never become collectable. The
+    * cache therefore keeps entries for at most [[MaxMemoSessions]]
+    * most-recently-USED sessions: when a fresh session pushes the count
+    * over, the least-recently-touched session's entries are removed and
+    * their frames unpersisted, making that session reachable only by
+    * its owner (GC-collectable once dropped). Active sessions are never
+    * evicted by their own use — only by MaxMemoSessions NEWER sessions
+    * arriving, in which case the evicted session's next memo call
+    * simply rebuilds (a perf, never a correctness, event). */
+  private val MaxMemoSessions = 8
+  private val touchCounter = new java.util.concurrent.atomic.AtomicLong(0L)
+  private val tagTouch = scala.collection.concurrent.TrieMap.empty[String, Long]
+  private def touch(tag: String): Unit = {
+    tagTouch(tag) = touchCounter.incrementAndGet()
+    while (tagTouch.size > MaxMemoSessions) {
+      val oldest = tagTouch.minBy(_._2)._1
+      tagTouch.remove(oldest)
+      memoCache.keys.filter(_._1 == oldest).foreach { k =>
+        memoCache.remove(k).foreach { df =>
+          try df.unpersist() catch { case _: Throwable => () }
+        }
+      }
+      scanWidthCache.keys.filter(_._1 == oldest).foreach(scanWidthCache.remove)
+    }
+  }
+
+  /** Test hooks for the retention spec. */
+  private[graft] def memoSessionCount: Int = tagTouch.size
+  private[graft] def memoEntryCount: Int = memoCache.size
+
+  /** Per-SESSION scratch directory for queries that materialize work
+    * tables (fimi round-trips, snapshot/time-travel rebuilds, format
+    * dumps). The session tag in the path is what makes two concurrent
+    * drivers on one host (verify and bench overlapping — r15 ADVICE)
+    * unable to `rm` each other's live tables mid-query: each JVM and
+    * each session writes under its own root. A JVM shutdown hook
+    * removes everything this process created (a crash leaves only
+    * tmpdir garbage, never a torn shared table). */
+  def workRoot(spark: SparkSession, tag: String): String = {
+    val root = new java.io.File(
+      new java.io.File(sys.props("java.io.tmpdir"), "graft_work"),
+      sessionTag(spark))
+    workRootsLock.synchronized {
+      if (workRoots.add(root) && workRoots.size == 1)
+        Runtime.getRuntime.addShutdownHook(new Thread(() =>
+          workRootsLock.synchronized { workRoots.foreach(rmTree) }))
+    }
+    new java.io.File(root, tag).getAbsolutePath
+  }
+
+  private val workRoots = scala.collection.mutable.Set.empty[java.io.File]
+  private val workRootsLock = new Object
+  private def rmTree(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
+    f.delete(): Unit
+  }
 
   /** Column names declared TIMESTAMP(NANOS) in the parquet footer of
     * `path` (a single file or a directory of part files — one footer is
@@ -113,9 +176,13 @@ object Tables {
     val files = df.inputFiles
     val wide =
       if (files.isEmpty) df.rdd.getNumPartitions >= cores // non-file input: no stable key
-      else scanWidthCache.getOrElseUpdate(
-        (sessionTag(df.sparkSession), files.toSeq, cores),
-        df.rdd.getNumPartitions >= cores)
+      else {
+        val tag = sessionTag(df.sparkSession)
+        touch(tag)
+        scanWidthCache.getOrElseUpdate(
+          (tag, files.toSeq, cores),
+          df.rdd.getNumPartitions >= cores)
+      }
     if (wide) df
     // Prefer hash-partitioning on the downstream grouping keys: it skips
     // round-robin's local sort-before-repartition (retry determinism

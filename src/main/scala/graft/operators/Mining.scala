@@ -150,7 +150,7 @@ object Mining {
     * ops beyond fpm_freq_items itself. */
   def fpmFimiRoundtrip(s: SparkSession, dir: String): DataFrame = {
     val base = new java.io.File(
-      new java.io.File(sys.props("java.io.tmpdir"), "graft_fimi"),
+      Tables.workRoot(s, "graft_fimi"),
       new java.io.File(dir).getName).getAbsolutePath
     graft.sources.FimiSource.write(baskets(s, dir), base)
     val back = graft.sources.FimiSource.read(s, base)
@@ -198,8 +198,7 @@ object Mining {
     * a KeyGroupedPartitioning v2 scan participates (none elsewhere). */
   def fpmFimiSpj(s: SparkSession, dir: String): DataFrame = {
     val sfName = new java.io.File(dir).getName
-    val root = new java.io.File(
-      sys.props("java.io.tmpdir"), "graft_fimi_spj").getAbsolutePath
+    val root = Tables.workRoot(s, "graft_fimi_spj")
     new java.io.File(root, sfName).mkdirs()
     val b = baskets(s, dir)
     b.write.format("fimi").option("buckets", "8").mode("overwrite")
@@ -222,7 +221,7 @@ object Mining {
 
   def fpmFimiDsv2(s: SparkSession, dir: String): DataFrame = {
     val base = new java.io.File(
-      new java.io.File(sys.props("java.io.tmpdir"), "graft_fimi_dsv2"),
+      Tables.workRoot(s, "graft_fimi_dsv2"),
       new java.io.File(dir).getName).getAbsolutePath
     baskets(s, dir).write.format("fimi").mode("overwrite").save(base)
     val back = s.read.format("fimi").load(base)
@@ -253,7 +252,7 @@ object Mining {
     * deterministic. */
   def fpmFimiTimetravel(s: SparkSession, dir: String): DataFrame = {
     val base = new java.io.File(
-      new java.io.File(sys.props("java.io.tmpdir"), "graft_fimi_tt"),
+      Tables.workRoot(s, "graft_fimi_tt"),
       new java.io.File(dir).getName).getAbsolutePath
     def rm(f: java.io.File): Unit = {
       if (f.isDirectory) f.listFiles().foreach(rm)
@@ -299,7 +298,7 @@ object Mining {
     * design, so the mining query keys on content, not tid. */
   def fpmFimiCompact(s: SparkSession, dir: String): DataFrame = {
     val base = new java.io.File(
-      new java.io.File(sys.props("java.io.tmpdir"), "graft_fimi_compact"),
+      Tables.workRoot(s, "graft_fimi_compact"),
       new java.io.File(dir).getName).getAbsolutePath
     def rm(f: java.io.File): Unit = {
       if (f.isDirectory) f.listFiles().foreach(rm)

@@ -898,11 +898,12 @@ object Relational {
     * and aggregated per (format, lang). The round-trip is a content
     * identity, so the oracle is the direct per-lang aggregate crossed
     * with the three format names — any reader/writer corruption breaks
-    * the hash match. Writes target java.io.tmpdir keyed by the sf dir
-    * name (same convention as [[relPartitionPrune]]). */
+    * the hash match. Writes target the per-session work root keyed by
+    * the sf dir name (same convention as [[relPartitionPrune]]), so
+    * concurrent drivers on one host never clobber each other. */
   def relFormatRoundtrip(s: SparkSession, dir: String): DataFrame = {
     val base = new java.io.File(
-      new java.io.File(sys.props("java.io.tmpdir"), "graft_fmt"),
+      Tables.workRoot(s, "graft_fmt"),
       new java.io.File(dir).getName).getAbsolutePath
     val docs = Tables.load(s, dir, "documents").select("doc_id", "lang", "n_chars")
     docs.write.mode("overwrite").orc(s"$base/orc")
@@ -1219,11 +1220,11 @@ object Relational {
     * asserted in ContractSpec). The oracle states the equivalent direct
     * filter on the source table — the partitioned-parquet round-trip is
     * a content identity, so the oracle needs no access to the written
-    * path. The write targets java.io.tmpdir, keyed by the sf dir name so
-    * concurrent SFs never collide. */
+    * path. The write targets the per-session work root, keyed by the sf
+    * dir name so concurrent SFs and concurrent drivers never collide. */
   def relPartitionPrune(s: SparkSession, dir: String): DataFrame = {
     val out = new java.io.File(
-      new java.io.File(sys.props("java.io.tmpdir"), "graft_prune"),
+      Tables.workRoot(s, "graft_prune"),
       new java.io.File(dir).getName).getAbsolutePath
     Tables.load(s, dir, "events")
       .withColumn("event_date", date_format(col("ts"), "yyyy-MM-dd"))

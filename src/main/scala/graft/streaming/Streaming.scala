@@ -646,13 +646,16 @@ object Streaming {
     *
     * Scale posture: the source is the connector's split-planned text
     * scan (micro-batched), the transform is a stateless filter, and the
-    * sink's per-epoch driver work is one manifest write + |tasks|
-    * renames (no file rewrites, no driver state) — each epoch's cost is
-    * O(its own data), the streaming invariant. The work dir is rebuilt
-    * each call so epochs and checkpoints are deterministic. */
+    * sink's per-epoch driver work is one names-only log listing + one
+    * manifest write + |tasks| renames — manifest CONTENT opens are O(1)
+    * per epoch for the stream's whole lifetime (FimiLog's incremental
+    * fold + periodic checkpoints; spec-counted in FimiLogSpec), so each
+    * epoch's cost is O(its own data), the streaming invariant. The work
+    * dir is rebuilt each call so epochs and checkpoints are
+    * deterministic. */
   def streamFimiSink(s: SparkSession, dir: String): DataFrame = {
     val root = new java.io.File(
-      new java.io.File(sys.props("java.io.tmpdir"), "graft_fimi_sink"),
+      Tables.workRoot(s, "graft_fimi_sink"),
       new java.io.File(dir).getName).getAbsolutePath
     def rm(f: java.io.File): Unit = {
       if (f.isDirectory) f.listFiles().foreach(rm)

@@ -873,4 +873,33 @@ class ContractSpec extends SparkSpec {
     assert(Tables.load(spark, sf, "lineitem").schema("l_shipdate").dataType == tsType)
     assert(Tables.load(spark, sf, "orders").schema("o_orderdate").dataType == tsType)
   }
+
+  test("memo session retention: cycling many sessions never grows the cache monotonically") {
+    // r15 VERDICT #3: memoized DataFrames strongly reference their
+    // session, so without eviction a JVM that churns sessions pins every
+    // one of them (and their persisted blocks) forever. The LRU bound
+    // must hold the session count at MaxMemoSessions however many
+    // sessions come and go.
+    val entriesBefore = Tables.memoEntryCount
+    (0 until 20).foreach { i =>
+      val s2 = spark.newSession()
+      val df = Tables.memo(s2, sf, "spec_retention") {
+        s2.range(5).toDF("v")
+      }
+      assert(df.count() == 5)
+    }
+    assert(Tables.memoSessionCount <= 8,
+      s"cache retains ${Tables.memoSessionCount} sessions — unbounded growth")
+    assert(Tables.memoEntryCount <= entriesBefore + 8,
+      s"entries grew from $entriesBefore to ${Tables.memoEntryCount} after 20 session cycles")
+    // an ACTIVE session is never evicted by its own use: re-touching the
+    // last session keeps its entry across another churn wave
+    val live = spark.newSession()
+    Tables.memo(live, sf, "spec_live") { live.range(3).toDF("v") }
+    (0 until 6).foreach { _ =>
+      val s3 = spark.newSession()
+      Tables.memo(s3, sf, "spec_churn") { s3.range(2).toDF("v") }
+      Tables.memo(live, sf, "spec_live") { fail("live session's memo was evicted mid-use") }
+    }
+  }
 }
