@@ -80,6 +80,149 @@ object Tables {
   private[graft] def memoSessionCount: Int = tagTouch.size
   private[graft] def memoEntryCount: Int = memoCache.size
 
+  // ------------------------------------------------- persisted indexes
+
+  /** PERSISTED index store (r15 VERDICT task 6): [[memo]] keeps a
+    * derived frame for one session; [[index]] additionally spills it to
+    * a VERSIONED parquet directory keyed by a fingerprint of the source
+    * tables, so the next JVM loads the artifact instead of re-deriving
+    * it — `warm_s` becomes a one-time cost per corpus snapshot, not a
+    * per-process cost. This is the maintained-index lifecycle a real
+    * deployment runs (train/derive once per snapshot, serve from the
+    * materialization): minhash signatures, codebooks, component labels,
+    * mined itemsets, selection scaffolds.
+    *
+    * Layout: `<root>/<dirHash>/<key>__<fingerprint>/` (plain parquet).
+    * The fingerprint hashes every source parquet file's (name, length,
+    * mtime) plus [[IndexFormatVersion]] — any data change or format bump
+    * yields a NEW path, so stale artifacts can never be served
+    * (invalidation is structural, not advisory). Writes are atomic
+    * (build → temp dir → rename); a concurrent builder of the same
+    * fingerprint loses the rename race and reads the winner's copy.
+    * Stale fingerprints of the same key are dropped best-effort after a
+    * successful write.
+    *
+    * Root: `$SPARK_GRAFT_INDEX_DIR`, default `<tmpdir>/graft_index`;
+    * set to `off` to disable persistence (pure [[memo]] behavior).
+    * Frames whose schema contains a non-SQL type (e.g. an ml UDT) are
+    * memoized but not persisted — a parquet round-trip would drop the
+    * UDT wrapper.
+    *
+    * Correctness stance: builds are deterministic by this repo's
+    * determinism rules, and parquet round-trips values exactly, so a
+    * loaded index is VALUE-identical to a fresh build; only physical
+    * row order/partitioning may differ, which no downstream consumer
+    * depends on (every declared key orders its own output). The sf-dir
+    * fingerprint guard is spec-gated in ContractSpec. */
+  val IndexFormatVersion = 1
+
+  private def indexRoot: Option[String] =
+    sys.env.get("SPARK_GRAFT_INDEX_DIR") match {
+      case Some("off") | Some("0") | Some("") => None
+      case Some(p) => Some(p)
+      case None => Some(new java.io.File(
+        sys.props("java.io.tmpdir"), "graft_index").getAbsolutePath)
+    }
+
+  private def sha(s: String): String =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** Fingerprint of `dir`'s parquet inputs: (name, length, mtime) of
+    * every data file, format-versioned. Cheap (one directory listing;
+    * no data read). */
+  private[graft] def fingerprint(dir: String): String = {
+    val d = new java.io.File(dir)
+    val entries = Option(d.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    val parts = entries.flatMap { e =>
+      if (e.isDirectory)
+        Option(e.listFiles()).getOrElse(Array.empty)
+          .filter(f => f.isFile && !f.getName.startsWith("_"))
+          .sortBy(_.getName)
+          .map(f => s"${e.getName}/${f.getName}:${f.length}:${f.lastModified}")
+      else Array(s"${e.getName}:${e.length}:${e.lastModified}")
+    }
+    // Spark version rides the fingerprint: a learned artifact (seeded
+    // k-means, PFP) is deterministic per Spark build, not across them.
+    sha(s"v$IndexFormatVersion|spark${org.apache.spark.SPARK_VERSION}|" +
+      parts.mkString("|")).take(16)
+  }
+
+  private def sqlOnly(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case ArrayType(et, _) => sqlOnly(et)
+      case MapType(k, v, _) => sqlOnly(k) && sqlOnly(v)
+      case StructType(fs) => fs.forall(f => sqlOnly(f.dataType))
+      case _: UserDefinedType[_] => false
+      case _ => true
+    }
+  }
+
+  /** NON-DataFrame artifact flavor of [[index]] (learned models: the
+    * IVF k-means codebook, the PQ subspace codebooks, the BPE rule
+    * list). Same layout, fingerprint, atomic publish and stale-drop;
+    * the caller provides how to `save` a built value into a directory
+    * and how to `load` one back. Returns the built value on a miss
+    * (no reload round-trip — save/load is value-faithful by contract). */
+  private[graft] def artifact[T](dir: String, key: String)(build: => T)(
+      save: (T, String) => Unit)(load: String => T): T =
+    indexRoot match {
+      case None => build
+      case Some(root) =>
+        val dh = sha(new java.io.File(dir).getAbsolutePath).take(12)
+        val safeKey = key.replaceAll("[^a-zA-Z0-9_.-]", "_")
+        val parent = new java.io.File(root, dh)
+        val kdir = new java.io.File(parent, s"${safeKey}__${fingerprint(dir)}")
+        if (kdir.isDirectory) load(kdir.getAbsolutePath)
+        else {
+          val v = build
+          val tmp = new java.io.File(parent,
+            s".${kdir.getName}.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+          try {
+            save(v, tmp.getAbsolutePath)
+            if (!tmp.renameTo(kdir)) rmTree(tmp)
+            if (kdir.isDirectory)
+              Option(parent.listFiles()).getOrElse(Array.empty)
+                .filter(f => f.getName.startsWith(safeKey + "__") &&
+                  f.getName != kdir.getName)
+                .foreach(rmTree)
+          } catch { case _: Throwable => rmTree(tmp) } // persistence is best-effort
+          v
+        }
+    }
+
+  def index(spark: SparkSession, dir: String, key: String)(build: => DataFrame): DataFrame =
+    memo(spark, dir, key) {
+      indexRoot match {
+        case None => build
+        case Some(root) =>
+          val dh = sha(new java.io.File(dir).getAbsolutePath).take(12)
+          val safeKey = key.replaceAll("[^a-zA-Z0-9_.-]", "_")
+          val parent = new java.io.File(root, dh)
+          val kdir = new java.io.File(parent, s"${safeKey}__${fingerprint(dir)}")
+          if (kdir.isDirectory) spark.read.parquet(kdir.getAbsolutePath)
+          else {
+            val built = build
+            if (!built.schema.fields.forall(f => sqlOnly(f.dataType))) built
+            else {
+              val tmp = new java.io.File(parent,
+                s".${kdir.getName}.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+              built.write.mode("overwrite").parquet(tmp.getAbsolutePath)
+              if (!tmp.renameTo(kdir)) rmTree(tmp) // concurrent winner (or failure)
+              if (kdir.isDirectory) {
+                Option(parent.listFiles()).getOrElse(Array.empty)
+                  .filter(f => f.getName.startsWith(safeKey + "__") &&
+                    f.getName != kdir.getName)
+                  .foreach(rmTree) // stale fingerprints of this key
+                spark.read.parquet(kdir.getAbsolutePath)
+              } else built
+            }
+          }
+      }
+    }
+
   /** Per-SESSION scratch directory for queries that materialize work
     * tables (fimi round-trips, snapshot/time-travel rebuilds, format
     * dumps). The session tag in the path is what makes two concurrent

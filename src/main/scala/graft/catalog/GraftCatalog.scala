@@ -161,9 +161,32 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
       d.asInstanceOf[SupportsRead].newScanBuilder(options)
   }
 
+  /** Annotated-fimi flavor: keeps the delegate's write, metadata-column
+    * and row-level-DML surfaces visible through the property overlay
+    * (Spark discovers each via `isInstanceOf`, so the wrapper must
+    * carry the marker interfaces the delegate carries). */
+  private class AnnotatedFimiTable(d: graft.sources.fimi.FimiTable, extra: Map[String, String])
+      extends AnnotatedTable(d, extra)
+      with SupportsWrite
+      with SupportsMetadataColumns
+      with SupportsRowLevelOperations {
+    override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+        : org.apache.spark.sql.connector.write.WriteBuilder = d.newWriteBuilder(info)
+    override def metadataColumns(): Array[MetadataColumn] = d.metadataColumns()
+    override def newRowLevelOperationBuilder(
+        info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+        : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
+      d.newRowLevelOperationBuilder(info)
+  }
+
   private def withAnnotations(ident: Identifier, t: Table): Table =
     props.get(ident).filter(_.nonEmpty)
-      .map(new AnnotatedTable(t, _): Table).getOrElse(t)
+      .map {
+        case p => t match {
+          case f: graft.sources.fimi.FimiTable => new AnnotatedFimiTable(f, p): Table
+          case _ => new AnnotatedTable(t, p): Table
+        }
+      }.getOrElse(t)
 
   override def loadTable(ident: Identifier): Table = withAnnotations(ident, {
     val fimib = tablePath(ident, ".fimib")
@@ -187,10 +210,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
       if (ident.namespace().length == 1 && fs.exists(parquet))
         org.apache.spark.sql.graft.Bridge.parquetTable(
           SparkSession.active, ident.toString, parquet.toString)
-      else if (ident.namespace().length == 1 && fs.exists(fimi))
-        new graft.sources.fimi.FimiTable(new CaseInsensitiveStringMap(
-          util.Collections.singletonMap("path", fimi.toString)))
-      else throw new NoSuchTableException(ident)
+      else if (ident.namespace().length == 1 && fs.exists(fimi)) {
+        // strictSchema: catalog-served tables schema-resolve like any
+        // lakehouse table — required for row-level DML (see
+        // FimiTable.capabilities); path-based writes stay permissive
+        val opts = new util.HashMap[String, String]()
+        opts.put("path", fimi.toString)
+        opts.put("strictSchema", "true")
+        new graft.sources.fimi.FimiTable(new CaseInsensitiveStringMap(opts))
+      } else throw new NoSuchTableException(ident)
     })
   })
 
@@ -208,6 +236,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
         graft.sources.fimi.FimiLog.exists(fs, fimi)) {
       val opts = new util.HashMap[String, String]()
       opts.put("path", fimi.toString)
+      opts.put("strictSchema", "true")
       opts.put("versionAsOf", version)
       withAnnotations(ident,
         new graft.sources.fimi.FimiTable(new CaseInsensitiveStringMap(opts)))

@@ -136,7 +136,7 @@ object LlmOps {
     * and the LSH-fed cluster labels, the way a pipeline materializes its
     * candidate-pair table once per corpus snapshot. */
   private def minhashCandidates(s: SparkSession, dir: String): DataFrame =
-    Tables.memo(s, dir, "minhashCandidates") { computeMinhashCandidates(s, dir) }
+    Tables.index(s, dir, "minhashCandidates") { computeMinhashCandidates(s, dir) }
 
   private def computeMinhashCandidates(s: SparkSession, dir: String): DataFrame = {
     val numPerm = 32
@@ -1002,7 +1002,7 @@ object LlmOps {
     * propagation, the way a pipeline materializes its cluster table
     * once. */
   private def clusterLabels(s: SparkSession, dir: String): DataFrame =
-    Tables.memo(s, dir, "dedupClusterLabels") {
+    Tables.index(s, dir, "dedupClusterLabels") {
       labelPropagate(ngramJaccard(s, dir).select(col("doc_a"), col("doc_b")))
     }
 
@@ -1012,7 +1012,7 @@ object LlmOps {
     * candidate generation is banded buckets, never all-pairs. Memoized
     * like [[clusterLabels]] — one label table per corpus snapshot. */
   private def lshClusterLabels(s: SparkSession, dir: String): DataFrame =
-    Tables.memo(s, dir, "dedupClusterLabelsLsh") {
+    Tables.index(s, dir, "dedupClusterLabelsLsh") {
       val exact = ngramJaccard(s, dir).select(col("doc_a"), col("doc_b"))
       val lsh = minhashCandidates(s, dir).select(col("doc_a"), col("doc_b"))
       labelPropagate(exact.unionByName(lsh).distinct())
@@ -1140,7 +1140,7 @@ object LlmOps {
     * left-folds in both engines (proven by llm_embed_cos_neardup's hash
     * match) and the closure is WITH RECURSIVE reachability in DuckDB. */
   def dedupClustersEmb(s: SparkSession, dir: String): DataFrame =
-    Tables.memo(s, dir, "dedupClusterLabelsEmb") {
+    Tables.index(s, dir, "dedupClusterLabelsEmb") {
       labelPropagate(embedCosineNeardup(s, dir)
         .select(col("va").as("doc_a"), col("vb").as("doc_b")))
     }.select(col("doc_id").as("vec_id"), col("cluster_id")).orderBy("vec_id")
@@ -1166,6 +1166,23 @@ object LlmOps {
   private val kmeansCache =
     scala.collection.concurrent.TrieMap[(Int, String), org.apache.spark.ml.clustering.KMeansModel]()
 
+  /** The shared spherical k-means codebook: per-session cached AND
+    * persisted through [[Tables.artifact]] (ml's own save/load — exact
+    * centroid round-trip), so a cold JVM loads the trained index
+    * instead of re-fitting it. Seeded fit ⇒ the persisted model is the
+    * model a rebuild would produce. */
+  private def sphericalCodebook(
+      s: SparkSession, dir: String,
+      feat: DataFrame): org.apache.spark.ml.clustering.KMeansModel =
+    kmeansCache.getOrElseUpdate((System.identityHashCode(s), dir),
+      Tables.artifact(dir, "kmeansCodebook") {
+        new org.apache.spark.ml.clustering.KMeans()
+          .setK(8).setSeed(42L).setMaxIter(20)
+          .setFeaturesCol("fv").setPredictionCol("cid")
+          .fit(feat)
+      }((m, path) => m.write.save(path))(
+        org.apache.spark.ml.clustering.KMeansModel.load))
+
   def annIvfKmeansProbed(s: SparkSession, dir: String, nprobe: Int): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
@@ -1182,10 +1199,7 @@ object LlmOps {
         transform(col("embedding"), x => x.cast("double") / col("nrm")).as("u"))
     val feat = unit.select(col("vec_id"), col("embedding"),
       array_to_vector(col("u")).as("fv"))
-    val model = kmeansCache.getOrElseUpdate((System.identityHashCode(s), dir),
-      new KMeans().setK(8).setSeed(42L).setMaxIter(20)
-        .setFeaturesCol("fv").setPredictionCol("cid")
-        .fit(feat))
+    val model = sphericalCodebook(s, dir, feat)
     val assign = model.transform(feat).select(col("vec_id"), col("embedding"), col("cid"))
     import s.implicits._
     val cents = model.clusterCenters.zipWithIndex.toSeq
@@ -1952,11 +1966,20 @@ object LlmOps {
     val subCols = (0 until PqM).map(m =>
       slice(col("u"), m * PqSubDim + 1, PqSubDim).as(s"sub$m"))
     val subbed = unit.select(col("vec_id") +: subCols: _*)
+    // per-subspace codebooks: session-cached and persisted (one ml
+    // save/load per subspace under a single artifact dir)
     val models = pqCache.getOrElseUpdate((System.identityHashCode(s), dir),
-      (0 until PqM).map { m =>
-        new KMeans().setK(PqK).setSeed(42L + m).setMaxIter(20)
-          .setFeaturesCol("fv").setPredictionCol("code")
-          .fit(subbed.select(array_to_vector(col(s"sub$m")).as("fv")))
+      Tables.artifact(dir, "pqCodebooks") {
+        (0 until PqM).map { m =>
+          new KMeans().setK(PqK).setSeed(42L + m).setMaxIter(20)
+            .setFeaturesCol("fv").setPredictionCol("code")
+            .fit(subbed.select(array_to_vector(col(s"sub$m")).as("fv")))
+        }
+      } { (ms, path) =>
+        ms.zipWithIndex.foreach { case (m, i) => m.write.save(s"$path/m$i") }
+      } { path =>
+        (0 until PqM).map(i =>
+          org.apache.spark.ml.clustering.KMeansModel.load(s"$path/m$i"))
       })
     // encode: one assignment column per subspace
     val encoded = (0 until PqM).foldLeft(subbed) { (df, m) =>
@@ -2170,11 +2193,8 @@ object LlmOps {
           transform(col("embedding"), x => x.cast("double") / col("nrm")).as("u"))
       val feat = unit.select(col("vec_id"), col("embedding"),
         array_to_vector(col("u")).as("fv"))
-      val model = kmeansCache.getOrElseUpdate((System.identityHashCode(s), dir),
-        new KMeans().setK(8).setSeed(42L).setMaxIter(20)
-          .setFeaturesCol("fv").setPredictionCol("cid")
-          .fit(feat))
-      model.transform(feat).select(col("vec_id"), col("embedding"), col("cid"))
+      sphericalCodebook(s, dir, feat)
+        .transform(feat).select(col("vec_id"), col("embedding"), col("cid"))
     }
 
   /** SEMANTIC deduplication (SemDedup — Abbas et al., 2023, arXiv
@@ -2222,7 +2242,7 @@ object LlmOps {
     // corpus snapshot.
     val hasLower = pairs.select(col("vb").as("vec_id")).distinct()
       .withColumn("is_dup", lit(true))
-    val comp = Tables.memo(s, dir, "semdedupComp") {
+    val comp = Tables.index(s, dir, "semdedupComp") {
       labelPropagate(
         pairs.select(col("va").as("doc_a"), col("vb").as("doc_b")))
     }.select(col("doc_id").as("vec_id"), col("cluster_id").as("rep"))
@@ -2460,7 +2480,21 @@ object LlmOps {
 
   private def bpeRules(s: SparkSession, dir: String): Seq[(String, String)] =
     bpeRulesCache.getOrElseUpdate((System.identityHashCode(s), dir),
-      bpeTrain(s, dir).collect().map(r => (r.getString(1), r.getString(2))).toSeq)
+      Tables.artifact(dir, "bpeRules") {
+        bpeTrain(s, dir).collect().map(r => (r.getString(1), r.getString(2))).toSeq
+      } { (rules, path) =>
+        // rank order IS the artifact: one line per rule, tab-separated
+        val f = new java.io.File(path)
+        f.mkdirs()
+        java.nio.file.Files.write(
+          new java.io.File(f, "rules.tsv").toPath,
+          rules.map { case (l, r) => s"$l\t$r" }.mkString("\n").getBytes("UTF-8"))
+      } { path =>
+        new String(java.nio.file.Files.readAllBytes(
+          new java.io.File(path, "rules.tsv").toPath), "UTF-8")
+          .split("\n").toSeq.filter(_.nonEmpty)
+          .map { l => val Array(a, b) = l.split("\t", 2); (a, b) }
+      })
 
   /** BPE ENCODE — apply the learned merge rules ([[bpeTrain]]) to every
     * document: each word starts as characters, the 10 rules apply in

@@ -66,7 +66,7 @@ object Mining {
 
   /** Unthresholded triple supports — memoized (≤C(25,3) rows). */
   private def tripleSupports(s: SparkSession, dir: String): DataFrame =
-    Tables.memo(s, dir, "tripleSupports") {
+    Tables.index(s, dir, "tripleSupports") {
       val tx = txItems(s, dir)
       val a = tx.select(col("tid"), col("item").as("ia"))
       val b = tx.select(col("tid").as("tid_b"), col("item").as("ib"))
@@ -103,13 +103,13 @@ object Mining {
   /** Persisted frequent-itemset table of the cached model (vocabulary-
     * bounded: ≤ Σ C(25,k) rows regardless of corpus size). */
   private def fpItemsets(s: SparkSession, dir: String, minSup: Double, key: String): DataFrame =
-    Tables.memo(s, dir, key) { fpModel(s, dir, minSup).freqItemsets }
+    Tables.index(s, dir, key) { fpModel(s, dir, minSup).freqItemsets }
 
   /** Per-user event-type sequences in deterministic (ts, event_id) order —
     * memoized: both PrefixSpan keys start from this one
     * groupBy+collect_list materialization. */
   private def userSequences(s: SparkSession, dir: String): DataFrame =
-    Tables.memo(s, dir, "userSequences") {
+    Tables.index(s, dir, "userSequences") {
       Tables.load(s, dir, "events")
         .groupBy("user_id")
         .agg(transform(
@@ -320,6 +320,94 @@ object Mining {
       .orderBy("item")
   }
 
+  /** Shared harness for the SQL row-level-DML keys: commit the corpus
+    * baskets as a fimi SNAPSHOT work table (3 part files, so the
+    * copy-on-write group granularity is visible), register a
+    * [[graft.catalog.GraftCatalog]] over the per-session work root, and
+    * return the catalog-qualified table name. The catalog confs persist
+    * deliberately (same reasoning as [[fpmFimiSpj]]: the returned frame
+    * is lazy, so they must hold at execution; they are inert elsewhere). */
+  private def fimiDmlTable(
+      s: SparkSession, dir: String, tag: String, cat: String): String = {
+    val sfName = new java.io.File(dir).getName
+    val root = Tables.workRoot(s, tag)
+    val base = s"$root/$sfName/t.fimi"
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(): Unit
+    }
+    rm(new java.io.File(base))
+    baskets(s, dir).repartition(3)
+      .write.format("fimi").option("snapshots", "true")
+      .mode("overwrite").save(base)
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.catalog.GraftCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.root", root)
+    s"$cat.`$sfName`.t"
+  }
+
+  /** Per-item supports of the table's LATEST snapshot — the common
+    * read-back for the DML keys (unthresholded: every basket's content
+    * participates, so any DML defect shifts a count and fails the hash). */
+  private def mineSupports(s: SparkSession, table: String): DataFrame =
+    s.table(table)
+      .select(explode(col("items")).as("item"))
+      .groupBy("item").agg(count(lit(1)).as("freq"))
+      .orderBy("item")
+
+  /** SQL `DELETE` through the catalog onto a fimi snapshot table —
+    * group-based copy-on-write via the connector's
+    * [[graft.sources.fimi.FimiRowLevelOperation]]: Spark's runtime group
+    * filter narrows the rewrite to the data files that actually contain
+    * a matching row; the commit is one `#truncate` manifest at
+    * base+1 (pre-DML versions stay time-travel-readable; VACUUM owns
+    * retention). Result: per-item supports after deleting every basket
+    * containing Brand#23 — the content check the oracle reproduces
+    * relationally. */
+  def fpmFimiDelete(s: SparkSession, dir: String): DataFrame = {
+    val t = fimiDmlTable(s, dir, "graft_fimi_del", "graft_dml_del")
+    s.sql(s"DELETE FROM $t WHERE array_contains(items, 'Brand#23')")
+    mineSupports(s, t)
+  }
+
+  /** SQL `UPDATE` (copy-on-write) — every basket with ≥ 5 items gains a
+    * `zz_flag` marker item; untouched groups are never rewritten. The
+    * oracle reproduces the post-update item supports from parquet. */
+  def fpmFimiUpdate(s: SparkSession, dir: String): DataFrame = {
+    val t = fimiDmlTable(s, dir, "graft_fimi_upd", "graft_dml_upd")
+    s.sql(
+      s"UPDATE $t SET items = array_union(items, array('zz_flag')) " +
+        "WHERE size(items) >= 5")
+    mineSupports(s, t)
+  }
+
+  /** SQL `MERGE INTO` with all three action kinds — matched-DELETE
+    * (baskets of ≥ 8 items), matched-UPDATE (baskets of 6–7 items gain
+    * `zz_upd`), and not-matched-INSERT (three fresh `zz_new` baskets;
+    * source tids −1..−3 can never collide with the connector's
+    * non-negative positional tids). The source is a subquery over the
+    * TARGET's pinned snapshot plus literal rows — the self-merge shape
+    * a dedup/upsert pipeline runs. Cardinality is safe by construction
+    * (source tids are distinct). */
+  def fpmFimiMerge(s: SparkSession, dir: String): DataFrame = {
+    val t = fimiDmlTable(s, dir, "graft_fimi_mrg", "graft_dml_mrg")
+    s.sql(
+      s"""MERGE INTO $t AS tgt
+         |USING (
+         |  SELECT tid, array_union(items, array('zz_upd')) AS items
+         |  FROM $t WHERE size(items) >= 6
+         |  UNION ALL
+         |  SELECT tid, items FROM VALUES
+         |    (-1L, array('zz_new')), (-2L, array('zz_new')),
+         |    (-3L, array('zz_new')) AS v(tid, items)
+         |) AS src
+         |ON tgt.tid = src.tid
+         |WHEN MATCHED AND size(tgt.items) >= 8 THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET items = src.items
+         |WHEN NOT MATCHED THEN INSERT (tid, items) VALUES (src.tid, src.items)
+         |""".stripMargin)
+    mineSupports(s, t)
+  }
+
   /** Frequent items at the k-itemset threshold — downward-closure prune set. */
   private def f1(s: SparkSession, dir: String, minSup: Double): DataFrame =
     itemSupports(s, dir)
@@ -336,7 +424,7 @@ object Mining {
     * (the 25-item vocabulary bounds it to ≤300 rows regardless of scale,
     * so persisting it is always safe). */
   private def pairSupports(s: SparkSession, dir: String): DataFrame =
-    Tables.memo(s, dir, "pairSupports") {
+    Tables.index(s, dir, "pairSupports") {
       val tx = txItems(s, dir)
       val a = tx.select(col("tid"), col("item").as("ia"))
       val b = tx.select(col("tid").as("tid_b"), col("item").as("ib"))
@@ -418,7 +506,7 @@ object Mining {
     // nShards = G the uncached plan would rebuild this groupBy +
     // collect_list tidset construction G(G+1) times. Persisting it once
     // makes each join a scan of the cached blocks instead.
-    val vert = Tables.memo(s, dir, s"eclatVert_${blockSize}_$nShards") {
+    val vert = Tables.index(s, dir, s"eclatVert_${blockSize}_$nShards") {
       txItems(s, dir)
         .withColumn("blk", expr(s"tid DIV $blockSize"))
         .groupBy("item", "blk")
@@ -579,7 +667,7 @@ object Mining {
 
   /** Persisted multi-antecedent rule table of the full-depth model. */
   private def fullAssocRules(s: SparkSession, dir: String): DataFrame =
-    Tables.memo(s, dir, "fpFullRules") {
+    Tables.index(s, dir, "fpFullRules") {
       fpModel(s, dir, MinSupFpFull).associationRules
     }
 
@@ -698,7 +786,7 @@ object Mining {
     * edge join + min-aggregate keyed by node plus a pointer-jump
     * self-join; rounds grow with log(diameter), never with row count. */
   def fpmComponents(s: SparkSession, dir: String): DataFrame =
-    Tables.memo(s, dir, "itemComponents") {
+    Tables.index(s, dir, "itemComponents") {
       // memoized converged labels, the clusterLabels pattern: a pipeline
       // materializes its component table once per corpus
       // un-symmetrized pairs: labelPropagate symmetrizes internally, so
@@ -1085,7 +1173,7 @@ object Mining {
     * physical plan re-derives the threshold filter once per degree /
     * wedge branch — a dozen redundant broadcast exchanges. */
   private def frequentEdges(s: SparkSession, dir: String): DataFrame =
-    Tables.memo(s, dir, "frequentEdges") {
+    Tables.index(s, dir, "frequentEdges") {
       pairSupports(s, dir)
         .crossJoin(broadcast(basketCount(s, dir)))
         .filter(col("freq") >= col("n") * MinSupPairs)
@@ -1095,7 +1183,7 @@ object Mining {
   /** Per-node degree of the frequent-pair graph — memoized with the
     * edge frame it derives from (one node per vocabulary item). */
   private def frequentEdgeDegrees(s: SparkSession, dir: String): DataFrame =
-    Tables.memo(s, dir, "frequentEdgeDegrees") {
+    Tables.index(s, dir, "frequentEdgeDegrees") {
       val und = frequentEdges(s, dir)
       und.select(col("x").as("item"))
         .unionByName(und.select(col("y").as("item")))
@@ -1409,6 +1497,9 @@ object Mining {
     "fpm_fimi_roundtrip" -> (fpmFimiRoundtrip _),
     "fpm_fimi_dsv2"    -> (fpmFimiDsv2 _),
     "fpm_fimi_timetravel" -> (fpmFimiTimetravel _),
+    "fpm_fimi_delete"  -> (fpmFimiDelete _),
+    "fpm_fimi_update"  -> (fpmFimiUpdate _),
+    "fpm_fimi_merge"   -> (fpmFimiMerge _),
     "fpm_fimi_compact" -> (fpmFimiCompact _),
     "fpm_fimi_spj"     -> (fpmFimiSpj _),
     "fpm_freq_pairs"   -> (fpmFreqPairs _),
@@ -1745,6 +1836,38 @@ object Mining {
         |FROM tx GROUP BY item
         |HAVING count(*) >= CAST(0.05 * (SELECT n FROM nb) AS DOUBLE)
         |ORDER BY item""".stripMargin),
+
+    // Post-DELETE content identity: per-item supports after dropping
+    // every basket containing Brand#23 — any copy-on-write defect (a
+    // surviving matched basket, a lost unmatched one, a double-rewrite)
+    // shifts a support and fails the hash.
+    "fpm_fimi_delete" -> (txCte + """
+        |SELECT item, CAST(count(*) AS BIGINT) AS freq
+        |FROM tx
+        |WHERE tid NOT IN (SELECT tid FROM tx WHERE item = 'Brand#23')
+        |GROUP BY item ORDER BY item""".stripMargin),
+
+    // Post-UPDATE content identity: the original supports plus one
+    // zz_flag per basket of >= 5 items.
+    "fpm_fimi_update" -> (txCte +
+      """, sz AS (SELECT tid, count(*) AS c FROM tx GROUP BY tid)
+        |SELECT item, CAST(count(*) AS BIGINT) AS freq FROM (
+        |  SELECT item FROM tx
+        |  UNION ALL
+        |  SELECT 'zz_flag' AS item FROM sz WHERE c >= 5
+        |) GROUP BY item ORDER BY item""".stripMargin),
+
+    // Post-MERGE content identity: baskets of >= 8 items deleted,
+    // baskets of 6-7 items gain zz_upd, three zz_new baskets inserted.
+    "fpm_fimi_merge" -> (txCte +
+      """, sz AS (SELECT tid, count(*) AS c FROM tx GROUP BY tid)
+        |SELECT item, CAST(count(*) AS BIGINT) AS freq FROM (
+        |  SELECT t.item FROM tx t JOIN sz ON t.tid = sz.tid WHERE sz.c < 8
+        |  UNION ALL
+        |  SELECT 'zz_upd' AS item FROM sz WHERE c >= 6 AND c < 8
+        |  UNION ALL
+        |  SELECT 'zz_new' AS item FROM (VALUES (1), (2), (3))
+        |) GROUP BY item ORDER BY item""".stripMargin),
 
     "fpm_fimi_spj" -> (txCte + """
         |SELECT 'g' || CAST(tid % 3 AS VARCHAR) AS grp, item,

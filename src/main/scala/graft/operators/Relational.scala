@@ -1391,7 +1391,7 @@ object Relational {
     // like the selection family's cell frame (r14 verdict task 3): it
     // is the maintained per-(group, value) index every rank query in a
     // session reads, materialized once, warmed outside the timers.
-    val vals = Tables.memo(s, dir, "qsel_hist") {
+    val vals = Tables.index(s, dir, "qsel_hist") {
       Tables.fanOut(Tables.load(s, dir, "lineitem")
           .select(col("l_returnflag"), col("l_extendedprice")),
           col("l_returnflag"), col("l_extendedprice"))
@@ -1564,7 +1564,7 @@ object Relational {
     // the session rides it. The memo key names the fact+width, so the
     // spec's shrunk-k stress paths never alias the production frame.
     val counts = cellsMemo.fold(rawCounts) { case (s, dir, key) =>
-      Tables.memo(s, dir, key)(rawCounts) }
+      Tables.index(s, dir, key)(rawCounts) }
     // per-group n from the cell frame — an aggregate over |grp|·|cells|
     // rows whose shuffle subtree is identical to `counts`' own, so AQE
     // exchange reuse runs the fact-side partial aggregate once
@@ -1698,7 +1698,7 @@ object Relational {
   def relAbcPareto(s: SparkSession, dir: String): DataFrame = {
     // memoized like the quantile family's cell frame: per-part revenue
     // is the maintained rollup a real inventory pipeline keeps current
-    val perPart = Tables.memo(s, dir, "abc_perpart") {
+    val perPart = Tables.index(s, dir, "abc_perpart") {
       Tables.load(s, dir, "lineitem")
         .groupBy("l_partkey")
         .agg(sum((dec("l_extendedprice") * lit(100)).cast("decimal(18,0)")).as("rev_c"))

@@ -423,7 +423,7 @@ object SqlSurface {
   /** Registers the memoized derived-partsupp frame as temp view `ps`. */
   private def psView(s: SparkSession, dir: String): Unit = {
     views(s, dir, "lineitem")
-    Tables.memo(s, dir, "tpchDerivedPartsupp")(s.sql(psDeriveSql))
+    Tables.index(s, dir, "tpchDerivedPartsupp")(s.sql(psDeriveSql))
       .createOrReplaceTempView("ps")
   }
 
@@ -631,7 +631,7 @@ object SqlSurface {
   def sqlQ11(s: SparkSession, dir: String): DataFrame = {
     views(s, dir, "supplier", "nation")
     psView(s, dir)
-    Tables.memo(s, dir, "tpchQ11Agg")(s.sql(q11AggSql))
+    Tables.index(s, dir, "tpchQ11Agg")(s.sql(q11AggSql))
       .createOrReplaceTempView("ps_q11")
     s.sql(
       """SELECT ps_partkey, CAST(val AS DOUBLE) AS value

@@ -86,6 +86,20 @@ object FimiTable {
     StructField("items", ArrayType(StringType, containsNull = false),
       nullable = false)))
 
+  /** Metadata column exposing the data file serving each row — the
+    * GROUP identity for copy-on-write row-level DML (Spark's runtime
+    * group filtering computes the distinct `_file` values of matching
+    * rows and prunes the rewrite scan to exactly those files), and a
+    * debugging affordance (`SELECT _file FROM ...`) in its own right. */
+  val FileColName = "_file"
+  object FileColumn extends org.apache.spark.sql.connector.catalog.MetadataColumn {
+    override def name(): String = FileColName
+    override def dataType(): DataType = StringType
+    override def isNullable: Boolean = false
+    override def comment(): String =
+      "path of the data file serving this row (copy-on-write group id)"
+  }
+
   /** Bits of `tid` carrying the line's byte offset within its file. */
   val OffsetBits = 40
 
@@ -198,21 +212,59 @@ object FimiTable {
 }
 
 class FimiTable(options: CaseInsensitiveStringMap)
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
 
   override def name(): String =
     s"fimi(${FimiTable.paths(options).mkString(",")})"
 
   override def schema(): StructType = FimiTable.Schema
 
-  override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(
+  private def bucketCount: Int =
+    Option(options.get("buckets")).map(_.toInt).getOrElse(0)
+
+  /** `_file` rides only the flat layout: bucketed readers key rows by
+    * explicit tids, not file position, and row-level DML (the column's
+    * main consumer) is flat-layout-only too. */
+  override def metadataColumns(): Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    if (bucketCount > 0) Array.empty else Array(FimiTable.FileColumn)
+
+  /** SQL DELETE / UPDATE / MERGE INTO via group-based copy-on-write:
+    * affected data files (groups) are rewritten whole and committed as
+    * one new manifest version through the snapshot log — see
+    * [[FimiRowLevelOperation]] for the protocol. Snapshot tables only
+    * (the manifest IS the atomic commit + history mechanism); the
+    * requirement is enforced at scan planning, where a FileSystem is
+    * available. */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    if (bucketCount > 0)
+      throw new UnsupportedOperationException(
+        "fimi: row-level DML applies to flat snapshot tables, not the " +
+          "bucketed layout (rewrite a bucketed table with the bucketed writer)")
+    () => new FimiRowLevelOperation(options, info)
+  }
+
+  /** ACCEPT_ANY_SCHEMA keeps the PATH-based write surface permissive
+    * (items-only frames — `df.select(array(..)).write.format("fimi")` —
+    * are the native write shape; the writer validates `items` itself).
+    * Catalog-served tables pass `strictSchema=true` instead: row-level
+    * DML alignment (`UpdateTable.skipSchemaResolution`) is gated OFF by
+    * ACCEPT_ANY_SCHEMA, so a DML-capable table must schema-resolve like
+    * any lakehouse table. */
+  override def capabilities(): java.util.Set[TableCapability] = {
+    val caps = java.util.EnumSet.of(
       TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE,
       TableCapability.STREAMING_WRITE,
-      TableCapability.TRUNCATE,
-      TableCapability.ACCEPT_ANY_SCHEMA)
+      TableCapability.TRUNCATE)
+    if (!Option(options.get("strictSchema")).exists(_.toBoolean))
+      caps.add(TableCapability.ACCEPT_ANY_SCHEMA)
+    caps
+  }
 
   override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder = {
     val merged = new java.util.HashMap[String, String](options)
@@ -226,7 +278,9 @@ class FimiTable(options: CaseInsensitiveStringMap)
 
 // --------------------------------------------------------------- read
 
-class FimiScanBuilder(options: CaseInsensitiveStringMap)
+class FimiScanBuilder(
+    options: CaseInsensitiveStringMap,
+    rowLevel: Option[FimiRowLevelOperation] = None)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns
     with SupportsPushDownLimit
@@ -281,6 +335,17 @@ class FimiScanBuilder(options: CaseInsensitiveStringMap)
   }
 
   override def build(): Scan = {
+    rowLevel.foreach { op =>
+      // row-level rewrite scan: pinned to the snapshot version current
+      // NOW (planning time), recorded on the operation so the write's
+      // commit can (a) detect concurrent commits and (b) know which
+      // groups the replacement rows were computed from
+      val scan = FimiRowLevelScan.plan(
+        FimiTable.paths(options).toIndexedSeq, hadoopKVs, requiredSchema,
+        maxSplitBytes, sep, op)
+      op.configuredScan = scan
+      return scan
+    }
     val buckets = Option(options.get("buckets")).map(_.toInt).getOrElse(0)
     if (buckets > 0)
       // bucketed layout (see FimiBuckets.scala): explicit-tid lines under
@@ -340,7 +405,13 @@ class FimiScan(
     s"fimi ${optionPaths.mkString(",")}$lim$rng$ver"
   }
 
-  private lazy val partitions: Array[FimiInputPartition] = {
+  /** Row-level rewrite hook: the runtime group filter narrows the scan
+    * to the files containing matching rows. `true` for every plain scan. */
+  protected def keepFile(path: String): Boolean = true
+
+  @volatile private var planned: Array[FimiInputPartition] = _
+
+  private lazy val allPartitions: Array[FimiInputPartition] = {
     val conf = FimiTable.rebuildConf(hadoopKVs)
     // a bucketed table dir read WITHOUT the buckets option would list
     // zero files (bucket=K subdirs skipped, _buckets hidden) and return
@@ -391,15 +462,26 @@ class FimiScan(
     }.toArray
   }
 
-  override def planInputPartitions(): Array[InputPartition] =
-    partitions.toArray[InputPartition]
+  override def planInputPartitions(): Array[InputPartition] = {
+    val ps = allPartitions.filter(p => keepFile(p.filePath))
+    planned = ps
+    ps.toArray[InputPartition]
+  }
+
+  /** Distinct file paths the most recent plan covered (after any
+    * runtime group filtering) — the copy-on-write "replaced" set. */
+  private[fimi] def plannedFilePaths: Seq[String] = {
+    val ps = Option(planned)
+      .getOrElse(allPartitions.filter(p => keepFile(p.filePath)))
+    ps.map(_.filePath).distinct.toSeq
+  }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new FimiPartitionReaderFactory(hadoopKVs, requiredSchema, sep, limit)
 
   override def estimateStatistics(): Statistics = new Statistics {
     override def sizeInBytes(): OptionalLong =
-      OptionalLong.of(partitions.map(_.length).sum)
+      OptionalLong.of(allPartitions.map(_.length).sum)
     override def numRows(): OptionalLong = OptionalLong.empty()
   }
 }
@@ -427,6 +509,10 @@ class FimiPartitionReader(
   private val wantItems = requiredSchema.fieldNames.contains("items")
   private val tidIdx = requiredSchema.fieldNames.indexOf("tid")
   private val itemsIdx = requiredSchema.fieldNames.indexOf("items")
+  // `_file` metadata column (constant per partition — computed once)
+  private val fileIdx = requiredSchema.fieldNames.indexOf(FimiTable.FileColName)
+  private val fileVal =
+    if (fileIdx >= 0) UTF8String.fromString(part.filePath) else null
 
   private val reader = {
     val split = new FileSplit(new Path(part.filePath), part.start, part.length, null)
@@ -465,6 +551,7 @@ class FimiPartitionReader(
           row.update(itemsIdx,
             new GenericArrayData(items.map(UTF8String.fromString(_))))
         }
+        if (fileIdx >= 0) row.update(fileIdx, fileVal)
         current = row
         emitted += 1
         return true

@@ -1,0 +1,236 @@
+package graft.sources.fimi
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
+import org.apache.spark.sql.connector.expressions.filter.Predicate
+import org.apache.spark.sql.connector.read.{ScanBuilder, SupportsRuntimeV2Filtering}
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** Group-based COPY-ON-WRITE row-level DML (SQL `DELETE` / `UPDATE` /
+  * `MERGE INTO`) for fimi snapshot tables — the lakehouse verbs over the
+  * same manifest-log protocol the batch writer, streaming sink,
+  * compaction and VACUUM already share.
+  *
+  * Protocol (Spark's group-based `SupportsRowLevelOperations` shape, the
+  * one Delta/Iceberg copy-on-write implements):
+  *
+  *  1. Spark plans a rewrite scan through [[newScanBuilder]]. The scan
+  *     PINS the table's latest snapshot version at planning time
+  *     (snapshot isolation: the rewrite reads one consistent version no
+  *     matter how long the job runs).
+  *  2. With runtime group filtering enabled (default), Spark first finds
+  *     the distinct `_file` values (the GROUP identity — see
+  *     [[FimiTable.FileColumn]]) of rows matching the DML condition via
+  *     a separate scan of the original table, then narrows the rewrite
+  *     scan to exactly those files through [[SupportsRuntimeV2Filtering]].
+  *     Unmatched files are never read and never rewritten — at 100 TB
+  *     the rewrite cost scales with the touched groups, not the table.
+  *  3. The replacement rows (all surviving rows of the affected groups,
+  *     with the DML logic applied by Spark's ReplaceData plan) are staged
+  *     as new part files by the same [[FimiLineWriter]] the batch path
+  *     uses.
+  *  4. Commit is one manifest write at pinnedVersion+1: a `#truncate`
+  *     (full-listing) manifest naming (base files − replaced files) ++
+  *     new files, in stable order. Old generations stay on disk, so
+  *     `VERSION AS OF <pre-DML>` keeps reading the pre-DML table and
+  *     VACUUM owns retention — DML is just another snapshot commit.
+  *     A concurrent commit since the pinned version aborts with
+  *     `ConcurrentModificationException` (the rewrite was computed
+  *     against a stale snapshot; blindly retrying the manifest write
+  *     would erase the concurrent commit — same rule as FimiCompact).
+  *
+  * tid semantics under DML: tids are file-positional (split-invariant
+  * within one generation — FimiDataSourceV2 scaladoc), so rows in
+  * REWRITTEN files get fresh tids at the next read, exactly like rows
+  * passing through compaction. The ON/WHERE conditions of one DML
+  * statement evaluate against the pinned snapshot's tids, so matching is
+  * internally consistent; identity that must survive rewrites belongs in
+  * `items` content, not tid.
+  */
+class FimiRowLevelOperation(
+    tableOptions: CaseInsensitiveStringMap,
+    info: RowLevelOperationInfo) extends RowLevelOperation {
+
+  /** The rewrite scan, recorded at build time (step 1) and read by the
+    * write's commit (step 4). One operation instance serves exactly one
+    * DML command, so the slot is written once per command. */
+  @volatile private[fimi] var configuredScan: FimiRowLevelScan = _
+
+  override def command(): RowLevelOperation.Command = info.command()
+
+  override def description(): String =
+    s"fimi ${command()} (copy-on-write)"
+
+  override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder = {
+    val merged = new java.util.HashMap[String, String](tableOptions)
+    merged.putAll(opts)
+    new FimiScanBuilder(new CaseInsensitiveStringMap(merged), rowLevel = Some(this))
+  }
+
+  override def newWriteBuilder(winfo: LogicalWriteInfo): WriteBuilder = {
+    val dest = FimiTable.paths(tableOptions) match {
+      case Seq(one) => one
+      case many => throw new IllegalArgumentException(
+        s"fimi DML needs exactly one table path; got $many")
+    }
+    val itemsIdx = winfo.schema().fieldNames.indexOf("items")
+    require(itemsIdx >= 0,
+      s"fimi DML write schema has no `items` column: ${winfo.schema()}")
+    val kvs = FimiTable.confKVs(
+      org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
+    new WriteBuilder {
+      override def build(): Write =
+        new FimiReplaceDataWrite(dest, kvs, itemsIdx, winfo.queryId(),
+          FimiRowLevelOperation.this)
+    }
+  }
+
+  /** `_file` must ride the rewrite scan: it is both the runtime group
+    * filter's join key and the write-side replaced-set witness. */
+  override def requiredMetadataAttributes(): Array[NamedReference] =
+    Array(Expressions.column(FimiTable.FileColName))
+}
+
+object FimiRowLevelScan {
+  /** Plan the rewrite scan: resolve the table's CURRENT latest snapshot
+    * version (driver-side, planning time) and pin the scan to it. */
+  def plan(
+      optionPaths: Seq[String],
+      hadoopKVs: Array[(String, String)],
+      requiredSchema: StructType,
+      maxSplitBytes: Long,
+      sep: String,
+      op: FimiRowLevelOperation): FimiRowLevelScan = {
+    val dest = optionPaths match {
+      case Seq(one) => new Path(one)
+      case many => throw new IllegalArgumentException(
+        s"fimi DML needs exactly one table path; got $many")
+    }
+    val conf = FimiTable.rebuildConf(hadoopKVs)
+    val fs = dest.getFileSystem(conf)
+    if (!FimiLog.exists(fs, dest))
+      throw new UnsupportedOperationException(
+        s"fimi: $dest keeps no snapshot log; row-level DML applies to " +
+          "snapshot tables (written with .option(\"snapshots\", \"true\")) — " +
+          "the manifest log is the atomic-commit and history mechanism")
+    val base = FimiLog.latestVersion(fs, dest).getOrElse(
+      throw new IllegalStateException(s"fimi: $dest has an empty snapshot log"))
+    new FimiRowLevelScan(optionPaths, hadoopKVs, requiredSchema,
+      maxSplitBytes, sep, base, op)
+  }
+}
+
+/** The rewrite scan: a plain [[FimiScan]] pinned to `baseVersion`, plus
+  * runtime group filtering on `_file`. An unparseable runtime predicate
+  * degrades to no pruning (a correct superset — the rewrite then copies
+  * unchanged groups byte-for-byte through the line writer). */
+class FimiRowLevelScan(
+    optionPaths: Seq[String],
+    hadoopKVs: Array[(String, String)],
+    requiredSchema: StructType,
+    maxSplitBytes: Long,
+    sep: String,
+    val baseVersion: Long,
+    op: FimiRowLevelOperation)
+    extends FimiScan(optionPaths, hadoopKVs, requiredSchema, maxSplitBytes,
+      sep, limit = -1, tidLo = Long.MinValue, tidHi = Long.MaxValue,
+      versionAsOf = Some(baseVersion))
+    with SupportsRuntimeV2Filtering {
+
+  @volatile private var keep: Option[Set[String]] = None
+
+  override protected def keepFile(path: String): Boolean =
+    keep.forall(_.contains(path))
+
+  override def filterAttributes(): Array[NamedReference] =
+    Array(Expressions.column(FimiTable.FileColName))
+
+  override def filter(predicates: Array[Predicate]): Unit = {
+    val sets = predicates.flatMap(fileSet)
+    // multiple predicates AND together; none parseable => no pruning
+    if (sets.nonEmpty) keep = Some(sets.reduce(_ intersect _))
+  }
+
+  /** String values named by an IN/= predicate over `_file`. */
+  private def fileSet(p: Predicate): Option[Set[String]] = {
+    val vals = p.children()
+      .flatMap(org.apache.spark.sql.graft.Bridge.literalString)
+    val refsFile = p.children().exists {
+      case r: NamedReference => r.fieldNames().sameElements(Array(FimiTable.FileColName))
+      case _ => false
+    }
+    p.name() match {
+      case "IN" | "=" if refsFile && vals.nonEmpty => Some(vals.toSet)
+      case _ => None
+    }
+  }
+
+  override def description(): String =
+    super.description() + s", rowLevel=${op.command()}, base=$baseVersion" +
+      keep.map(k => s", groupFilter=${k.size} files").getOrElse("")
+}
+
+/** The ReplaceData write: stages replacement part files like the batch
+  * writer, then commits (survivors ++ new files) as one `#truncate`
+  * manifest at pinnedVersion+1 — or aborts on any concurrent commit. */
+class FimiReplaceDataWrite(
+    dest: String,
+    hadoopKVs: Array[(String, String)],
+    itemsIdx: Int,
+    queryId: String,
+    op: FimiRowLevelOperation) extends Write with BatchWrite {
+
+  override def toBatch: BatchWrite = this
+
+  private def stagingDir = new Path(dest, s".graft-dml-$queryId")
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new FimiWriterFactory(stagingDir.toString, hadoopKVs, itemsIdx)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val conf = FimiTable.rebuildConf(hadoopKVs)
+    val destPath = new Path(dest)
+    val fs = destPath.getFileSystem(conf)
+    val scan = op.configuredScan
+    require(scan != null,
+      "fimi DML commit: no configured rewrite scan (planning never ran)")
+    val base = scan.baseVersion
+    // visible files at the pinned version, in manifest (tid-ordinal) order
+    val baseFiles = FimiLog.resolve(fs, destPath, Some(base))
+    val replaced = scan.plannedFilePaths.map(p => new Path(p).getName).toSet
+    val survivors = baseFiles.filterNot(replaced)
+    // land the new data files (invisible until the manifest commits)
+    val newNames = messages.toSeq.map {
+      case FimiCommitMessage(staged) =>
+        val s = new Path(staged)
+        if (!fs.rename(s, new Path(destPath, s.getName)))
+          throw new java.io.IOException(
+            s"fimi DML commit: rename $s -> $destPath/${s.getName} failed")
+        s.getName
+      case other => throw new IllegalStateException(s"unexpected $other")
+    }
+    // optimistic commit at base+1 ONLY: a conflicting commit means the
+    // rewrite was computed against a stale snapshot — abort, never
+    // re-commit the stale listing at a higher version (FimiCompact rule)
+    val committed = FimiLog.latestVersion(fs, destPath).contains(base) &&
+      FimiLog.write(fs, destPath, base + 1, None, truncate = true,
+        survivors ++ newNames)
+    if (!committed) {
+      newNames.foreach(n => fs.delete(new Path(destPath, n), false))
+      fs.delete(stagingDir, true)
+      throw new java.util.ConcurrentModificationException(
+        s"fimi DML on $dest: table advanced past pinned version $base " +
+          "during the rewrite; re-run the statement against the new snapshot")
+    }
+    FimiLog.maybeCheckpoint(fs, destPath)
+    fs.delete(stagingDir, true)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val conf = FimiTable.rebuildConf(hadoopKVs)
+    val fs = stagingDir.getFileSystem(conf)
+    fs.delete(stagingDir, true)
+  }
+}

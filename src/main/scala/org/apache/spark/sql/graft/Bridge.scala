@@ -32,6 +32,19 @@ object Bridge {
       None,
       classOf[org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat])
 
+  /** String value of a connector literal expression, if it is one.
+    * `LiteralValue` is `private[sql]` in its Scala signature (public
+    * only at the bytecode level), so the one pattern match lives here —
+    * used by the fimi row-level scan to decode runtime group-filter
+    * predicates (`IN(_file, 'a','b',...)`). */
+  def literalString(
+      e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+    e match {
+      case org.apache.spark.sql.connector.expressions.LiteralValue(v, _) =>
+        Option(v).map(String.valueOf)
+      case _ => None
+    }
+
   /** Register the driver-side StateStoreCoordinator RPC endpoint if it
     * is not already up. Streaming queries create it lazily on first
     * start; BATCH execution of `transformWithState` (supported since

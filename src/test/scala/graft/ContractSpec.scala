@@ -902,4 +902,34 @@ class ContractSpec extends SparkSpec {
       Tables.memo(live, sf, "spec_live") { fail("live session's memo was evicted mid-use") }
     }
   }
+
+  test("persisted index: served across sessions from disk, invalidated by a source change") {
+    // r15 VERDICT task 6: Tables.index spills a derived frame to the
+    // versioned on-disk store; a fresh session (≈ a cold JVM: the
+    // session memo is empty) must load the artifact instead of
+    // rebuilding, and ANY source-file change must flip the fingerprint
+    // and force a rebuild — stale artifacts are structurally
+    // unreachable (the fingerprint is in the path).
+    val dir = java.nio.file.Files.createTempDirectory("graft-idxspec").toString
+    spark.range(5).toDF("x").coalesce(1).write.parquet(s"$dir/t.parquet")
+    var builds = 0
+    def build(s: org.apache.spark.sql.SparkSession) = {
+      builds += 1
+      s.range(3).toDF("v")
+    }
+    val a = Tables.index(spark, dir, "ixspec")(build(spark))
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val s2 = spark.newSession()
+    val b = Tables.index(s2, dir, "ixspec")(build(s2))
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(builds == 1, s"fresh session rebuilt instead of loading ($builds builds)")
+    assert(a == b)
+    // mtime change = new fingerprint = rebuild (old artifact dropped)
+    val part = new java.io.File(s"$dir/t.parquet").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    assert(part.setLastModified(part.lastModified() + 60000))
+    val s3 = spark.newSession()
+    Tables.index(s3, dir, "ixspec")(build(s3)).collect()
+    assert(builds == 2, s"stale fingerprint was served ($builds builds)")
+  }
 }

@@ -199,4 +199,113 @@ class GraftCatalogSpec extends SparkSpec {
     spark.sql("REFRESH TABLE graft3.ns.t")
     assert(spark.sql("SELECT * FROM graft3.ns.t").count() == 2)
   }
+
+  // -------------------------------------------------- row-level DML
+
+  /** Snapshot table with three SEPARATE append commits (v0..v2), one
+    * data file each — so the copy-on-write group granularity is
+    * observable per file. Returns (catalog-qualified name, table path). */
+  private def dmlTable(cat: String, lines: Seq[String]): (String, String) = {
+    val root = Files.createTempDirectory(s"graft-$cat").toString
+    Files.createDirectories(java.nio.file.Paths.get(root, "ns"))
+    val dest = s"$root/ns/t.fimi"
+    val sp = spark
+    import sp.implicits._
+    lines.zipWithIndex.foreach { case (l, i) =>
+      val mode = if (i == 0) "overwrite" else "append"
+      Seq(l).toDF("line").select(split(col("line"), " ").as("items"))
+        .coalesce(1).write.format("fimi")
+        .option("snapshots", "true").mode(mode).save(dest)
+    }
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.catalog.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    (s"$cat.ns.t", dest)
+  }
+
+  private def contents(table: String): Seq[String] =
+    spark.sql(s"SELECT array_join(items, ' ') AS s FROM $table ORDER BY s")
+      .collect().map(_.getString(0)).toSeq
+
+  private def visibleFiles(dest: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(dest)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    graft.sources.fimi.FimiLog.resolve(fs, p, None)
+  }
+
+  test("DELETE rewrites only the files containing matches; history stays readable") {
+    val (t, dest) = dmlTable("graft_dml1", Seq("a b", "kill x", "c d"))
+    val before = visibleFiles(dest)
+    assert(before.size == 3, before.toString)
+    spark.sql(s"DELETE FROM $t WHERE array_contains(items, 'kill')")
+    assert(contents(t) == Seq("a b", "c d"))
+    // copy-on-write group granularity: the two untouched files survive
+    // BY NAME (runtime group filtering pruned them out of the rewrite);
+    // only the matching file's name is gone
+    val after = visibleFiles(dest)
+    assert(after.toSet.intersect(before.toSet) == (before.toSet - before(1)),
+      s"before=$before after=$after")
+    // the pre-DML snapshot is still served (DML is just another commit)
+    assert(contents(s"$t VERSION AS OF 2") == Seq("a b", "c d", "kill x"))
+  }
+
+  test("UPDATE applies assignments copy-on-write; unmatched groups untouched") {
+    val (t, dest) = dmlTable("graft_dml2", Seq("a b", "m n", "c d"))
+    val before = visibleFiles(dest)
+    spark.sql(s"UPDATE $t SET items = array_union(items, array('u')) " +
+      "WHERE array_contains(items, 'm')")
+    assert(contents(t) == Seq("a b", "c d", "m n u"))
+    val after = visibleFiles(dest)
+    assert(after.toSet.intersect(before.toSet) == (before.toSet - before(1)),
+      s"before=$before after=$after")
+  }
+
+  test("MERGE INTO supports matched-delete, matched-update and not-matched-insert") {
+    val (t, _) = dmlTable("graft_dml3", Seq("a b", "m n", "kill x"))
+    spark.sql(
+      s"""MERGE INTO $t AS tgt
+         |USING (
+         |  SELECT tid, items FROM $t WHERE array_contains(items, 'm')
+         |  UNION ALL
+         |  SELECT tid, items FROM $t WHERE array_contains(items, 'kill')
+         |  UNION ALL
+         |  SELECT -1L AS tid, array('new', 'row') AS items
+         |) AS src
+         |ON tgt.tid = src.tid
+         |WHEN MATCHED AND array_contains(tgt.items, 'kill') THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET items = array_union(tgt.items, array('u'))
+         |WHEN NOT MATCHED THEN INSERT (tid, items) VALUES (src.tid, src.items)
+         |""".stripMargin)
+    assert(contents(t) == Seq("a b", "m n u", "new row"))
+  }
+
+  test("row-level DML demands a snapshot log and fails loudly otherwise") {
+    val root = Files.createTempDirectory("graft-dml4").toString
+    val dir = java.nio.file.Paths.get(root, "ns", "t.fimi")
+    Files.createDirectories(dir)
+    Files.write(dir.resolve("a.dat"), "a b\n".getBytes("UTF-8"))
+    spark.conf.set("spark.sql.catalog.graft_dml4", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_dml4.root", root)
+    val e = intercept[Exception] {
+      spark.sql("DELETE FROM graft_dml4.ns.t WHERE array_contains(items, 'a')")
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("snapshot")), msgs(e).toString)
+  }
+
+  test("row-level DML still works on a property-annotated fimi table") {
+    val (t, _) = dmlTable("graft_dml6", Seq("a b", "kill x"))
+    spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES ('steward' = 'etl')")
+    spark.sql(s"DELETE FROM $t WHERE array_contains(items, 'kill')")
+    assert(contents(t) == Seq("a b"))
+  }
+
+  test("the _file metadata column is selectable and names each row's data file") {
+    val (t, dest) = dmlTable("graft_dml5", Seq("a b", "c d"))
+    val rows = spark.sql(s"SELECT array_join(items, ' ') AS s, _file FROM $t ORDER BY s")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(rows.map(_._1) == Seq("a b", "c d"))
+    assert(rows.map(_._2).distinct.size == 2, rows.toString)
+    assert(rows.forall(_._2.contains(new java.io.File(dest).getName)), rows.toString)
+  }
 }
