@@ -23,9 +23,17 @@ object Verify {
     // would silently omit the key and correctness would under-report
     // breakage. _errors.json makes every thrown key a visible failure.
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    // Dev-only: big ScaleUp fixtures (sf1/sf10) write each dump in
+    // parallel — coalesce(1) serializes multi-million-row outputs onto
+    // one core and dominates the sweep's wall clock. The driver-SF
+    // default stays single-file (the driver's compare contract).
+    val singleFile = !sys.env.get("SPARK_GRAFT_VERIFY_WIDE").contains("1")
     SparkEntry.queries.filter(kv => keep(kv._1)).foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try {
+        val out = fn(spark, sfDir)
+        (if (singleFile) out.coalesce(1) else out)
+          .write.mode("overwrite").parquet(s"$outDir/$name")
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(500)

@@ -293,6 +293,16 @@ class GraftCatalogSpec extends SparkSpec {
     assert(msgs(e).exists(_.contains("snapshot")), msgs(e).toString)
   }
 
+  test("SQL INSERT INTO appends a snapshot version through the catalog") {
+    val (t, dest) = dmlTable("graft_dml7", Seq("a b"))
+    spark.sql(s"INSERT INTO $t VALUES (0L, array('x', 'y'))")
+    assert(contents(t) == Seq("a b", "x y"))
+    // the append is its own snapshot commit: the pre-insert version
+    // still reads one row
+    assert(contents(s"$t VERSION AS OF 0") == Seq("a b"))
+    assert(visibleFiles(dest).size == 2)
+  }
+
   test("row-level DML still works on a property-annotated fimi table") {
     val (t, _) = dmlTable("graft_dml6", Seq("a b", "kill x"))
     spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES ('steward' = 'etl')")

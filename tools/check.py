@@ -34,6 +34,19 @@ def norm(v):
     return (type(v).__name__, v)
 
 
+def _connect():
+    """duckdb.connect() with optional resource caps from the environment
+    (parallel shard runs over big dev fixtures: 4 uncapped processes
+    each default to 80% of host RAM and OOM together)."""
+    con = duckdb.connect()
+    import os
+    if os.environ.get("DUCKDB_MEM"):
+        con.sql(f"SET memory_limit='{os.environ['DUCKDB_MEM']}'")
+    if os.environ.get("DUCKDB_THREADS"):
+        con.sql(f"SET threads={int(os.environ['DUCKDB_THREADS'])}")
+    return con
+
+
 def main():
     args = [a for a in sys.argv[1:] if a != "--set-compare"]
     # --set-compare: content-equality mode for big dev fixtures (sf1):
@@ -44,7 +57,7 @@ def main():
     set_compare = "--set-compare" in sys.argv[1:]
     sf_dir, out_dir = args[0], args[1]
     only = set(args[2:])
-    con = duckdb.connect()
+    con = _connect()
     import os
     for t in TABLES:
         # driver sf dirs hold single files; ScaleUp fixtures hold
@@ -68,7 +81,11 @@ def main():
             continue
         print(f"FAIL {key}: threw in Verify: {msg[:200]}")
         failed.append(key)
-    for key, sql in sorted(oracle.items()):
+    # explicit key args run in ARGV ORDER (a sharded sweep queues cheap
+    # keys first); the no-args full sweep stays alphabetical
+    key_seq = ([(k, oracle[k]) for k in args[2:] if k in oracle]
+               if only else sorted(oracle.items()))
+    for key, sql in key_seq:
         if only and key not in only:
             continue
         if key in verify_errors:
@@ -85,7 +102,7 @@ def main():
                 # key's join plan into a 40 GB wedge in-sequence while
                 # the same key checked in seconds standalone
                 con.close()
-                con = duckdb.connect()
+                con = _connect()
                 for t in TABLES:
                     p = f"{sf_dir}/{t}.parquet"
                     src = f"'{p}/*.parquet'" if os.path.isdir(p) else f"'{p}'"
