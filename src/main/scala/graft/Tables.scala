@@ -116,13 +116,17 @@ object Tables {
     * fingerprint guard is spec-gated in ContractSpec. */
   val IndexFormatVersion = 1
 
+  /** Test hook: overrides the SPARK_GRAFT_INDEX_DIR resolution (env
+    * vars cannot change within a JVM). */
+  private[graft] var indexRootOverride: Option[Option[String]] = None
+
   private def indexRoot: Option[String] =
-    sys.env.get("SPARK_GRAFT_INDEX_DIR") match {
+    indexRootOverride.getOrElse(sys.env.get("SPARK_GRAFT_INDEX_DIR") match {
       case Some("off") | Some("0") | Some("") => None
       case Some(p) => Some(p)
       case None => Some(new java.io.File(
         sys.props("java.io.tmpdir"), "graft_index").getAbsolutePath)
-    }
+    })
 
   private def sha(s: String): String =
     java.security.MessageDigest.getInstance("SHA-256")
@@ -130,7 +134,14 @@ object Tables {
 
   /** Fingerprint of `dir`'s parquet inputs: (name, length, mtime) of
     * every data file, format-versioned. Cheap (one directory listing;
-    * no data read). */
+    * no data read). CAVEAT (documented, accepted for a derived-artifact
+    * cache): a same-length content change whose mtime is preserved (an
+    * mtime-restoring copy, or a coarse-mtime filesystem landing two
+    * writes in one tick) fingerprints identically and would serve the
+    * prior artifact; content-hashing parquet footers would close it at
+    * the cost of reading every file per lookup. Correctness backstop:
+    * the store only ever holds DERIVED data — deleting the root (or
+    * setting SPARK_GRAFT_INDEX_DIR=off) restores pure-memo behavior. */
   private[graft] def fingerprint(dir: String): String = {
     val d = new java.io.File(dir)
     val entries = Option(d.listFiles()).getOrElse(Array.empty)
@@ -175,23 +186,53 @@ object Tables {
         val safeKey = key.replaceAll("[^a-zA-Z0-9_.-]", "_")
         val parent = new java.io.File(root, dh)
         val kdir = new java.io.File(parent, s"${safeKey}__${fingerprint(dir)}")
-        if (kdir.isDirectory) load(kdir.getAbsolutePath)
-        else {
+        // Load is best-effort too: a torn/corrupt stored copy (or one a
+        // concurrent cleanup deleted between isDirectory and load)
+        // rebuilds instead of throwing.
+        val loaded: Option[T] =
+          if (kdir.isDirectory)
+            try Some(load(kdir.getAbsolutePath))
+            catch {
+              case scala.util.control.NonFatal(_) =>
+                try rmTree(kdir) catch { case _: Throwable => () }
+                None
+            }
+          else None
+        loaded.getOrElse {
           val v = build
           val tmp = new java.io.File(parent,
             s".${kdir.getName}.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
           try {
             save(v, tmp.getAbsolutePath)
             if (!tmp.renameTo(kdir)) rmTree(tmp)
-            if (kdir.isDirectory)
-              Option(parent.listFiles()).getOrElse(Array.empty)
-                .filter(f => f.getName.startsWith(safeKey + "__") &&
-                  f.getName != kdir.getName)
-                .foreach(rmTree)
+            if (kdir.isDirectory) dropStale(parent, safeKey, kdir.getName)
           } catch { case _: Throwable => rmTree(tmp) } // persistence is best-effort
           v
         }
     }
+
+  /** Grace window before a SUPERSEDED fingerprint directory is deleted.
+    * A concurrent JVM may hold a lazy DataFrame over the old artifact
+    * (its source dir was regenerated between the two processes' loads);
+    * deleting it immediately would fail that reader mid-scan. Stale dirs
+    * are therefore only removed once older than this window — retention,
+    * not correctness (a stale FINGERPRINT is never *served*, only kept
+    * on disk briefly for in-flight readers). */
+  private[graft] var indexStaleGraceMs: Long =
+    sys.env.get("SPARK_GRAFT_INDEX_GRACE_MS").map(_.toLong)
+      .getOrElse(15L * 60 * 1000)
+
+  /** Best-effort removal of this key's superseded fingerprint dirs
+    * (everything matching `<key>__*` except `current`), age-gated by
+    * [[indexStaleGraceMs]]. */
+  private def dropStale(parent: java.io.File, safeKey: String,
+      current: String): Unit = {
+    val cutoff = System.currentTimeMillis() - indexStaleGraceMs
+    Option(parent.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.startsWith(safeKey + "__") &&
+        f.getName != current && f.lastModified() < cutoff)
+      .foreach(rmTree)
+  }
 
   def index(spark: SparkSession, dir: String, key: String)(build: => DataFrame): DataFrame =
     memo(spark, dir, key) {
@@ -202,22 +243,39 @@ object Tables {
           val safeKey = key.replaceAll("[^a-zA-Z0-9_.-]", "_")
           val parent = new java.io.File(root, dh)
           val kdir = new java.io.File(parent, s"${safeKey}__${fingerprint(dir)}")
-          if (kdir.isDirectory) spark.read.parquet(kdir.getAbsolutePath)
-          else {
+          // Persistence is BEST-EFFORT end to end (the artifact contract):
+          // an unreadable stored copy (torn write, concurrent cleanup) or
+          // an unwritable root (disk full, bad SPARK_GRAFT_INDEX_DIR) must
+          // degrade to plain memo behavior, never fail the query.
+          val loaded: Option[DataFrame] =
+            if (kdir.isDirectory)
+              try Some(spark.read.parquet(kdir.getAbsolutePath))
+              catch {
+                case scala.util.control.NonFatal(_) =>
+                  // unreadable stored copy: drop it so the rebuild below
+                  // can publish (its rename would collide otherwise)
+                  try rmTree(kdir) catch { case _: Throwable => () }
+                  None
+              }
+            else None
+          loaded.getOrElse {
             val built = build
             if (!built.schema.fields.forall(f => sqlOnly(f.dataType))) built
             else {
               val tmp = new java.io.File(parent,
                 s".${kdir.getName}.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
-              built.write.mode("overwrite").parquet(tmp.getAbsolutePath)
-              if (!tmp.renameTo(kdir)) rmTree(tmp) // concurrent winner (or failure)
-              if (kdir.isDirectory) {
-                Option(parent.listFiles()).getOrElse(Array.empty)
-                  .filter(f => f.getName.startsWith(safeKey + "__") &&
-                    f.getName != kdir.getName)
-                  .foreach(rmTree) // stale fingerprints of this key
-                spark.read.parquet(kdir.getAbsolutePath)
-              } else built
+              try {
+                built.write.mode("overwrite").parquet(tmp.getAbsolutePath)
+                if (!tmp.renameTo(kdir)) rmTree(tmp) // concurrent winner (or failure)
+                if (kdir.isDirectory) {
+                  dropStale(parent, safeKey, kdir.getName)
+                  spark.read.parquet(kdir.getAbsolutePath)
+                } else built
+              } catch {
+                case scala.util.control.NonFatal(_) =>
+                  try rmTree(tmp) catch { case _: Throwable => () }
+                  built // best-effort
+              }
             }
           }
       }

@@ -45,7 +45,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * delegated table implementations, which are exactly the ones a plain
   * path-based read would use — the catalog adds zero per-row overhead.
   */
-class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCatalog {
+class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCatalog
+    with ProcedureCatalog {
 
   private var catalogName: String = _
   private var root: Path = _
@@ -285,6 +286,42 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     else throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident)
 
   override def invalidateTable(ident: Identifier): Unit = cache.remove(ident)
+
+  // -------------------------------------------------------- procedures
+
+  /** Maintenance procedures under the `system` namespace (the Iceberg
+    * convention): `CALL <cat>.system.optimize(...)` /
+    * `CALL <cat>.system.vacuum(...)` — see [[GraftProcedures]]. The
+    * `system` namespace is virtual (procedures only; no tables), so it
+    * does not appear in [[listNamespaces]]. */
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
+    if (ident.namespace().sameElements(Array("system")))
+      ident.name().toLowerCase match {
+        case "optimize" => new GraftProcedures.Optimize(this)
+        case "vacuum" => new GraftProcedures.Vacuum(this)
+        case _ => throw new IllegalArgumentException(
+          s"catalog ${name()}: no procedure system.${ident.name()} " +
+            "(available: system.optimize, system.vacuum)")
+      }
+    else throw new IllegalArgumentException(
+      s"catalog ${name()}: procedures live under the `system` namespace " +
+        s"(got ${ident.namespace().mkString(".")}.${ident.name()})")
+  }
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty || namespace.sameElements(Array("system")))
+      Array(Identifier.of(Array("system"), "optimize"),
+        Identifier.of(Array("system"), "vacuum"))
+    else Array.empty
+
+  /** Path of `<namespace>.<table>` as a fimi table (procedure support;
+    * existence is the caller's check). */
+  private[catalog] def fimiTablePath(namespace: String, table: String): Path =
+    tablePath(Identifier.of(Array(namespace), table), ".fimi")
+
+  /** The catalog root's FileSystem, for procedure implementations. */
+  private[catalog] def fsFor(p: Path): org.apache.hadoop.fs.FileSystem = fs
 
   override def createTable(
       ident: Identifier, schema: StructType,

@@ -2483,18 +2483,54 @@ object LlmOps {
       Tables.artifact(dir, "bpeRules") {
         bpeTrain(s, dir).collect().map(r => (r.getString(1), r.getString(2))).toSeq
       } { (rules, path) =>
-        // rank order IS the artifact: one line per rule, tab-separated
+        // rank order IS the artifact: a count header then one line per
+        // rule, tab-separated with \\ \t \n ESCAPED (a symbol is
+        // arbitrary text — unescaped delimiters would silently corrupt
+        // the ruleset on reload), so load can verify structure exactly
         val f = new java.io.File(path)
         f.mkdirs()
+        val body = (s"graft-bpe-v2 ${rules.size}" +:
+          rules.map { case (l, r) => s"${bpeEsc(l)}\t${bpeEsc(r)}" })
+          .mkString("\n")
         java.nio.file.Files.write(
-          new java.io.File(f, "rules.tsv").toPath,
-          rules.map { case (l, r) => s"$l\t$r" }.mkString("\n").getBytes("UTF-8"))
+          new java.io.File(f, "rules.tsv").toPath, body.getBytes("UTF-8"))
       } { path =>
-        new String(java.nio.file.Files.readAllBytes(
-          new java.io.File(path, "rules.tsv").toPath), "UTF-8")
-          .split("\n").toSeq.filter(_.nonEmpty)
-          .map { l => val Array(a, b) = l.split("\t", 2); (a, b) }
+        // strict load: header + per-line field count + declared rule
+        // count all verified; ANY mismatch throws and the artifact
+        // wrapper rebuilds from the corpus (never serves a corrupt set)
+        val lines = new String(java.nio.file.Files.readAllBytes(
+          new java.io.File(path, "rules.tsv").toPath), "UTF-8").split("\n", -1)
+        val header = lines.headOption.getOrElse("")
+        require(header.startsWith("graft-bpe-v2 "), s"bad bpe header: $header")
+        val n = header.stripPrefix("graft-bpe-v2 ").trim.toInt
+        val rules = lines.drop(1).filter(_.nonEmpty).toSeq.map { l =>
+          l.split("\t", -1) match {
+            case Array(a, b) => (bpeUnesc(a), bpeUnesc(b))
+            case other => throw new IllegalArgumentException(
+              s"bpe rule line has ${other.length} fields: $l")
+          }
+        }
+        require(rules.size == n, s"bpe rules: ${rules.size} loaded, $n declared")
+        rules
       })
+
+  private def bpeEsc(sym: String): String =
+    sym.replace("\\", "\\\\").replace("\t", "\\t").replace("\n", "\\n")
+
+  private def bpeUnesc(sym: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < sym.length) {
+      if (sym.charAt(i) == '\\' && i + 1 < sym.length) {
+        sym.charAt(i + 1) match {
+          case 't' => sb.append('\t'); case 'n' => sb.append('\n')
+          case c => sb.append(c)
+        }
+        i += 2
+      } else { sb.append(sym.charAt(i)); i += 1 }
+    }
+    sb.toString
+  }
 
   /** BPE ENCODE — apply the learned merge rules ([[bpeTrain]]) to every
     * document: each word starts as characters, the 10 rules apply in

@@ -380,6 +380,32 @@ object Mining {
     mineSupports(s, t)
   }
 
+  /** SQL `INSERT INTO` through the catalog onto a fimi snapshot table —
+    * the append verb completing the DML family ([[fpmFimiDelete]] /
+    * [[fpmFimiUpdate]] / [[fpmFimiMerge]]): one INSERT…SELECT reading
+    * the TARGET table itself (every Brand#13 basket re-lands with a
+    * `zz_ins` marker — the self-referential shape of a backfill job;
+    * the scan pins the pre-insert snapshot, so the statement is
+    * well-defined) and one literal INSERT…VALUES of two `zz_lit`
+    * baskets. Each statement is its own snapshot commit (append
+    * manifest at latest+1 — pre-insert versions stay time-travel
+    * readable, spec-gated in GraftCatalogSpec); tids in the VALUES are
+    * carried for schema shape only, since fimi tids are positional.
+    * Result: per-item supports of the post-insert table, which the
+    * oracle reproduces relationally from parquet. */
+  def fpmFimiInsert(s: SparkSession, dir: String): DataFrame = {
+    val t = fimiDmlTable(s, dir, "graft_fimi_ins", "graft_dml_ins")
+    s.sql(
+      s"""INSERT INTO $t
+         |SELECT tid + 1000000 AS tid,
+         |       array_union(items, array('zz_ins')) AS items
+         |FROM $t WHERE array_contains(items, 'Brand#13')
+         |""".stripMargin)
+    s.sql(
+      s"INSERT INTO $t VALUES (-1L, array('zz_lit')), (-2L, array('zz_lit'))")
+    mineSupports(s, t)
+  }
+
   /** SQL `MERGE INTO` with all three action kinds — matched-DELETE
     * (baskets of ≥ 8 items), matched-UPDATE (baskets of 6–7 items gain
     * `zz_upd`), and not-matched-INSERT (three fresh `zz_new` baskets;
@@ -1499,6 +1525,7 @@ object Mining {
     "fpm_fimi_timetravel" -> (fpmFimiTimetravel _),
     "fpm_fimi_delete"  -> (fpmFimiDelete _),
     "fpm_fimi_update"  -> (fpmFimiUpdate _),
+    "fpm_fimi_insert"  -> (fpmFimiInsert _),
     "fpm_fimi_merge"   -> (fpmFimiMerge _),
     "fpm_fimi_compact" -> (fpmFimiCompact _),
     "fpm_fimi_spj"     -> (fpmFimiSpj _),
@@ -1599,14 +1626,29 @@ object Mining {
         |JOIN f c ON b.user_id = c.user_id AND b.k < c.k
         |GROUP BY 1, 2, 3 ORDER BY step1, step2, step3""".stripMargin,
 
+    // e0/deg/e MATERIALIZED: without it DuckDB inlines the 60 M-row
+    // (at sf10) pair self-join once per CTE reference (five times) and
+    // spills > 68 GB of temp; the oriented edge set `e` points each
+    // edge from the lower-(degree, id) endpoint to the higher — the
+    // same wedge-bounding orientation Mining.fpmTriangleCount uses,
+    // a bijection on triangles, so per-item counts are unchanged.
     "fpm_clustering_coeff" -> (txCte +
-      """, e AS (SELECT a.item AS x, b.item AS y
-        |        FROM tx a JOIN tx b ON a.tid = b.tid AND a.item < b.item
-        |        GROUP BY 1, 2
-        |        HAVING count(*) >= CAST(0.02 * (SELECT n FROM nb) AS DOUBLE)),
-        |deg AS (SELECT item, CAST(count(*) AS BIGINT) AS deg
-        |        FROM (SELECT x AS item FROM e UNION ALL SELECT y FROM e)
-        |        GROUP BY item),
+      """, e0 AS MATERIALIZED (
+        |   SELECT a.item AS x, b.item AS y
+        |   FROM tx a JOIN tx b ON a.tid = b.tid AND a.item < b.item
+        |   GROUP BY 1, 2
+        |   HAVING count(*) >= CAST(0.02 * (SELECT n FROM nb) AS DOUBLE)),
+        |deg AS MATERIALIZED (
+        |   SELECT item, CAST(count(*) AS BIGINT) AS deg
+        |   FROM (SELECT x AS item FROM e0 UNION ALL SELECT y FROM e0)
+        |   GROUP BY item),
+        |e AS MATERIALIZED (
+        |   SELECT CASE WHEN ROW(dx.deg, e0.x) < ROW(dy.deg, e0.y)
+        |               THEN e0.x ELSE e0.y END AS x,
+        |          CASE WHEN ROW(dx.deg, e0.x) < ROW(dy.deg, e0.y)
+        |               THEN e0.y ELSE e0.x END AS y
+        |   FROM e0 JOIN deg dx ON dx.item = e0.x
+        |           JOIN deg dy ON dy.item = e0.y),
         |tri AS (SELECT ab.x AS a, ab.y AS b, bc.y AS c
         |        FROM e ab JOIN e bc ON ab.y = bc.x
         |        JOIN e ac ON ab.x = ac.x AND bc.y = ac.y),
@@ -1667,11 +1709,15 @@ object Mining {
         |  AND sb.s >= CAST(0.05 * (SELECT n FROM nb) AS DOUBLE)
         |ORDER BY antecedent, consequent""".stripMargin),
 
+    // MATERIALIZED edge CTE for the same reason as fpm_clustering_coeff
+    // (three inlined references would each re-run the sf10 pair join);
+    // lexicographic a<b orientation already counts each triangle once.
     "fpm_triangle_count" -> (txCte +
-      """, e AS (SELECT a.item AS x, b.item AS y
-        |        FROM tx a JOIN tx b ON a.tid = b.tid AND a.item < b.item
-        |        GROUP BY 1, 2
-        |        HAVING count(*) >= CAST(0.02 * (SELECT n FROM nb) AS DOUBLE)),
+      """, e AS MATERIALIZED (
+        |   SELECT a.item AS x, b.item AS y
+        |   FROM tx a JOIN tx b ON a.tid = b.tid AND a.item < b.item
+        |   GROUP BY 1, 2
+        |   HAVING count(*) >= CAST(0.02 * (SELECT n FROM nb) AS DOUBLE)),
         |tri AS (SELECT ab.x AS a, ab.y AS b, bc.y AS c
         |        FROM e ab JOIN e bc ON ab.y = bc.x
         |        JOIN e ac ON ab.x = ac.x AND bc.y = ac.y)
@@ -1855,6 +1901,21 @@ object Mining {
         |  SELECT item FROM tx
         |  UNION ALL
         |  SELECT 'zz_flag' AS item FROM sz WHERE c >= 5
+        |) GROUP BY item ORDER BY item""".stripMargin),
+
+    // Post-INSERT content identity: the original supports, plus every
+    // Brand#13 basket's items again with one zz_ins marker each, plus
+    // two zz_lit singleton baskets.
+    "fpm_fimi_insert" -> (txCte +
+      """, b13 AS (SELECT DISTINCT tid FROM tx WHERE item = 'Brand#13')
+        |SELECT item, CAST(count(*) AS BIGINT) AS freq FROM (
+        |  SELECT item FROM tx
+        |  UNION ALL
+        |  SELECT t.item FROM tx t JOIN b13 ON t.tid = b13.tid
+        |  UNION ALL
+        |  SELECT 'zz_ins' AS item FROM b13
+        |  UNION ALL
+        |  SELECT 'zz_lit' AS item FROM (VALUES (1), (2))
         |) GROUP BY item ORDER BY item""".stripMargin),
 
     // Post-MERGE content identity: baskets of >= 8 items deleted,

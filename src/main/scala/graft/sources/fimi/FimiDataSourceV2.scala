@@ -337,14 +337,12 @@ class FimiScanBuilder(
   override def build(): Scan = {
     rowLevel.foreach { op =>
       // row-level rewrite scan: pinned to the snapshot version current
-      // NOW (planning time), recorded on the operation so the write's
-      // commit can (a) detect concurrent commits and (b) know which
-      // groups the replacement rows were computed from
-      val scan = FimiRowLevelScan.plan(
+      // NOW (planning time), CACHED on the operation (one scan per DML
+      // command) so the write's commit can (a) detect concurrent commits
+      // and (b) know which groups the replacement rows were computed from
+      return op.rewriteScan(
         FimiTable.paths(options).toIndexedSeq, hadoopKVs, requiredSchema,
-        maxSplitBytes, sep, op)
-      op.configuredScan = scan
-      return scan
+        maxSplitBytes, sep)
     }
     val buckets = Option(options.get("buckets")).map(_.toInt).getOrElse(0)
     if (buckets > 0)

@@ -55,8 +55,38 @@ class FimiRowLevelOperation(
 
   /** The rewrite scan, recorded at build time (step 1) and read by the
     * write's commit (step 4). One operation instance serves exactly one
-    * DML command, so the slot is written once per command. */
+    * DML command. Commit correctness (replaced-set = the planned file
+    * set) requires that the scan the executors ran IS the scan commit
+    * reads, so the slot is a per-operation CACHE, not last-write-wins:
+    * a repeated `build()` returns the already-pinned scan (same snapshot
+    * version — two `plan()` calls at different times could pin different
+    * versions), and a second build with a DIFFERENT pruned schema fails
+    * loudly instead of silently committing a wrong replaced-file listing
+    * (the defensive rule Delta/Iceberg's cached-ScanBuilder encodes). */
   @volatile private[fimi] var configuredScan: FimiRowLevelScan = _
+
+  /** Resolve-or-create the single rewrite scan for this DML command. */
+  private[fimi] def rewriteScan(
+      optionPaths: Seq[String],
+      hadoopKVs: Array[(String, String)],
+      requiredSchema: StructType,
+      maxSplitBytes: Long,
+      sep: String): FimiRowLevelScan = synchronized {
+    configuredScan match {
+      case null =>
+        configuredScan = FimiRowLevelScan.plan(
+          optionPaths, hadoopKVs, requiredSchema, maxSplitBytes, sep, this)
+        configuredScan
+      case s =>
+        require(s.readSchema() == requiredSchema,
+          s"fimi DML: a second rewrite scan was planned with a different " +
+            s"schema (${s.readSchema().fieldNames.mkString(",")} vs " +
+            s"${requiredSchema.fieldNames.mkString(",")}); refusing — the " +
+            "commit's replaced-set witness must come from the one scan " +
+            "that executed")
+        s
+    }
+  }
 
   override def command(): RowLevelOperation.Command = info.command()
 

@@ -932,4 +932,88 @@ class ContractSpec extends SparkSpec {
     Tables.index(s3, dir, "ixspec")(build(s3)).collect()
     assert(builds == 2, s"stale fingerprint was served ($builds builds)")
   }
+
+  /** All on-disk `<key>__*` artifact dirs for `key`, across the store. */
+  private def indexDirsFor(key: String): Seq[java.io.File] = {
+    val root = new java.io.File(sys.props("java.io.tmpdir"), "graft_index")
+    Option(root.listFiles()).getOrElse(Array.empty).toSeq
+      .flatMap(dh => Option(dh.listFiles()).getOrElse(Array.empty).toSeq)
+      .filter(_.getName.startsWith(key + "__"))
+  }
+
+  test("persisted index: superseded fingerprints are age-gated, so a lazy reader at the old artifact survives a rebuild") {
+    // r16 VERDICT task 7: the stale-fingerprint cleanup used to rmTree
+    // immediately on publish; a second JVM holding a lazy DataFrame
+    // over the old dir (its source regenerated between the two
+    // processes' loads) would fail mid-scan. Simulated in one JVM:
+    // fresh sessions stand in for JVMs (the session memo is empty),
+    // and the held frame stands in for the concurrent reader.
+    val dir = java.nio.file.Files.createTempDirectory("graft-agespec").toString
+    spark.range(5).toDF("x").coalesce(1).write.parquet(s"$dir/t.parquet")
+    def bump(): Unit = {
+      val part = new java.io.File(s"$dir/t.parquet").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      assert(part.setLastModified(part.lastModified() + 60000))
+    }
+    val key = s"agespec_${java.util.UUID.randomUUID().toString.take(8)}"
+    val held = Tables.index(spark, dir, key)(spark.range(4).toDF("v"))
+    assert(indexDirsFor(key).size == 1)
+    // default grace (15 min): the rebuild publishes a second fingerprint
+    // but must NOT delete the young one the held frame still reads
+    bump()
+    val s2 = spark.newSession()
+    Tables.index(s2, dir, key)(s2.range(4).toDF("v")).collect()
+    assert(indexDirsFor(key).size == 2,
+      "young superseded fingerprint was deleted inside the grace window")
+    assert(held.count() == 4, "the concurrent reader's artifact was deleted")
+    // zero grace: the next rebuild may retire everything superseded
+    val prevGrace = Tables.indexStaleGraceMs
+    try {
+      Tables.indexStaleGraceMs = 0L
+      Thread.sleep(20) // strictly-older mtimes at millisecond granularity
+      bump()
+      val s3 = spark.newSession()
+      Tables.index(s3, dir, key)(s3.range(4).toDF("v")).collect()
+      assert(indexDirsFor(key).size == 1,
+        s"expected only the current fingerprint after zero-grace cleanup: " +
+          indexDirsFor(key).map(_.getName))
+    } finally Tables.indexStaleGraceMs = prevGrace
+  }
+
+  test("persisted index is best-effort: a corrupt stored copy rebuilds and an unwritable root degrades to memo") {
+    // r16 ADVICE: index() had no try/catch around the spill, unlike
+    // artifact() — a full/unwritable root failed every routed key.
+    val dir = java.nio.file.Files.createTempDirectory("graft-bespec").toString
+    spark.range(5).toDF("x").coalesce(1).write.parquet(s"$dir/t.parquet")
+    var builds = 0
+    def build(s: org.apache.spark.sql.SparkSession) = {
+      builds += 1; s.range(3).toDF("v")
+    }
+    val bkey = s"bespec_${java.util.UUID.randomUUID().toString.take(8)}"
+    Tables.index(spark, dir, bkey)(build(spark)).collect()
+    assert(builds == 1)
+    // corrupt every stored parquet file: a fresh session must rebuild
+    // (and republish), never throw or serve garbage
+    indexDirsFor(bkey).foreach { kd =>
+      kd.listFiles().filter(_.getName.endsWith(".parquet")).foreach { f =>
+        java.nio.file.Files.write(f.toPath, "not parquet".getBytes("UTF-8"))
+      }
+    }
+    val s2 = spark.newSession()
+    val out = Tables.index(s2, dir, bkey)(build(s2))
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(builds == 2, s"corrupt artifact was not rebuilt ($builds builds)")
+    assert(out == Seq(0L, 1L, 2L))
+    // unwritable root (a FILE at the root path): the query still answers
+    val badRoot = java.nio.file.Files.createTempFile("graft-noroot", ".f")
+    val prev = Tables.indexRootOverride
+    try {
+      Tables.indexRootOverride = Some(Some(badRoot.toString))
+      val s3 = spark.newSession()
+      val v = Tables.index(s3, dir, bkey + "_2")(build(s3))
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(v == Seq(0L, 1L, 2L))
+      assert(builds == 3)
+    } finally Tables.indexRootOverride = prev
+  }
 }

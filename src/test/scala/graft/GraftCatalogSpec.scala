@@ -310,6 +310,74 @@ class GraftCatalogSpec extends SparkSpec {
     assert(contents(t) == Seq("a b"))
   }
 
+  test("CALL system.optimize compacts a fimi table through SQL; contents and history survive") {
+    val (t, dest) = dmlTable("graft_pr1", Seq("a b", "c d", "e f", "g h"))
+    assert(visibleFiles(dest).size == 4)
+    // named-argument CALL with the default target size; one result row
+    val res = spark.sql("CALL graft_pr1.system.optimize(table => 'ns.t')")
+      .collect().map(r => (r.getString(0), r.getInt(1))).toSeq
+    assert(res == Seq(("ns.t", 1)), res.toString)
+    assert(visibleFiles(dest).size == 1)
+    assert(contents(t) == Seq("a b", "c d", "e f", "g h"))
+    // compaction is its own snapshot commit: the pre-compaction version
+    // (4 appends => v3) still lists the fragmented file set
+    assert(contents(s"$t VERSION AS OF 3") == Seq("a b", "c d", "e f", "g h"))
+    // a second optimize is a no-op (single file already): returns 0,
+    // commits nothing
+    val again = spark.sql("CALL graft_pr1.system.optimize('ns.t')")
+      .collect().map(_.getInt(1)).toSeq
+    assert(again == Seq(0), again.toString)
+    assert(visibleFiles(dest).size == 1)
+  }
+
+  test("CALL system.vacuum retires history through SQL; retained versions stay intact") {
+    val (t, dest) = dmlTable("graft_pr2", Seq("a b", "c d", "e f", "g h"))
+    val stats = spark.sql(
+      "CALL graft_pr2.system.vacuum(table => 'ns.t', retain_last => 2)")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3))).toSeq
+    // boundary v2; v0/v1 manifests retired; every data file is still
+    // referenced by a retained version, so none are deleted
+    assert(stats == Seq((2L, 0, 2, 0)), stats.toString)
+    assert(contents(t) == Seq("a b", "c d", "e f", "g h"))
+    assert(contents(s"$t VERSION AS OF 2") == Seq("a b", "c d", "e f"))
+    val e = intercept[Exception] { contents(s"$t VERSION AS OF 0") }
+    def msgs(x: Throwable): Seq[String] =
+      if (x == null) Nil else Option(x.getMessage).toSeq ++ msgs(x.getCause)
+    assert(msgs(e).exists(m => m.contains("vacuum") || m.contains("retain") ||
+      m.contains("earliest")), msgs(e).toString)
+    assert(visibleFiles(dest).size == 4)
+  }
+
+  test("procedures fail loudly on bad arguments and non-fimi tables") {
+    val (_, _) = dmlTable("graft_pr3", Seq("a b"))
+    def err(sql: String): String = {
+      val e = intercept[Exception] { spark.sql(sql).collect() }
+      def msgs(x: Throwable): Seq[String] =
+        if (x == null) Nil else Option(x.getMessage).toSeq ++ msgs(x.getCause)
+      msgs(e).mkString(" | ")
+    }
+    // unknown procedure name
+    assert(err("CALL graft_pr3.system.frobnicate('ns.t')")
+      .contains("no procedure"), "unknown procedure")
+    // procedures live under `system` only
+    assert(err("CALL graft_pr3.ns.optimize('ns.t')").contains("system"))
+    // one-part table identifier
+    assert(err("CALL graft_pr3.system.optimize(table => 't')")
+      .contains("namespace"), "one-part ident")
+    // parquet corpus tables are not maintainable
+    spark.conf.set("spark.sql.catalog.graft_pr4", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_pr4.root", "/root/testdata")
+    assert(err("CALL graft_pr4.system.optimize(table => '`sf0.001`.lineitem')")
+      .contains("fimi"), "parquet table")
+    // vacuum retention must be >= 1 (FimiLog.vacuum's own require)
+    assert(err("CALL graft_pr3.system.vacuum(table => 'ns.t', retain_last => 0)")
+      .contains("retain"), "retain_last 0")
+    // SHOW PROCEDURES lists both maintenance verbs
+    val procs = spark.sql("SHOW PROCEDURES IN graft_pr3.system")
+      .collect().map(_.toString).mkString(",")
+    assert(procs.contains("optimize") && procs.contains("vacuum"), procs)
+  }
+
   test("the _file metadata column is selectable and names each row's data file") {
     val (t, dest) = dmlTable("graft_dml5", Seq("a b", "c d"))
     val rows = spark.sql(s"SELECT array_join(items, ' ') AS s, _file FROM $t ORDER BY s")

@@ -266,4 +266,77 @@ class FimiLogSpec extends graft.SparkSpec {
     assert(baskets(spark.read.format("fimi").load(dest)) == contentBefore,
       "vacuum deleted a file shared between an expired and the retained generation")
   }
+
+  test("CALL system.optimize inherits compact's conflict abort — a permanently hot table fails loudly through SQL") {
+    // The SQL surface (GraftProcedures) must delegate to the SAME
+    // FimiCompact implementation the API tests pin: after MaxAttempts
+    // races, the CALL statement itself surfaces the
+    // ConcurrentModificationException and no stale truncate ever lands.
+    val root = tmpDir("sqlconflict")
+    val dest = s"$root/ns/t.fimi"
+    val sp = spark
+    import sp.implicits._
+    (0 until 4).foreach { i =>
+      Seq(s"x$i").toDF("line").select(split(col("line"), " ").as("items"))
+        .coalesce(1).write.format("fimi").option("snapshots", "true")
+        .mode(if (i == 0) "overwrite" else "append").save(dest)
+    }
+    spark.conf.set("spark.sql.catalog.graft_sqlc", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_sqlc.root", root)
+    var count = 0
+    FimiCompact.beforeCommitHook = () => {
+      count += 1
+      Seq(s"hot_$count").toDF("line").select(split(col("line"), " ").as("items"))
+        .coalesce(1).write.format("fimi").mode("append").save(dest)
+    }
+    try {
+      val e = intercept[Exception] {
+        spark.sql("CALL graft_sqlc.system.optimize(table => 'ns.t')").collect()
+      }
+      def msgs(x: Throwable): Seq[String] =
+        if (x == null) Nil else Option(x.getMessage).toSeq ++ msgs(x.getCause)
+      assert(msgs(e).exists(_.contains("compact")), msgs(e).toString)
+    } finally FimiCompact.beforeCommitHook = () => ()
+    // every commit survived: the original four plus one per attempt
+    val after = baskets(spark.read.format("fimi").load(dest))
+    val expected = ((0 until 4).map(i => s"x$i") ++
+      (1 to count).map(i => s"hot_$i")).sorted
+    assert(after == expected, s"aborted SQL optimize lost a commit: $after")
+  }
+
+  test("the row-level rewrite scan is cached per operation; a schema-mismatched second build fails loudly") {
+    // r16 ADVICE: commit correctness (replaced-set = planned files)
+    // requires the scan the executors ran to BE the scan commit reads.
+    // A repeated build() must return the same pinned scan (not re-pin a
+    // later snapshot), and a second build with a different pruned schema
+    // must throw rather than silently swap the commit's witness.
+    val root = tmpDir("scancache")
+    val dest = s"$root/t.fimi"
+    val sp = spark
+    import sp.implicits._
+    Seq("a b").toDF("line").select(split(col("line"), " ").as("items"))
+      .write.format("fimi").option("snapshots", "true")
+      .mode("overwrite").save(dest)
+    val opts = new java.util.HashMap[String, String]()
+    opts.put("path", dest)
+    val cmap = new org.apache.spark.sql.util.CaseInsensitiveStringMap(opts)
+    val info = new org.apache.spark.sql.connector.write.RowLevelOperationInfo {
+      override def options() = org.apache.spark.sql.util.CaseInsensitiveStringMap.empty()
+      override def command() =
+        org.apache.spark.sql.connector.write.RowLevelOperation.Command.DELETE
+    }
+    val op = new FimiRowLevelOperation(cmap, info)
+    val b1 = op.newScanBuilder(org.apache.spark.sql.util.CaseInsensitiveStringMap.empty())
+    val s1 = b1.build()
+    val s2 = b1.build()
+    assert(s1 eq s2, "repeated build() re-planned the rewrite scan")
+    // a second builder pruned to a narrower schema must fail loudly
+    val b2 = op.newScanBuilder(org.apache.spark.sql.util.CaseInsensitiveStringMap.empty())
+    b2.asInstanceOf[org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns]
+      .pruneColumns(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("tid",
+          org.apache.spark.sql.types.LongType))))
+    val e = intercept[IllegalArgumentException] { b2.build() }
+    assert(e.getMessage.contains("second rewrite scan"), e.getMessage)
+  }
 }
