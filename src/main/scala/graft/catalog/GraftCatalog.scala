@@ -32,12 +32,15 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * }}}
   * then `spark.sql("SELECT ... FROM graft.`sf0.001`.lineitem")`.
   *
-  * The catalog is read-only by design (createTable/alterTable/drop
-  * throw): the engine treats datasets as immutable corpus snapshots;
-  * writes go through the connector write paths (`df.write.format("fimi")`
-  * / parquet) and become visible here on the next load. `invalidateTable`
-  * drops the resolution cache entry, so an external rewrite is picked up
-  * without a session restart.
+  * PARQUET datasets are read-only by design (create/alter/drop throw):
+  * the engine treats the columnar corpus as immutable snapshots; writes
+  * go through the connector write paths and become visible here on the
+  * next load. `.fimi` WORK tables, by contrast, are fully managed:
+  * `CREATE TABLE ... USING fimi` / atomic CTAS (staged through the
+  * manifest log's one-rename commit), row-level DML, `INSERT INTO`,
+  * `DROP TABLE`, and the `system.optimize`/`system.vacuum` maintenance
+  * procedures. `invalidateTable` drops the resolution cache entry, so
+  * an external rewrite is picked up without a session restart.
   *
   * Scale posture: namespace/table listing is one filesystem `listStatus`
   * per level (no recursion); table resolution is cached per identifier;
@@ -46,7 +49,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * path-based read would use — the catalog adds zero per-row overhead.
   */
 class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCatalog
-    with ProcedureCatalog {
+    with ProcedureCatalog with StagingTableCatalog {
 
   private var catalogName: String = _
   private var root: Path = _
@@ -323,12 +326,123 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
   /** The catalog root's FileSystem, for procedure implementations. */
   private[catalog] def fsFor(p: Path): org.apache.hadoop.fs.FileSystem = fs
 
+  // ------------------------------------------------ managed fimi tables
+  //
+  // The catalog stays read-only for the PARQUET corpus snapshots, but
+  // `.fimi` work tables are fully managed: CREATE TABLE / CTAS / DROP
+  // through SQL, with the manifest log as the atomic commit mechanism.
+
+  /** True when `USING <provider>` names the fimi connector. */
+  private def isFimiProvider(properties: util.Map[String, String]): Boolean =
+    Option(properties.get(TableCatalog.PROP_PROVIDER))
+      .exists(_.equalsIgnoreCase("fimi"))
+
+  private def readOnly(what: String): Nothing =
+    throw new UnsupportedOperationException(
+      s"catalog ${name()} is read-only for $what: only `USING fimi` work " +
+        "tables are managed through SQL (parquet datasets are corpus " +
+        "snapshots; write them through the connector paths)")
+
+  /** The writable-table schema contract: `items ARRAY<STRING>` required,
+    * `tid BIGINT` tolerated (fimi tids are positional, so a written tid
+    * column is carried for shape only), anything else rejected. */
+  private def validateFimiSchema(schema: StructType): Unit = {
+    val fields = schema.fields.map(f => f.name.toLowerCase -> f.dataType).toMap
+    require(fields.get("items").exists {
+      case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.StringType, _) => true
+      case _ => false
+    }, s"fimi table schema needs `items ARRAY<STRING>`; got $schema")
+    val extra = schema.fieldNames.map(_.toLowerCase).toSet -- Set("tid", "items")
+    require(extra.isEmpty,
+      s"fimi table schema allows only (tid BIGINT, items ARRAY<STRING>); " +
+        s"unexpected columns: ${extra.mkString(", ")}")
+  }
+
+  private def stagedOptions(dest: Path): CaseInsensitiveStringMap = {
+    val opts = new util.HashMap[String, String]()
+    opts.put("path", dest.toString)
+    opts.put("strictSchema", "true")
+    opts.put("snapshots", "true")
+    new CaseInsensitiveStringMap(opts)
+  }
+
+  /** Plain `CREATE TABLE ... USING fimi`: publish an EMPTY snapshot v0
+    * so the table is immediately readable, appendable and DML-capable. */
   override def createTable(
       ident: Identifier, schema: StructType,
-      partitions: Array[Transform], properties: util.Map[String, String]): Table =
-    throw new UnsupportedOperationException(
-      s"catalog ${name()} is read-only: write through the connector paths " +
-        "(df.write.format(\"fimi\"/\"parquet\")) instead")
+      partitions: Array[Transform], properties: util.Map[String, String]): Table = {
+    if (!isFimiProvider(properties)) readOnly(s"CREATE TABLE $ident")
+    require(partitions.isEmpty,
+      "fimi tables keep no partition transforms (use the bucketed writer " +
+        "for the storage-partitioned layout)")
+    if (!namespaceExists(ident.namespace()))
+      throw new NoSuchNamespaceException((name() +: ident.namespace()).toSeq)
+    if (tableExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
+        (name() +: ident.namespace() :+ ident.name()).toSeq)
+    validateFimiSchema(schema)
+    val dest = tablePath(ident, ".fimi")
+    fs.mkdirs(dest)
+    graft.sources.fimi.FimiLog.write(fs, dest, 0L, None,
+      truncate = true, Seq.empty)
+    cache.remove(ident)
+    loadTable(ident)
+  }
+
+  /** Atomic CTAS (`CREATE TABLE ... USING fimi AS SELECT ...`): the
+    * staged table's write commits manifest v0 — data files are invisible
+    * until that one rename, so the table appears fully formed or not at
+    * all; abort removes the directory. A zero-row CTAS still commits an
+    * empty v0 at [[StagedFimiTable.commitStagedChanges]]. */
+  override def stageCreate(
+      ident: Identifier, columns: Array[Column],
+      partitions: Array[Transform], properties: util.Map[String, String]): StagedTable = {
+    if (!isFimiProvider(properties)) readOnly(s"CREATE TABLE $ident AS SELECT")
+    require(partitions.isEmpty,
+      "fimi tables keep no partition transforms")
+    if (!namespaceExists(ident.namespace()))
+      throw new NoSuchNamespaceException((name() +: ident.namespace()).toSeq)
+    if (tableExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
+        (name() +: ident.namespace() :+ ident.name()).toSeq)
+    validateFimiSchema(StructType(columns.map(c =>
+      org.apache.spark.sql.types.StructField(c.name(), c.dataType(), c.nullable()))))
+    val dest = tablePath(ident, ".fimi")
+    fs.mkdirs(dest)
+    new StagedFimiTable(ident, dest)
+  }
+
+  override def stageCreate(
+      ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String]): StagedTable =
+    stageCreate(ident,
+      schema.fields.map(f => Column.create(f.name, f.dataType, f.nullable)),
+      partitions, properties)
+
+  private class StagedFimiTable(ident: Identifier, dest: Path)
+      extends Table with StagedTable with SupportsWrite {
+    private val delegate = new graft.sources.fimi.FimiTable(stagedOptions(dest))
+    override def name(): String = delegate.name()
+    override def schema(): StructType = delegate.schema()
+    override def partitioning(): Array[Transform] = delegate.partitioning()
+    override def properties(): util.Map[String, String] = delegate.properties()
+    override def capabilities(): util.Set[TableCapability] = delegate.capabilities()
+    override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+        : org.apache.spark.sql.connector.write.WriteBuilder = delegate.newWriteBuilder(info)
+    override def commitStagedChanges(): Unit = {
+      // the data write's manifest commit already happened (or the query
+      // wrote zero rows — publish an empty v0 so the table exists)
+      if (!graft.sources.fimi.FimiLog.exists(fs, dest))
+        graft.sources.fimi.FimiLog.write(fs, dest, 0L, None,
+          truncate = true, Seq.empty)
+      cache.remove(ident)
+    }
+    override def abortStagedChanges(): Unit = {
+      fs.delete(dest, true)
+      cache.remove(ident)
+    }
+  }
 
   /** Property annotations are the ONE mutable surface: `SET/UNSET
     * TBLPROPERTIES` maintains session-scoped metadata (see [[props]]);
@@ -352,9 +466,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     loadTable(ident)
   }
 
-  override def dropTable(ident: Identifier): Boolean =
-    throw new UnsupportedOperationException(
-      s"catalog ${name()} is read-only: datasets are corpus snapshots")
+  /** DROP TABLE: managed `.fimi` work tables only (the CTAS/CREATE
+    * surface's cleanup verb — also what Spark's non-atomic fallback
+    * relies on); parquet corpus snapshots stay undroppable. */
+  override def dropTable(ident: Identifier): Boolean = {
+    val fimi = tablePath(ident, ".fimi")
+    if (ident.namespace().length == 1 && fs.exists(fimi)) {
+      val ok = fs.delete(fimi, true)
+      cache.remove(ident)
+      props.remove(ident)
+      ok
+    } else if (!tableExists(ident)) false
+    else readOnly(s"DROP TABLE $ident")
+  }
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     throw new UnsupportedOperationException(

@@ -378,6 +378,60 @@ class GraftCatalogSpec extends SparkSpec {
     assert(procs.contains("optimize") && procs.contains("vacuum"), procs)
   }
 
+  test("CTAS onto a fimi work table: create, DML, time-travel, drop — corpus parquet stays read-only") {
+    val root = Files.createTempDirectory("graft-ctas").toString
+    Files.createDirectories(java.nio.file.Paths.get(root, "work"))
+    spark.conf.set("spark.sql.catalog.graft_ct", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_ct.root", root)
+    // atomic CTAS: staged through the manifest log's one-rename commit
+    spark.sql(
+      """CREATE TABLE graft_ct.work.t USING fimi AS
+        |SELECT id AS tid, array(concat('x', CAST(id AS STRING)), 'c') AS items
+        |FROM range(4)""".stripMargin)
+    assert(contents("graft_ct.work.t").size == 4)
+    // the reader serves items in canonical sorted order
+    assert(contents("graft_ct.work.t").forall(_.startsWith("c x")),
+      contents("graft_ct.work.t").toString)
+    // DML on the created table; pre-DML version stays readable
+    spark.sql("DELETE FROM graft_ct.work.t WHERE array_contains(items, 'x1')")
+    assert(contents("graft_ct.work.t").size == 3)
+    assert(contents("graft_ct.work.t VERSION AS OF 0").size == 4)
+    // INSERT then maintenance through SQL on the same table
+    spark.sql("INSERT INTO graft_ct.work.t VALUES (99L, array('zz'))")
+    val opt = spark.sql("CALL graft_ct.system.optimize(table => 'work.t')")
+      .collect().map(_.getInt(1)).toSeq
+    assert(opt == Seq(1), opt.toString)
+    assert(contents("graft_ct.work.t").size == 4)
+    // plain CREATE TABLE publishes an empty readable v0
+    spark.sql("CREATE TABLE graft_ct.work.empty (tid BIGINT, items ARRAY<STRING>) USING fimi")
+    assert(contents("graft_ct.work.empty").isEmpty)
+    spark.sql("INSERT INTO graft_ct.work.empty VALUES (0L, array('a'))")
+    assert(contents("graft_ct.work.empty") == Seq("a"))
+    // duplicate CTAS fails; the survivor is untouched
+    intercept[Exception] {
+      spark.sql("CREATE TABLE graft_ct.work.t USING fimi AS SELECT array('y') AS items")
+    }
+    assert(contents("graft_ct.work.t").size == 4)
+    // non-fimi provider and corpus parquet stay read-only
+    def err(sql: String): String = {
+      val e = intercept[Exception] { spark.sql(sql).collect() }
+      def msgs(x: Throwable): Seq[String] =
+        if (x == null) Nil else Option(x.getMessage).toSeq ++ msgs(x.getCause)
+      msgs(e).mkString(" | ")
+    }
+    assert(err("CREATE TABLE graft_ct.work.p USING parquet AS SELECT 1 AS a")
+      .contains("read-only"))
+    assert(err("CREATE TABLE graft_ct.work.bad (v INT) USING fimi")
+      .contains("items"), "schema contract")
+    spark.conf.set("spark.sql.catalog.graft_ct2", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_ct2.root", "/root/testdata")
+    assert(err("DROP TABLE graft_ct2.`sf0.001`.lineitem").contains("read-only"))
+    // DROP removes the managed table and its files
+    spark.sql("DROP TABLE graft_ct.work.t")
+    assert(!new java.io.File(s"$root/work/t.fimi").exists())
+    assert(err("SELECT * FROM graft_ct.work.t").nonEmpty)
+  }
+
   test("the _file metadata column is selectable and names each row's data file") {
     val (t, dest) = dmlTable("graft_dml5", Seq("a b", "c d"))
     val rows = spark.sql(s"SELECT array_join(items, ' ') AS s, _file FROM $t ORDER BY s")
