@@ -3203,8 +3203,12 @@ object LlmOps {
         |tl AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS tl
         |       FROM documents),
         |sz AS (SELECT doc_id, count(*) AS nt FROM toks GROUP BY doc_id),
+        |blk AS MATERIALIZED (SELECT lang, n_chars FROM documents
+        |       GROUP BY lang, n_chars HAVING count(*) <= 128),
         |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |       FROM documents a JOIN documents b
+        |       FROM documents a
+        |       JOIN blk ON a.lang = blk.lang AND a.n_chars = blk.n_chars
+        |       JOIN documents b
         |         ON a.lang = b.lang AND a.n_chars = b.n_chars AND a.doc_id < b.doc_id),
         |inter AS (
         |  SELECT doc_a, doc_b,
@@ -3673,8 +3677,12 @@ object LlmOps {
         |tl AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS tl
         |       FROM documents),
         |sz AS (SELECT doc_id, count(*) AS nt FROM toks GROUP BY doc_id),
+        |blk AS MATERIALIZED (SELECT lang, n_chars FROM documents
+        |       GROUP BY lang, n_chars HAVING count(*) <= 128),
         |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |       FROM documents a JOIN documents b
+        |       FROM documents a
+        |       JOIN blk ON a.lang = blk.lang AND a.n_chars = blk.n_chars
+        |       JOIN documents b
         |         ON a.lang = b.lang AND a.n_chars = b.n_chars AND a.doc_id < b.doc_id),
         |inter AS (
         |  SELECT doc_a, doc_b,
@@ -3787,7 +3795,11 @@ object LlmOps {
         |       CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist,
         |       1.0 - CAST(levenshtein(a.text, b.text) AS DOUBLE)
         |             / CAST(greatest(length(a.text), length(b.text)) AS DOUBLE) AS sim
-        |FROM documents a JOIN documents b
+        |FROM documents a
+        |JOIN (SELECT lang, n_chars FROM documents
+        |      GROUP BY lang, n_chars HAVING count(*) <= 128) blk
+        |  ON a.lang = blk.lang AND a.n_chars = blk.n_chars
+        |JOIN documents b
         |  ON a.lang = b.lang AND a.n_chars = b.n_chars AND a.doc_id < b.doc_id
         |ORDER BY doc_a, doc_b""".stripMargin,
 
@@ -4038,8 +4050,12 @@ object LlmOps {
         |tl AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS tl
         |       FROM documents),
         |sz AS (SELECT doc_id, count(*) AS nt FROM toks GROUP BY doc_id),
+        |blk AS MATERIALIZED (SELECT lang, n_chars FROM documents
+        |       GROUP BY lang, n_chars HAVING count(*) <= 128),
         |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |       FROM documents a JOIN documents b
+        |       FROM documents a
+        |       JOIN blk ON a.lang = blk.lang AND a.n_chars = blk.n_chars
+        |       JOIN documents b
         |         ON a.lang = b.lang AND a.n_chars = b.n_chars AND a.doc_id < b.doc_id),
         |inter AS (
         |  SELECT doc_a, doc_b,
@@ -4185,8 +4201,12 @@ object LlmOps {
         |tl AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS tl
         |       FROM documents),
         |sz AS (SELECT doc_id, count(*) AS nt FROM toks GROUP BY doc_id),
+        |blk AS MATERIALIZED (SELECT lang, n_chars FROM documents
+        |       GROUP BY lang, n_chars HAVING count(*) <= 128),
         |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |       FROM documents a JOIN documents b
+        |       FROM documents a
+        |       JOIN blk ON a.lang = blk.lang AND a.n_chars = blk.n_chars
+        |       JOIN documents b
         |         ON a.lang = b.lang AND a.n_chars = b.n_chars AND a.doc_id < b.doc_id),
         |inter AS (
         |  SELECT doc_a, doc_b,
@@ -4231,8 +4251,12 @@ object LlmOps {
         |tl AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS tl
         |       FROM documents),
         |sz AS (SELECT doc_id, count(*) AS nt FROM toks GROUP BY doc_id),
+        |blk AS MATERIALIZED (SELECT lang, n_chars FROM documents
+        |       GROUP BY lang, n_chars HAVING count(*) <= 128),
         |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |       FROM documents a JOIN documents b
+        |       FROM documents a
+        |       JOIN blk ON a.lang = blk.lang AND a.n_chars = blk.n_chars
+        |       JOIN documents b
         |         ON a.lang = b.lang AND a.n_chars = b.n_chars AND a.doc_id < b.doc_id),
         |inter AS (
         |  SELECT doc_a, doc_b,
