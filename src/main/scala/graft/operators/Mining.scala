@@ -1617,13 +1617,21 @@ object Mining {
         |         / CAST(sum(cnt) OVER (PARTITION BY from_type) AS DOUBLE) AS prob
         |FROM c ORDER BY from_type, to_type""".stripMargin,
 
+    // rank-based first-occurrence key (row_number in (ts, event_id)
+    // order, then integer min per (user, type)): same ordering as the
+    // struct-min form, but the triple join carries plain BIGINTs —
+    // DuckDB's struct-key join ballooned past its memory limit on the
+    // sf10 fixture, the integer form streams (verified identical).
     "fpm_funnel" ->
-      """WITH f AS (SELECT user_id, event_type, min(ROW(ts, event_id)) AS k
-        |           FROM events GROUP BY 1, 2)
+      """WITH r AS (SELECT user_id, event_type,
+        |             row_number() OVER (PARTITION BY user_id
+        |                                ORDER BY ts, event_id) AS rn
+        |      FROM events),
+        |f AS (SELECT user_id, event_type, min(rn) AS rk FROM r GROUP BY 1, 2)
         |SELECT a.event_type AS step1, b.event_type AS step2,
         |       c.event_type AS step3, CAST(count(*) AS BIGINT) AS users
-        |FROM f a JOIN f b ON a.user_id = b.user_id AND a.k < b.k
-        |JOIN f c ON b.user_id = c.user_id AND b.k < c.k
+        |FROM f a JOIN f b ON a.user_id = b.user_id AND a.rk < b.rk
+        |JOIN f c ON b.user_id = c.user_id AND b.rk < c.rk
         |GROUP BY 1, 2, 3 ORDER BY step1, step2, step3""".stripMargin,
 
     // e0/deg/e MATERIALIZED: without it DuckDB inlines the 60 M-row
