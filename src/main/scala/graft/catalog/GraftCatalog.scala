@@ -406,11 +406,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     if (tableExists(ident))
       throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
         (name() +: ident.namespace() :+ ident.name()).toSeq)
-    validateFimiSchema(StructType(columns.map(c =>
-      org.apache.spark.sql.types.StructField(c.name(), c.dataType(), c.nullable()))))
+    val stagedSchema = StructType(columns.map(c =>
+      org.apache.spark.sql.types.StructField(c.name(), c.dataType(), c.nullable())))
+    validateFimiSchema(stagedSchema)
     val dest = tablePath(ident, ".fimi")
     fs.mkdirs(dest)
-    new StagedFimiTable(ident, dest)
+    new StagedFimiTable(ident, dest, stagedSchema)
   }
 
   override def stageCreate(
@@ -420,11 +421,58 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
       schema.fields.map(f => Column.create(f.name, f.dataType, f.nullable)),
       partitions, properties)
 
-  private class StagedFimiTable(ident: Identifier, dest: Path)
+  /** `REPLACE TABLE ... USING fimi AS SELECT`: the replacement lands as
+    * one TRUNCATE manifest at latest+1 — atomic like CTAS, and the
+    * pre-replace generations stay time-travel-readable (replace is just
+    * another snapshot commit; VACUUM owns retention). Abort leaves the
+    * existing table untouched (staged files were never visible). */
+  override def stageReplace(
+      ident: Identifier, columns: Array[Column],
+      partitions: Array[Transform], properties: util.Map[String, String]): StagedTable = {
+    if (!isFimiProvider(properties)) readOnly(s"REPLACE TABLE $ident")
+    require(partitions.isEmpty, "fimi tables keep no partition transforms")
+    val dest = tablePath(ident, ".fimi")
+    if (!fs.exists(dest)) throw new NoSuchTableException(ident)
+    val stagedSchema = StructType(columns.map(c =>
+      org.apache.spark.sql.types.StructField(c.name(), c.dataType(), c.nullable())))
+    validateFimiSchema(stagedSchema)
+    new StagedFimiTable(ident, dest, stagedSchema, createdDir = false)
+  }
+
+  override def stageReplace(
+      ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String]): StagedTable =
+    stageReplace(ident,
+      schema.fields.map(f => Column.create(f.name, f.dataType, f.nullable)),
+      partitions, properties)
+
+  override def stageCreateOrReplace(
+      ident: Identifier, columns: Array[Column],
+      partitions: Array[Transform], properties: util.Map[String, String]): StagedTable = {
+    if (!isFimiProvider(properties))
+      readOnly(s"CREATE OR REPLACE TABLE $ident")
+    val dest = tablePath(ident, ".fimi")
+    if (fs.exists(dest)) stageReplace(ident, columns, partitions, properties)
+    else stageCreate(ident, columns, partitions, properties)
+  }
+
+  override def stageCreateOrReplace(
+      ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String]): StagedTable =
+    stageCreateOrReplace(ident,
+      schema.fields.map(f => Column.create(f.name, f.dataType, f.nullable)),
+      partitions, properties)
+
+  private class StagedFimiTable(ident: Identifier, dest: Path,
+      stagedSchema: StructType, createdDir: Boolean = true)
       extends Table with StagedTable with SupportsWrite {
     private val delegate = new graft.sources.fimi.FimiTable(stagedOptions(dest))
     override def name(): String = delegate.name()
-    override def schema(): StructType = delegate.schema()
+    // the CTAS/RTAS query's validated shape (items-only is the native
+    // write form; a tid column is carried for shape only) — reporting
+    // the connector's two-column read schema here would arity-fail an
+    // items-only SELECT at analysis
+    override def schema(): StructType = stagedSchema
     override def partitioning(): Array[Transform] = delegate.partitioning()
     override def properties(): util.Map[String, String] = delegate.properties()
     override def capabilities(): util.Set[TableCapability] = delegate.capabilities()
@@ -439,7 +487,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
       cache.remove(ident)
     }
     override def abortStagedChanges(): Unit = {
-      fs.delete(dest, true)
+      // a staged CREATE owns the directory; a staged REPLACE must leave
+      // the existing table untouched (its staged files never became
+      // visible — the write's own abort clears the staging dir)
+      if (createdDir) fs.delete(dest, true)
       cache.remove(ident)
     }
   }

@@ -432,6 +432,34 @@ class GraftCatalogSpec extends SparkSpec {
     assert(err("SELECT * FROM graft_ct.work.t").nonEmpty)
   }
 
+  test("REPLACE TABLE AS SELECT lands as one truncate snapshot; history and abort-safety hold") {
+    val root = Files.createTempDirectory("graft-rtas").toString
+    Files.createDirectories(java.nio.file.Paths.get(root, "work"))
+    spark.conf.set("spark.sql.catalog.graft_rt", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_rt.root", root)
+    spark.sql("CREATE TABLE graft_rt.work.t USING fimi AS SELECT array('old') AS items")
+    assert(contents("graft_rt.work.t") == Seq("old"))
+    // REPLACE swaps contents atomically; the pre-replace version remains
+    spark.sql("REPLACE TABLE graft_rt.work.t USING fimi AS SELECT array('new') AS items")
+    assert(contents("graft_rt.work.t") == Seq("new"))
+    assert(contents("graft_rt.work.t VERSION AS OF 0") == Seq("old"))
+    // CREATE OR REPLACE works for both existing and fresh tables
+    spark.sql("CREATE OR REPLACE TABLE graft_rt.work.t USING fimi AS SELECT array('v3') AS items")
+    assert(contents("graft_rt.work.t") == Seq("v3"))
+    spark.sql("CREATE OR REPLACE TABLE graft_rt.work.u USING fimi AS SELECT array('u0') AS items")
+    assert(contents("graft_rt.work.u") == Seq("u0"))
+    // REPLACE of a missing table fails; a failed replace leaves the
+    // survivor untouched (staged files are invisible until the manifest)
+    intercept[Exception] {
+      spark.sql("REPLACE TABLE graft_rt.work.missing USING fimi AS SELECT array('x') AS items")
+    }
+    intercept[Exception] {
+      // schema contract violation aborts the staged replace
+      spark.sql("REPLACE TABLE graft_rt.work.t USING fimi AS SELECT 1 AS v")
+    }
+    assert(contents("graft_rt.work.t") == Seq("v3"))
+  }
+
   test("the _file metadata column is selectable and names each row's data file") {
     val (t, dest) = dmlTable("graft_dml5", Seq("a b", "c d"))
     val rows = spark.sql(s"SELECT array_join(items, ' ') AS s, _file FROM $t ORDER BY s")
