@@ -2005,16 +2005,25 @@ object Relational {
         |FROM d JOIN e ON e.digit = d.digit, t
         |ORDER BY d.digit""".stripMargin,
 
+    // Running-min-by-size form of the dominance test (NOT EXISTS over
+    // an inequality self-join is O(n²) — DuckDB nested-loops it and the
+    // sf10 fixture's 2 M parts never finish): p survives iff it is the
+    // min price within its size AND every strictly larger size's min
+    // price is strictly above it. Verified row-identical to the NOT
+    // EXISTS form at sf0.01/sf0.1.
     "rel_skyline" ->
       """WITH p AS (SELECT p_partkey, p_size, p_retailprice,
         |                  CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_c
-        |           FROM part)
-        |SELECT p_partkey, p_size, p_retailprice
-        |FROM p
-        |WHERE NOT EXISTS (
-        |  SELECT 1 FROM p q
-        |  WHERE q.price_c <= p.price_c AND q.p_size >= p.p_size
-        |    AND (q.price_c < p.price_c OR q.p_size > p.p_size))
+        |           FROM part),
+        |ms AS (SELECT p_size, min(price_c) AS minp FROM p GROUP BY p_size),
+        |ms2 AS (SELECT p_size, minp,
+        |               min(minp) OVER (ORDER BY p_size DESC
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS minp_above
+        |        FROM ms)
+        |SELECT p.p_partkey, p.p_size, p.p_retailprice
+        |FROM p JOIN ms2 ON p.p_size = ms2.p_size
+        |WHERE p.price_c = ms2.minp
+        |  AND (ms2.minp_above IS NULL OR ms2.minp_above > p.price_c)
         |ORDER BY p_partkey""".stripMargin,
 
     "rel_islands" ->
