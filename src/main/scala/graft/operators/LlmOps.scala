@@ -3987,9 +3987,13 @@ object LlmOps {
         |  FROM tok GROUP BY tok
         |  QUALIFY row_number() OVER (ORDER BY count(*) DESC, tok) <= 64),
         |pos AS (
-        |  SELECT doc_id, p.pos, t[p.pos] AS tok
-        |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents) z,
-        |       LATERAL (SELECT unnest(generate_series(1, len(t))) AS pos) p),
+        |  -- zipped double-unnest: the LATERAL subscript form carries the
+        |  -- full token list into every position row (list x positions
+        |  -- blows DuckDB's allocator at 500 k docs); same-length unnests
+        |  -- zip positionally in DuckDB
+        |  SELECT doc_id, unnest(generate_series(1, len(t))) AS pos,
+        |         unnest(t) AS tok
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents) z),
         |ids AS (
         |  SELECT doc_id, pos, coalesce(v.tok_id, 0) AS id
         |  FROM pos LEFT JOIN vocab v USING (tok))
