@@ -112,7 +112,13 @@ def main():
                 # UTC-session naive instants; a non-UTC host would
                 # otherwise shift them during the cast).
                 con.sql("SET TimeZone = 'UTC'")
-                con.sql(f"CREATE OR REPLACE TEMP VIEW _exp AS {sql}")
+                # TEMP TABLE, not VIEW: with the oracle inlined into the
+                # EXCEPT ALL pipeline, DuckDB budgets each operator a
+                # fraction of memory_limit and a heavy oracle (ordered
+                # list agg at 27M rows) OOMs inside the set op while the
+                # same query succeeds standalone — materialize once,
+                # then both EXCEPT directions stream over the table
+                con.sql(f"CREATE OR REPLACE TEMP TABLE _exp AS {sql}")
                 con.sql(f"CREATE OR REPLACE TEMP VIEW _got AS "
                         f"SELECT * FROM read_parquet({files!r})")
                 edesc = {r[0]: r[1] for r in con.sql("DESCRIBE _exp").fetchall()}
