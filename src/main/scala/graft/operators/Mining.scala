@@ -327,6 +327,40 @@ object Mining {
     * return the catalog-qualified table name. The catalog confs persist
     * deliberately (same reasoning as [[fpmFimiSpj]]: the returned frame
     * is lazy, so they must hold at execution; they are inert elsewhere). */
+  /** One-time per (session, corpus) snapshot TEMPLATE the DML keys
+    * clone from: deriving and WRITING the 3-file basket table is the
+    * dominant cost of each DML key at scale (measured 60–70 % of the
+    * 16–25 s per key at sf10), and it is identical across the four
+    * keys — only the mutation differs. Built under the session work
+    * root (same lifecycle/cleanup as the per-key tables). */
+  private val dmlTemplateLock = new Object
+  private def fimiDmlTemplate(s: SparkSession, dir: String): String = {
+    val sfName = new java.io.File(dir).getName
+    val base = s"${Tables.workRoot(s, "graft_fimi_dml_tmpl")}/$sfName/t.fimi"
+    dmlTemplateLock.synchronized {
+      if (!new java.io.File(base, "_fimi_log").isDirectory) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete(): Unit
+        }
+        rm(new java.io.File(base))
+        baskets(s, dir).repartition(3)
+          .write.format("fimi").option("snapshots", "true")
+          .mode("overwrite").save(base)
+      }
+    }
+    base
+  }
+
+  /** Shared harness for the SQL DML keys: CLONE the session's template
+    * snapshot into a per-key work table (hardlink the immutable data
+    * files — copy-on-write DML never mutates a committed file in place,
+    * it writes new part files and commits a new manifest, so links are
+    * safe; the small manifest log is byte-copied so each clone owns its
+    * version history), register a GraftCatalog over the per-key root,
+    * and return the catalog-qualified name. File names and manifest
+    * order are preserved, so positional tids are identical to a fresh
+    * write — the clone is bit-equivalent table state. */
   private def fimiDmlTable(
       s: SparkSession, dir: String, tag: String, cat: String): String = {
     val sfName = new java.io.File(dir).getName
@@ -337,9 +371,22 @@ object Mining {
       f.delete(): Unit
     }
     rm(new java.io.File(base))
-    baskets(s, dir).repartition(3)
-      .write.format("fimi").option("snapshots", "true")
-      .mode("overwrite").save(base)
+    val tmpl = new java.io.File(fimiDmlTemplate(s, dir))
+    val bd = new java.io.File(base)
+    bd.mkdirs()
+    tmpl.listFiles().filter(_.isFile).foreach { f =>
+      val dst = new java.io.File(bd, f.getName).toPath
+      try java.nio.file.Files.createLink(dst, f.toPath)
+      catch { case _: Exception => // cross-device / unsupported: copy
+        java.nio.file.Files.copy(f.toPath, dst): Unit
+      }
+    }
+    val logSrc = new java.io.File(tmpl, "_fimi_log")
+    val logDst = new java.io.File(bd, "_fimi_log")
+    logDst.mkdirs()
+    Option(logSrc.listFiles()).getOrElse(Array.empty).filter(_.isFile).foreach { f =>
+      java.nio.file.Files.copy(f.toPath, new java.io.File(logDst, f.getName).toPath): Unit
+    }
     s.conf.set(s"spark.sql.catalog.$cat", "graft.catalog.GraftCatalog")
     s.conf.set(s"spark.sql.catalog.$cat.root", root)
     s"$cat.`$sfName`.t"
