@@ -303,9 +303,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
       ident.name().toLowerCase match {
         case "optimize" => new GraftProcedures.Optimize(this)
         case "vacuum" => new GraftProcedures.Vacuum(this)
+        case "history" => new GraftProcedures.History(this)
         case _ => throw new IllegalArgumentException(
           s"catalog ${name()}: no procedure system.${ident.name()} " +
-            "(available: system.optimize, system.vacuum)")
+            "(available: system.optimize, system.vacuum, system.history)")
       }
     else throw new IllegalArgumentException(
       s"catalog ${name()}: procedures live under the `system` namespace " +
@@ -315,7 +316,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.isEmpty || namespace.sameElements(Array("system")))
       Array(Identifier.of(Array("system"), "optimize"),
-        Identifier.of(Array("system"), "vacuum"))
+        Identifier.of(Array("system"), "vacuum"),
+        Identifier.of(Array("system"), "history"))
     else Array.empty
 
   /** Path of `<namespace>.<table>` as a fimi table (procedure support;
@@ -359,11 +361,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
         s"unexpected columns: ${extra.mkString(", ")}")
   }
 
-  private def stagedOptions(dest: Path): CaseInsensitiveStringMap = {
+  private def stagedOptions(dest: Path, commitOp: String): CaseInsensitiveStringMap = {
     val opts = new util.HashMap[String, String]()
     opts.put("path", dest.toString)
     opts.put("strictSchema", "true")
     opts.put("snapshots", "true")
+    // label the staged data commit's manifest with the DDL verb, so
+    // `CALL system.history` reports CTAS/RTAS rather than a bare write
+    opts.put("commitOp", commitOp)
     new CaseInsensitiveStringMap(opts)
   }
 
@@ -385,7 +390,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     val dest = tablePath(ident, ".fimi")
     fs.mkdirs(dest)
     graft.sources.fimi.FimiLog.write(fs, dest, 0L, None,
-      truncate = true, Seq.empty)
+      truncate = true, Seq.empty, op = Some("CREATE TABLE"))
     cache.remove(ident)
     loadTable(ident)
   }
@@ -411,7 +416,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     validateFimiSchema(stagedSchema)
     val dest = tablePath(ident, ".fimi")
     fs.mkdirs(dest)
-    new StagedFimiTable(ident, dest, stagedSchema)
+    new StagedFimiTable(ident, dest, stagedSchema,
+      verb = "CREATE TABLE AS SELECT")
   }
 
   override def stageCreate(
@@ -436,7 +442,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     val stagedSchema = StructType(columns.map(c =>
       org.apache.spark.sql.types.StructField(c.name(), c.dataType(), c.nullable())))
     validateFimiSchema(stagedSchema)
-    new StagedFimiTable(ident, dest, stagedSchema, createdDir = false)
+    new StagedFimiTable(ident, dest, stagedSchema, createdDir = false,
+      verb = "REPLACE TABLE AS SELECT")
   }
 
   override def stageReplace(
@@ -464,9 +471,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
       partitions, properties)
 
   private class StagedFimiTable(ident: Identifier, dest: Path,
-      stagedSchema: StructType, createdDir: Boolean = true)
+      stagedSchema: StructType, createdDir: Boolean = true,
+      verb: String = "CREATE TABLE AS SELECT")
       extends Table with StagedTable with SupportsWrite {
-    private val delegate = new graft.sources.fimi.FimiTable(stagedOptions(dest))
+    private val delegate =
+      new graft.sources.fimi.FimiTable(stagedOptions(dest, verb))
     override def name(): String = delegate.name()
     // the CTAS/RTAS query's validated shape (items-only is the native
     // write form; a tid column is carried for shape only) — reporting
@@ -483,7 +492,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
       // wrote zero rows — publish an empty v0 so the table exists)
       if (!graft.sources.fimi.FimiLog.exists(fs, dest))
         graft.sources.fimi.FimiLog.write(fs, dest, 0L, None,
-          truncate = true, Seq.empty)
+          truncate = true, Seq.empty, op = Some(verb))
       cache.remove(ident)
     }
     override def abortStagedChanges(): Unit = {

@@ -51,6 +51,10 @@ private[catalog] object GraftProcedures {
     java.util.Collections.singletonList(
       ResultScan(schema, Array(row)): Scan).iterator()
 
+  private def rowsScan(schema: StructType, rows: Array[InternalRow]): java.util.Iterator[Scan] =
+    java.util.Collections.singletonList(
+      ResultScan(schema, rows): Scan).iterator()
+
   /** Resolve a `table` procedure argument to the fimi table's path:
     * parse as a multipart identifier (backquote-aware), require
     * `<namespace>.<table>` under this catalog, require the `.fimi`
@@ -133,6 +137,59 @@ private[catalog] object GraftProcedures {
       val st = FimiLog.vacuum(cat.fsFor(p), p, retain)
       oneScan(outSchema, InternalRow(st.retainedFrom, st.dataFilesDeleted,
         st.manifestsDeleted, st.checkpointsDeleted))
+    }
+  }
+
+  /** `CALL <cat>.system.history(table => ...)` — snapshot-history
+    * inspection from SQL (Delta's `DESCRIBE HISTORY` / Iceberg's
+    * `snapshots` metadata table): one row per RETAINED commit, version
+    * order — commit instant (the `#ts` header each commit stamps),
+    * OPERATION (the `#op` header: CREATE TABLE / CTAS / RTAS / APPEND /
+    * OVERWRITE / DELETE / UPDATE / MERGE / OPTIMIZE / STREAMING APPEND;
+    * derived from the manifest shape for pre-`#op` legacy manifests),
+    * the truncate flag (does this commit REPLACE the table?), the
+    * streaming epoch if the commit came from the exactly-once sink, and
+    * the manifest's file-listing size (files ADDED for an append
+    * commit; the generation's FULL listing for a truncate commit).
+    *
+    * Scale posture: driver-side metadata only — one names-only log
+    * listing plus cached manifest parses (FimiLog's immutability cache),
+    * O(retained versions) rows through a [[LocalScan]]; VACUUM bounds
+    * retention, so history never grows past the retained window. */
+  final class History(cat: GraftCatalog) extends UnboundProcedure with BoundProcedure {
+    override def name(): String = "history"
+    override def description(): String =
+      "commit history of a fimi snapshot table (version, ts, operation, files)"
+    override def bind(inputType: StructType): BoundProcedure = this
+    // deterministic per table state, but the table can advance between
+    // calls — same posture as the other procedures
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType)
+        .comment("catalog table as '<namespace>.<table>'").build())
+
+    private val outSchema = StructType(Seq(
+      StructField("version", LongType, nullable = false),
+      StructField("committed_at", TimestampType, nullable = false),
+      StructField("operation", StringType, nullable = false),
+      StructField("truncated", BooleanType, nullable = false),
+      StructField("epoch", LongType, nullable = true),
+      StructField("file_count", IntegerType, nullable = false)))
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val spark = SparkSession.active
+      val table = input.getUTF8String(0).toString
+      val p = fimiPath(cat, spark, table)
+      val rows = FimiLog.history(cat.fsFor(p), p).map { h =>
+        InternalRow(
+          h.version,
+          h.tsMillis * 1000L, // TimestampType carries micros
+          UTF8String.fromString(h.operation),
+          h.truncate,
+          h.epoch.map(Long.box).orNull,
+          h.fileCount)
+      }.toArray
+      rowsScan(outSchema, rows)
     }
   }
 }

@@ -481,6 +481,42 @@ object Mining {
     mineSupports(s, t)
   }
 
+  /** SNAPSHOT-HISTORY INSPECTION from SQL
+    * (`CALL <cat>.system.history(table => ...)`, the Delta
+    * `DESCRIBE HISTORY` / Iceberg `snapshots` affordance): a managed
+    * fimi table is driven through a fixed DDL/DML sequence —
+    * CREATE TABLE (v0), INSERT…VALUES (v1), self-referential
+    * INSERT…SELECT (v2), copy-on-write DELETE (v3) — and the procedure
+    * reads the commit ledger back: one row per retained version with
+    * the OPERATION each manifest's `#op` header recorded and its
+    * truncate flag. The oracle is the sequence's ground truth as a
+    * constant relation: any protocol defect (a lost commit, a wrong
+    * verb label, an append mislabeled as a table-replacing truncate, a
+    * phantom version) changes a row and fails the hash.
+    *
+    * Scale posture: deliberately O(1) in the corpus — history is
+    * metadata inspection (one names-only log listing + cached manifest
+    * parses on the driver, LocalScan result), so the key measures the
+    * ledger protocol, not data movement; the DML keys already measure
+    * the data plane at scale. */
+  def fpmFimiHistory(s: SparkSession, dir: String): DataFrame = {
+    val root = Tables.workRoot(s, "graft_fimi_hist")
+    val ns = new java.io.File(dir).getName
+    new java.io.File(s"$root/$ns").mkdirs()
+    s.conf.set("spark.sql.catalog.graft_dml_hist", "graft.catalog.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft_dml_hist.root", root)
+    val t = s"graft_dml_hist.`$ns`.t"
+    s.sql(s"DROP TABLE IF EXISTS $t")
+    s.sql(s"CREATE TABLE $t (tid BIGINT, items ARRAY<STRING>) USING fimi")
+    s.sql(s"INSERT INTO $t VALUES (0L, array('a', 'b')), (1L, array('b', 'c'))")
+    s.sql(s"INSERT INTO $t SELECT tid + 10 AS tid, " +
+      s"array_union(items, array('z')) AS items FROM $t")
+    s.sql(s"DELETE FROM $t WHERE array_contains(items, 'a')")
+    s.sql(s"CALL graft_dml_hist.system.history(table => '`$ns`.t')")
+      .select(col("version"), col("operation"), col("truncated"))
+      .orderBy("version")
+  }
+
   /** Frequent items at the k-itemset threshold — downward-closure prune set. */
   private def f1(s: SparkSession, dir: String, minSup: Double): DataFrame =
     itemSupports(s, dir)
@@ -1574,6 +1610,7 @@ object Mining {
     "fpm_fimi_update"  -> (fpmFimiUpdate _),
     "fpm_fimi_insert"  -> (fpmFimiInsert _),
     "fpm_fimi_merge"   -> (fpmFimiMerge _),
+    "fpm_fimi_history" -> (fpmFimiHistory _),
     "fpm_fimi_compact" -> (fpmFimiCompact _),
     "fpm_fimi_spj"     -> (fpmFimiSpj _),
     "fpm_freq_pairs"   -> (fpmFreqPairs _),
@@ -1984,6 +2021,20 @@ object Mining {
         |  UNION ALL
         |  SELECT 'zz_new' AS item FROM (VALUES (1), (2), (3))
         |) GROUP BY item ORDER BY item""".stripMargin),
+
+    // Commit-ledger ground truth: the fixed CREATE→INSERT→INSERT→DELETE
+    // sequence must read back as exactly these four history rows — a
+    // lost commit, a wrong operation label, or a mislabeled truncate
+    // flag changes a row and fails the hash. Constant relation by
+    // design: history is metadata, independent of corpus scale.
+    "fpm_fimi_history" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(0 AS BIGINT), 'CREATE TABLE', true),
+        |  (CAST(1 AS BIGINT), 'APPEND', false),
+        |  (CAST(2 AS BIGINT), 'APPEND', false),
+        |  (CAST(3 AS BIGINT), 'DELETE', true)
+        |) AS h(version, operation, truncated)
+        |ORDER BY version""".stripMargin,
 
     "fpm_fimi_spj" -> (txCte + """
         |SELECT 'g' || CAST(tid % 3 AS VARCHAR) AS grp, item,

@@ -187,7 +187,8 @@ object FimiCompact {
     // truncate list is stale. Clean up and signal a restart.
     beforeCommitHook()
     val v = baseVersion.map(_ + 1).getOrElse(0L)
-    val won = FimiLog.write(fs, destPath, v, None, truncate = true, outNames)
+    val won = FimiLog.write(fs, destPath, v, None, truncate = true, outNames,
+      op = Some("OPTIMIZE"))
     if (won) {
       FimiLog.maybeCheckpoint(fs, destPath)
       fs.delete(stagingDir, true)

@@ -594,7 +594,8 @@ class FimiWriteBuilder(options: CaseInsensitiveStringMap, info: LogicalWriteInfo
         truncateExisting, buckets)
     } else
       new FimiBatchWrite(dest, kvs, itemsIdx, info.queryId(), truncateExisting,
-        Option(options.get("snapshots")).exists(_.toBoolean))
+        Option(options.get("snapshots")).exists(_.toBoolean),
+        commitOp = Option(options.get("commitOp")))
   }
 }
 
@@ -606,7 +607,11 @@ class FimiBatchWrite(
     itemsIdx: Int,
     queryId: String,
     truncate: Boolean,
-    snapshots: Boolean = false) extends Write with BatchWrite {
+    snapshots: Boolean = false,
+    // history verb override (the staged CTAS/RTAS paths label their data
+    // commit with the DDL statement that drove it); None = the write
+    // mode's own verb (OVERWRITE / APPEND)
+    commitOp: Option[String] = None) extends Write with BatchWrite {
 
   override def toBatch: BatchWrite = this
 
@@ -668,7 +673,8 @@ class FimiBatchWrite(
           .map(_.getPath.getName).filterNot(finalNames.contains)
       var v = FimiLog.latestVersion(fs, destPath).map(_ + 1).getOrElse(0L)
       while (!FimiLog.write(fs, destPath, v, None, truncate,
-          (if (truncate) Seq.empty else adopted) ++ finalNames))
+          (if (truncate) Seq.empty else adopted) ++ finalNames,
+          op = commitOp.orElse(Some(if (truncate) "OVERWRITE" else "APPEND"))))
         v += 1
       FimiLog.maybeCheckpoint(fs, destPath)
     }

@@ -88,7 +88,8 @@ object FimiLog {
       epoch: Option[Long],
       truncate: Boolean,
       files: Seq[String],
-      ts: Option[Long] = None)
+      ts: Option[Long] = None,
+      op: Option[String] = None)
 
   /** Folded log state at `version`: the resolved file list, every epoch
     * id committed at or below it, the version→commit-ts history, and
@@ -180,7 +181,9 @@ object FimiLog {
         truncate = headers.contains("#truncate"),
         files = files,
         ts = headers.collectFirst { case h if h.startsWith("#ts ") =>
-          h.stripPrefix("#ts ").trim.toLong })
+          h.stripPrefix("#ts ").trim.toLong },
+        op = headers.collectFirst { case h if h.startsWith("#op ") =>
+          h.stripPrefix("#op ").trim })
     })
   }
 
@@ -272,6 +275,42 @@ object FimiLog {
   def latestVersion(fs: FileSystem, table: Path): Option[Long] =
     list(fs, table).versions.lastOption
 
+  /** One snapshot-history row per RETAINED commit (vacuum deletes
+    * expired manifests, so history spans what is still readable). */
+  case class HistoryEntry(
+      version: Long,
+      tsMillis: Long,
+      operation: String,
+      truncate: Boolean,
+      epoch: Option[Long],
+      fileCount: Int)
+
+  /** The table's commit history, version order: commit instant (`#ts`,
+    * mtime fallback for legacy manifests), operation (`#op`, derived
+    * from the manifest shape for legacy manifests: epoch ⇒ STREAMING
+    * APPEND, truncate ⇒ OVERWRITE, else APPEND), the truncate flag,
+    * the streaming epoch if any, and the manifest's file-listing size
+    * (files ADDED for an append manifest; the generation's FULL listing
+    * for a truncate manifest — the `truncate` column disambiguates).
+    * Warm JVM: zero content opens beyond never-seen manifests (the
+    * same immutability cache every read rides). */
+  def history(fs: FileSystem, table: Path): Seq[HistoryEntry] = {
+    val l = list(fs, table)
+    l.versions.map { v =>
+      val m = manifest(fs, table, l, v)
+      HistoryEntry(
+        version = v,
+        tsMillis = m.ts.getOrElse(l.mtime(v)),
+        operation = m.op.getOrElse(
+          if (m.epoch.isDefined) "STREAMING APPEND"
+          else if (m.truncate) "OVERWRITE"
+          else "APPEND"),
+        truncate = m.truncate,
+        epoch = m.epoch,
+        fileCount = m.files.size)
+    }
+  }
+
   /** Commit instant of `version`: the `#ts` header stamped at commit,
     * falling back to manifest mtime for legacy manifests (pre-`#ts`). */
   private def commitTs(
@@ -322,7 +361,10 @@ object FimiLog {
   }
 
   /** Write manifest `version` atomically (temp + rename), stamping the
-    * commit instant as a `#ts` header. Returns false if that version
+    * commit instant as a `#ts` header and (when given) the committing
+    * OPERATION as a `#op` header — the verb `history` surfaces
+    * (CREATE TABLE / APPEND / OVERWRITE / DELETE / UPDATE / MERGE /
+    * OPTIMIZE / STREAMING APPEND). Returns false if that version
     * already exists (concurrent writer won the race — caller picks the
     * next version and retries). */
   def write(
@@ -331,7 +373,8 @@ object FimiLog {
       version: Long,
       epoch: Option[Long],
       truncate: Boolean,
-      files: Seq[String]): Boolean = {
+      files: Seq[String],
+      op: Option[String] = None): Boolean = {
     val dir = logDir(table)
     fs.mkdirs(dir)
     val name = f"$version%020d.manifest"
@@ -340,7 +383,8 @@ object FimiLog {
     val header =
       Seq(s"#ts ${System.currentTimeMillis()}") ++
         epoch.map(e => s"#epoch $e").toSeq ++
-        (if (truncate) Seq("#truncate") else Nil)
+        (if (truncate) Seq("#truncate") else Nil) ++
+        op.map(o => s"#op $o").toSeq
     val body = (header ++ files).mkString("", "\n", "\n")
     val tmp = new Path(dir, s".$name.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
     val out = fs.create(tmp, true)

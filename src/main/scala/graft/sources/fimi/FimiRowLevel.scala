@@ -246,7 +246,7 @@ class FimiReplaceDataWrite(
     // re-commit the stale listing at a higher version (FimiCompact rule)
     val committed = FimiLog.latestVersion(fs, destPath).contains(base) &&
       FimiLog.write(fs, destPath, base + 1, None, truncate = true,
-        survivors ++ newNames)
+        survivors ++ newNames, op = Some(op.command().toString))
     if (!committed) {
       newNames.foreach(n => fs.delete(new Path(destPath, n), false))
       fs.delete(stagingDir, true)

@@ -79,7 +79,8 @@ class FimiStreamingWrite(
     // manifest rename = the commit point; version race with a concurrent
     // batch writer resolves by retrying at the next version
     var v = FimiLog.latestVersion(fs, destPath).map(_ + 1).getOrElse(0L)
-    while (!FimiLog.write(fs, destPath, v, Some(epochId), truncate = false, finalNames))
+    while (!FimiLog.write(fs, destPath, v, Some(epochId), truncate = false,
+        finalNames, op = Some("STREAMING APPEND")))
       v += 1
     // periodic checkpoint keeps cold-reader planning and restarted-driver
     // replay checks bounded however many epochs this stream ever commits

@@ -468,4 +468,55 @@ class GraftCatalogSpec extends SparkSpec {
     assert(rows.map(_._2).distinct.size == 2, rows.toString)
     assert(rows.forall(_._2.contains(new java.io.File(dest).getName)), rows.toString)
   }
+
+  test("CALL system.history reads the commit ledger: CTAS→INSERT→DELETE→OPTIMIZE→RTAS") {
+    val root = Files.createTempDirectory("graft-hist").toString
+    Files.createDirectories(java.nio.file.Paths.get(root, "work"))
+    spark.conf.set("spark.sql.catalog.graft_h", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_h.root", root)
+    spark.sql(
+      """CREATE TABLE graft_h.work.t USING fimi AS
+        |SELECT id AS tid, array(concat('x', CAST(id AS STRING)), 'c') AS items
+        |FROM range(4)""".stripMargin)
+    spark.sql("INSERT INTO graft_h.work.t VALUES (99L, array('zz'))")
+    spark.sql("DELETE FROM graft_h.work.t WHERE array_contains(items, 'x1')")
+    spark.sql("CALL graft_h.system.optimize(table => 'work.t')").collect()
+    spark.sql("REPLACE TABLE graft_h.work.t USING fimi AS SELECT array('r') AS items")
+    def hist(tbl: String) =
+      spark.sql(s"CALL graft_h.system.history(table => '$tbl')").collect().toSeq
+    val rows = hist("work.t")
+    // version order, one row per commit, the DDL/DML verb each manifest recorded
+    assert(rows.map(_.getLong(0)) == Seq(0L, 1L, 2L, 3L, 4L))
+    assert(rows.map(_.getString(2)) == Seq("CREATE TABLE AS SELECT", "APPEND",
+      "DELETE", "OPTIMIZE", "REPLACE TABLE AS SELECT"))
+    // append commits list files ADDED; table-replacing commits carry the
+    // truncate flag and list the generation's FULL file set
+    assert(rows.map(_.getBoolean(3)) == Seq(false, false, true, true, true))
+    assert(rows.map(_.getInt(5)).last == 1) // RTAS generation: one file
+    // commit instants populated and monotone; batch commits have no epoch
+    val ts = rows.map(_.getTimestamp(1).getTime)
+    assert(ts == ts.sorted && ts.forall(_ > 0L), ts.toString)
+    assert(rows.forall(_.isNullAt(4)))
+    // vacuum retires history: only the retained window stays listed
+    spark.sql("CALL graft_h.system.vacuum(table => 'work.t', retain_last => 2)").collect()
+    assert(hist("work.t").map(r => (r.getLong(0), r.getString(2))) ==
+      Seq((3L, "OPTIMIZE"), (4L, "REPLACE TABLE AS SELECT")))
+    // plain CREATE TABLE publishes an empty v0 labeled with its verb
+    spark.sql("CREATE TABLE graft_h.work.c (tid BIGINT, items ARRAY<STRING>) USING fimi")
+    assert(hist("work.c").map(r => (r.getLong(0), r.getString(2), r.getInt(5))) ==
+      Seq((0L, "CREATE TABLE", 0)))
+    // SHOW PROCEDURES lists history next to the maintenance verbs
+    val procs = spark.sql("SHOW PROCEDURES IN graft_h.system")
+      .collect().map(_.toString).mkString(",")
+    assert(procs.contains("history"), procs)
+    // error surface: parquet corpus tables keep no snapshot log
+    spark.conf.set("spark.sql.catalog.graft_h2", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_h2.root", "/root/testdata")
+    val e = intercept[Exception] {
+      spark.sql("CALL graft_h2.system.history(table => '`sf0.001`.lineitem')").collect()
+    }
+    def msgs(x: Throwable): Seq[String] =
+      if (x == null) Nil else Option(x.getMessage).toSeq ++ msgs(x.getCause)
+    assert(msgs(e).mkString(" | ").contains("fimi"), msgs(e).toString)
+  }
 }

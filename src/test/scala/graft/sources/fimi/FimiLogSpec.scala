@@ -339,4 +339,32 @@ class FimiLogSpec extends graft.SparkSpec {
     val e = intercept[IllegalArgumentException] { b2.build() }
     assert(e.getMessage.contains("second rewrite scan"), e.getMessage)
   }
+
+  test("history: #op verbs read back; legacy op-less manifests derive from shape; epochs ride along") {
+    val table = new Path(tmpDir("hist") + "/t")
+    val fs = hfs(table.toString)
+    fs.mkdirs(table)
+    // explicit verbs (the writers' form since r18)
+    FimiLog.write(fs, table, 0L, None, truncate = true, Seq("a.dat"),
+      op = Some("CREATE TABLE"))
+    FimiLog.write(fs, table, 1L, None, truncate = false, Seq("b.dat"),
+      op = Some("APPEND"))
+    // legacy manifests: no #op header — operation derives from shape
+    FimiLog.write(fs, table, 2L, Some(7L), truncate = false, Seq("c.dat"))
+    FimiLog.write(fs, table, 3L, None, truncate = true, Seq("d.dat"))
+    FimiLog.write(fs, table, 4L, None, truncate = false, Seq("e.dat", "f.dat"))
+    val h = FimiLog.history(fs, table)
+    assert(h.map(_.version) == Seq(0L, 1L, 2L, 3L, 4L))
+    assert(h.map(_.operation) == Seq("CREATE TABLE", "APPEND",
+      "STREAMING APPEND", "OVERWRITE", "APPEND"))
+    assert(h.map(_.epoch) == Seq(None, None, Some(7L), None, None))
+    assert(h.map(_.truncate) == Seq(true, false, false, true, false))
+    assert(h.map(_.fileCount) == Seq(1, 1, 1, 1, 2))
+    // commit instants come from #ts, so they survive an mtime rewrite
+    assert(h.forall(_.tsMillis > 0L))
+    // a warm second read opens zero manifest contents (immutability cache)
+    val before = FimiLog.contentOpens.get()
+    assert(FimiLog.history(fs, table).size == 5)
+    assert(FimiLog.contentOpens.get() == before, "history re-opened cached manifests")
+  }
 }
