@@ -198,16 +198,23 @@ object Tables {
                 None
             }
           else None
-        loaded.getOrElse {
-          val v = build
-          val tmp = new java.io.File(parent,
-            s".${kdir.getName}.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
-          try {
-            save(v, tmp.getAbsolutePath)
-            if (!tmp.renameTo(kdir)) rmTree(tmp)
-            if (kdir.isDirectory) dropStale(parent, safeKey, kdir.getName)
-          } catch { case _: Throwable => rmTree(tmp) } // persistence is best-effort
-          v
+        loaded match {
+          case Some(v) =>
+            // hit path sweeps too (r17 ADVICE): a key never rebuilt
+            // again would otherwise keep its superseded fingerprint
+            // dirs forever — the sweep is one listFiles, age-gated
+            dropStale(parent, safeKey, kdir.getName)
+            v
+          case None =>
+            val v = build
+            val tmp = new java.io.File(parent,
+              s".${kdir.getName}.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+            try {
+              save(v, tmp.getAbsolutePath)
+              if (!tmp.renameTo(kdir)) rmTree(tmp)
+              if (kdir.isDirectory) dropStale(parent, safeKey, kdir.getName)
+            } catch { case _: Throwable => rmTree(tmp) } // persistence is best-effort
+            v
         }
     }
 
@@ -258,7 +265,13 @@ object Tables {
                   None
               }
             else None
-          loaded.getOrElse {
+          loaded match {
+            case Some(df) =>
+              // hit path sweeps superseded fingerprints too (r17
+              // ADVICE) — see artifact()'s identical rationale
+              dropStale(parent, safeKey, kdir.getName)
+              df
+            case None =>
             val built = build
             if (!built.schema.fields.forall(f => sqlOnly(f.dataType))) built
             else {

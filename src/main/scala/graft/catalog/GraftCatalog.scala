@@ -506,13 +506,28 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
 
   /** Property annotations are the ONE mutable surface: `SET/UNSET
     * TBLPROPERTIES` maintains session-scoped metadata (see [[props]]);
-    * any schema/data change is still rejected — datasets are corpus
-    * snapshots. */
+    * any schema change is rejected — parquet datasets because they are
+    * corpus snapshots, and managed `.fimi` work tables because their
+    * schema IS the format's contract: a fimi table is transaction text
+    * (`tid BIGINT` positional + `items ARRAY<STRING>` — the FIMI
+    * `.dat` convention), so there is no byte layout an added column
+    * could evolve into. Schema evolution for fimi work tables is
+    * therefore an explicit, DOCUMENTED rejection (spec-pinned), not a
+    * missing feature: the migration path is `CREATE TABLE ... AS
+    * SELECT` into a new table (atomic CTAS) — the same posture Delta
+    * takes for types its protocol cannot carry. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
     val unsupported = changes.filterNot(c =>
       c.isInstanceOf[TableChange.SetProperty] ||
         c.isInstanceOf[TableChange.RemoveProperty])
+    if (unsupported.nonEmpty && fs.exists(tablePath(ident, ".fimi")))
+      throw new UnsupportedOperationException(
+        s"fimi table ${name()}.$ident has a fixed schema contract " +
+          "(tid BIGINT, items ARRAY<STRING> — transaction text carries " +
+          "no other columns); schema evolution is not supported — " +
+          "migrate with CREATE TABLE ... USING fimi AS SELECT " +
+          s"(rejected: ${unsupported.mkString(", ")})")
     if (unsupported.nonEmpty)
       throw new UnsupportedOperationException(
         s"catalog ${name()} is read-only: only table-property annotations " +

@@ -336,7 +336,12 @@ object Mining {
   private val dmlTemplateLock = new Object
   private def fimiDmlTemplate(s: SparkSession, dir: String): String = {
     val sfName = new java.io.File(dir).getName
-    val base = s"${Tables.workRoot(s, "graft_fimi_dml_tmpl")}/$sfName/t.fimi"
+    // the corpus FINGERPRINT rides the template path (r17 ADVICE): two
+    // corpora sharing a leaf name, or one regenerated mid-session, must
+    // never reuse a stale template — a changed fingerprint lands in a
+    // fresh directory and the stale one is simply never read again
+    val base = s"${Tables.workRoot(s, "graft_fimi_dml_tmpl")}/$sfName-" +
+      s"${Tables.fingerprint(dir)}/t.fimi"
     dmlTemplateLock.synchronized {
       if (!new java.io.File(base, "_fimi_log").isDirectory) {
         def rm(f: java.io.File): Unit = {
@@ -453,11 +458,15 @@ object Mining {
     mineSupports(s, t)
   }
 
-  /** SQL `MERGE INTO` with all three action kinds — matched-DELETE
-    * (baskets of ≥ 8 items), matched-UPDATE (baskets of 6–7 items gain
-    * `zz_upd`), and not-matched-INSERT (three fresh `zz_new` baskets;
-    * source tids −1..−3 can never collide with the connector's
-    * non-negative positional tids). The source is a subquery over the
+  /** SQL `MERGE INTO` with all FOUR action kinds Spark 4 plans on the
+    * group-based row-level path — matched-DELETE (baskets of ≥ 8
+    * items), matched-UPDATE (baskets of 6–7 items gain `zz_upd`),
+    * not-matched-INSERT (three fresh `zz_new` baskets; source tids
+    * −1..−3 can never collide with the connector's non-negative
+    * positional tids), and NOT-MATCHED-BY-SOURCE-DELETE (baskets of
+    * ≤ 2 items — absent from the source, retired by the merge: the
+    * reconcile-against-a-feed shape where target rows the source no
+    * longer carries are dropped). The source is a subquery over the
     * TARGET's pinned snapshot plus literal rows — the self-merge shape
     * a dedup/upsert pipeline runs. Cardinality is safe by construction
     * (source tids are distinct). */
@@ -477,6 +486,7 @@ object Mining {
          |WHEN MATCHED AND size(tgt.items) >= 8 THEN DELETE
          |WHEN MATCHED THEN UPDATE SET items = src.items
          |WHEN NOT MATCHED THEN INSERT (tid, items) VALUES (src.tid, src.items)
+         |WHEN NOT MATCHED BY SOURCE AND size(tgt.items) <= 2 THEN DELETE
          |""".stripMargin)
     mineSupports(s, t)
   }
@@ -1414,9 +1424,14 @@ object Mining {
     * vocabulary-bounded. Struct min on (ts, event_id) is the same
     * deterministic event-order key the sequence family uses. */
   def fpmFunnel(s: SparkSession, dir: String): DataFrame = {
+    // event_type rides the ordering key as the final tiebreak (r17
+    // ADVICE): an exact (ts, event_id) tie BETWEEN two event types is
+    // then totally ordered identically here and in the oracle's
+    // row_number — struct `<` alone would treat the tie as incomparable
+    // while row_number breaks it arbitrarily
     val f = Tables.load(s, dir, "events")
       .groupBy("user_id", "event_type")
-      .agg(min(struct(col("ts"), col("event_id"))).as("k"))
+      .agg(min(struct(col("ts"), col("event_id"), col("event_type"))).as("k"))
     val a = f.select(col("user_id"), col("event_type").as("step1"), col("k").as("ka"))
     val b = f.select(col("user_id").as("ub"), col("event_type").as("step2"), col("k").as("kb"))
     val c = f.select(col("user_id").as("uc"), col("event_type").as("step3"), col("k").as("kc"))
@@ -1706,10 +1721,14 @@ object Mining {
     // struct-min form, but the triple join carries plain BIGINTs —
     // DuckDB's struct-key join ballooned past its memory limit on the
     // sf10 fixture, the integer form streams (verified identical).
+    // event_type is the final ORDER BY tiebreak on BOTH engines: a
+    // duplicate (ts, event_id) pair between two event types would
+    // otherwise rank arbitrarily here while the Spark struct-min
+    // comparison treats it as incomparable.
     "fpm_funnel" ->
       """WITH r AS (SELECT user_id, event_type,
         |             row_number() OVER (PARTITION BY user_id
-        |                                ORDER BY ts, event_id) AS rn
+        |                                ORDER BY ts, event_id, event_type) AS rn
         |      FROM events),
         |f AS (SELECT user_id, event_type, min(rn) AS rk FROM r GROUP BY 1, 2)
         |SELECT a.event_type AS step1, b.event_type AS step2,
@@ -2010,12 +2029,16 @@ object Mining {
         |  SELECT 'zz_lit' AS item FROM (VALUES (1), (2))
         |) GROUP BY item ORDER BY item""".stripMargin),
 
-    // Post-MERGE content identity: baskets of >= 8 items deleted,
-    // baskets of 6-7 items gain zz_upd, three zz_new baskets inserted.
+    // Post-MERGE content identity: baskets of >= 8 items deleted
+    // (matched-DELETE), baskets of 6-7 items gain zz_upd
+    // (matched-UPDATE), three zz_new baskets inserted
+    // (not-matched-INSERT), and baskets of <= 2 items retired
+    // (NOT MATCHED BY SOURCE DELETE — absent from the >= 6-item feed).
     "fpm_fimi_merge" -> (txCte +
       """, sz AS (SELECT tid, count(*) AS c FROM tx GROUP BY tid)
         |SELECT item, CAST(count(*) AS BIGINT) AS freq FROM (
-        |  SELECT t.item FROM tx t JOIN sz ON t.tid = sz.tid WHERE sz.c < 8
+        |  SELECT t.item FROM tx t JOIN sz ON t.tid = sz.tid
+        |  WHERE sz.c < 8 AND sz.c > 2
         |  UNION ALL
         |  SELECT 'zz_upd' AS item FROM sz WHERE c >= 6 AND c < 8
         |  UNION ALL

@@ -78,7 +78,13 @@ class FimiRowLevelOperation(
           optionPaths, hadoopKVs, requiredSchema, maxSplitBytes, sep, this)
         configuredScan
       case s =>
-        require(s.readSchema() == requiredSchema,
+        // structural compare (names + types, nullability/metadata
+        // ignored — r17 ADVICE): a re-analysis that only re-derives
+        // nullability or column metadata is the SAME pruning and must
+        // reuse the pinned scan; only a genuinely different column set
+        // refuses, because then the commit's replaced-set witness could
+        // come from a scan that never executed
+        require(structurallySame(s.readSchema(), requiredSchema),
           s"fimi DML: a second rewrite scan was planned with a different " +
             s"schema (${s.readSchema().fieldNames.mkString(",")} vs " +
             s"${requiredSchema.fieldNames.mkString(",")}); refusing — the " +
@@ -87,6 +93,14 @@ class FimiRowLevelOperation(
         s
     }
   }
+
+  /** Same field names and types, ignoring nullability and metadata
+    * (`catalogString` renders the type shape without either). */
+  private def structurallySame(a: StructType, b: StructType): Boolean =
+    a.fields.length == b.fields.length &&
+      a.fields.zip(b.fields).forall { case (x, y) =>
+        x.name == y.name && x.dataType.catalogString == y.dataType.catalogString
+      }
 
   override def command(): RowLevelOperation.Command = info.command()
 

@@ -278,6 +278,58 @@ class GraftCatalogSpec extends SparkSpec {
     assert(contents(t) == Seq("a b", "m n u", "new row"))
   }
 
+  test("schema evolution on fimi work tables is an explicit contract rejection, not a silent no-op") {
+    val (t, _) = dmlTable("graft_evo", Seq("a b"))
+    def err(sql: String): String = {
+      val e = intercept[Exception] { spark.sql(sql).collect() }
+      def msgs(x: Throwable): Seq[String] =
+        if (x == null) Nil else Option(x.getMessage).toSeq ++ msgs(x.getCause)
+      msgs(e).mkString(" | ")
+    }
+    // ADD / DROP / RENAME / retype all name the contract and the
+    // migration path (CTAS), not a generic read-only message
+    val add = err(s"ALTER TABLE $t ADD COLUMN quality INT")
+    assert(add.contains("fixed schema contract") && add.contains("AS SELECT"), add)
+    assert(err(s"ALTER TABLE $t DROP COLUMN tid").contains("fixed schema contract"))
+    assert(err(s"ALTER TABLE $t RENAME COLUMN items TO basket")
+      .contains("fixed schema contract"))
+    // the table is untouched and still fully DML-capable afterwards
+    spark.sql(s"INSERT INTO $t VALUES (9L, array('c'))")
+    assert(contents(t) == Seq("a b", "c"))
+    // property annotations (the one mutable surface) still work
+    spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES ('tier' = 'gold')")
+    assert(contents(t) == Seq("a b", "c"))
+  }
+
+  test("MERGE INTO NOT MATCHED BY SOURCE: retire-unmatched DELETE and UPDATE both apply") {
+    // DELETE flavor: target rows absent from the source are dropped
+    val (t, _) = dmlTable("graft_dml8", Seq("a b", "m n", "old x"))
+    spark.sql(
+      s"""MERGE INTO $t AS tgt
+         |USING (
+         |  SELECT tid, items FROM $t WHERE array_contains(items, 'm')
+         |  UNION ALL
+         |  SELECT -1L AS tid, array('fresh') AS items
+         |) AS src
+         |ON tgt.tid = src.tid
+         |WHEN MATCHED THEN UPDATE SET items = array_union(tgt.items, array('u'))
+         |WHEN NOT MATCHED THEN INSERT (tid, items) VALUES (src.tid, src.items)
+         |WHEN NOT MATCHED BY SOURCE THEN DELETE
+         |""".stripMargin)
+    assert(contents(t) == Seq("fresh", "m n u"))
+    // UPDATE flavor: unmatched target rows take target-only assignments
+    val (t2, _) = dmlTable("graft_dml9", Seq("a b", "m n"))
+    spark.sql(
+      s"""MERGE INTO $t2 AS tgt
+         |USING (SELECT tid FROM $t2 WHERE array_contains(items, 'm')) AS src
+         |ON tgt.tid = src.tid
+         |WHEN MATCHED THEN UPDATE SET items = array_union(tgt.items, array('kept'))
+         |WHEN NOT MATCHED BY SOURCE THEN
+         |  UPDATE SET items = array_union(tgt.items, array('retired'))
+         |""".stripMargin)
+    assert(contents(t2) == Seq("a b retired", "kept m n"))
+  }
+
   test("row-level DML demands a snapshot log and fails loudly otherwise") {
     val root = Files.createTempDirectory("graft-dml4").toString
     val dir = java.nio.file.Paths.get(root, "ns", "t.fimi")
@@ -467,6 +519,62 @@ class GraftCatalogSpec extends SparkSpec {
     assert(rows.map(_._1) == Seq("a b", "c d"))
     assert(rows.map(_._2).distinct.size == 2, rows.toString)
     assert(rows.forall(_._2.contains(new java.io.File(dest).getName)), rows.toString)
+  }
+
+  test("catalog-managed streaming: readStream.table → writeStream.toTable is exactly-once, epochs in history") {
+    val root = Files.createTempDirectory("graft-cst").toString
+    Files.createDirectories(java.nio.file.Paths.get(root, "ns"))
+    spark.conf.set("spark.sql.catalog.graft_cst", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_cst.root", root)
+    spark.sql("CREATE TABLE graft_cst.ns.src (tid BIGINT, items ARRAY<STRING>) USING fimi")
+    spark.sql("CREATE TABLE graft_cst.ns.sink (tid BIGINT, items ARRAY<STRING>) USING fimi")
+    spark.sql("INSERT INTO graft_cst.ns.src VALUES (0L, array('x', 'y')), (1L, array('y', 'z'))")
+    val ck = s"$root/ck"
+    // same rationale as FimiDsv2Spec's exactly-once test: the forced
+    // epoch replay below needs the engine's commit-marker delete to look
+    // like a genuine crash, not a concurrent writer
+    val cacheKey = "spark.sql.streaming.metadataCache.enabled"
+    val prevCache = spark.conf.getOption(cacheKey)
+    spark.conf.set(cacheKey, "false")
+    def run(): Unit = {
+      val q = spark.readStream.table("graft_cst.ns.src")
+        .select(col("tid"), col("items"))
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ck)
+        .toTable("graft_cst.ns.sink")
+      try q.processAllAvailable() finally q.stop()
+    }
+    run()
+    assert(contents("graft_cst.ns.sink") == Seq("x y", "y z"))
+    // a snapshot commit lands while the stream is DOWN; restart emits
+    // only the delta (the source discovers through the manifest log)
+    spark.sql("INSERT INTO graft_cst.ns.src VALUES (2L, array('p', 'q'))")
+    run()
+    assert(contents("graft_cst.ns.sink") == Seq("p q", "x y", "y z"))
+    // FORCED EPOCH REPLAY: delete the engine's last commit marker; the
+    // restarted query re-executes that epoch and the sink's #epoch
+    // ledger must drop the duplicate
+    val commits = new java.io.File(ck, "commits").listFiles()
+      .filter(_.getName.matches("\\d+")).sortBy(_.getName.toInt)
+    assert(commits.nonEmpty, "no engine commit markers written")
+    val crc = new java.io.File(commits.last.getParent, s".${commits.last.getName}.crc")
+    if (crc.exists()) assert(crc.delete())
+    assert(commits.last.delete())
+    run()
+    assert(contents("graft_cst.ns.sink") == Seq("p q", "x y", "y z"),
+      "replayed epoch duplicated rows through the catalog identifiers")
+    // nothing new → restart emits nothing
+    run()
+    assert(contents("graft_cst.ns.sink") == Seq("p q", "x y", "y z"))
+    // the sink's commit ledger records the stream: STREAMING APPEND
+    // verbs carrying their epoch ids
+    val h = spark.sql("CALL graft_cst.system.history(table => 'ns.sink')")
+      .collect().filter(_.getString(2) == "STREAMING APPEND")
+    assert(h.nonEmpty && h.forall(!_.isNullAt(4)), h.mkString(","))
+    prevCache match {
+      case Some(v) => spark.conf.set(cacheKey, v)
+      case None => spark.conf.unset(cacheKey)
+    }
   }
 
   test("CALL system.history reads the commit ledger: CTAS→INSERT→DELETE→OPTIMIZE→RTAS") {

@@ -330,7 +330,16 @@ class FimiLogSpec extends graft.SparkSpec {
     val s1 = b1.build()
     val s2 = b1.build()
     assert(s1 eq s2, "repeated build() re-planned the rewrite scan")
-    // a second builder pruned to a narrower schema must fail loudly
+    // a NULLABILITY/metadata-only difference is the same pruning — a
+    // re-analysis that re-derives nullability must reuse the pinned
+    // scan, not refuse the statement (r17 ADVICE)
+    val b1b = op.newScanBuilder(org.apache.spark.sql.util.CaseInsensitiveStringMap.empty())
+    b1b.asInstanceOf[org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns]
+      .pruneColumns(org.apache.spark.sql.types.StructType(
+        FimiTable.Schema.fields.map(_.copy(nullable = true))))
+    assert(b1b.build() eq s1, "nullability-only re-plan dropped the pinned scan")
+    // a second builder pruned to a genuinely narrower schema must fail
+    // loudly (the commit's replaced-set witness would be ambiguous)
     val b2 = op.newScanBuilder(org.apache.spark.sql.util.CaseInsensitiveStringMap.empty())
     b2.asInstanceOf[org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns]
       .pruneColumns(org.apache.spark.sql.types.StructType(Seq(
