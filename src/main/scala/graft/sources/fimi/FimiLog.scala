@@ -391,9 +391,35 @@ object FimiLog {
     try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     if (fs.exists(target)) { fs.delete(tmp, false); false }
-    else if (fs.rename(tmp, target)) true
+    else if (commitExclusive(fs, tmp, target)) true
     else { fs.delete(tmp, false); false }
   }
+
+  /** Atomically publish `tmp` as `target`, FAILING if target exists —
+    * the one-winner-per-version guarantee, across PROCESSES. On
+    * HDFS-like stores `rename` already has refuse-if-target-exists
+    * semantics. On the LOCAL filesystem it does not: POSIX rename(2)
+    * silently REPLACES an existing target, so two JVMs racing the same
+    * version through exists-then-rename could lose the first writer's
+    * manifest in the window between the check and the rename. There,
+    * link(2) (`Files.createLink`) is the atomic exclusive publish: it
+    * fails with EEXIST if the target appeared meanwhile, and the linked
+    * content is the fully-written temp file, so readers never see a
+    * torn manifest. Two-process contention is spec-gated in
+    * FimiRaceSpec. */
+  private def commitExclusive(fs: FileSystem, tmp: Path, target: Path): Boolean =
+    if (fs.getScheme == "file") {
+      val t = new java.io.File(target.toUri.getPath).toPath
+      val s = new java.io.File(tmp.toUri.getPath).toPath
+      try {
+        java.nio.file.Files.createLink(t, s)
+        fs.delete(tmp, false)
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+        case _: java.io.IOException => false
+      }
+    } else fs.rename(tmp, target)
 
   /** Fold the full checkpoint state at `version` from the nearest
     * older checkpoint plus the manifest tail. */

@@ -216,6 +216,14 @@ class FimiRowLevelScan(
       keep.map(k => s", groupFilter=${k.size} files").getOrElse("")
 }
 
+object FimiReplaceDataWrite {
+  /** Test seam (FimiCompact.beforeCommitHook's shape): runs on the
+    * driver immediately before the optimistic commit check, letting
+    * specs interleave a CONTENDING commit — including one from another
+    * JVM — at the exact point the conflict rule must catch it. */
+  private[fimi] var beforeCommitHook: () => Unit = () => ()
+}
+
 /** The ReplaceData write: stages replacement part files like the batch
   * writer, then commits (survivors ++ new files) as one `#truncate`
   * manifest at pinnedVersion+1 — or aborts on any concurrent commit. */
@@ -258,6 +266,7 @@ class FimiReplaceDataWrite(
     // optimistic commit at base+1 ONLY: a conflicting commit means the
     // rewrite was computed against a stale snapshot — abort, never
     // re-commit the stale listing at a higher version (FimiCompact rule)
+    FimiReplaceDataWrite.beforeCommitHook()
     val committed = FimiLog.latestVersion(fs, destPath).contains(base) &&
       FimiLog.write(fs, destPath, base + 1, None, truncate = true,
         survivors ++ newNames, op = Some(op.command().toString))

@@ -1,0 +1,127 @@
+package graft.sources.fimi
+
+import java.nio.file.Files
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+
+/** TWO-PROCESS commit-race gate (r17 VERDICT task 6): the manifest
+  * log's one-winner-per-version and the DML conflict abort must hold
+  * against a contender in a SEPARATE JVM — no shared caches, no JVM
+  * locks, only the filesystem's atomic exclusive publish
+  * (FimiLog.commitExclusive: link(2) on local, refuse-on-existing
+  * rename on HDFS-like stores). */
+class FimiRaceSpec extends graft.SparkSpec {
+
+  private def hfs(dir: String) =
+    new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+
+  /** Run [[ChildCommitter]] in a fresh JVM on this test classpath;
+    * returns its stdout. */
+  private def runChild(table: String, n: Int, tag: String): String = {
+    val javaBin = new java.io.File(
+      new java.io.File(sys.props("java.home"), "bin"), "java").getAbsolutePath
+    val pb = new ProcessBuilder(javaBin, "-cp", sys.props("java.class.path"),
+      "graft.sources.fimi.ChildCommitter", table, n.toString, tag)
+    pb.redirectErrorStream(true)
+    val p = pb.start()
+    val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
+    val code = p.waitFor()
+    assert(code == 0, s"child JVM exited $code:\n$out")
+    out
+  }
+
+  test("two JVMs storming one log: every version has exactly one winner, no commit lost, no torn manifest") {
+    val table = new Path(Files.createTempDirectory("graft-race").toString + "/t")
+    val fs = hfs(table.toString)
+    fs.mkdirs(table)
+    val each = 25
+    // child storms from its own process while the parent storms inline —
+    // the same probe/write/bump loop both run
+    val childThread = new Thread(() => {
+      val out = runChild(table.toString, each, "child")
+      assert(out.contains(s"wins=$each"), out)
+    })
+    childThread.start()
+    var wins = 0
+    while (wins < each) {
+      var v = FimiLog.latestVersion(fs, table).map(_ + 1).getOrElse(0L)
+      while (!FimiLog.write(fs, table, v, None, truncate = false,
+          Seq(f"parent-$wins%03d.dat"), op = Some("APPEND")))
+        v += 1
+      wins += 1
+    }
+    childThread.join(120000)
+    assert(!childThread.isAlive, "child JVM did not finish")
+    // the two processes' caches never shared state; re-read cold
+    FimiLog.clearCache()
+    val ms = FimiLog.manifests(fs, table)
+    // contiguous versions, one per commit: 50 commits → exactly 0..49
+    assert(ms.map(_.version) == (0L until 2L * each), ms.map(_.version).toString)
+    // no commit lost, none doubled: each process's full file set is
+    // present exactly once across all manifests
+    val files = ms.flatMap(_.files)
+    assert(files.size == 2 * each, s"${files.size} files for ${2 * each} commits")
+    assert(files.count(_.startsWith("parent-")) == each, files.toString)
+    assert(files.count(_.startsWith("child-")) == each, files.toString)
+    assert(files.distinct.size == files.size, "a manifest was overwritten")
+    // no torn manifest: every one parsed with its commit headers intact
+    assert(ms.forall(m => m.ts.isDefined && m.op.contains("APPEND")))
+    // and the resolved table view folds every commit
+    assert(FimiLog.resolve(fs, table, None).size == 2 * each)
+  }
+
+  test("a real DML statement loses to a cross-process commit: conflict abort, no torn state") {
+    val root = Files.createTempDirectory("graft-race-dml").toString
+    Files.createDirectories(java.nio.file.Paths.get(root, "ns"))
+    val dest = s"$root/ns/t.fimi"
+    val sp = spark
+    import sp.implicits._
+    Seq("a b", "kill x", "c d").toDF("line")
+      .select(split(col("line"), " ").as("items"))
+      .coalesce(1).write.format("fimi")
+      .option("snapshots", "true").mode("overwrite").save(dest)
+    spark.conf.set("spark.sql.catalog.graft_race", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_race.root", root)
+    // at the exact pre-commit instant, a SECOND JVM lands its own commit
+    FimiReplaceDataWrite.beforeCommitHook = () => {
+      val out = runChild(dest, 1, "intruder")
+      assert(out.contains("wins=1"), out)
+    }
+    try {
+      val e = intercept[Exception] {
+        spark.sql("DELETE FROM graft_race.ns.t WHERE array_contains(items, 'kill')")
+      }
+      def causes(t: Throwable): Seq[Throwable] =
+        if (t == null) Nil else t +: causes(t.getCause)
+      assert(causes(e).exists(
+        _.isInstanceOf[java.util.ConcurrentModificationException]),
+        causes(e).map(_.getClass.getName).toString)
+    } finally FimiReplaceDataWrite.beforeCommitHook = () => ()
+    // the intruder's commit WON and is fully visible; the aborted DML
+    // left no trace — pre-DML rows intact, kill row still there
+    val back = spark.read.format("fimi").load(dest)
+      .select(concat_ws(" ", col("items")).as("b"))
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(back == Seq("a b", "c d", "intruder-000", "kill x"), back.toString)
+    // no staging residue, no orphan visible through the manifest
+    val leftovers = new java.io.File(dest).listFiles()
+      .filter(_.getName.startsWith(".graft-dml"))
+    assert(leftovers.isEmpty, leftovers.mkString(","))
+    val fs = hfs(dest)
+    val manifested = FimiLog.resolve(fs, new Path(dest), None).toSet
+    val onDisk = new java.io.File(dest).listFiles()
+      .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      .map(_.getName).toSet
+    // every manifest-listed file exists; the DML's staged-then-aborted
+    // replacements were deleted (orphans would be invisible anyway,
+    // but the abort path cleans them)
+    assert(manifested.subsetOf(onDisk), s"manifest $manifested vs disk $onDisk")
+    // the DELETE retries cleanly against the new snapshot
+    spark.sql("DELETE FROM graft_race.ns.t WHERE array_contains(items, 'kill')")
+    val after = spark.read.format("fimi").load(dest)
+      .select(concat_ws(" ", col("items")).as("b"))
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(after == Seq("a b", "c d", "intruder-000"), after.toString)
+  }
+}
