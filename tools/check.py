@@ -48,13 +48,23 @@ def _connect():
 
 
 def main():
-    args = [a for a in sys.argv[1:] if a != "--set-compare"]
+    args = [a for a in sys.argv[1:]
+            if a not in ("--set-compare", "--ordered-compare")]
     # --set-compare: content-equality mode for big dev fixtures (sf1):
     # rowcount + EXCEPT ALL both directions INSIDE DuckDB, skipping the
     # 6M-row python tuple loop (~100x faster). Weaker than the default
     # positional compare (does not prove output ORDER) — the driver-SF
     # default mode remains the ordered row-by-row check.
     set_compare = "--set-compare" in sys.argv[1:]
+    # --ordered-compare: POSITIONAL compare at set-compare scale — both
+    # sides materialize as temp tables in their native order (the
+    # oracle's CTAS preserves its ORDER BY as insertion order; the
+    # parquet dump reads in sorted-filename order under DuckDB's default
+    # preserve_insertion_order), then one rowid-equijoin counts
+    # positions where any normalized column differs. Closes the
+    # set-compare order-blindness gap on dumps too big for the python
+    # row loop (r17 VERDICT task 5).
+    ordered_compare = "--ordered-compare" in sys.argv[1:]
     sf_dir, out_dir = args[0], args[1]
     only = set(args[2:])
     con = _connect()
@@ -90,10 +100,67 @@ def main():
             continue
         if key in verify_errors:
             continue  # already reported above
-        files = glob.glob(f"{out_dir}/{key}/*.parquet")
+        files = sorted(glob.glob(f"{out_dir}/{key}/*.parquet"))
         if not files:
             print(f"FAIL {key}: no spark output")
             failed.append(key)
+            continue
+        if ordered_compare:
+            try:
+                con.close()
+                con = _connect()
+                for t in TABLES:
+                    p = f"{sf_dir}/{t}.parquet"
+                    src = f"'{p}/*.parquet'" if os.path.isdir(p) else f"'{p}'"
+                    con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet({src})")
+                con.sql("SET TimeZone = 'UTC'")
+                con.sql(f"CREATE OR REPLACE TEMP TABLE _exp AS {sql}")
+                # sorted file list + preserve_insertion_order (default)
+                # = the dump's global row order (Spark's final ORDER BY
+                # stage writes range-partitioned sorted part files, so
+                # part-file name order IS global order)
+                con.sql(f"CREATE OR REPLACE TEMP TABLE _got AS "
+                        f"SELECT * FROM read_parquet({files!r})")
+                edesc = {r[0]: r[1] for r in con.sql("DESCRIBE _exp").fetchall()}
+                gdesc = {r[0]: r[1] for r in con.sql("DESCRIBE _got").fetchall()}
+                ec, gc = sorted(edesc), sorted(gdesc)
+                if ec != gc:
+                    print(f"FAIL {key}: columns spark={gc} oracle={ec}")
+                    failed.append(key)
+                    continue
+                def nexpr(side, c):
+                    t = (edesc[c] + " " + gdesc[c]).upper()
+                    if "TIMESTAMP" in t:
+                        return f'CAST({side}."{c}" AS TIMESTAMP)'
+                    if "DECIMAL" in t or "DOUBLE" in t or "FLOAT" in t \
+                            or "HUGEINT" in t:
+                        return f'CAST({side}."{c}" AS DOUBLE)'
+                    return f'{side}."{c}"'
+                ne = con.sql("SELECT count(*) FROM _exp").fetchone()[0]
+                ng = con.sql("SELECT count(*) FROM _got").fetchone()[0]
+                if ne != ng:
+                    print(f"FAIL {key}: rowcount spark={ng} oracle={ne}")
+                    failed.append(key)
+                    continue
+                diff = " OR ".join(
+                    f'({nexpr("e", c)} IS DISTINCT FROM {nexpr("g", c)})'
+                    for c in ec)
+                bad = con.sql(
+                    "SELECT count(*) FROM _exp e JOIN _got g "
+                    f"ON e.rowid = g.rowid WHERE {diff}").fetchone()[0]
+                if bad:
+                    first = con.sql(
+                        "SELECT e.rowid FROM _exp e JOIN _got g "
+                        f"ON e.rowid = g.rowid WHERE {diff} "
+                        "ORDER BY e.rowid LIMIT 1").fetchone()[0]
+                    print(f"FAIL {key}: {bad}/{ng} positions differ "
+                          f"(first at row {first})")
+                    failed.append(key)
+                else:
+                    print(f"ok   {key}: {ng} rows (ordered compare)")
+            except Exception as e:
+                print(f"FAIL {key}: oracle error: {e}")
+                failed.append(key)
             continue
         if set_compare:
             try:
