@@ -527,6 +527,45 @@ object Mining {
       .orderBy("version")
   }
 
+  /** RETENTION from SQL (`CALL <cat>.system.vacuum(table, retain_last)`)
+    * as an oracle-checked key: a managed fimi table is driven through a
+    * fixed commit sequence — CREATE TABLE (v0, empty), two single-row
+    * INSERTs (v1, v2 — one data file each), one INSERT OVERWRITE (v3 —
+    * a truncate generation of one file) — then vacuumed to the single
+    * newest version. The ground truth is exact arithmetic on the
+    * retention contract: boundary = v3, the two pre-overwrite data
+    * files are referenced ONLY by expired versions (the v3 truncate
+    * keeps none of them) so exactly 2 data files and 3 manifests are
+    * deleted, and no checkpoint existed yet (CheckpointInterval = 10).
+    * The key returns the procedure's stats row CROSS-joined with the
+    * post-vacuum per-item supports of the surviving generation — so
+    * the hash simultaneously pins the deletion arithmetic AND that the
+    * retained snapshot still reads perfectly after history surgery.
+    *
+    * Scale posture: O(1) in the corpus by design (like
+    * [[fpmFimiHistory]]) — vacuum cost is O(expired files) driver-side
+    * metadata + deletes; the data-plane DML keys already measure byte
+    * movement at scale. */
+  def fpmFimiVacuum(s: SparkSession, dir: String): DataFrame = {
+    val root = Tables.workRoot(s, "graft_fimi_vac")
+    val ns = new java.io.File(dir).getName
+    new java.io.File(s"$root/$ns").mkdirs()
+    s.conf.set("spark.sql.catalog.graft_dml_vac", "graft.catalog.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft_dml_vac.root", root)
+    val t = s"graft_dml_vac.`$ns`.t"
+    s.sql(s"DROP TABLE IF EXISTS $t")
+    s.sql(s"CREATE TABLE $t (tid BIGINT, items ARRAY<STRING>) USING fimi")
+    s.sql(s"INSERT INTO $t VALUES (0L, array('a', 'x'))")
+    s.sql(s"INSERT INTO $t VALUES (1L, array('b', 'x'))")
+    s.sql(s"INSERT OVERWRITE $t VALUES (2L, array('c', 'x'))")
+    val stats = s.sql(
+      s"CALL graft_dml_vac.system.vacuum(table => '`$ns`.t', retain_last => 1)")
+    val supports = s.table(t)
+      .select(explode(col("items")).as("item"))
+      .groupBy("item").agg(count(lit(1)).as("freq"))
+    stats.crossJoin(supports).orderBy("item")
+  }
+
   /** Frequent items at the k-itemset threshold — downward-closure prune set. */
   private def f1(s: SparkSession, dir: String, minSup: Double): DataFrame =
     itemSupports(s, dir)
@@ -1626,6 +1665,7 @@ object Mining {
     "fpm_fimi_insert"  -> (fpmFimiInsert _),
     "fpm_fimi_merge"   -> (fpmFimiMerge _),
     "fpm_fimi_history" -> (fpmFimiHistory _),
+    "fpm_fimi_vacuum"  -> (fpmFimiVacuum _),
     "fpm_fimi_compact" -> (fpmFimiCompact _),
     "fpm_fimi_spj"     -> (fpmFimiSpj _),
     "fpm_freq_pairs"   -> (fpmFreqPairs _),
@@ -2058,6 +2098,21 @@ object Mining {
         |  (CAST(3 AS BIGINT), 'DELETE', true)
         |) AS h(version, operation, truncated)
         |ORDER BY version""".stripMargin,
+
+    // Retention-contract ground truth: fixed CREATE→INSERT→INSERT→
+    // OVERWRITE sequence vacuumed to retain_last=1 — boundary v3, the
+    // two pre-overwrite files die (referenced only by expired
+    // versions), 3 manifests expire, no checkpoint existed; the
+    // surviving generation still reads as exactly one (c, x) basket.
+    "fpm_fimi_vacuum" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(3 AS BIGINT), CAST(2 AS INT), CAST(3 AS INT), CAST(0 AS INT),
+        |   'c', CAST(1 AS BIGINT)),
+        |  (CAST(3 AS BIGINT), CAST(2 AS INT), CAST(3 AS INT), CAST(0 AS INT),
+        |   'x', CAST(1 AS BIGINT))
+        |) AS v(retained_from, data_files_deleted, manifests_deleted,
+        |       checkpoints_deleted, item, freq)
+        |ORDER BY item""".stripMargin,
 
     "fpm_fimi_spj" -> (txCte + """
         |SELECT 'g' || CAST(tid % 3 AS VARCHAR) AS grp, item,

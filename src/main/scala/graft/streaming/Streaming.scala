@@ -679,6 +679,54 @@ object Streaming {
       .orderBy("item")
   }
 
+  /** CATALOG-MANAGED streaming end to end — [[streamFimiSink]]'s
+    * pipeline re-expressed through table IDENTIFIERS instead of paths
+    * (the form a governed deployment runs: sources and sinks addressed
+    * through the catalog, never raw paths): the staged event baskets
+    * become `readStream.table("<cat>.<ns>.src")`, the sink is a
+    * `CREATE TABLE ... USING fimi` snapshot table written with
+    * `writeStream.toTable("<cat>.<ns>.sink")` (each epoch an exactly-
+    * once STREAMING APPEND manifest commit), and the read-back + mine
+    * go through `spark.table` on the same identifier. The oracle is the
+    * same purchase-count SQL as the path form, so any loss/duplication
+    * introduced by the catalog resolution layer (table loading, option
+    * threading, strictSchema write resolution) fails the hash at every
+    * SF the driver sweeps.
+    *
+    * Scale posture: identical to [[streamFimiSink]] — the catalog adds
+    * one name→path resolution per query, zero per-row work; the
+    * streaming source/sink plumbing is byte-for-byte the connector's
+    * (same discovery log, same epoch ledger). */
+  def streamFimiTable(s: SparkSession, dir: String): DataFrame = {
+    val root = new java.io.File(
+      Tables.workRoot(s, "graft_fimi_tbl"),
+      new java.io.File(dir).getName).getAbsolutePath
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    rm(new java.io.File(root))
+    new java.io.File(s"$root/s").mkdirs()
+    s.conf.set("spark.sql.catalog.graft_stbl", "graft.catalog.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft_stbl.root", root)
+    Tables.load(s, dir, "events")
+      .select(array(col("event_type"),
+        concat(lit("u"), (col("user_id") % 10).cast("string"))).as("items"))
+      .write.format("fimi").mode("overwrite").save(s"$root/s/src.fimi")
+    s.sql("CREATE TABLE graft_stbl.s.sink (tid BIGINT, items ARRAY<STRING>) USING fimi")
+    val q = s.readStream.table("graft_stbl.s.src")
+      .filter(array_contains(col("items"), "purchase"))
+      .select(col("tid"), col("items"))
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", s"$root/ck")
+      .toTable("graft_stbl.s.sink")
+    try q.processAllAvailable() finally q.stop()
+    s.table("graft_stbl.s.sink")
+      .select(explode(col("items")).as("item"))
+      .groupBy("item").agg(count(lit(1)).as("freq"))
+      .orderBy("item")
+  }
+
   def streamRunningSeq(s: SparkSession, dir: String): DataFrame =
     runningSeq(Tables.load(s, dir, "events"))
       .orderBy("user_id", "seq")
@@ -1121,6 +1169,7 @@ object Streaming {
     "stream_stream_join"    -> (streamStreamJoin _),
     "stream_static_join"    -> (streamStaticJoin _),
     "stream_fimi_sink"      -> (streamFimiSink _),
+    "stream_fimi_table"     -> (streamFimiTable _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -1259,6 +1308,17 @@ object Streaming {
     // over the baskets that traversed readStream→filter→exactly-once
     // sink must equal the purchase-event counts computed from parquet.
     "stream_fimi_sink" ->
+      """SELECT item, CAST(count(*) AS BIGINT) AS freq FROM (
+        |  SELECT event_type AS item FROM events WHERE event_type = 'purchase'
+        |  UNION ALL
+        |  SELECT 'u' || CAST(user_id % 10 AS VARCHAR) FROM events
+        |  WHERE event_type = 'purchase')
+        |GROUP BY item ORDER BY item""".stripMargin,
+
+    // Same content-identity oracle through CATALOG identifiers:
+    // readStream.table -> toTable must land exactly the purchase
+    // baskets the path-based form lands.
+    "stream_fimi_table" ->
       """SELECT item, CAST(count(*) AS BIGINT) AS freq FROM (
         |  SELECT event_type AS item FROM events WHERE event_type = 'purchase'
         |  UNION ALL
