@@ -698,30 +698,37 @@ object Streaming {
     * streaming source/sink plumbing is byte-for-byte the connector's
     * (same discovery log, same epoch ledger). */
   def streamFimiTable(s: SparkSession, dir: String): DataFrame = {
-    val root = new java.io.File(
-      Tables.workRoot(s, "graft_fimi_tbl"),
-      new java.io.File(dir).getName).getAbsolutePath
+    // the CATALOG ROOT is fixed at the catalog's first instantiation in
+    // a session, so (like the DML keys) the per-SF component must be
+    // the NAMESPACE, never the root — one root serves every sf dir the
+    // session touches (the bench JIT-warms at sf0.001 before timing at
+    // the target SF in the same session)
+    val root = Tables.workRoot(s, "graft_fimi_tbl")
+    val ns = new java.io.File(dir).getName
     def rm(f: java.io.File): Unit = {
       if (f.isDirectory) f.listFiles().foreach(rm)
       f.delete()
     }
-    rm(new java.io.File(root))
-    new java.io.File(s"$root/s").mkdirs()
+    rm(new java.io.File(s"$root/$ns"))
+    new java.io.File(s"$root/$ns").mkdirs()
     s.conf.set("spark.sql.catalog.graft_stbl", "graft.catalog.GraftCatalog")
     s.conf.set("spark.sql.catalog.graft_stbl.root", root)
+    val src = s"graft_stbl.`$ns`.src"
+    val sink = s"graft_stbl.`$ns`.sink"
     Tables.load(s, dir, "events")
       .select(array(col("event_type"),
         concat(lit("u"), (col("user_id") % 10).cast("string"))).as("items"))
-      .write.format("fimi").mode("overwrite").save(s"$root/s/src.fimi")
-    s.sql("CREATE TABLE graft_stbl.s.sink (tid BIGINT, items ARRAY<STRING>) USING fimi")
-    val q = s.readStream.table("graft_stbl.s.src")
+      .write.format("fimi").mode("overwrite").save(s"$root/$ns/src.fimi")
+    s.sql(s"DROP TABLE IF EXISTS $sink")
+    s.sql(s"CREATE TABLE $sink (tid BIGINT, items ARRAY<STRING>) USING fimi")
+    val q = s.readStream.table(src)
       .filter(array_contains(col("items"), "purchase"))
       .select(col("tid"), col("items"))
       .writeStream.outputMode("append")
-      .option("checkpointLocation", s"$root/ck")
-      .toTable("graft_stbl.s.sink")
+      .option("checkpointLocation", s"$root/$ns/ck")
+      .toTable(sink)
     try q.processAllAvailable() finally q.stop()
-    s.table("graft_stbl.s.sink")
+    s.table(sink)
       .select(explode(col("items")).as("item"))
       .groupBy("item").agg(count(lit(1)).as("freq"))
       .orderBy("item")
