@@ -173,7 +173,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
       extends AnnotatedTable(d, extra)
       with SupportsWrite
       with SupportsMetadataColumns
-      with SupportsRowLevelOperations {
+      with SupportsRowLevelOperations
+      with TruncatableTable {
     override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
         : org.apache.spark.sql.connector.write.WriteBuilder = d.newWriteBuilder(info)
     override def metadataColumns(): Array[MetadataColumn] = d.metadataColumns()
@@ -181,6 +182,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
         info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
         : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
       d.newRowLevelOperationBuilder(info)
+    override def truncateTable(): Boolean = d.truncateTable()
   }
 
   private def withAnnotations(ident: Identifier, t: Table): Table =

@@ -214,7 +214,8 @@ object FimiTable {
 class FimiTable(options: CaseInsensitiveStringMap)
     extends Table with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
-    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
+    with org.apache.spark.sql.connector.catalog.TruncatableTable {
 
   override def name(): String =
     s"fimi(${FimiTable.paths(options).mkString(",")})"
@@ -274,6 +275,40 @@ class FimiTable(options: CaseInsensitiveStringMap)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new FimiWriteBuilder(options, info)
+
+  /** SQL `TRUNCATE TABLE` — the metadata-only empty: on a snapshot
+    * table one empty `#truncate` manifest at latest+1 (no byte moves;
+    * pre-truncate generations stay time-travel-readable and VACUUM owns
+    * retention — same rule as every other table-replacing commit); on a
+    * plain directory the batch writer's truncate file-clear. O(1) at
+    * any table size in snapshot mode — the 100 TB truncate is one
+    * manifest rename. */
+  override def truncateTable(): Boolean = {
+    if (bucketCount > 0)
+      throw new UnsupportedOperationException(
+        "fimi: TRUNCATE TABLE applies to flat tables, not the bucketed " +
+          "layout (rewrite a bucketed table with the bucketed writer)")
+    val dest = FimiTable.paths(options) match {
+      case Seq(one) => new Path(one)
+      case many => throw new IllegalArgumentException(
+        s"fimi TRUNCATE needs exactly one table path; got $many")
+    }
+    val fs = dest.getFileSystem(
+      SparkSession.active.sessionState.newHadoopConf())
+    if (FimiLog.exists(fs, dest)) {
+      var v = FimiLog.latestVersion(fs, dest).map(_ + 1).getOrElse(0L)
+      while (!FimiLog.write(fs, dest, v, None, truncate = true, Seq.empty,
+          op = Some("TRUNCATE TABLE")))
+        v += 1
+      FimiLog.maybeCheckpoint(fs, dest)
+    } else if (fs.exists(dest))
+      Option(fs.listStatus(dest)).getOrElse(Array.empty).foreach { st =>
+        val n = st.getPath.getName
+        if (st.isFile && !n.startsWith("_") && !n.startsWith("."))
+          fs.delete(st.getPath, false)
+      }
+    true
+  }
 }
 
 // --------------------------------------------------------------- read

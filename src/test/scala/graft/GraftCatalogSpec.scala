@@ -278,6 +278,30 @@ class GraftCatalogSpec extends SparkSpec {
     assert(contents(t) == Seq("a b", "m n u", "new row"))
   }
 
+  test("TRUNCATE TABLE: metadata-only empty, history preserved, verb in the ledger") {
+    val (t, dest) = dmlTable("graft_trnc", Seq("a b", "c d"))
+    spark.sql(s"TRUNCATE TABLE $t")
+    assert(contents(t).isEmpty)
+    // metadata-only: the pre-truncate generation's files are UNTOUCHED
+    // on disk and its snapshot still reads (VACUUM owns retention)
+    assert(contents(s"$t VERSION AS OF 1") == Seq("a b", "c d"))
+    assert(visibleFiles(dest).isEmpty)
+    // the table stays fully writable after the truncate
+    spark.sql(s"INSERT INTO $t VALUES (0L, array('e'))")
+    assert(contents(t) == Seq("e"))
+    // the ledger records the verb as its own commit
+    val ops = spark.sql("CALL graft_trnc.system.history(table => 'ns.t')")
+      .collect().map(_.getString(2)).toSeq
+    assert(ops.takeRight(2) == Seq("TRUNCATE TABLE", "APPEND"), ops.toString)
+    // parquet corpus snapshots stay untruncatable
+    spark.conf.set("spark.sql.catalog.graft_trnc2", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_trnc2.root", "/root/testdata")
+    val e = intercept[Exception] {
+      spark.sql("TRUNCATE TABLE graft_trnc2.`sf0.001`.lineitem")
+    }
+    assert(String.valueOf(e.getMessage).toLowerCase.contains("truncate"), e.getMessage)
+  }
+
   test("schema evolution on fimi work tables is an explicit contract rejection, not a silent no-op") {
     val (t, _) = dmlTable("graft_evo", Seq("a b"))
     def err(sql: String): String = {
