@@ -349,6 +349,95 @@ class FimiLogSpec extends graft.SparkSpec {
     assert(e.getMessage.contains("second rewrite scan"), e.getMessage)
   }
 
+  test("property: random op sequences — the log always folds like the reference model, cold or warm, before and after vacuum") {
+    // Model-based check of the WHOLE protocol surface: a pure in-memory
+    // reference model applies the same random sequence of commits
+    // (append / truncate / streaming epoch), vacuums and cold-restarts,
+    // and after every step the real log must agree on resolve() at
+    // every retained version, fail loudly at every expired one,
+    // remember every epoch ever committed (the checkpoint carries them
+    // across vacuum), and report the same history verbs. Fixed seeds =
+    // deterministic sample set (offline scalacheck, PropertiesSpec
+    // convention).
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    sealed trait Op
+    case class Append(nFiles: Int) extends Op
+    case class Truncate(nFiles: Int) extends Op
+    case class Epoch(e: Long) extends Op
+    case class Vacuum(retain: Int) extends Op
+    case object Cold extends Op
+    val opGen: Gen[Op] = Gen.frequency(
+      5 -> Gen.chooseNum(0, 3).map(Append(_)),
+      2 -> Gen.chooseNum(0, 2).map(Truncate(_)),
+      3 -> Gen.chooseNum(0L, 6L).map(Epoch(_)),
+      2 -> Gen.chooseNum(1, 4).map(Vacuum(_)),
+      2 -> Gen.const(Cold))
+    val seqGen = Gen.chooseNum(8, 30).flatMap(n => Gen.listOfN(n, opGen))
+    (1 to 12).foreach { case i =>
+      val ops = seqGen.pureApply(Gen.Parameters.default, Seed(1800L + i))
+      val table = new Path(tmpDir(s"prop$i") + "/t")
+      val fs = hfs(table.toString)
+      fs.mkdirs(table)
+      // reference model
+      var committed = Vector.empty[(Long, Boolean, Seq[String], Option[Long], String)]
+      var boundary = 0L // earliest retained version
+      var epochsEver = Set.empty[Long]
+      var nextFile = 0
+      def modelResolve(v: Long): Seq[String] =
+        committed.filter(_._1 <= v).foldLeft(Vector.empty[String]) {
+          case (acc, (_, tr, fs0, _, _)) => (if (tr) Vector.empty else acc) ++ fs0
+        }
+      def commit(tr: Boolean, n: Int, ep: Option[Long], op: String): Unit = {
+        val files = (0 until n).map { _ => nextFile += 1; f"f$nextFile%04d.dat" }
+        var v = FimiLog.latestVersion(fs, table).map(_ + 1).getOrElse(0L)
+        while (!FimiLog.write(fs, table, v, ep, tr, files, op = Some(op))) v += 1
+        FimiLog.maybeCheckpoint(fs, table)
+        committed :+= ((v, tr, files, ep, op))
+        ep.foreach(epochsEver += _)
+      }
+      ops.foreach {
+        case Append(n) => commit(tr = false, n, None, "APPEND")
+        case Truncate(n) => commit(tr = true, n, None, "OVERWRITE")
+        case Epoch(e) =>
+          // replay-safe like the streaming sink: skip committed epochs
+          if (!FimiLog.epochCommitted(fs, table, e))
+            commit(tr = false, 1, Some(e), "STREAMING APPEND")
+          else assert(epochsEver.contains(e), s"phantom epoch $e (case $i)")
+        case Vacuum(r) =>
+          if (committed.nonEmpty) {
+            val retained = committed.map(_._1).filter(_ >= boundary)
+            FimiLog.vacuum(fs, table, r)
+            if (retained.size > r) boundary = retained(retained.size - r)
+          }
+        case Cold => FimiLog.clearCache()
+      }
+      // final agreement, cold AND warm
+      (0 to 1).foreach { pass =>
+        if (pass == 0) FimiLog.clearCache()
+        val retained = committed.map(_._1).filter(_ >= boundary)
+        assert(FimiLog.latestVersion(fs, table) == committed.lastOption.map(_._1),
+          s"latest (case $i)")
+        retained.foreach { v =>
+          assert(FimiLog.resolve(fs, table, Some(v)) == modelResolve(v),
+            s"resolve($v) diverged from model (case $i)")
+        }
+        committed.map(_._1).filter(_ < boundary).take(2).foreach { v =>
+          val e = intercept[Exception] { FimiLog.resolve(fs, table, Some(v)) }
+          assert(e.getMessage.contains("retained") || e.getMessage.contains("versionAsOf"),
+            s"expired resolve($v) error (case $i): ${e.getMessage}")
+        }
+        epochsEver.foreach(e =>
+          assert(FimiLog.epochCommitted(fs, table, e), s"lost epoch $e (case $i)"))
+        assert(!FimiLog.epochCommitted(fs, table, 999L), s"phantom epoch (case $i)")
+        val hist = FimiLog.history(fs, table)
+        assert(hist.map(h => (h.version, h.operation)) ==
+          committed.filter(_._1 >= boundary).map(c => (c._1, c._5)),
+          s"history diverged (case $i)")
+      }
+    }
+  }
+
   test("history: #op verbs read back; legacy op-less manifests derive from shape; epochs ride along") {
     val table = new Path(tmpDir("hist") + "/t")
     val fs = hfs(table.toString)
