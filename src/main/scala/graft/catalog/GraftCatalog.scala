@@ -557,7 +557,30 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     else readOnly(s"DROP TABLE $ident")
   }
 
-  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
-    throw new UnsupportedOperationException(
-      s"catalog ${name()} is read-only: datasets are corpus snapshots")
+  /** `ALTER TABLE ... RENAME TO` — managed `.fimi` work tables only
+    * (parquet corpus snapshots stay unrenamable): one directory rename
+    * moves data, manifest log and history atomically-enough for a
+    * single-writer catalog (the log rides inside the table dir, so the
+    * renamed table keeps every snapshot version and its ledger);
+    * property annotations follow the identifier. */
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    val oldFimi = tablePath(oldIdent, ".fimi")
+    if (oldIdent.namespace().length != 1 || !fs.exists(oldFimi)) {
+      if (!tableExists(oldIdent)) throw new NoSuchTableException(oldIdent)
+      readOnly(s"RENAME TABLE $oldIdent")
+    }
+    require(newIdent.namespace().length == 1,
+      s"rename target must be '<namespace>.<table>' (got $newIdent)")
+    if (!namespaceExists(newIdent.namespace()))
+      throw new NoSuchNamespaceException((name() +: newIdent.namespace()).toSeq)
+    if (tableExists(newIdent))
+      throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
+        (name() +: newIdent.namespace() :+ newIdent.name()).toSeq)
+    val dest = tablePath(newIdent, ".fimi")
+    if (!fs.rename(oldFimi, dest))
+      throw new java.io.IOException(s"rename $oldFimi -> $dest failed")
+    cache.remove(oldIdent)
+    cache.remove(newIdent)
+    props.remove(oldIdent).foreach(p => props(newIdent) = p)
+  }
 }

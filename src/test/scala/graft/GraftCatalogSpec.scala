@@ -278,6 +278,43 @@ class GraftCatalogSpec extends SparkSpec {
     assert(contents(t) == Seq("a b", "m n u", "new row"))
   }
 
+  test("RENAME TO moves a fimi work table with its whole snapshot history; corpus stays unrenamable") {
+    val (t, dest) = dmlTable("graft_ren", Seq("a b", "c d"))
+    spark.sql(s"INSERT INTO $t VALUES (9L, array('e'))")
+    spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES ('tier' = 'gold')")
+    spark.sql(s"ALTER TABLE $t RENAME TO ns.t2")
+    assert(!new java.io.File(dest).exists())
+    assert(contents("graft_ren.ns.t2") == Seq("a b", "c d", "e"))
+    // the manifest log moved with the directory: history and time
+    // travel keep working under the new name
+    assert(contents("graft_ren.ns.t2 VERSION AS OF 1") == Seq("a b", "c d"))
+    val ops = spark.sql("CALL graft_ren.system.history(table => 'ns.t2')")
+      .collect().map(_.getString(2)).toSeq
+    assert(ops.last == "APPEND", ops.toString)
+    // property annotations follow the identifier
+    val tier = spark.sql("SHOW TBLPROPERTIES graft_ren.ns.t2")
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(tier.get("tier").contains("gold"), tier.toString)
+    // the old name is gone; DML works under the new one
+    intercept[Exception] { spark.sql(s"SELECT * FROM $t").collect() }
+    spark.sql("DELETE FROM graft_ren.ns.t2 WHERE array_contains(items, 'e')")
+    assert(contents("graft_ren.ns.t2") == Seq("a b", "c d"))
+    // renaming onto an existing table fails and leaves both untouched
+    spark.sql("CREATE TABLE graft_ren.ns.other (tid BIGINT, items ARRAY<STRING>) USING fimi")
+    intercept[Exception] {
+      spark.sql("ALTER TABLE graft_ren.ns.other RENAME TO ns.t2")
+    }
+    assert(contents("graft_ren.ns.t2") == Seq("a b", "c d"))
+    assert(contents("graft_ren.ns.other").isEmpty)
+    // corpus parquet stays unrenamable
+    spark.conf.set("spark.sql.catalog.graft_ren3", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_ren3.root", "/root/testdata")
+    val e = intercept[Exception] {
+      spark.sql("ALTER TABLE graft_ren3.`sf0.001`.lineitem RENAME TO `sf0.001`.l2")
+    }
+    assert(String.valueOf(e.getMessage).contains("read-only"), e.getMessage)
+  }
+
   test("TRUNCATE TABLE: metadata-only empty, history preserved, verb in the ledger") {
     val (t, dest) = dmlTable("graft_trnc", Seq("a b", "c d"))
     spark.sql(s"TRUNCATE TABLE $t")
