@@ -417,7 +417,17 @@ object FimiLog {
         true
       } catch {
         case _: java.nio.file.FileAlreadyExistsException => false
-        case _: java.io.IOException => false
+        case _: UnsupportedOperationException =>
+          // local fs without hard links: fall back to rename (the
+          // pre-link behavior) rather than failing every commit forever
+          fs.rename(tmp, target)
+        case _: java.io.IOException =>
+          // EEXIST surfaces as FileAlreadyExists above; any other IO
+          // error is NOT a lost race — if the target did appear, report
+          // the race, otherwise fall back to rename so a broken link
+          // syscall cannot wedge the writer into an infinite
+          // bump-version loop
+          if (fs.exists(target)) false else fs.rename(tmp, target)
       }
     } else fs.rename(tmp, target)
 
