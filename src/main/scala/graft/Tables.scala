@@ -314,6 +314,32 @@ object Tables {
     new java.io.File(root, tag).getAbsolutePath
   }
 
+  /** A registered work catalog's addresses: `prefix` = the
+    * catalog-qualified, backquoted namespace ("cat.`sf0.1`") table
+    * names prepend to; `ns` = the namespace (the corpus dir's leaf
+    * name, backquote-free — what `CALL` procedure arguments need);
+    * `nsDir` = the namespace's filesystem directory. */
+  case class WorkCatalog(prefix: String, ns: String, nsDir: String)
+
+  /** Register (idempotently) a [[graft.catalog.GraftCatalog]] named
+    * `cat` over this session's work root for `tag`, namespaced by
+    * `dir`'s leaf name. INVARIANT the three managed-table keys share
+    * (and the bench enforces): the per-SF component must be the
+    * NAMESPACE, never the catalog root — a catalog's root is pinned at
+    * its first instantiation in a session, and the bench JIT-warms
+    * every key at sf0.001 before timing at the target SF in the same
+    * session, so an SF-dependent root would resolve the second SF's
+    * tables against the first SF's directory. */
+  def fimiWorkCatalog(
+      spark: SparkSession, tag: String, cat: String, dir: String): WorkCatalog = {
+    val root = workRoot(spark, tag)
+    val ns = new java.io.File(dir).getName
+    new java.io.File(s"$root/$ns").mkdirs()
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.catalog.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    WorkCatalog(s"$cat.`$ns`", ns, s"$root/$ns")
+  }
+
   private val workRoots = scala.collection.mutable.Set.empty[java.io.File]
   private val workRootsLock = new Object
   private def rmTree(f: java.io.File): Unit = {

@@ -510,19 +510,15 @@ object Mining {
     * ledger protocol, not data movement; the DML keys already measure
     * the data plane at scale. */
   def fpmFimiHistory(s: SparkSession, dir: String): DataFrame = {
-    val root = Tables.workRoot(s, "graft_fimi_hist")
-    val ns = new java.io.File(dir).getName
-    new java.io.File(s"$root/$ns").mkdirs()
-    s.conf.set("spark.sql.catalog.graft_dml_hist", "graft.catalog.GraftCatalog")
-    s.conf.set("spark.sql.catalog.graft_dml_hist.root", root)
-    val t = s"graft_dml_hist.`$ns`.t"
+    val wc = Tables.fimiWorkCatalog(s, "graft_fimi_hist", "graft_dml_hist", dir)
+    val t = s"${wc.prefix}.t"
     s.sql(s"DROP TABLE IF EXISTS $t")
     s.sql(s"CREATE TABLE $t (tid BIGINT, items ARRAY<STRING>) USING fimi")
     s.sql(s"INSERT INTO $t VALUES (0L, array('a', 'b')), (1L, array('b', 'c'))")
     s.sql(s"INSERT INTO $t SELECT tid + 10 AS tid, " +
       s"array_union(items, array('z')) AS items FROM $t")
     s.sql(s"DELETE FROM $t WHERE array_contains(items, 'a')")
-    s.sql(s"CALL graft_dml_hist.system.history(table => '`$ns`.t')")
+    s.sql(s"CALL graft_dml_hist.system.history(table => '`${wc.ns}`.t')")
       .select(col("version"), col("operation"), col("truncated"))
       .orderBy("version")
   }
@@ -547,19 +543,15 @@ object Mining {
     * metadata + deletes; the data-plane DML keys already measure byte
     * movement at scale. */
   def fpmFimiVacuum(s: SparkSession, dir: String): DataFrame = {
-    val root = Tables.workRoot(s, "graft_fimi_vac")
-    val ns = new java.io.File(dir).getName
-    new java.io.File(s"$root/$ns").mkdirs()
-    s.conf.set("spark.sql.catalog.graft_dml_vac", "graft.catalog.GraftCatalog")
-    s.conf.set("spark.sql.catalog.graft_dml_vac.root", root)
-    val t = s"graft_dml_vac.`$ns`.t"
+    val wc = Tables.fimiWorkCatalog(s, "graft_fimi_vac", "graft_dml_vac", dir)
+    val t = s"${wc.prefix}.t"
     s.sql(s"DROP TABLE IF EXISTS $t")
     s.sql(s"CREATE TABLE $t (tid BIGINT, items ARRAY<STRING>) USING fimi")
     s.sql(s"INSERT INTO $t VALUES (0L, array('a', 'x'))")
     s.sql(s"INSERT INTO $t VALUES (1L, array('b', 'x'))")
     s.sql(s"INSERT OVERWRITE $t VALUES (2L, array('c', 'x'))")
     val stats = s.sql(
-      s"CALL graft_dml_vac.system.vacuum(table => '`$ns`.t', retain_last => 1)")
+      s"CALL graft_dml_vac.system.vacuum(table => '`${wc.ns}`.t', retain_last => 1)")
     val supports = s.table(t)
       .select(explode(col("items")).as("item"))
       .groupBy("item").agg(count(lit(1)).as("freq"))

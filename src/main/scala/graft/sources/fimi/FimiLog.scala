@@ -407,8 +407,21 @@ object FimiLog {
     * content is the fully-written temp file, so readers never see a
     * torn manifest. Two-process contention is spec-gated in
     * FimiRaceSpec. */
-  private def commitExclusive(fs: FileSystem, tmp: Path, target: Path): Boolean =
-    if (fs.getScheme == "file") {
+  private def commitExclusive(fs: FileSystem, tmp: Path, target: Path): Boolean = {
+    // getUri.getScheme, not getScheme: the FileSystem base class's
+    // getScheme THROWS UnsupportedOperationException (only overriders
+    // have it), and an exception here would fail every commit on such
+    // filesystems where plain rename worked
+    val local = fs.getUri != null && fs.getUri.getScheme == "file"
+    // degraded fallback for local filesystems whose link(2) is
+    // unavailable/denied: EXACTLY the pre-link protocol (fresh
+    // exists-check immediately before the rename) — the clobber window
+    // shrinks back to the pre-change size, never wider, and a broken
+    // link syscall cannot wedge the writer into an infinite
+    // bump-version loop
+    def renameFallback(): Boolean =
+      if (fs.exists(target)) false else fs.rename(tmp, target)
+    if (local) {
       val t = new java.io.File(target.toUri.getPath).toPath
       val s = new java.io.File(tmp.toUri.getPath).toPath
       try {
@@ -417,19 +430,15 @@ object FimiLog {
         true
       } catch {
         case _: java.nio.file.FileAlreadyExistsException => false
-        case _: UnsupportedOperationException =>
-          // local fs without hard links: fall back to rename (the
-          // pre-link behavior) rather than failing every commit forever
-          fs.rename(tmp, target)
+        case _: UnsupportedOperationException => renameFallback()
         case _: java.io.IOException =>
           // EEXIST surfaces as FileAlreadyExists above; any other IO
-          // error is NOT a lost race — if the target did appear, report
-          // the race, otherwise fall back to rename so a broken link
-          // syscall cannot wedge the writer into an infinite
-          // bump-version loop
-          if (fs.exists(target)) false else fs.rename(tmp, target)
+          // error is NOT a lost race — report the race only if the
+          // target actually appeared
+          if (fs.exists(target)) false else renameFallback()
       }
     } else fs.rename(tmp, target)
+  }
 
   /** Fold the full checkpoint state at `version` from the nearest
     * older checkpoint plus the manifest tail. */

@@ -698,34 +698,29 @@ object Streaming {
     * streaming source/sink plumbing is byte-for-byte the connector's
     * (same discovery log, same epoch ledger). */
   def streamFimiTable(s: SparkSession, dir: String): DataFrame = {
-    // the CATALOG ROOT is fixed at the catalog's first instantiation in
-    // a session, so (like the DML keys) the per-SF component must be
-    // the NAMESPACE, never the root — one root serves every sf dir the
-    // session touches (the bench JIT-warms at sf0.001 before timing at
-    // the target SF in the same session)
-    val root = Tables.workRoot(s, "graft_fimi_tbl")
-    val ns = new java.io.File(dir).getName
+    // Tables.fimiWorkCatalog holds the shared invariant: the per-SF
+    // component is the NAMESPACE, never the catalog root (the root is
+    // pinned at the catalog's first instantiation in a session)
+    val wc = Tables.fimiWorkCatalog(s, "graft_fimi_tbl", "graft_stbl", dir)
     def rm(f: java.io.File): Unit = {
       if (f.isDirectory) f.listFiles().foreach(rm)
       f.delete()
     }
-    rm(new java.io.File(s"$root/$ns"))
-    new java.io.File(s"$root/$ns").mkdirs()
-    s.conf.set("spark.sql.catalog.graft_stbl", "graft.catalog.GraftCatalog")
-    s.conf.set("spark.sql.catalog.graft_stbl.root", root)
-    val src = s"graft_stbl.`$ns`.src"
-    val sink = s"graft_stbl.`$ns`.sink"
+    rm(new java.io.File(wc.nsDir))
+    new java.io.File(wc.nsDir).mkdirs()
+    val src = s"${wc.prefix}.src"
+    val sink = s"${wc.prefix}.sink"
     Tables.load(s, dir, "events")
       .select(array(col("event_type"),
         concat(lit("u"), (col("user_id") % 10).cast("string"))).as("items"))
-      .write.format("fimi").mode("overwrite").save(s"$root/$ns/src.fimi")
+      .write.format("fimi").mode("overwrite").save(s"${wc.nsDir}/src.fimi")
     s.sql(s"DROP TABLE IF EXISTS $sink")
     s.sql(s"CREATE TABLE $sink (tid BIGINT, items ARRAY<STRING>) USING fimi")
     val q = s.readStream.table(src)
       .filter(array_contains(col("items"), "purchase"))
       .select(col("tid"), col("items"))
       .writeStream.outputMode("append")
-      .option("checkpointLocation", s"$root/$ns/ck")
+      .option("checkpointLocation", s"${wc.nsDir}/ck")
       .toTable(sink)
     try q.processAllAvailable() finally q.stop()
     s.table(sink)

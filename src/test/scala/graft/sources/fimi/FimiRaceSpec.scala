@@ -43,16 +43,33 @@ class FimiRaceSpec extends graft.SparkSpec {
       assert(out.contains(s"wins=$each"), out)
     })
     childThread.start()
+    // BARRIER: wait for the child's first commit before storming, so the
+    // parent's 25 fast commits genuinely interleave with the child's
+    // remaining 24 — without this the child's JVM startup (~seconds)
+    // lets the parent finish uncontended and the gate proves nothing
+    val deadline = System.currentTimeMillis() + 120000
+    while (FimiLog.latestVersion(fs, table).isEmpty &&
+        System.currentTimeMillis() < deadline)
+      Thread.sleep(5)
+    assert(FimiLog.latestVersion(fs, table).nonEmpty,
+      "child JVM never committed within the barrier window")
+    var losses = 0
     var wins = 0
     while (wins < each) {
       var v = FimiLog.latestVersion(fs, table).map(_ + 1).getOrElse(0L)
       while (!FimiLog.write(fs, table, v, None, truncate = false,
-          Seq(f"parent-$wins%03d.dat"), op = Some("APPEND")))
+          Seq(f"parent-$wins%03d.dat"), op = Some("APPEND"))) {
+        losses += 1
         v += 1
+      }
       wins += 1
     }
     childThread.join(120000)
     assert(!childThread.isAlive, "child JVM did not finish")
+    // contention telemetry (not asserted — losses require an exact
+    // same-version collision, which interleaving makes likely, not
+    // certain; the invariants below are what must hold regardless)
+    info(s"parent version-collision losses: $losses")
     // the two processes' caches never shared state; re-read cold
     FimiLog.clearCache()
     val ms = FimiLog.manifests(fs, table)

@@ -47,6 +47,46 @@ def _connect():
     return con
 
 
+def _register_views(con, sf_dir):
+    """One view per testdata table. Driver sf dirs hold single files;
+    ScaleUp fixtures hold Spark-written directories of part files."""
+    import os
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        src = f"'{p}/*.parquet'" if os.path.isdir(p) else f"'{p}'"
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet({src})")
+
+
+def _fresh_connection(con, sf_dir):
+    """Fresh per-key connection for the in-DuckDB compare modes: a
+    long-lived connection's accumulated buffer-pool state was observed
+    to flip one key's join plan into a 40 GB wedge in-sequence while the
+    same key checked in seconds standalone. Pins the session timezone so
+    TIMESTAMPTZ -> TIMESTAMP casts are host-independent."""
+    con.close()
+    con = _connect()
+    _register_views(con, sf_dir)
+    con.sql("SET TimeZone = 'UTC'")
+    return con
+
+
+def _norm_expr(edesc, gdesc):
+    """SQL normalizer for the type classes the default path's norm()
+    collapses (UTC-instant TIMESTAMPTZ vs naive TIMESTAMP, DECIMAL /
+    HUGEINT vs DOUBLE) — shared by both in-DuckDB compare modes so they
+    can never silently disagree on a type class. Returns
+    nexpr(col [, side]) rendering a normalized column reference."""
+    def nexpr(c, side=None):
+        ref = f'{side}."{c}"' if side else f'"{c}"'
+        t = (edesc[c] + " " + gdesc[c]).upper()
+        if "TIMESTAMP" in t:
+            return f"CAST({ref} AS TIMESTAMP)"
+        if "DECIMAL" in t or "DOUBLE" in t or "FLOAT" in t or "HUGEINT" in t:
+            return f"CAST({ref} AS DOUBLE)"
+        return ref
+    return nexpr
+
+
 def main():
     args = [a for a in sys.argv[1:]
             if a not in ("--set-compare", "--ordered-compare")]
@@ -68,13 +108,7 @@ def main():
     sf_dir, out_dir = args[0], args[1]
     only = set(args[2:])
     con = _connect()
-    import os
-    for t in TABLES:
-        # driver sf dirs hold single files; ScaleUp fixtures hold
-        # Spark-written directories of part files — glob those
-        p = f"{sf_dir}/{t}.parquet"
-        src = f"'{p}/*.parquet'" if os.path.isdir(p) else f"'{p}'"
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet({src})")
+    _register_views(con, sf_dir)
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     failed = []
     # Verify records keys that THREW in _errors.json (they have no parquet
@@ -107,13 +141,7 @@ def main():
             continue
         if ordered_compare:
             try:
-                con.close()
-                con = _connect()
-                for t in TABLES:
-                    p = f"{sf_dir}/{t}.parquet"
-                    src = f"'{p}/*.parquet'" if os.path.isdir(p) else f"'{p}'"
-                    con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet({src})")
-                con.sql("SET TimeZone = 'UTC'")
+                con = _fresh_connection(con, sf_dir)
                 con.sql(f"CREATE OR REPLACE TEMP TABLE _exp AS {sql}")
                 # sorted file list + preserve_insertion_order (default)
                 # = the dump's global row order (Spark's final ORDER BY
@@ -128,14 +156,7 @@ def main():
                     print(f"FAIL {key}: columns spark={gc} oracle={ec}")
                     failed.append(key)
                     continue
-                def nexpr(side, c):
-                    t = (edesc[c] + " " + gdesc[c]).upper()
-                    if "TIMESTAMP" in t:
-                        return f'CAST({side}."{c}" AS TIMESTAMP)'
-                    if "DECIMAL" in t or "DOUBLE" in t or "FLOAT" in t \
-                            or "HUGEINT" in t:
-                        return f'CAST({side}."{c}" AS DOUBLE)'
-                    return f'{side}."{c}"'
+                nexpr = _norm_expr(edesc, gdesc)
                 ne = con.sql("SELECT count(*) FROM _exp").fetchone()[0]
                 ng = con.sql("SELECT count(*) FROM _got").fetchone()[0]
                 if ne != ng:
@@ -143,7 +164,7 @@ def main():
                     failed.append(key)
                     continue
                 diff = " OR ".join(
-                    f'({nexpr("e", c)} IS DISTINCT FROM {nexpr("g", c)})'
+                    f'({nexpr(c, "e")} IS DISTINCT FROM {nexpr(c, "g")})'
                     for c in ec)
                 bad = con.sql(
                     "SELECT count(*) FROM _exp e JOIN _got g "
@@ -164,21 +185,7 @@ def main():
             continue
         if set_compare:
             try:
-                # fresh connection per key: a long-lived connection's
-                # accumulated buffer-pool state was observed to flip one
-                # key's join plan into a 40 GB wedge in-sequence while
-                # the same key checked in seconds standalone
-                con.close()
-                con = _connect()
-                for t in TABLES:
-                    p = f"{sf_dir}/{t}.parquet"
-                    src = f"'{p}/*.parquet'" if os.path.isdir(p) else f"'{p}'"
-                    con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet({src})")
-                # Pin the session timezone so TIMESTAMPTZ -> TIMESTAMP
-                # conversion below is host-independent (Spark dumps
-                # UTC-session naive instants; a non-UTC host would
-                # otherwise shift them during the cast).
-                con.sql("SET TimeZone = 'UTC'")
+                con = _fresh_connection(con, sf_dir)
                 # TEMP TABLE, not VIEW: with the oracle inlined into the
                 # EXCEPT ALL pipeline, DuckDB budgets each operator a
                 # fraction of memory_limit and a heavy oracle (ordered
@@ -195,19 +202,8 @@ def main():
                     print(f"FAIL {key}: columns spark={gc} oracle={ec}")
                     failed.append(key)
                     continue
-                # Normalize the type classes the default path's norm()
-                # also collapses, so set-compare can't spuriously differ
-                # from it: Spark's UTC-instant TIMESTAMPTZ vs the
-                # oracle's naive TIMESTAMP, and DECIMAL vs DOUBLE.
-                def nexpr(c):
-                    t = (edesc[c] + " " + gdesc[c]).upper()
-                    if "TIMESTAMP" in t:
-                        return f'CAST("{c}" AS TIMESTAMP) AS "{c}"'
-                    if "DECIMAL" in t or "DOUBLE" in t or "FLOAT" in t \
-                            or "HUGEINT" in t:
-                        return f'CAST("{c}" AS DOUBLE) AS "{c}"'
-                    return f'"{c}"'
-                cols = ", ".join(nexpr(c) for c in ec)
+                nexpr = _norm_expr(edesc, gdesc)
+                cols = ", ".join(f'{nexpr(c)} AS "{c}"' for c in ec)
                 ne, ng, d1, d2 = (
                     con.sql("SELECT count(*) FROM _exp").fetchone()[0],
                     con.sql("SELECT count(*) FROM _got").fetchone()[0],
