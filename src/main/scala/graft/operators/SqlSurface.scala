@@ -831,6 +831,59 @@ object SqlSurface {
       Map("threshold" -> 200000))
   }
 
+  /** SQL SCRIPTING (Spark 4's `BEGIN ... END` compound statements,
+    * SQL/PSM shape): DECLARE'd local variables, a WHILE loop driving a
+    * correlated scalar subquery per iteration, an IF guard, and the
+    * script's final SELECT as its result set — the stored-procedure-
+    * style control flow an analyst migrates from a warehouse. The
+    * oracle is the loop UNROLLED into plain SQL, so any defect in
+    * variable scoping, loop arithmetic or script result plumbing fails
+    * the hash.
+    *
+    * Scale posture: control flow runs on the driver; each iteration's
+    * statement is an ordinary Catalyst-planned query (here: one
+    * aggregate over a pushed-down LIKE filter). The loop count is a
+    * constant 3 — script iteration never multiplies with data volume. */
+  def sqlScripting(s: SparkSession, dir: String): DataFrame = {
+    views(s, dir, "orders")
+    s.conf.set("spark.sql.scripting.enabled", "true")
+    s.sql(
+      """BEGIN
+        |  DECLARE i INT DEFAULT 1;
+        |  DECLARE total BIGINT DEFAULT 0;
+        |  DECLARE urgent_total DOUBLE DEFAULT 0;
+        |  WHILE i <= 3 DO
+        |    SET total = total + (SELECT count(*) FROM orders
+        |      WHERE o_orderpriority LIKE CAST(i AS STRING) || '-%');
+        |    SET i = i + 1;
+        |  END WHILE;
+        |  IF total > 0 THEN
+        |    SET urgent_total =
+        |      (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |       FROM orders WHERE o_orderpriority LIKE '1-%');
+        |  END IF;
+        |  SELECT total AS cnt_123, urgent_total;
+        |END""".stripMargin)
+  }
+
+  /** EXECUTE IMMEDIATE + SQL session VARIABLES (Spark 4): a DECLARE'd
+    * session variable set with `SET VAR` feeds a dynamically-composed
+    * statement through `EXECUTE IMMEDIATE ... USING` positional
+    * binding — the dynamic-SQL surface (catalog-driven query templates,
+    * admin tooling) done without string interpolation. The oracle is
+    * the statement with the binding resolved. */
+  def sqlExecImmediate(s: SparkSession, dir: String): DataFrame = {
+    views(s, dir, "orders")
+    s.sql("DECLARE OR REPLACE VARIABLE graft_thresh DOUBLE")
+    s.sql("SET VAR graft_thresh = 150000")
+    s.sql(
+      """EXECUTE IMMEDIATE
+        |  'SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS cnt
+        |   FROM orders WHERE o_totalprice > ?
+        |   GROUP BY o_orderpriority ORDER BY o_orderpriority'
+        |USING graft_thresh""".stripMargin)
+  }
+
   private val catalogScanOracleSql =
     """SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS cnt
       |FROM lineitem
@@ -843,6 +896,8 @@ object SqlSurface {
     "sql_pipe_syntax"    -> (sqlPipeSyntax _),
     "sql_group_by_all"   -> (sqlGroupByAll _),
     "sql_parameterized"  -> (sqlParameterized _),
+    "sql_scripting"      -> (sqlScripting _),
+    "sql_exec_immediate" -> (sqlExecImmediate _),
     "sql_tpch_q1"        -> (sqlQ1 _),
     "sql_tpch_q2"        -> (sqlQ2 _),
     "sql_tpch_q3"        -> (sqlQ3 _),
@@ -876,6 +931,19 @@ object SqlSurface {
     "sql_pipe_syntax"    -> pipeSyntaxOracleSql,
     "sql_group_by_all"   -> groupByAllSql,
     "sql_parameterized"  -> parameterizedOracleSql,
+    // the script's loop UNROLLED into plain SQL
+    "sql_scripting" ->
+      """SELECT
+        |  CAST((SELECT count(*) FROM orders
+        |        WHERE substring(o_orderpriority, 1, 1) IN ('1', '2', '3'))
+        |       AS BIGINT) AS cnt_123,
+        |  CAST((SELECT sum(CAST(o_totalprice AS DECIMAL(18,2))) FROM orders
+        |        WHERE o_orderpriority LIKE '1-%') AS DOUBLE) AS urgent_total""".stripMargin,
+    // the dynamic statement with its binding resolved
+    "sql_exec_immediate" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS cnt
+        |FROM orders WHERE o_totalprice > 150000
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "sql_tpch_q1"        -> q1Sql,
     "sql_tpch_q2"        -> q2Sql,
     "sql_tpch_q3"        -> q3Sql,
