@@ -90,14 +90,25 @@ class FimiMicroBatchStream(
   override def initialOffset(): Offset = FimiOffset(0)
 
   override def latestOffset(): Offset = {
-    // resolveDataFiles: a manifest-logged (snapshot / streaming-sink)
-    // directory discovers through its log — committed files only, in
-    // commit order; orphans from failed sink attempts never enter the
-    // stream. Plain directories keep modTime-ordered listing discovery.
-    val fresh = FimiTable.resolveDataFiles(conf, optionPaths, None)
-      .filterNot(st => seen.contains(st.getPath.toString))
-      .sortBy(st => (st.getModificationTime, st.getPath.toString))
-      .map(_.getPath.toString)
+    // Manifest-logged (snapshot / streaming-sink) directories discover
+    // through the log by NAME only, in COMMIT order: one names-only
+    // listing plus O(new manifests) cached-fold opens per trigger —
+    // never a per-file getFileStatus (which would make every trigger
+    // O(all files ever committed) on a long-lived source). Orphans from
+    // failed sink attempts never enter the stream. Plain directories
+    // keep modTime-ordered listing discovery (statuses are free with
+    // the listing there).
+    val fresh: Seq[String] = loggedDir match {
+      case Some((p, f)) =>
+        FimiLog.resolve(f, p, None)
+          .map(n => new Path(p, n).toString)
+          .filterNot(seen.contains)
+      case None =>
+        FimiTable.resolveDataFiles(conf, optionPaths, None)
+          .filterNot(st => seen.contains(st.getPath.toString))
+          .sortBy(st => (st.getModificationTime, st.getPath.toString))
+          .map(_.getPath.toString)
+    }
     if (fresh.nonEmpty) {
       val from = log.size
       persist(from, fresh)
@@ -105,6 +116,20 @@ class FimiMicroBatchStream(
     }
     FimiOffset(log.size)
   }
+
+  /** The single manifest-logged source directory, if that is what this
+    * stream reads (probed once — a directory does not stop being a
+    * snapshot table mid-stream). */
+  private lazy val loggedDir: Option[(Path, org.apache.hadoop.fs.FileSystem)] =
+    optionPaths match {
+      case Seq(one) =>
+        val p = new Path(one)
+        val f = p.getFileSystem(conf)
+        if (f.exists(p) && f.getFileStatus(p).isDirectory && FimiLog.exists(f, p))
+          Some((p, f))
+        else None
+      case _ => None
+    }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val (s, e) = (start.asInstanceOf[FimiOffset].files, end.asInstanceOf[FimiOffset].files)
