@@ -558,6 +558,52 @@ object Mining {
     stats.crossJoin(supports).orderBy("item")
   }
 
+  /** CHANGE DATA FEED over the snapshot log
+    * (`spark.read.format("fimi").option("changesFrom", v)` — the Delta
+    * `table_changes` / Iceberg changelog affordance, see
+    * [[graft.sources.fimi.FimiChanges]]): a cloned work table is driven
+    * through one commit of each change shape — INSERT (v1, a `zz_cdf`
+    * basket), copy-on-write DELETE (v2, every Brand#23 basket),
+    * copy-on-write UPDATE (v3, every surviving basket of ≥ 7 items
+    * gains `zz_upd`) — and the feed for versions 1..3 is read back,
+    * carryover delete/insert pairs from the COW rewrites cancelled by
+    * [[graft.sources.fimi.FimiChanges.net]], and the net basket changes
+    * exploded to per-(version, change, item) counts. The oracle
+    * re-derives each commit's net content change relationally from
+    * parquet, so a feed defect of any kind — a missed touched file, a
+    * phantom change, carryover leaking through the netting, a row
+    * tagged with the wrong version or side — shifts a count and fails
+    * the hash. Content-only conditions (Brand#23 membership, basket
+    * size) make the netting exact even under basket-content collisions:
+    * identical baskets are all-touched or all-untouched together.
+    *
+    * Scale posture: the feed plans partitions for ONLY the files the
+    * range's commits touched (manifest-diff planning, one log listing —
+    * never a table scan), and the netting is one hash aggregate over
+    * that commit-bounded slice; at 100 TB the cost tracks the night's
+    * churn, not the table. */
+  def fpmFimiChanges(s: SparkSession, dir: String): DataFrame = {
+    val t = fimiDmlTable(s, dir, "graft_fimi_cdf", "graft_dml_cdf")
+    s.sql(s"INSERT INTO $t VALUES (-10L, array('zz_cdf'))")
+    s.sql(s"DELETE FROM $t WHERE array_contains(items, 'Brand#23')")
+    s.sql(
+      s"UPDATE $t SET items = array_union(items, array('zz_upd')) " +
+        "WHERE size(items) >= 7")
+    val path = s"${Tables.workRoot(s, "graft_fimi_cdf")}/" +
+      s"${new java.io.File(dir).getName}/t.fimi"
+    val feed = s.read.format("fimi")
+      .option(graft.sources.fimi.FimiChanges.FromOption, 1).load(path)
+    graft.sources.fimi.FimiChanges.net(feed)
+      .select(
+        col(graft.sources.fimi.FimiChanges.VersionCol).as("version"),
+        col(graft.sources.fimi.FimiChanges.ChangeTypeCol).as("change"),
+        explode(col("items")).as("item"),
+        col("n_baskets"))
+      .groupBy("version", "change", "item")
+      .agg(sum(col("n_baskets")).as("n"))
+      .orderBy("version", "change", "item")
+  }
+
   /** Frequent items at the k-itemset threshold — downward-closure prune set. */
   private def f1(s: SparkSession, dir: String, minSup: Double): DataFrame =
     itemSupports(s, dir)
@@ -1657,6 +1703,7 @@ object Mining {
     "fpm_fimi_insert"  -> (fpmFimiInsert _),
     "fpm_fimi_merge"   -> (fpmFimiMerge _),
     "fpm_fimi_history" -> (fpmFimiHistory _),
+    "fpm_fimi_changes" -> (fpmFimiChanges _),
     "fpm_fimi_vacuum"  -> (fpmFimiVacuum _),
     "fpm_fimi_compact" -> (fpmFimiCompact _),
     "fpm_fimi_spj"     -> (fpmFimiSpj _),
@@ -2105,6 +2152,36 @@ object Mining {
         |) AS v(retained_from, data_files_deleted, manifests_deleted,
         |       checkpoints_deleted, item, freq)
         |ORDER BY item""".stripMargin,
+
+    // Change-feed ground truth: each commit's NET content change,
+    // re-derived relationally — v1 inserts one zz_cdf basket; v2
+    // net-deletes exactly the Brand#23 baskets (COW carryover must
+    // cancel); v3 net-deletes each surviving >= 7-item basket's
+    // pre-image and net-inserts its post-image (+ zz_upd). Counting is
+    // per (version, change side, item): any feed or netting defect —
+    // a missed touched file, carryover leaking through, a wrong
+    // version/side tag — shifts a count and fails the hash.
+    "fpm_fimi_changes" -> (txCte +
+      """, b23 AS (SELECT DISTINCT tid FROM tx WHERE item = 'Brand#23'),
+        |sz AS (SELECT tid, count(*) AS c FROM tx GROUP BY tid),
+        |upd AS (SELECT sz.tid FROM sz
+        |        WHERE sz.c >= 7 AND sz.tid NOT IN (SELECT tid FROM b23))
+        |SELECT version, change, item, CAST(count(*) AS BIGINT) AS n FROM (
+        |  SELECT CAST(1 AS BIGINT) AS version, 'insert' AS change,
+        |         'zz_cdf' AS item
+        |  UNION ALL
+        |  SELECT CAST(2 AS BIGINT), 'delete', t.item
+        |  FROM tx t JOIN b23 ON t.tid = b23.tid
+        |  UNION ALL
+        |  SELECT CAST(3 AS BIGINT), 'delete', t.item
+        |  FROM tx t JOIN upd ON t.tid = upd.tid
+        |  UNION ALL
+        |  SELECT CAST(3 AS BIGINT), 'insert', t.item
+        |  FROM tx t JOIN upd ON t.tid = upd.tid
+        |  UNION ALL
+        |  SELECT CAST(3 AS BIGINT), 'insert', 'zz_upd' FROM upd
+        |) GROUP BY 1, 2, 3
+        |ORDER BY version, change, item""".stripMargin),
 
     "fpm_fimi_spj" -> (txCte + """
         |SELECT 'g' || CAST(tid % 3 AS VARCHAR) AS grp, item,

@@ -1,0 +1,299 @@
+package graft.sources.fimi
+
+import java.util.OptionalLong
+
+import org.apache.hadoop.fs.Path
+import org.apache.hadoop.io.compress.CompressionCodecFactory
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** CHANGE DATA FEED for fimi snapshot tables — the Delta
+  * `table_changes` / Iceberg changelog affordance: read the rows a
+  * range of commits added and removed, without replaying the DML.
+  *
+  * Surface: `spark.read.format("fimi").option("changesFrom", v1)
+  * [.option("changesTo", v2)].load(tableDir)` returns one row per
+  * changed (tid, items) with three extra columns — `_change_type`
+  * (`insert` | `delete`), `_commit_version`, and `_commit_timestamp`
+  * (the manifest's `#ts` commit instant). Versions are inclusive on
+  * both ends; `changesTo` defaults to the latest commit.
+  *
+  * Granularity contract (the copy-on-write reality every COW lakehouse
+  * shares): the scan is FILE-granular. An append commit contributes
+  * its files as `insert` rows. A table-replacing commit (row-level
+  * DELETE/UPDATE/MERGE, INSERT OVERWRITE, TRUNCATE, OPTIMIZE) is
+  * diffed against the previous version's listing: files only in the
+  * new listing read as `insert`, files only in the old listing as
+  * `delete` — so rows of a rewritten file that the DML did NOT touch
+  * appear as a delete/insert pair ("carryover"). [[FimiChanges.net]]
+  * cancels those pairs declaratively, yielding net CONTENT changes per
+  * commit at basket granularity (tids are positional and change across
+  * rewrites, so content — the `items` array — is the only identity
+  * that survives a rewrite; this matches the engine's own tid
+  * contract, FimiRowLevel.scala scaladoc).
+  *
+  * tid semantics: an `insert` row carries the tid a batch read AT that
+  * commit's version assigns it (file ordinal in the commit's resolved
+  * listing); a `delete` row carries its tid at the PREVIOUS version —
+  * so change rows join positionally against `versionAsOf` reads of the
+  * matching snapshot.
+  *
+  * Scale posture: planning is one names-only log listing plus cached
+  * manifest parses (the same incremental fold every read rides);
+  * partitions cover ONLY the files the range's commits touched — a
+  * 100 TB table whose last night of commits moved 30 GB plans a 30 GB
+  * scan, never a table scan. Files are byte-range split like the batch
+  * scan; column pruning reaches the inner reader. History must be
+  * retained: a range reaching below VACUUM's boundary fails loudly
+  * (the listing diff would be unreconstructable), never returns a
+  * partial feed.
+  */
+object FimiChanges {
+  val FromOption = "changesFrom"
+  val ToOption = "changesTo"
+  val ChangeTypeCol = "_change_type"
+  val VersionCol = "_commit_version"
+  val TimestampCol = "_commit_timestamp"
+
+  val Schema: StructType = StructType(Seq(
+    StructField("tid", LongType, nullable = false),
+    StructField("items", ArrayType(StringType, containsNull = false),
+      nullable = false),
+    StructField(ChangeTypeCol, StringType, nullable = false),
+    StructField(VersionCol, LongType, nullable = false),
+    StructField(TimestampCol, TimestampType, nullable = false)))
+
+  def requested(options: CaseInsensitiveStringMap): Boolean =
+    options.containsKey(FromOption)
+
+  /** Net CONTENT changes per commit: cancel each version's carryover
+    * delete/insert pairs (rows of rewritten files the commit did not
+    * actually change) by signed counting per (version, items), leaving
+    * one row per net-changed basket content —
+    * `(items, _change_type, _commit_version, n_baskets)` where
+    * `n_baskets` is how many baskets of that exact content the commit
+    * net-added (insert) or net-removed (delete). One hash-partitioned
+    * aggregate over the (already file-pruned) raw feed; no collect, no
+    * join. */
+  def net(changes: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    changes
+      .withColumn("__w",
+        when(col(ChangeTypeCol) === "insert", 1L).otherwise(-1L))
+      .groupBy(col(VersionCol), col("items"))
+      .agg(sum(col("__w")).as("__net"))
+      .filter(col("__net") =!= 0L)
+      .select(
+        col("items"),
+        when(col("__net") > 0, lit("insert")).otherwise(lit("delete"))
+          .as(ChangeTypeCol),
+        col(VersionCol),
+        abs(col("__net")).as("n_baskets"))
+  }
+}
+
+/** Column pruning only: every predicate stays above the scan (the
+  * change feed's work unit is the touched file — predicate pruning
+  * inside a diff would complicate the carryover-cancellation contract
+  * for zero scale win, since the file set is already commit-bounded). */
+class FimiChangesScanBuilder(options: CaseInsensitiveStringMap)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+
+  private var requiredSchema: StructType = FimiChanges.Schema
+
+  private val session = org.apache.spark.sql.SparkSession.active
+  private val hadoopKVs = FimiTable.confKVs(session.sessionState.newHadoopConf())
+  private val maxSplitBytes: Long =
+    Option(options.get("maxSplitBytes")).map(_.toLong)
+      .getOrElse(session.sessionState.conf.filesMaxPartitionBytes)
+  private val sep: String = Option(options.get("sep")).getOrElse("\\s+")
+
+  override def pruneColumns(required: StructType): Unit =
+    requiredSchema = required
+
+  override def build(): Scan = {
+    require(options.get("versionAsOf") == null,
+      s"fimi: ${FimiChanges.FromOption} and versionAsOf are mutually " +
+        s"exclusive (use ${FimiChanges.ToOption} to bound the change range)")
+    val dest = FimiTable.paths(options) match {
+      case Seq(one) => one
+      case many => throw new IllegalArgumentException(
+        s"fimi: a change-feed read needs exactly one table path; got $many")
+    }
+    new FimiChangesScan(dest, hadoopKVs, requiredSchema, maxSplitBytes, sep,
+      options.get(FimiChanges.FromOption).toLong,
+      Option(options.get(FimiChanges.ToOption)).map(_.toLong))
+  }
+}
+
+/** One input partition of the change feed: a byte range of one touched
+  * data file, tagged with the side of the diff it came from and the
+  * commit it belongs to. `inner` carries the file ordinal IN THE
+  * LISTING THE SIDE RESOLVES AGAINST (insert: the commit's own version;
+  * delete: the previous version) so tids match snapshot reads. */
+case class FimiChangesPartition(
+    inner: FimiInputPartition,
+    insert: Boolean,
+    version: Long,
+    tsMicros: Long) extends InputPartition
+
+class FimiChangesScan(
+    tablePath: String,
+    hadoopKVs: Array[(String, String)],
+    requiredSchema: StructType,
+    maxSplitBytes: Long,
+    sep: String,
+    fromVersion: Long,
+    toVersion: Option[Long]) extends Scan with Batch with SupportsReportStatistics {
+
+  override def readSchema(): StructType = requiredSchema
+  override def toBatch: Batch = this
+
+  override def description(): String =
+    s"fimi changes $tablePath, versions=[$fromVersion," +
+      s"${toVersion.map(_.toString).getOrElse("latest")}]"
+
+  /** Driver-side plan: fold the manifest tail once, diff each commit in
+    * the range against its predecessor's listing, split the touched
+    * files. Metadata cost: one log listing + cached manifest parses. */
+  private lazy val partitions: Array[FimiChangesPartition] = {
+    val conf = FimiTable.rebuildConf(hadoopKVs)
+    val table = new Path(tablePath)
+    val fs = table.getFileSystem(conf)
+    require(FimiLog.exists(fs, table),
+      s"fimi: $tablePath keeps no snapshot log; the change feed reads " +
+        "manifest history (write with .option(\"snapshots\", \"true\"))")
+    val hist = FimiLog.history(fs, table)
+    require(hist.nonEmpty, s"fimi: $tablePath has an empty snapshot log")
+    val latest = hist.last.version
+    val to = toVersion.getOrElse(latest)
+    require(fromVersion >= 0 && fromVersion <= to && to <= latest,
+      s"fimi: invalid change range [$fromVersion, $to] on $tablePath " +
+        s"(latest committed version: $latest)")
+    val retained = hist.map(_.version).toSet
+    (fromVersion to to).foreach { v =>
+      require(retained.contains(v),
+        s"fimi: version $v of $tablePath is not retained (earliest " +
+          s"retained: ${hist.head.version}); the change feed cannot " +
+          "reconstruct vacuumed history")
+    }
+    val manifestByV = FimiLog.manifests(fs, table).map(m => m.version -> m).toMap
+    val tsByV = hist.map(h => h.version -> h.tsMillis * 1000L).toMap
+
+    // listing at fromVersion-1, the diff seed. When that version was
+    // vacuumed but fromVersion survives, an APPEND at fromVersion still
+    // diffs exactly (prev = its own listing minus the files it added);
+    // a table-replacing commit there cannot (the removed set is gone).
+    val m0 = manifestByV(fromVersion)
+    var prev: Vector[String] =
+      if (fromVersion == 0) Vector.empty
+      else if (retained.contains(fromVersion - 1))
+        FimiLog.resolve(fs, table, Some(fromVersion - 1)).toVector
+      else if (!m0.truncate)
+        FimiLog.resolve(fs, table, Some(fromVersion)).toVector
+          .dropRight(m0.files.size)
+      else throw new IllegalArgumentException(
+        s"fimi: changes at version $fromVersion of $tablePath need the " +
+          s"version-${fromVersion - 1} listing, which was vacuumed; " +
+          s"start the range at a retained version boundary")
+
+    val codecs = new CompressionCodecFactory(conf)
+    def splits(name: String, ordinal: Int): Seq[FimiInputPartition] = {
+      val p = new Path(table, name)
+      val len = fs.getFileStatus(p).getLen
+      val splittable = codecs.getCodec(p) == null
+      val ranges =
+        if (!splittable || len <= maxSplitBytes) Seq((0L, len))
+        else (0L until len by maxSplitBytes)
+          .map(s => (s, math.min(maxSplitBytes, len - s)))
+      ranges.filter(_._2 > 0)
+        .map { case (s, l) => FimiInputPartition(p.toString, ordinal, s, l) }
+    }
+
+    val out = Array.newBuilder[FimiChangesPartition]
+    (fromVersion to to).foreach { v =>
+      val m = manifestByV(v)
+      val cur: Vector[String] =
+        (if (m.truncate) Vector.empty[String] else prev) ++ m.files
+      val (added, removed) =
+        if (m.truncate) {
+          val prevSet = prev.toSet
+          val curSet = cur.toSet
+          (cur.filterNot(prevSet), prev.filterNot(curSet))
+        } else (m.files.toVector, Vector.empty[String])
+      val curOrd = cur.zipWithIndex.toMap
+      val prevOrd = prev.zipWithIndex.toMap
+      val ts = tsByV(v)
+      added.foreach { n =>
+        splits(n, curOrd(n)).foreach(ip =>
+          out += FimiChangesPartition(ip, insert = true, v, ts))
+      }
+      removed.foreach { n =>
+        splits(n, prevOrd(n)).foreach(ip =>
+          out += FimiChangesPartition(ip, insert = false, v, ts))
+      }
+      prev = cur
+    }
+    out.result()
+  }
+
+  override def planInputPartitions(): Array[InputPartition] =
+    partitions.toArray[InputPartition]
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new FimiChangesReaderFactory(hadoopKVs, requiredSchema, sep)
+
+  override def estimateStatistics(): Statistics = new Statistics {
+    override def sizeInBytes(): OptionalLong =
+      OptionalLong.of(partitions.map(_.inner.length).sum)
+    override def numRows(): OptionalLong = OptionalLong.empty()
+  }
+}
+
+/** Wraps the batch line reader: the inner reader serves the (tid,
+  * items) subset of the pruned schema; the three change columns are
+  * per-partition constants appended on the driver-planned metadata. */
+class FimiChangesReaderFactory(
+    hadoopKVs: Array[(String, String)],
+    requiredSchema: StructType,
+    sep: String) extends PartitionReaderFactory {
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val part = partition.asInstanceOf[FimiChangesPartition]
+    val innerSchema = StructType(requiredSchema.fields.filter(f =>
+      f.name == "tid" || f.name == "items"))
+    val inner = new FimiPartitionReader(
+      part.inner, FimiTable.rebuildConf(hadoopKVs), innerSchema, sep, -1)
+    val innerIdx = innerSchema.fieldNames.zipWithIndex.toMap
+    val changeType =
+      UTF8String.fromString(if (part.insert) "insert" else "delete")
+
+    new PartitionReader[InternalRow] {
+      override def next(): Boolean = inner.next()
+      override def get(): InternalRow = {
+        val in = inner.get()
+        val row = new GenericInternalRow(requiredSchema.length)
+        var i = 0
+        while (i < requiredSchema.length) {
+          requiredSchema.fields(i).name match {
+            case "tid" => row.update(i, in.getLong(innerIdx("tid")))
+            case "items" => row.update(i, in.getArray(innerIdx("items")))
+            case FimiChanges.ChangeTypeCol => row.update(i, changeType)
+            case FimiChanges.VersionCol => row.update(i, part.version)
+            case FimiChanges.TimestampCol => row.update(i, part.tsMicros)
+            case other => throw new IllegalStateException(
+              s"fimi changes: unexpected pruned column $other")
+          }
+          i += 1
+        }
+        row
+      }
+      override def close(): Unit = inner.close()
+    }
+  }
+}

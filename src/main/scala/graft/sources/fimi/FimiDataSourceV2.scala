@@ -71,7 +71,7 @@ class FimiDataSourceV2 extends TableProvider with DataSourceRegister {
   override def shortName(): String = "fimi"
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    FimiTable.Schema
+    if (FimiChanges.requested(options)) FimiChanges.Schema else FimiTable.Schema
 
   override def getTable(
       schema: StructType,
@@ -220,7 +220,15 @@ class FimiTable(options: CaseInsensitiveStringMap)
   override def name(): String =
     s"fimi(${FimiTable.paths(options).mkString(",")})"
 
-  override def schema(): StructType = FimiTable.Schema
+  /** A `changesFrom`-optioned read IS a different relation — the change
+    * feed (see [[FimiChanges]]): three extra columns, batch-only. The
+    * option rides the table properties on the path-based read surface
+    * (`spark.read.format("fimi").option(...)`), where DataFrameReader
+    * options become the table's properties. */
+  private def isChangeFeed: Boolean = FimiChanges.requested(options)
+
+  override def schema(): StructType =
+    if (isChangeFeed) FimiChanges.Schema else FimiTable.Schema
 
   private def bucketCount: Int =
     Option(options.get("buckets")).map(_.toInt).getOrElse(0)
@@ -229,7 +237,8 @@ class FimiTable(options: CaseInsensitiveStringMap)
     * explicit tids, not file position, and row-level DML (the column's
     * main consumer) is flat-layout-only too. */
   override def metadataColumns(): Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
-    if (bucketCount > 0) Array.empty else Array(FimiTable.FileColumn)
+    if (bucketCount > 0 || isChangeFeed) Array.empty
+    else Array(FimiTable.FileColumn)
 
   /** SQL DELETE / UPDATE / MERGE INTO via group-based copy-on-write:
     * affected data files (groups) are rewritten whole and committed as
@@ -270,11 +279,26 @@ class FimiTable(options: CaseInsensitiveStringMap)
   override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder = {
     val merged = new java.util.HashMap[String, String](options)
     merged.putAll(opts)
-    new FimiScanBuilder(new CaseInsensitiveStringMap(merged))
+    val m = new CaseInsensitiveStringMap(merged)
+    if (FimiChanges.requested(m)) {
+      // the relation's schema was fixed when this table was resolved; a
+      // change-feed scan under a plain-table relation would silently
+      // return changed rows WITHOUT their change columns — refuse with
+      // the remedy instead (catalog reads pass scan options only)
+      require(isChangeFeed,
+        "fimi: the change feed is a different relation (three extra " +
+          "columns); read it path-based — spark.read.format(\"fimi\")" +
+          s".option(\"${FimiChanges.FromOption}\", v).load(tableDir)")
+      new FimiChangesScanBuilder(m)
+    } else new FimiScanBuilder(m)
   }
 
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(!isChangeFeed,
+      "fimi: a change-feed relation is read-only (write to the table " +
+        "path without the changesFrom option)")
     new FimiWriteBuilder(options, info)
+  }
 
   /** SQL `TRUNCATE TABLE` — the metadata-only empty: on a snapshot
     * table one empty `#truncate` manifest at latest+1 (no byte moves;
@@ -393,7 +417,8 @@ class FimiScanBuilder(
         }
       new FimiScan(FimiTable.paths(options).toIndexedSeq, hadoopKVs, requiredSchema,
         maxSplitBytes, sep, limit, bound._1, bound._2,
-        Option(options.get("versionAsOf")).map(_.toLong))
+        Option(options.get("versionAsOf")).map(_.toLong),
+        Option(options.get("maxFilesPerTrigger")).map(_.toInt))
     }
   }
 }
@@ -413,7 +438,8 @@ class FimiScan(
     limit: Int,
     tidLo: Long,
     tidHi: Long,
-    versionAsOf: Option[Long] = None) extends Scan with Batch with SupportsReportStatistics {
+    versionAsOf: Option[Long] = None,
+    maxFilesPerTrigger: Option[Int] = None) extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = requiredSchema
   override def toBatch: Batch = this
@@ -426,7 +452,8 @@ class FimiScan(
   override def toMicroBatchStream(
       checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new FimiMicroBatchStream(
-      optionPaths, hadoopKVs, requiredSchema, sep, checkpointLocation)
+      optionPaths, hadoopKVs, requiredSchema, sep, checkpointLocation,
+      maxFilesPerTrigger)
 
   override def description(): String = {
     val lim = if (limit >= 0) s", pushedLimit=$limit" else ""

@@ -5,7 +5,7 @@ import scala.collection.mutable
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.types.StructType
 
 /** Streaming micro-batch read for the `fimi` connector: new transaction
@@ -37,7 +37,9 @@ class FimiMicroBatchStream(
     hadoopKVs: Array[(String, String)],
     requiredSchema: StructType,
     sep: String,
-    checkpointLocation: String) extends MicroBatchStream {
+    checkpointLocation: String,
+    maxFilesPerTrigger: Option[Int] = None)
+    extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   private val conf: Configuration = FimiTable.rebuildConf(hadoopKVs)
   private val logDir = new Path(checkpointLocation, "graft-fimi-log")
@@ -89,7 +91,58 @@ class FimiMicroBatchStream(
 
   override def initialOffset(): Offset = FimiOffset(0)
 
-  override def latestOffset(): Offset = {
+  /** ADMISSION CONTROL (`maxFilesPerTrigger` option +
+    * `Trigger.AvailableNow`): discovery always advances the durable log
+    * to everything available (so nothing is ever re-listed), but the
+    * offset HANDED TO THE ENGINE is capped — a backfill over a
+    * directory of 100k landed files proceeds as bounded micro-batches
+    * instead of one giant batch, and an AvailableNow run drains exactly
+    * the files present when the query started, in those same bounded
+    * steps, then stops. Row/byte limits don't map onto a file-position
+    * log and read as all-available (the engine's own rate tracking
+    * still applies); a composite limit honors its tightest file cap. */
+  override def getDefaultReadLimit: ReadLimit =
+    maxFilesPerTrigger.map(n => ReadLimit.maxFiles(n))
+      .getOrElse(ReadLimit.allAvailable())
+
+  /** Files available when `prepareForTriggerAvailableNow` ran — the
+    * drain target an AvailableNow run stops at (files landing after
+    * query start wait for the next run). */
+  @volatile private var availableNowTarget: Option[Int] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = Some(discover())
+
+  private def maxFilesOf(limit: ReadLimit): Option[Int] = limit match {
+    case f: ReadMaxFiles => Some(f.maxFiles())
+    case c: CompositeReadLimit =>
+      val caps = c.getReadLimits.flatMap(maxFilesOf(_))
+      if (caps.isEmpty) None else Some(caps.min)
+    case _ => None
+  }
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val avail = availableNowTarget.getOrElse(discover())
+    val from = start.asInstanceOf[FimiOffset].files
+    val to = maxFilesOf(limit) match {
+      case Some(n) => math.min(avail, from + math.max(n, 1))
+      case None => avail
+    }
+    FimiOffset(math.max(from, to))
+  }
+
+  /** True end of available data, for progress reporting — independent
+    * of any per-trigger cap (but capped at an AvailableNow target, so
+    * the engine never reports lag the run will deliberately not drain). */
+  override def reportLatestOffset(): Offset =
+    FimiOffset(availableNowTarget.getOrElse(log.size))
+
+  /** Legacy uncapped form (engines that don't do admission control). */
+  override def latestOffset(): Offset = FimiOffset(discover())
+
+  /** Advance the discovery log to everything currently available and
+    * return its size (the uncapped latest offset). */
+  private def discover(): Int = {
     // Manifest-logged (snapshot / streaming-sink) directories discover
     // through the log by NAME only, in COMMIT order: one names-only
     // listing plus O(new manifests) cached-fold opens per trigger —
@@ -114,7 +167,7 @@ class FimiMicroBatchStream(
       persist(from, fresh)
       fresh.foreach { f => seen.add(f); log += f }
     }
-    FimiOffset(log.size)
+    log.size
   }
 
   /** The single manifest-logged source directory, if that is what this

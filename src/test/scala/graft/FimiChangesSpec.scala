@@ -1,0 +1,162 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.sources.fimi.{FimiChanges, FimiLog}
+
+/** Contract tests for the fimi CHANGE DATA FEED
+  * (graft.sources.fimi.FimiChanges): append commits surface as inserts
+  * with the committing version, copy-on-write DML diffs against the
+  * previous listing with carryover rows cancelled by [[FimiChanges.net]],
+  * tids join positionally against the matching snapshots, vacuumed
+  * history fails loudly, and the relation is read-only. */
+class FimiChangesSpec extends SparkSpec {
+
+  private def tmpDir(tag: String): String =
+    Files.createTempDirectory(s"graft-cdf-$tag").toString
+
+  private def writeBaskets(dest: String, lines: Seq[String], mode: String,
+      parts: Int = 1): Unit = {
+    val sp = spark
+    import sp.implicits._
+    lines.toDF("raw").select(split(col("raw"), " ").as("items"))
+      .repartition(parts)
+      .write.format("fimi").option("snapshots", "true").mode(mode).save(dest)
+  }
+
+  private def changes(dest: String, from: Long, to: Option[Long] = None): DataFrame = {
+    val r = spark.read.format("fimi").option(FimiChanges.FromOption, from)
+    to.foldLeft(r)((r, v) => r.option(FimiChanges.ToOption, v)).load(dest)
+  }
+
+  private def basketStrings(df: DataFrame, extra: String*): Seq[Seq[String]] =
+    df.select((col("items") +: extra.map(col)): _*).collect().toSeq
+      .map(r => r.getSeq[String](0).mkString(",") +: extra.indices.map(i =>
+        r.get(i + 1).toString))
+      .sortBy(_.mkString("|"))
+
+  test("append commits read back as inserts tagged with their version") {
+    val dest = s"${tmpDir("append")}/t.fimi"
+    writeBaskets(dest, Seq("a b", "b c"), "overwrite")
+    writeBaskets(dest, Seq("c d"), "append")
+    val all = basketStrings(changes(dest, 0),
+      FimiChanges.ChangeTypeCol, FimiChanges.VersionCol)
+    assert(all == Seq(
+      Seq("a,b", "insert", "0"),
+      Seq("b,c", "insert", "0"),
+      Seq("c,d", "insert", "1")), all.toString)
+    // range selection: only the second commit
+    val tail = basketStrings(changes(dest, 1),
+      FimiChanges.ChangeTypeCol, FimiChanges.VersionCol)
+    assert(tail == Seq(Seq("c,d", "insert", "1")), tail.toString)
+    // bounded range: only the first commit
+    val head = basketStrings(changes(dest, 0, Some(0)),
+      FimiChanges.ChangeTypeCol, FimiChanges.VersionCol)
+    assert(head.map(_.head) == Seq("a,b", "b,c"), head.toString)
+    // the commit instant rides along and is never null
+    assert(changes(dest, 0).filter(col(FimiChanges.TimestampCol).isNull).count() == 0)
+  }
+
+  test("copy-on-write DELETE: raw feed carries carryover pairs, net() cancels them") {
+    val root = tmpDir("cowdel")
+    Files.createDirectories(java.nio.file.Paths.get(root, "ns"))
+    val dest = s"$root/ns/t.fimi"
+    // two part files so the rewrite granularity (whole touched files) shows
+    writeBaskets(dest, Seq("a b", "x y", "a z", "q r"), "overwrite", parts = 2)
+    spark.conf.set("spark.sql.catalog.graft_cdf", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_cdf.root", root)
+    spark.sql("DELETE FROM graft_cdf.ns.t WHERE array_contains(items, 'a')")
+
+    val raw = changes(dest, 1)
+    // raw feed is file-granular: deletes = every row of each touched
+    // file; inserts = that file's surviving rows rewritten
+    val rawDel = raw.filter(col(FimiChanges.ChangeTypeCol) === "delete")
+    val rawIns = raw.filter(col(FimiChanges.ChangeTypeCol) === "insert")
+    assert(rawDel.count() >= 2, "both deleted baskets must appear")
+    assert(rawDel.count() - rawIns.count() == 2,
+      "carryover rows must appear on both sides in equal number")
+
+    // net(): exactly the two deleted baskets, nothing else
+    val net = basketStrings(FimiChanges.net(raw),
+      FimiChanges.ChangeTypeCol, FimiChanges.VersionCol, "n_baskets")
+    assert(net == Seq(
+      Seq("a,b", "delete", "1", "1"),
+      Seq("a,z", "delete", "1", "1")), net.toString)
+
+    // delete-row tids are the PRE-image's: they join versionAsOf=0
+    val pre = spark.read.format("fimi").option("versionAsOf", "0").load(dest)
+      .select(col("tid"), concat_ws(",", col("items")).as("b"))
+    val joined = rawDel.select(col("tid"),
+        concat_ws(",", col("items")).as("bd"))
+      .join(pre, "tid")
+    assert(joined.count() == rawDel.count() &&
+      joined.filter(col("b") =!= col("bd")).count() == 0,
+      "every delete row must match the version-0 snapshot positionally")
+    // insert-row tids are the POST-image's: they join the latest snapshot
+    val post = spark.read.format("fimi").load(dest)
+      .select(col("tid"), concat_ws(",", col("items")).as("b"))
+    val ji = rawIns.select(col("tid"), concat_ws(",", col("items")).as("bi"))
+      .join(post, "tid")
+    assert(ji.count() == rawIns.count() &&
+      ji.filter(col("b") =!= col("bi")).count() == 0,
+      "every insert row must match the post-DML snapshot positionally")
+  }
+
+  test("vacuumed history fails loudly; an append at the retained boundary still diffs") {
+    val dest = s"${tmpDir("vac")}/t.fimi"
+    writeBaskets(dest, Seq("a b"), "overwrite") // v0
+    writeBaskets(dest, Seq("b c"), "append")    // v1
+    writeBaskets(dest, Seq("c d"), "append")    // v2
+    val fs = new org.apache.hadoop.fs.Path(dest)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    FimiLog.vacuum(fs, new org.apache.hadoop.fs.Path(dest), retainLast = 2)
+    // v0 expired: a range reaching it must fail with the boundary named
+    val e = intercept[Exception] { changes(dest, 0).collect() }
+    assert(e.getMessage.contains("not retained"), e.getMessage)
+    // v1 is the boundary and an APPEND: its diff needs only its own
+    // listing minus its added tail (the vacuumed v0 listing is not needed)
+    val atBoundary = basketStrings(changes(dest, 1),
+      FimiChanges.ChangeTypeCol, FimiChanges.VersionCol)
+    assert(atBoundary == Seq(
+      Seq("b,c", "insert", "1"),
+      Seq("c,d", "insert", "2")), atBoundary.toString)
+  }
+
+  test("guards: bad ranges, versionAsOf exclusivity, read-only relation, plain dirs") {
+    val dest = s"${tmpDir("guards")}/t.fimi"
+    writeBaskets(dest, Seq("a b"), "overwrite")
+    val tooFar = intercept[Exception] { changes(dest, 5).collect() }
+    assert(tooFar.getMessage.contains("invalid change range"), tooFar.getMessage)
+    val both = intercept[Exception] {
+      spark.read.format("fimi").option(FimiChanges.FromOption, 0)
+        .option("versionAsOf", 0).load(dest).collect()
+    }
+    assert(both.getMessage.contains("mutually exclusive"), both.getMessage)
+    val ro = intercept[Exception] {
+      val sp = spark
+      import sp.implicits._
+      Seq("z z").toDF("raw").select(split(col("raw"), " ").as("items"))
+        .write.format("fimi").option(FimiChanges.FromOption, 0)
+        .mode("append").save(dest)
+    }
+    assert(ro.getMessage.contains("read-only"), ro.getMessage)
+    // a directory with no snapshot log has no reconstructable history
+    val plain = tmpDir("plain")
+    Files.write(java.nio.file.Paths.get(plain, "a.dat"), "x y\n".getBytes("UTF-8"))
+    val noLog = intercept[Exception] { changes(plain, 0).collect() }
+    assert(noLog.getMessage.contains("snapshot log"), noLog.getMessage)
+  }
+
+  test("column pruning reaches the feed: version-only and count scans work") {
+    val dest = s"${tmpDir("prune")}/t.fimi"
+    writeBaskets(dest, Seq("a b", "b c"), "overwrite")
+    writeBaskets(dest, Seq("c d"), "append")
+    assert(changes(dest, 0).count() == 3)
+    val versions = changes(dest, 0).select(FimiChanges.VersionCol)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(versions == Seq(0L, 0L, 1L), versions.toString)
+  }
+}

@@ -210,6 +210,62 @@ class FimiDsv2Spec extends SparkSpec {
     assert(ords.distinct.sorted == Seq(0L, 1L))
   }
 
+  test("admission control: maxFilesPerTrigger bounds each micro-batch to one file") {
+    val src = tmpDir("admit-src")
+    val ck = tmpDir("admit-ck") + "/ck"
+    writeLines(src, "a.dat", Seq("x y", "y z"))
+    writeLines(src, "b.dat", Seq("p q"))
+    writeLines(src, "c.dat", Seq("r s", "s t"))
+    val batches = scala.collection.mutable.ArrayBuffer.empty[Seq[Long]]
+    val q = spark.readStream.format("fimi")
+      .option("maxFilesPerTrigger", "1").load(src)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ck)
+      .foreachBatch { (bdf: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val ords = bdf.collect()
+          .map(_.getLong(0) >> graft.sources.fimi.FimiTable.OffsetBits).toSeq
+        batches.synchronized { if (ords.nonEmpty) batches += ords }
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val got = batches.synchronized(batches.toSeq)
+    // one file per non-empty batch, all three files delivered in order
+    assert(got.size == 3, s"expected 3 single-file batches, got $got")
+    assert(got.forall(_.distinct.size == 1), s"a batch spanned files: $got")
+    assert(got.map(_.head) == Seq(0L, 1L, 2L), got.toString)
+  }
+
+  test("Trigger.AvailableNow drains exactly the files present at start, in capped batches, then stops") {
+    val src = tmpDir("avnow-src")
+    val ck = tmpDir("avnow-ck") + "/ck"
+    writeLines(src, "a.dat", Seq("x y"))
+    writeLines(src, "b.dat", Seq("p q"))
+    def drainNow(): Seq[Seq[String]] = {
+      val batches = scala.collection.mutable.ArrayBuffer.empty[Seq[String]]
+      val q = spark.readStream.format("fimi")
+        .option("maxFilesPerTrigger", "1").load(src)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ck)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (bdf: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          val rows = bdf.collect().map(_.getSeq[String](1).mkString(",")).toSeq
+          batches.synchronized { if (rows.nonEmpty) batches += rows }
+          ()
+        }
+        .start()
+      assert(q.awaitTermination(120000), "AvailableNow run did not stop")
+      batches.synchronized(batches.toSeq)
+    }
+    val run1 = drainNow()
+    assert(run1 == Seq(Seq("x,y"), Seq("p,q")), run1.toString)
+    // a file landing after the drain waits for the NEXT run — and only
+    // it is emitted there (committed offsets are not reprocessed)
+    writeLines(src, "c.dat", Seq("r s"))
+    val run2 = drainNow()
+    assert(run2 == Seq(Seq("r,s")), run2.toString)
+  }
+
   test("storage-partitioned join: two bucketed fimi tables join with ZERO shuffle exchanges") {
     val sp = spark
     import sp.implicits._
