@@ -71,6 +71,116 @@ object FimiChanges {
   def requested(options: CaseInsensitiveStringMap): Boolean =
     options.containsKey(FromOption)
 
+  /** One commit's file-level diff: the files it added and removed,
+    * each with its ordinal in the listing that side resolves against
+    * (added: the commit's own version; removed: the previous version)
+    * — the snapshot-positional tid contract. */
+  private[fimi] case class CommitDiff(
+      version: Long,
+      tsMicros: Long,
+      added: Seq[(String, Int)],
+      removed: Seq[(String, Int)])
+
+  /** Validate `[from, to]` against the log and produce each commit's
+    * diff, version order. A PURE function of the immutable manifest
+    * log — the batch scan and the streaming source both plan through
+    * it, so a replayed streaming offset re-derives the identical
+    * batch. Metadata cost: one names-only log listing plus cached
+    * manifest parses. Fails loudly on vacuumed history (the listing
+    * diff would be unreconstructable) — with one exception carved out:
+    * an APPEND at the retention boundary still diffs exactly (its
+    * removed set is empty and its added set is its own manifest). */
+  private[fimi] def diffRange(
+      fs: org.apache.hadoop.fs.FileSystem,
+      table: Path,
+      from: Long,
+      to: Long): Seq[CommitDiff] = {
+    val hist = FimiLog.history(fs, table)
+    require(hist.nonEmpty, s"fimi: $table has an empty snapshot log")
+    val latest = hist.last.version
+    require(from >= 0 && from <= to && to <= latest,
+      s"fimi: invalid change range [$from, $to] on $table " +
+        s"(latest committed version: $latest)")
+    val retained = hist.map(_.version).toSet
+    (from to to).foreach { v =>
+      require(retained.contains(v),
+        s"fimi: version $v of $table is not retained (earliest " +
+          s"retained: ${hist.head.version}); the change feed cannot " +
+          "reconstruct vacuumed history")
+    }
+    val manifestByV = FimiLog.manifests(fs, table).map(m => m.version -> m).toMap
+    val tsByV = hist.map(h => h.version -> h.tsMillis * 1000L).toMap
+
+    // listing at from-1, the diff seed (see scaladoc for the boundary
+    // carve-out)
+    val m0 = manifestByV(from)
+    var prev: Vector[String] =
+      if (from == 0) Vector.empty
+      else if (retained.contains(from - 1))
+        FimiLog.resolve(fs, table, Some(from - 1)).toVector
+      else if (!m0.truncate)
+        FimiLog.resolve(fs, table, Some(from)).toVector
+          .dropRight(m0.files.size)
+      else throw new IllegalArgumentException(
+        s"fimi: changes at version $from of $table need the " +
+          s"version-${from - 1} listing, which was vacuumed; " +
+          "start the range at a retained version boundary")
+
+    (from to to).map { v =>
+      val m = manifestByV(v)
+      val cur: Vector[String] =
+        (if (m.truncate) Vector.empty[String] else prev) ++ m.files
+      val (added, removed) =
+        if (m.truncate) {
+          val prevSet = prev.toSet
+          val curSet = cur.toSet
+          (cur.filterNot(prevSet), prev.filterNot(curSet))
+        } else (m.files.toVector, Vector.empty[String])
+      val curOrd = cur.zipWithIndex.toMap
+      val prevOrd = prev.zipWithIndex.toMap
+      val d = CommitDiff(v, tsByV(v),
+        added.map(n => n -> curOrd(n)),
+        removed.map(n => n -> prevOrd(n)))
+      prev = cur
+      d
+    }
+  }
+
+  /** Byte-range split the diffs' touched files into read partitions
+    * (same split semantics as the batch scan: `maxSplitBytes` ranges,
+    * compressed files unsplittable). */
+  private[fimi] def planPartitions(
+      fs: org.apache.hadoop.fs.FileSystem,
+      conf: org.apache.hadoop.conf.Configuration,
+      table: Path,
+      diffs: Seq[CommitDiff],
+      maxSplitBytes: Long): Array[FimiChangesPartition] = {
+    val codecs = new CompressionCodecFactory(conf)
+    def splits(name: String, ordinal: Int): Seq[FimiInputPartition] = {
+      val p = new Path(table, name)
+      val len = fs.getFileStatus(p).getLen
+      val splittable = codecs.getCodec(p) == null
+      val ranges =
+        if (!splittable || len <= maxSplitBytes) Seq((0L, len))
+        else (0L until len by maxSplitBytes)
+          .map(s => (s, math.min(maxSplitBytes, len - s)))
+      ranges.filter(_._2 > 0)
+        .map { case (s, l) => FimiInputPartition(p.toString, ordinal, s, l) }
+    }
+    val out = Array.newBuilder[FimiChangesPartition]
+    diffs.foreach { d =>
+      d.added.foreach { case (n, o) =>
+        splits(n, o).foreach(ip =>
+          out += FimiChangesPartition(ip, insert = true, d.version, d.tsMicros))
+      }
+      d.removed.foreach { case (n, o) =>
+        splits(n, o).foreach(ip =>
+          out += FimiChangesPartition(ip, insert = false, d.version, d.tsMicros))
+      }
+    }
+    out.result()
+  }
+
   /** Net CONTENT changes per commit: cancel each version's carryover
     * delete/insert pairs (rows of rewritten files the commit did not
     * actually change) by signed counting per (version, items), leaving
@@ -127,7 +237,8 @@ class FimiChangesScanBuilder(options: CaseInsensitiveStringMap)
     }
     new FimiChangesScan(dest, hadoopKVs, requiredSchema, maxSplitBytes, sep,
       options.get(FimiChanges.FromOption).toLong,
-      Option(options.get(FimiChanges.ToOption)).map(_.toLong))
+      Option(options.get(FimiChanges.ToOption)).map(_.toLong),
+      Option(options.get("maxFilesPerTrigger")).map(_.toInt))
   }
 }
 
@@ -149,7 +260,9 @@ class FimiChangesScan(
     maxSplitBytes: Long,
     sep: String,
     fromVersion: Long,
-    toVersion: Option[Long]) extends Scan with Batch with SupportsReportStatistics {
+    toVersion: Option[Long],
+    maxFilesPerTrigger: Option[Int] = None)
+    extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = requiredSchema
   override def toBatch: Batch = this
@@ -157,6 +270,20 @@ class FimiChangesScan(
   override def description(): String =
     s"fimi changes $tablePath, versions=[$fromVersion," +
       s"${toVersion.map(_.toString).getOrElse("latest")}]"
+
+  /** Streaming form: the feed as an UNBOUNDED source — each micro-batch
+    * is a whole number of commits (offsets are versions), so downstream
+    * per-version processing (e.g. [[FimiChanges.net]] in foreachBatch)
+    * stays exact. `changesTo` has no meaning on an unbounded read;
+    * bound a drain with `Trigger.AvailableNow` instead. */
+  override def toMicroBatchStream(
+      checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    require(toVersion.isEmpty,
+      s"fimi: ${FimiChanges.ToOption} does not apply to a streaming " +
+        "change feed (bound a drain with Trigger.AvailableNow)")
+    new FimiChangesMicroBatchStream(tablePath, hadoopKVs, requiredSchema,
+      sep, maxSplitBytes, fromVersion, maxFilesPerTrigger)
+  }
 
   /** Driver-side plan: fold the manifest tail once, diff each commit in
     * the range against its predecessor's listing, split the touched
@@ -168,78 +295,13 @@ class FimiChangesScan(
     require(FimiLog.exists(fs, table),
       s"fimi: $tablePath keeps no snapshot log; the change feed reads " +
         "manifest history (write with .option(\"snapshots\", \"true\"))")
-    val hist = FimiLog.history(fs, table)
-    require(hist.nonEmpty, s"fimi: $tablePath has an empty snapshot log")
-    val latest = hist.last.version
-    val to = toVersion.getOrElse(latest)
-    require(fromVersion >= 0 && fromVersion <= to && to <= latest,
-      s"fimi: invalid change range [$fromVersion, $to] on $tablePath " +
-        s"(latest committed version: $latest)")
-    val retained = hist.map(_.version).toSet
-    (fromVersion to to).foreach { v =>
-      require(retained.contains(v),
-        s"fimi: version $v of $tablePath is not retained (earliest " +
-          s"retained: ${hist.head.version}); the change feed cannot " +
-          "reconstruct vacuumed history")
+    val to = toVersion.getOrElse {
+      val hist = FimiLog.history(fs, table)
+      require(hist.nonEmpty, s"fimi: $tablePath has an empty snapshot log")
+      hist.last.version
     }
-    val manifestByV = FimiLog.manifests(fs, table).map(m => m.version -> m).toMap
-    val tsByV = hist.map(h => h.version -> h.tsMillis * 1000L).toMap
-
-    // listing at fromVersion-1, the diff seed. When that version was
-    // vacuumed but fromVersion survives, an APPEND at fromVersion still
-    // diffs exactly (prev = its own listing minus the files it added);
-    // a table-replacing commit there cannot (the removed set is gone).
-    val m0 = manifestByV(fromVersion)
-    var prev: Vector[String] =
-      if (fromVersion == 0) Vector.empty
-      else if (retained.contains(fromVersion - 1))
-        FimiLog.resolve(fs, table, Some(fromVersion - 1)).toVector
-      else if (!m0.truncate)
-        FimiLog.resolve(fs, table, Some(fromVersion)).toVector
-          .dropRight(m0.files.size)
-      else throw new IllegalArgumentException(
-        s"fimi: changes at version $fromVersion of $tablePath need the " +
-          s"version-${fromVersion - 1} listing, which was vacuumed; " +
-          s"start the range at a retained version boundary")
-
-    val codecs = new CompressionCodecFactory(conf)
-    def splits(name: String, ordinal: Int): Seq[FimiInputPartition] = {
-      val p = new Path(table, name)
-      val len = fs.getFileStatus(p).getLen
-      val splittable = codecs.getCodec(p) == null
-      val ranges =
-        if (!splittable || len <= maxSplitBytes) Seq((0L, len))
-        else (0L until len by maxSplitBytes)
-          .map(s => (s, math.min(maxSplitBytes, len - s)))
-      ranges.filter(_._2 > 0)
-        .map { case (s, l) => FimiInputPartition(p.toString, ordinal, s, l) }
-    }
-
-    val out = Array.newBuilder[FimiChangesPartition]
-    (fromVersion to to).foreach { v =>
-      val m = manifestByV(v)
-      val cur: Vector[String] =
-        (if (m.truncate) Vector.empty[String] else prev) ++ m.files
-      val (added, removed) =
-        if (m.truncate) {
-          val prevSet = prev.toSet
-          val curSet = cur.toSet
-          (cur.filterNot(prevSet), prev.filterNot(curSet))
-        } else (m.files.toVector, Vector.empty[String])
-      val curOrd = cur.zipWithIndex.toMap
-      val prevOrd = prev.zipWithIndex.toMap
-      val ts = tsByV(v)
-      added.foreach { n =>
-        splits(n, curOrd(n)).foreach(ip =>
-          out += FimiChangesPartition(ip, insert = true, v, ts))
-      }
-      removed.foreach { n =>
-        splits(n, prevOrd(n)).foreach(ip =>
-          out += FimiChangesPartition(ip, insert = false, v, ts))
-      }
-      prev = cur
-    }
-    out.result()
+    FimiChanges.planPartitions(fs, conf, table,
+      FimiChanges.diffRange(fs, table, fromVersion, to), maxSplitBytes)
   }
 
   override def planInputPartitions(): Array[InputPartition] =
@@ -253,6 +315,130 @@ class FimiChangesScan(
       OptionalLong.of(partitions.map(_.inner.length).sum)
     override def numRows(): OptionalLong = OptionalLong.empty()
   }
+}
+
+/** Offset = the next commit version to process (everything below it is
+  * delivered). The manifest log IS the durable source of truth, so the
+  * stream needs no discovery state of its own: a replayed offset range
+  * re-derives the identical diff from the immutable manifests. */
+case class FimiChangesOffset(version: Long)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = s"""{"changesVersion":$version}"""
+}
+
+object FimiChangesOffset {
+  private val Re = """\{"changesVersion":(-?\d+)\}""".r
+  def fromJson(json: String): FimiChangesOffset = json.trim match {
+    case Re(v) => FimiChangesOffset(v.toLong)
+    case other => throw new IllegalArgumentException(s"bad fimi changes offset: $other")
+  }
+}
+
+/** STREAMING change feed: commits become micro-batches — the
+  * incremental-consumption shape (`spark.readStream.format("fimi")
+  * .option("changesFrom", v).load(tableDir)` → transform → sink) a
+  * downstream pipeline runs instead of re-reading snapshots.
+  *
+  * Batches are VERSION-ALIGNED: a micro-batch is always a whole number
+  * of commits, never a partial one, so per-version semantics
+  * (carryover netting, ordered apply) hold within every batch.
+  * Admission control maps `maxFilesPerTrigger` onto the diff's touched
+  * files — versions are admitted in order until the next one would
+  * exceed the cap (always at least one), and `Trigger.AvailableNow`
+  * drains exactly the commits present at query start, then stops.
+  * Vacuum mid-stream of not-yet-delivered versions fails loudly on the
+  * next trigger (never a silent gap); retention policy must outlast
+  * consumer lag, the same contract every changelog store has. */
+class FimiChangesMicroBatchStream(
+    tablePath: String,
+    hadoopKVs: Array[(String, String)],
+    requiredSchema: StructType,
+    sep: String,
+    maxSplitBytes: Long,
+    fromVersion: Long,
+    maxFilesPerTrigger: Option[Int])
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+
+  import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, Offset, ReadLimit, ReadMaxFiles}
+
+  private val conf = FimiTable.rebuildConf(hadoopKVs)
+  private val table = new Path(tablePath)
+  private def fs = table.getFileSystem(conf)
+
+  override def initialOffset(): Offset = FimiChangesOffset(fromVersion)
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxFilesPerTrigger.map(n => ReadLimit.maxFiles(n))
+      .getOrElse(ReadLimit.allAvailable())
+
+  /** Latest committed version when `prepareForTriggerAvailableNow` ran —
+    * the drain target (commits landing after query start wait for the
+    * next run). */
+  @volatile private var availableNowTarget: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = Some(FimiLog.latestVersion(fs, table).getOrElse(-1L))
+
+  private def fileCap(limit: ReadLimit): Option[Int] = limit match {
+    case f: ReadMaxFiles => Some(f.maxFiles())
+    case c: CompositeReadLimit =>
+      val caps = c.getReadLimits.flatMap(fileCap(_))
+      if (caps.isEmpty) None else Some(caps.min)
+    case _ => None
+  }
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[FimiChangesOffset].version
+    val latest = availableNowTarget
+      .getOrElse(FimiLog.latestVersion(fs, table).getOrElse(-1L))
+    if (latest < s) return FimiChangesOffset(s)
+    fileCap(limit) match {
+      case None => FimiChangesOffset(latest + 1)
+      case Some(cap) =>
+        // admit whole versions in order until the next would exceed the
+        // file budget; always admit at least one (progress guarantee)
+        var files = 0L
+        var end = s
+        FimiChanges.diffRange(fs, table, s, latest).iterator.takeWhile { d =>
+          val c = d.added.size + d.removed.size
+          val ok = end == s || files + c <= cap
+          if (ok) { files += c; end = d.version + 1 }
+          ok
+        }.foreach(_ => ())
+        FimiChangesOffset(end)
+    }
+  }
+
+  /** True end of available commits, for lag reporting — capped at an
+    * AvailableNow target so the engine never reports lag the run will
+    * deliberately not drain. */
+  override def reportLatestOffset(): Offset =
+    FimiChangesOffset(
+      availableNowTarget.getOrElse(FimiLog.latestVersion(fs, table).getOrElse(-1L)) + 1)
+
+  /** Legacy uncapped form (engines that don't do admission control). */
+  override def latestOffset(): Offset =
+    FimiChangesOffset(FimiLog.latestVersion(fs, table).getOrElse(-1L) + 1)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[FimiChangesOffset].version
+    val e = end.asInstanceOf[FimiChangesOffset].version
+    if (e <= s) return Array.empty
+    FimiChanges.planPartitions(fs, conf, table,
+      FimiChanges.diffRange(fs, table, s, e - 1), maxSplitBytes)
+      .toArray[InputPartition]
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new FimiChangesReaderFactory(hadoopKVs, requiredSchema, sep)
+
+  override def deserializeOffset(json: String): Offset =
+    FimiChangesOffset.fromJson(json)
+
+  override def commit(end: Offset): Unit = ()
+
+  override def stop(): Unit = ()
 }
 
 /** Wraps the batch line reader: the inner reader serves the (tid,

@@ -729,6 +729,77 @@ object Streaming {
       .orderBy("item")
   }
 
+  /** STREAMING CHANGE-DATA-FEED consumption — the incremental-pipeline
+    * shape downstream of a mutated table (`spark.readStream
+    * .format("fimi").option("changesFrom", v)` — see
+    * [[graft.sources.fimi.FimiChangesMicroBatchStream]]): the staged
+    * event baskets become a snapshot table (v0), copy-on-write DML
+    * mutates it (v1 deletes every purchase basket; v2 marks every
+    * surviving u3 basket with `zz_s`), and a real AvailableNow
+    * streaming query drains commits 1..2 as VERSION-ALIGNED
+    * micro-batches under a `maxFilesPerTrigger` cap, netting each
+    * batch's copy-on-write carryover with
+    * [[graft.sources.fimi.FimiChanges.net]] in foreachBatch (exact
+    * because a batch is always a whole number of commits) and
+    * accumulating per-(version, side, item) counts. The oracle
+    * re-derives both commits' net content changes from the events
+    * parquet, so a lost commit, a split version, carryover leaking
+    * through the per-batch netting, or an offset replay defect all
+    * shift a count and fail the hash.
+    *
+    * Scale posture: per trigger one names-only log listing + cached
+    * manifest-fold diff; batches read only the files their commits
+    * touched — consumption cost tracks the churn, never the table. */
+  def streamFimiChanges(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.fimi.FimiChanges
+    val wc = Tables.fimiWorkCatalog(s, "graft_fimi_cdc", "graft_scdc", dir)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    rm(new java.io.File(wc.nsDir))
+    new java.io.File(wc.nsDir).mkdirs()
+    val src = s"${wc.prefix}.src"
+    val path = s"${wc.nsDir}/src.fimi"
+    Tables.load(s, dir, "events")
+      .select(array(col("event_type"),
+        concat(lit("u"), (col("user_id") % 10).cast("string"))).as("items"))
+      .repartition(4)
+      .write.format("fimi").option("snapshots", "true")
+      .mode("overwrite").save(path)                                      // v0
+    s.sql(s"DELETE FROM $src WHERE array_contains(items, 'purchase')")   // v1
+    s.sql(s"UPDATE $src SET items = array_union(items, array('zz_s')) " +
+      "WHERE array_contains(items, 'u3')")                               // v2
+    val acc = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    val q = s.readStream.format("fimi")
+      .option(FimiChanges.FromOption, 1)
+      .option("maxFilesPerTrigger", 8)
+      .load(path)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", s"${wc.nsDir}/ck")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (bdf: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val rows = FimiChanges.net(bdf)
+          .select(col(FimiChanges.VersionCol).as("version"),
+            col(FimiChanges.ChangeTypeCol).as("change"),
+            explode(col("items")).as("item"),
+            col("n_baskets"))
+          .groupBy("version", "change", "item")
+          .agg(sum(col("n_baskets")).as("n"))
+          .collect()
+        acc.synchronized {
+          acc ++= rows.map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+        }
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val sp = s
+    import sp.implicits._
+    acc.synchronized(acc.toSeq).toDF("version", "change", "item", "n")
+      .orderBy("version", "change", "item")
+  }
+
   def streamRunningSeq(s: SparkSession, dir: String): DataFrame =
     runningSeq(Tables.load(s, dir, "events"))
       .orderBy("user_id", "seq")
@@ -1172,6 +1243,7 @@ object Streaming {
     "stream_static_join"    -> (streamStaticJoin _),
     "stream_fimi_sink"      -> (streamFimiSink _),
     "stream_fimi_table"     -> (streamFimiTable _),
+    "stream_fimi_changes"   -> (streamFimiChanges _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -1327,6 +1399,29 @@ object Streaming {
         |  SELECT 'u' || CAST(user_id % 10 AS VARCHAR) FROM events
         |  WHERE event_type = 'purchase')
         |GROUP BY item ORDER BY item""".stripMargin,
+
+    // Streaming change-feed ground truth: each commit's NET content
+    // change re-derived from the events parquet — v1 net-deletes every
+    // purchase basket; v2 net-deletes each surviving u3 basket's
+    // pre-image and net-inserts its post-image (+ zz_s marker). A lost
+    // commit, a split version, carryover leaking through the per-batch
+    // netting, or a replayed-offset defect shifts a count.
+    "stream_fimi_changes" ->
+      """WITH b AS (SELECT event_type AS et,
+        |                  'u' || CAST(user_id % 10 AS VARCHAR) AS ub
+        |           FROM events),
+        |del AS (SELECT * FROM b WHERE et = 'purchase'),
+        |upd AS (SELECT * FROM b WHERE et <> 'purchase' AND ub = 'u3')
+        |SELECT version, change, item, CAST(count(*) AS BIGINT) AS n FROM (
+        |  SELECT CAST(1 AS BIGINT) AS version, 'delete' AS change, et AS item FROM del
+        |  UNION ALL SELECT CAST(1 AS BIGINT), 'delete', ub FROM del
+        |  UNION ALL SELECT CAST(2 AS BIGINT), 'delete', et FROM upd
+        |  UNION ALL SELECT CAST(2 AS BIGINT), 'delete', ub FROM upd
+        |  UNION ALL SELECT CAST(2 AS BIGINT), 'insert', et FROM upd
+        |  UNION ALL SELECT CAST(2 AS BIGINT), 'insert', ub FROM upd
+        |  UNION ALL SELECT CAST(2 AS BIGINT), 'insert', 'zz_s' FROM upd
+        |) GROUP BY 1, 2, 3
+        |ORDER BY version, change, item""".stripMargin,
 
     "stream_tumbling" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,

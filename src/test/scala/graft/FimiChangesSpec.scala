@@ -150,6 +150,63 @@ class FimiChangesSpec extends SparkSpec {
     assert(noLog.getMessage.contains("snapshot log"), noLog.getMessage)
   }
 
+  test("streaming change feed: version-aligned micro-batches, capped admission, checkpoint resume") {
+    val root = tmpDir("cdc")
+    Files.createDirectories(java.nio.file.Paths.get(root, "ns"))
+    val dest = s"$root/ns/t.fimi"
+    writeBaskets(dest, Seq("a b", "x y", "a z", "q r"), "overwrite", parts = 2) // v0
+    writeBaskets(dest, Seq("m n"), "append")                                   // v1
+    spark.conf.set("spark.sql.catalog.graft_cdc", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_cdc.root", root)
+    spark.sql("DELETE FROM graft_cdc.ns.t WHERE array_contains(items, 'a')")   // v2
+    val ck = s"${tmpDir("cdc-ck")}/ck"
+    // one batch = (distinct versions in it, its (change, basket) rows)
+    def drain(): Seq[(Seq[Long], Seq[(String, String)])] = {
+      val batches = scala.collection.mutable.ArrayBuffer
+        .empty[(Seq[Long], Seq[(String, String)])]
+      val q = spark.readStream.format("fimi")
+        .option(FimiChanges.FromOption, 0)
+        .option("maxFilesPerTrigger", "1").load(dest)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ck)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (bdf: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          val rows = bdf.select(col(FimiChanges.VersionCol),
+              col(FimiChanges.ChangeTypeCol),
+              concat_ws(",", col("items")).as("b"))
+            .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+          batches.synchronized {
+            if (rows.nonEmpty)
+              batches += ((rows.map(_._1).distinct.sorted,
+                rows.map(r => (r._2, r._3)).sortBy(_.toString)))
+          }
+          ()
+        }
+        .start()
+      assert(q.awaitTermination(120000), "AvailableNow drain did not stop")
+      batches.synchronized(batches.toSeq)
+    }
+    val run1 = drain()
+    // version-aligned admission: a micro-batch is a whole number of
+    // commits — with a 1-file cap every batch is exactly one version
+    assert(run1.forall(_._1.size == 1), run1.toString)
+    assert(run1.map(_._1.head) == Seq(0L, 1L, 2L), run1.toString)
+    // batch contents: v0/v1 all-insert; v2 is the COW diff whose net is
+    // the two deleted 'a' baskets
+    assert(run1(0)._2.forall(_._1 == "insert") && run1(0)._2.size == 4)
+    assert(run1(1)._2 == Seq(("insert", "m,n")), run1(1).toString)
+    val v2 = run1(2)._2
+    val deletes = v2.filter(_._1 == "delete").map(_._2)
+    val inserts = v2.filter(_._1 == "insert").map(_._2)
+    assert((deletes diff inserts).sorted == Seq("a,b", "a,z"),
+      s"net of the v2 batch must be the deleted baskets: $v2")
+    // a commit landing after the drain waits for the NEXT run — and
+    // only it is delivered there (offsets checkpointed by version)
+    writeBaskets(dest, Seq("z z"), "append") // v3
+    val run2 = drain()
+    assert(run2 == Seq((Seq(3L), Seq(("insert", "z")))), run2.toString)
+  }
+
   test("column pruning reaches the feed: version-only and count scans work") {
     val dest = s"${tmpDir("prune")}/t.fimi"
     writeBaskets(dest, Seq("a b", "b c"), "overwrite")
