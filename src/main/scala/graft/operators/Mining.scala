@@ -363,11 +363,14 @@ object Mining {
     * it writes new part files and commits a new manifest, so links are
     * safe; the small manifest log is byte-copied so each clone owns its
     * version history), register a GraftCatalog over the per-key root,
-    * and return the catalog-qualified name. File names and manifest
-    * order are preserved, so positional tids are identical to a fresh
-    * write — the clone is bit-equivalent table state. */
+    * and return the catalog-qualified name PLUS the table's directory
+    * (one source of truth for the layout — a path-based consumer like
+    * the change feed must never re-derive it and silently diverge).
+    * File names and manifest order are preserved, so positional tids
+    * are identical to a fresh write — the clone is bit-equivalent
+    * table state. */
   private def fimiDmlTable(
-      s: SparkSession, dir: String, tag: String, cat: String): String = {
+      s: SparkSession, dir: String, tag: String, cat: String): (String, String) = {
     val sfName = new java.io.File(dir).getName
     val root = Tables.workRoot(s, tag)
     val base = s"$root/$sfName/t.fimi"
@@ -394,7 +397,7 @@ object Mining {
     }
     s.conf.set(s"spark.sql.catalog.$cat", "graft.catalog.GraftCatalog")
     s.conf.set(s"spark.sql.catalog.$cat.root", root)
-    s"$cat.`$sfName`.t"
+    (s"$cat.`$sfName`.t", base)
   }
 
   /** Per-item supports of the table's LATEST snapshot — the common
@@ -416,7 +419,7 @@ object Mining {
     * containing Brand#23 — the content check the oracle reproduces
     * relationally. */
   def fpmFimiDelete(s: SparkSession, dir: String): DataFrame = {
-    val t = fimiDmlTable(s, dir, "graft_fimi_del", "graft_dml_del")
+    val (t, _) = fimiDmlTable(s, dir, "graft_fimi_del", "graft_dml_del")
     s.sql(s"DELETE FROM $t WHERE array_contains(items, 'Brand#23')")
     mineSupports(s, t)
   }
@@ -425,7 +428,7 @@ object Mining {
     * `zz_flag` marker item; untouched groups are never rewritten. The
     * oracle reproduces the post-update item supports from parquet. */
   def fpmFimiUpdate(s: SparkSession, dir: String): DataFrame = {
-    val t = fimiDmlTable(s, dir, "graft_fimi_upd", "graft_dml_upd")
+    val (t, _) = fimiDmlTable(s, dir, "graft_fimi_upd", "graft_dml_upd")
     s.sql(
       s"UPDATE $t SET items = array_union(items, array('zz_flag')) " +
         "WHERE size(items) >= 5")
@@ -446,7 +449,7 @@ object Mining {
     * Result: per-item supports of the post-insert table, which the
     * oracle reproduces relationally from parquet. */
   def fpmFimiInsert(s: SparkSession, dir: String): DataFrame = {
-    val t = fimiDmlTable(s, dir, "graft_fimi_ins", "graft_dml_ins")
+    val (t, _) = fimiDmlTable(s, dir, "graft_fimi_ins", "graft_dml_ins")
     s.sql(
       s"""INSERT INTO $t
          |SELECT tid + 1000000 AS tid,
@@ -471,7 +474,7 @@ object Mining {
     * a dedup/upsert pipeline runs. Cardinality is safe by construction
     * (source tids are distinct). */
   def fpmFimiMerge(s: SparkSession, dir: String): DataFrame = {
-    val t = fimiDmlTable(s, dir, "graft_fimi_mrg", "graft_dml_mrg")
+    val (t, _) = fimiDmlTable(s, dir, "graft_fimi_mrg", "graft_dml_mrg")
     s.sql(
       s"""MERGE INTO $t AS tgt
          |USING (
@@ -583,14 +586,12 @@ object Mining {
     * that commit-bounded slice; at 100 TB the cost tracks the night's
     * churn, not the table. */
   def fpmFimiChanges(s: SparkSession, dir: String): DataFrame = {
-    val t = fimiDmlTable(s, dir, "graft_fimi_cdf", "graft_dml_cdf")
+    val (t, path) = fimiDmlTable(s, dir, "graft_fimi_cdf", "graft_dml_cdf")
     s.sql(s"INSERT INTO $t VALUES (-10L, array('zz_cdf'))")
     s.sql(s"DELETE FROM $t WHERE array_contains(items, 'Brand#23')")
     s.sql(
       s"UPDATE $t SET items = array_union(items, array('zz_upd')) " +
         "WHERE size(items) >= 7")
-    val path = s"${Tables.workRoot(s, "graft_fimi_cdf")}/" +
-      s"${new java.io.File(dir).getName}/t.fimi"
     val feed = s.read.format("fimi")
       .option(graft.sources.fimi.FimiChanges.FromOption, 1).load(path)
     graft.sources.fimi.FimiChanges.net(feed)

@@ -82,7 +82,11 @@ object FimiChanges {
       removed: Seq[(String, Int)])
 
   /** Validate `[from, to]` against the log and produce each commit's
-    * diff, version order. A PURE function of the immutable manifest
+    * diff, version order, as a SINGLE-USE LAZY iterator: validation and
+    * the listing seed are paid up front, but per-commit diff work is
+    * paid only as far as the caller consumes — so capped streaming
+    * admission over a deep backlog costs O(admitted versions) per
+    * trigger, not O(backlog). A PURE function of the immutable manifest
     * log — the batch scan and the streaming source both plan through
     * it, so a replayed streaming offset re-derives the identical
     * batch. Metadata cost: one names-only log listing plus cached
@@ -94,7 +98,7 @@ object FimiChanges {
       fs: org.apache.hadoop.fs.FileSystem,
       table: Path,
       from: Long,
-      to: Long): Seq[CommitDiff] = {
+      to: Long): Iterator[CommitDiff] = {
     val hist = FimiLog.history(fs, table)
     require(hist.nonEmpty, s"fimi: $table has an empty snapshot log")
     val latest = hist.last.version
@@ -122,11 +126,12 @@ object FimiChanges {
         FimiLog.resolve(fs, table, Some(from)).toVector
           .dropRight(m0.files.size)
       else throw new IllegalArgumentException(
-        s"fimi: changes at version $from of $table need the " +
-          s"version-${from - 1} listing, which was vacuumed; " +
-          "start the range at a retained version boundary")
+        s"fimi: a change range cannot START at version $from of $table — " +
+          s"it is a table-replacing commit whose removed set needs the " +
+          s"version-${from - 1} listing, which was vacuumed; start at " +
+          s"version ${from + 1}, or re-read the version-$from snapshot")
 
-    (from to to).map { v =>
+    (from to to).iterator.map { v =>
       val m = manifestByV(v)
       val cur: Vector[String] =
         (if (m.truncate) Vector.empty[String] else prev) ++ m.files
@@ -147,28 +152,33 @@ object FimiChanges {
   }
 
   /** Byte-range split the diffs' touched files into read partitions
-    * (same split semantics as the batch scan: `maxSplitBytes` ranges,
-    * compressed files unsplittable). */
+    * (same split semantics and tid-overflow guards as the batch scan:
+    * `maxSplitBytes` ranges, compressed files unsplittable, loud
+    * failure past the per-file 1 TiB offset range or the file-ordinal
+    * range — a silent overflow would collide tids and break the
+    * positional snapshot join). */
   private[fimi] def planPartitions(
       fs: org.apache.hadoop.fs.FileSystem,
       conf: org.apache.hadoop.conf.Configuration,
       table: Path,
-      diffs: Seq[CommitDiff],
+      diffs: IterableOnce[CommitDiff],
       maxSplitBytes: Long): Array[FimiChangesPartition] = {
     val codecs = new CompressionCodecFactory(conf)
     def splits(name: String, ordinal: Int): Seq[FimiInputPartition] = {
       val p = new Path(table, name)
       val len = fs.getFileStatus(p).getLen
+      require(len < (1L << FimiTable.OffsetBits),
+        s"fimi changes: $p is $len bytes; tid offset range is " +
+          s"${1L << FimiTable.OffsetBits} (1 TiB) per file")
+      require(ordinal < (1 << (63 - FimiTable.OffsetBits)),
+        s"fimi changes: file ordinal $ordinal exceeds the tid " +
+          "file-ordinal range")
       val splittable = codecs.getCodec(p) == null
-      val ranges =
-        if (!splittable || len <= maxSplitBytes) Seq((0L, len))
-        else (0L until len by maxSplitBytes)
-          .map(s => (s, math.min(maxSplitBytes, len - s)))
-      ranges.filter(_._2 > 0)
+      FimiTable.splitRanges(splittable, len, maxSplitBytes)
         .map { case (s, l) => FimiInputPartition(p.toString, ordinal, s, l) }
     }
     val out = Array.newBuilder[FimiChangesPartition]
-    diffs.foreach { d =>
+    diffs.iterator.foreach { d =>
       d.added.foreach { case (n, o) =>
         splits(n, o).foreach(ip =>
           out += FimiChangesPartition(ip, insert = true, d.version, d.tsMicros))
@@ -360,11 +370,18 @@ class FimiChangesMicroBatchStream(
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
-  import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, Offset, ReadLimit, ReadMaxFiles}
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
 
   private val conf = FimiTable.rebuildConf(hadoopKVs)
   private val table = new Path(tablePath)
   private def fs = table.getFileSystem(conf)
+
+  // a directory with no snapshot log has no commit history to stream —
+  // fail at construction, not by idling forever at latest = -1 (the
+  // batch path's guard lives in its own planning and never runs here)
+  require(FimiLog.exists(fs, table),
+    s"fimi: $tablePath keeps no snapshot log; the change feed reads " +
+      "manifest history (write with .option(\"snapshots\", \"true\"))")
 
   override def initialOffset(): Offset = FimiChangesOffset(fromVersion)
 
@@ -380,27 +397,21 @@ class FimiChangesMicroBatchStream(
   override def prepareForTriggerAvailableNow(): Unit =
     availableNowTarget = Some(FimiLog.latestVersion(fs, table).getOrElse(-1L))
 
-  private def fileCap(limit: ReadLimit): Option[Int] = limit match {
-    case f: ReadMaxFiles => Some(f.maxFiles())
-    case c: CompositeReadLimit =>
-      val caps = c.getReadLimits.flatMap(fileCap(_))
-      if (caps.isEmpty) None else Some(caps.min)
-    case _ => None
-  }
-
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s = start.asInstanceOf[FimiChangesOffset].version
     val latest = availableNowTarget
       .getOrElse(FimiLog.latestVersion(fs, table).getOrElse(-1L))
     if (latest < s) return FimiChangesOffset(s)
-    fileCap(limit) match {
+    FimiTable.fileCap(limit) match {
       case None => FimiChangesOffset(latest + 1)
       case Some(cap) =>
         // admit whole versions in order until the next would exceed the
-        // file budget; always admit at least one (progress guarantee)
+        // file budget; always admit at least one (progress guarantee).
+        // diffRange is LAZY, so a deep backlog costs O(admitted) per
+        // trigger, not O(backlog)
         var files = 0L
         var end = s
-        FimiChanges.diffRange(fs, table, s, latest).iterator.takeWhile { d =>
+        FimiChanges.diffRange(fs, table, s, latest).takeWhile { d =>
           val c = d.added.size + d.removed.size
           val ok = end == s || files + c <= cap
           if (ok) { files += c; end = d.version + 1 }
@@ -412,10 +423,12 @@ class FimiChangesMicroBatchStream(
 
   /** True end of available commits, for lag reporting — capped at an
     * AvailableNow target so the engine never reports lag the run will
-    * deliberately not drain. */
+    * deliberately not drain, and floored at the subscription start so a
+    * stream subscribed ahead of the table never reports an offset
+    * behind its own committed position. */
   override def reportLatestOffset(): Offset =
-    FimiChangesOffset(
-      availableNowTarget.getOrElse(FimiLog.latestVersion(fs, table).getOrElse(-1L)) + 1)
+    FimiChangesOffset(math.max(fromVersion,
+      availableNowTarget.getOrElse(FimiLog.latestVersion(fs, table).getOrElse(-1L)) + 1))
 
   /** Legacy uncapped form (engines that don't do admission control). */
   override def latestOffset(): Offset =

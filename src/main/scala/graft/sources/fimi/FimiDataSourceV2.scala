@@ -103,6 +103,31 @@ object FimiTable {
   /** Bits of `tid` carrying the line's byte offset within its file. */
   val OffsetBits = 40
 
+  /** Byte ranges covering one data file: `maxSplitBytes` slices when
+    * `splittable`, one whole-file range otherwise. Shared by the batch
+    * scan and the change feed so split semantics can never diverge. */
+  private[fimi] def splitRanges(
+      splittable: Boolean, len: Long, maxSplitBytes: Long): Seq[(Long, Long)] =
+    (if (!splittable || len <= maxSplitBytes) Seq((0L, len))
+     else (0L until len by maxSplitBytes)
+       .map(s => (s, math.min(maxSplitBytes, len - s))))
+      .filter(_._2 > 0)
+
+  /** Tightest file-count budget a read limit implies, if any: the file
+    * cap itself, or a composite's tightest member. Row/byte limits have
+    * no file arithmetic on these sources and read as uncapped. Shared
+    * by both streaming sources' admission control. */
+  private[fimi] def fileCap(
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Option[Int] =
+    limit match {
+      case f: org.apache.spark.sql.connector.read.streaming.ReadMaxFiles =>
+        Some(f.maxFiles())
+      case c: org.apache.spark.sql.connector.read.streaming.CompositeReadLimit =>
+        val caps = c.getReadLimits.flatMap(fileCap(_))
+        if (caps.isEmpty) None else Some(caps.min)
+      case _ => None
+    }
+
   /** Paths from the options map: `path` (load(p) / OPTIONS(path ...))
     * or `paths` (load(p1, p2, ...) — a JSON string array). */
   def paths(options: CaseInsensitiveStringMap): Seq[String] = {
@@ -495,11 +520,7 @@ class FimiScan(
         s"fimi: ${st.getPath} is ${len} bytes; tid offset range is " +
           s"${1L << FimiTable.OffsetBits} (1 TiB) per file")
       val splittable = codecs.getCodec(st.getPath) == null
-      val splits =
-        if (!splittable || len <= maxSplitBytes) Seq((0L, len))
-        else (0L until len by maxSplitBytes)
-          .map(s => (s, math.min(maxSplitBytes, len - s)))
-      splits
+      FimiTable.splitRanges(splittable, len, maxSplitBytes)
         .filter { case (s, l) =>
           // Lines in a split start within [start, start+len] (closed on
           // the left is conservative by one byte — the boundary line

@@ -5,7 +5,7 @@ import scala.collection.mutable
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
-import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.types.StructType
 
 /** Streaming micro-batch read for the `fimi` connector: new transaction
@@ -113,18 +113,10 @@ class FimiMicroBatchStream(
   override def prepareForTriggerAvailableNow(): Unit =
     availableNowTarget = Some(discover())
 
-  private def maxFilesOf(limit: ReadLimit): Option[Int] = limit match {
-    case f: ReadMaxFiles => Some(f.maxFiles())
-    case c: CompositeReadLimit =>
-      val caps = c.getReadLimits.flatMap(maxFilesOf(_))
-      if (caps.isEmpty) None else Some(caps.min)
-    case _ => None
-  }
-
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val avail = availableNowTarget.getOrElse(discover())
     val from = start.asInstanceOf[FimiOffset].files
-    val to = maxFilesOf(limit) match {
+    val to = FimiTable.fileCap(limit) match {
       case Some(n) => math.min(avail, from + math.max(n, 1))
       case None => avail
     }
