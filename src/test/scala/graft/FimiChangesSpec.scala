@@ -207,6 +207,28 @@ class FimiChangesSpec extends SparkSpec {
     assert(run2 == Seq((Seq(3L), Seq(("insert", "z")))), run2.toString)
   }
 
+  test("the feed plans only the files the range's commits touched, never the table") {
+    val root = tmpDir("pruneplan")
+    Files.createDirectories(java.nio.file.Paths.get(root, "ns"))
+    val dest = s"$root/ns/t.fimi"
+    writeBaskets(dest, Seq("x y"), "overwrite") // v0, file 1
+    writeBaskets(dest, Seq("a b"), "append")    // v1, file 2 (the only 'a')
+    writeBaskets(dest, Seq("p q"), "append")    // v2, file 3
+    spark.conf.set("spark.sql.catalog.graft_cdp", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_cdp.root", root)
+    // COW DELETE whose runtime group filter touches exactly file 2; the
+    // rewritten group has no survivors, so the commit adds no files
+    spark.sql("DELETE FROM graft_cdp.ns.t WHERE array_contains(items, 'a')") // v3
+    // the v3 feed reads ONE file (the removed group) — not the table
+    val v3 = changes(dest, 3)
+    assert(v3.rdd.getNumPartitions == 1,
+      s"v3 diff must plan 1 touched file, got ${v3.rdd.getNumPartitions}")
+    assert(basketStrings(v3, FimiChanges.ChangeTypeCol) ==
+      Seq(Seq("a,b", "delete")), "v3 is the net delete of the 'a' basket")
+    // sanity: the full-history feed covers all three original files
+    assert(changes(dest, 0, Some(2)).rdd.getNumPartitions == 3)
+  }
+
   test("column pruning reaches the feed: version-only and count scans work") {
     val dest = s"${tmpDir("prune")}/t.fimi"
     writeBaskets(dest, Seq("a b", "b c"), "overwrite")
