@@ -438,6 +438,113 @@ class FimiLogSpec extends graft.SparkSpec {
     }
   }
 
+  test("property: the change-feed diff reconstructs every retained listing (random op sequences)") {
+    // Model-based check of FimiChanges.diffRange against the same pure
+    // reference model as the protocol property above: for random
+    // commit/vacuum/cold-restart sequences, cumulatively applying each
+    // CommitDiff (drop removed names, append added names) to the
+    // previous listing must reconstruct resolve() at EVERY retained
+    // version, each diff's ordinals must be the name's position in the
+    // listing its side resolves against (the positional-tid contract),
+    // and ranges reaching vacuumed history must refuse — including the
+    // one carve-out: a range may start at the retention boundary only
+    // if that commit is an APPEND. Fixed seeds (offline scalacheck).
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    sealed trait Op
+    case class Append(nFiles: Int) extends Op
+    case class Truncate(nFiles: Int) extends Op
+    case class Vacuum(retain: Int) extends Op
+    case object Cold extends Op
+    val opGen: Gen[Op] = Gen.frequency(
+      5 -> Gen.chooseNum(0, 3).map(Append(_)),
+      3 -> Gen.chooseNum(0, 2).map(Truncate(_)),
+      2 -> Gen.chooseNum(1, 4).map(Vacuum(_)),
+      2 -> Gen.const(Cold))
+    val seqGen = Gen.chooseNum(8, 25).flatMap(n => Gen.listOfN(n, opGen))
+    (1 to 10).foreach { i =>
+      val ops = seqGen.pureApply(Gen.Parameters.default, Seed(2600L + i))
+      val table = new Path(tmpDir(s"cdfprop$i") + "/t")
+      val fs = hfs(table.toString)
+      fs.mkdirs(table)
+      var committed = Vector.empty[(Long, Boolean, Seq[String])]
+      var boundary = 0L
+      var nextFile = 0
+      def modelResolve(v: Long): Vector[String] =
+        committed.filter(_._1 <= v).foldLeft(Vector.empty[String]) {
+          case (acc, (_, tr, fs0)) => (if (tr) Vector.empty else acc) ++ fs0
+        }
+      def commit(tr: Boolean, n: Int): Unit = {
+        val files = (0 until n).map { _ => nextFile += 1; f"f$nextFile%04d.dat" }
+        var v = FimiLog.latestVersion(fs, table).map(_ + 1).getOrElse(0L)
+        while (!FimiLog.write(fs, table, v, None, tr, files,
+            op = Some(if (tr) "OVERWRITE" else "APPEND"))) v += 1
+        FimiLog.maybeCheckpoint(fs, table)
+        // diffRange stats touched files, so data files must exist
+        files.foreach { f =>
+          val out = fs.create(new Path(table, f), true)
+          try out.write("x\n".getBytes("UTF-8")) finally out.close()
+        }
+        committed :+= ((v, tr, files))
+      }
+      ops.foreach {
+        case Append(n) => commit(tr = false, n)
+        case Truncate(n) => commit(tr = true, n)
+        case Vacuum(r) =>
+          if (committed.nonEmpty) {
+            val retained = committed.map(_._1).filter(_ >= boundary)
+            FimiLog.vacuum(fs, table, r)
+            if (retained.size > r) boundary = retained(retained.size - r)
+          }
+        case Cold => FimiLog.clearCache()
+      }
+      if (committed.nonEmpty) (0 to 1).foreach { pass =>
+        if (pass == 0) FimiLog.clearCache()
+        val latest = committed.last._1
+        def truncateAt(v: Long): Boolean = committed.find(_._1 == v).exists(_._2)
+        val start =
+          if (boundary == 0 || !truncateAt(boundary)) boundary else boundary + 1
+        if (start <= latest) {
+          var listing = modelResolve(start - 1)
+          FimiChanges.diffRange(fs, table, start, latest).foreach { d =>
+            val rm = d.removed.map(_._1).toSet
+            listing = listing.filterNot(rm) ++ d.added.map(_._1)
+            val expect = modelResolve(d.version)
+            assert(listing == expect,
+              s"diff application diverged at v${d.version} (case $i): " +
+                s"$listing vs $expect")
+            d.added.foreach { case (n, o) =>
+              assert(expect.indexOf(n) == o,
+                s"added ordinal of $n at v${d.version} (case $i)")
+            }
+            val prevL = modelResolve(d.version - 1)
+            d.removed.foreach { case (n, o) =>
+              assert(prevL.indexOf(n) == o,
+                s"removed ordinal of $n at v${d.version} (case $i)")
+            }
+            assert(d.tsMicros > 0L, s"ts at v${d.version} (case $i)")
+          }
+        }
+        // refusals: a truncate commit AT the boundary cannot seed its
+        // diff (its removed set needs the vacuumed predecessor listing)
+        if (boundary > 0 && truncateAt(boundary)) {
+          val e = intercept[IllegalArgumentException] {
+            FimiChanges.diffRange(fs, table, boundary, boundary).toVector
+          }
+          assert(e.getMessage.contains("cannot START"), s"(case $i) ${e.getMessage}")
+        }
+        // a range reaching below the boundary always refuses
+        if (boundary > 0) {
+          val e = intercept[IllegalArgumentException] {
+            FimiChanges.diffRange(fs, table, boundary - 1, latest).toVector
+          }
+          assert(e.getMessage.contains("not retained") ||
+            e.getMessage.contains("invalid change range"), s"(case $i) ${e.getMessage}")
+        }
+      }
+    }
+  }
+
   test("history: #op verbs read back; legacy op-less manifests derive from shape; epochs ride along") {
     val table = new Path(tmpDir("hist") + "/t")
     val fs = hfs(table.toString)
