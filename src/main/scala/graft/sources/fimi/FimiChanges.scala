@@ -55,6 +55,13 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object FimiChanges {
   val FromOption = "changesFrom"
+  /** Timestamp form of [[FromOption]] (epoch millis or a
+    * `java.sql.Timestamp`-parseable string): the feed starts at the
+    * first commit whose `#ts` instant is AT OR AFTER the given time —
+    * resolved once at planning through the same commit ledger
+    * TIMESTAMP AS OF reads, so a copied/restored log keeps its
+    * history. Mutually exclusive with [[FromOption]]. */
+  val FromTsOption = "changesFromTimestamp"
   val ToOption = "changesTo"
   val ChangeTypeCol = "_change_type"
   val VersionCol = "_commit_version"
@@ -69,7 +76,7 @@ object FimiChanges {
     StructField(TimestampCol, TimestampType, nullable = false)))
 
   def requested(options: CaseInsensitiveStringMap): Boolean =
-    options.containsKey(FromOption)
+    options.containsKey(FromOption) || options.containsKey(FromTsOption)
 
   /** One commit's file-level diff: the files it added and removed,
     * each with its ordinal in the listing that side resolves against
@@ -245,10 +252,51 @@ class FimiChangesScanBuilder(options: CaseInsensitiveStringMap)
       case many => throw new IllegalArgumentException(
         s"fimi: a change-feed read needs exactly one table path; got $many")
     }
+    val from = (Option(options.get(FimiChanges.FromOption)),
+        Option(options.get(FimiChanges.FromTsOption))) match {
+      case (Some(v), None) => v.toLong
+      case (None, Some(ts)) => resolveFromTimestamp(dest, ts)
+      case (Some(_), Some(_)) => throw new IllegalArgumentException(
+        s"fimi: ${FimiChanges.FromOption} and ${FimiChanges.FromTsOption} " +
+          "are mutually exclusive")
+      case (None, None) => throw new IllegalStateException(
+        "fimi: change-feed scan built without a start option")
+    }
     new FimiChangesScan(dest, hadoopKVs, requiredSchema, maxSplitBytes, sep,
-      options.get(FimiChanges.FromOption).toLong,
+      from,
       Option(options.get(FimiChanges.ToOption)).map(_.toLong),
       Option(options.get("maxFilesPerTrigger")).map(_.toInt))
+  }
+
+  /** First version whose commit instant is at or after `ts` (epoch
+    * millis or a Timestamp-parseable string): the successor of the last
+    * RETAINED commit that is strictly earlier ("last" by version, the
+    * same convention as TIMESTAMP AS OF under non-monotone clocks).
+    * When no retained commit is strictly earlier, version 0 qualifies
+    * only if the full history is still present — with vacuumed history
+    * the boundary between expired and requested commits is unknowable,
+    * so the resolution refuses rather than serve a silently partial
+    * feed. */
+  private def resolveFromTimestamp(dest: String, ts: String): Long = {
+    val ms =
+      try ts.toLong
+      catch { case _: NumberFormatException =>
+        java.sql.Timestamp.valueOf(ts).getTime }
+    val table = new Path(dest)
+    val fs = table.getFileSystem(FimiTable.rebuildConf(hadoopKVs))
+    require(FimiLog.exists(fs, table),
+      s"fimi: $dest keeps no snapshot log; the change feed reads " +
+        "manifest history (write with .option(\"snapshots\", \"true\"))")
+    val hist = FimiLog.history(fs, table)
+    require(hist.nonEmpty, s"fimi: $dest has an empty snapshot log")
+    val earlier = hist.filter(_.tsMillis < ms)
+    if (earlier.nonEmpty) earlier.last.version + 1
+    else if (hist.head.version == 0) 0L
+    else throw new IllegalArgumentException(
+      s"fimi: ${FimiChanges.FromTsOption}=$ms reaches at or below the " +
+        s"vacuumed history of $dest (earliest retained version: " +
+        s"${hist.head.version}, committed at ${hist.head.tsMillis}); " +
+        s"pass ${FimiChanges.FromOption} with a retained version instead")
   }
 }
 

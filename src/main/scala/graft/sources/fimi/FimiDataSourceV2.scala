@@ -443,7 +443,8 @@ class FimiScanBuilder(
       new FimiScan(FimiTable.paths(options).toIndexedSeq, hadoopKVs, requiredSchema,
         maxSplitBytes, sep, limit, bound._1, bound._2,
         Option(options.get("versionAsOf")).map(_.toLong),
-        Option(options.get("maxFilesPerTrigger")).map(_.toInt))
+        Option(options.get("maxFilesPerTrigger")).map(_.toInt),
+        Option(options.get("ignoreChanges")).exists(_.toBoolean))
     }
   }
 }
@@ -464,7 +465,8 @@ class FimiScan(
     tidLo: Long,
     tidHi: Long,
     versionAsOf: Option[Long] = None,
-    maxFilesPerTrigger: Option[Int] = None) extends Scan with Batch with SupportsReportStatistics {
+    maxFilesPerTrigger: Option[Int] = None,
+    ignoreChanges: Boolean = false) extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = requiredSchema
   override def toBatch: Batch = this
@@ -478,7 +480,7 @@ class FimiScan(
       checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new FimiMicroBatchStream(
       optionPaths, hadoopKVs, requiredSchema, sep, checkpointLocation,
-      maxFilesPerTrigger)
+      maxFilesPerTrigger, ignoreChanges)
 
   override def description(): String = {
     val lim = if (limit >= 0) s", pushedLimit=$limit" else ""

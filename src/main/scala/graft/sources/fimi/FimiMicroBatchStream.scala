@@ -38,7 +38,8 @@ class FimiMicroBatchStream(
     requiredSchema: StructType,
     sep: String,
     checkpointLocation: String,
-    maxFilesPerTrigger: Option[Int] = None)
+    maxFilesPerTrigger: Option[Int] = None,
+    ignoreChanges: Boolean = false)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   private val conf: Configuration = FimiTable.rebuildConf(hadoopKVs)
@@ -145,9 +146,28 @@ class FimiMicroBatchStream(
     // the listing there).
     val fresh: Seq[String] = loggedDir match {
       case Some((p, f)) =>
-        FimiLog.resolve(f, p, None)
-          .map(n => new Path(p, n).toString)
-          .filterNot(seen.contains)
+        val current = FimiLog.resolve(f, p, None).map(n => new Path(p, n).toString)
+        // DATA-UPDATE GUARD: an already-delivered file missing from the
+        // table's latest listing means a table-replacing commit
+        // (row-level DML / INSERT OVERWRITE / TRUNCATE / OPTIMIZE)
+        // rewrote or dropped it. An append-only stream cannot represent
+        // updates or deletes — silently streaming the rewritten files
+        // would duplicate every carried-over row and lose every delete.
+        // Fail with the remedy (same contract as Delta's data-update
+        // detection) unless the user opted into re-delivery.
+        if (!ignoreChanges) {
+          val gone = seen.diff(current.toSet)
+          if (gone.nonEmpty) throw new IllegalStateException(
+            s"fimi stream: ${gone.size} already-delivered file(s) were " +
+              s"replaced by a table-replacing commit on $p (row-level " +
+              "DML, INSERT OVERWRITE, TRUNCATE or OPTIMIZE); an " +
+              "append-only stream cannot represent updates or deletes. " +
+              "Stream the CHANGE FEED instead (readStream.format(\"fimi\")" +
+              ".option(\"changesFrom\", <version>)), or set " +
+              ".option(\"ignoreChanges\", \"true\") to accept re-delivered " +
+              "rewritten rows")
+        }
+        current.filterNot(seen.contains)
       case None =>
         FimiTable.resolveDataFiles(conf, optionPaths, None)
           .filterNot(st => seen.contains(st.getPath.toString))

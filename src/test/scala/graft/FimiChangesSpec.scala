@@ -229,6 +229,41 @@ class FimiChangesSpec extends SparkSpec {
     assert(changes(dest, 0, Some(2)).rdd.getNumPartitions == 3)
   }
 
+  test("changesFromTimestamp resolves through the commit ledger; vacuumed boundaries refuse") {
+    val dest = s"${tmpDir("fromts")}/t.fimi"
+    writeBaskets(dest, Seq("a b"), "overwrite") // v0
+    Thread.sleep(20) // distinct #ts instants at ms grain
+    writeBaskets(dest, Seq("b c"), "append")    // v1
+    val table = new org.apache.hadoop.fs.Path(dest)
+    val fs = table.getFileSystem(spark.sessionState.newHadoopConf())
+    val hist = FimiLog.history(fs, table)
+    val Seq(ts0, ts1) = hist.map(_.tsMillis)
+    assert(ts0 < ts1, "fixture needs distinct commit instants")
+    def fromTs(ms: Long): Seq[String] =
+      basketStrings(spark.read.format("fimi")
+        .option(FimiChanges.FromTsOption, ms).load(dest),
+        FimiChanges.VersionCol).map(_.mkString("@"))
+    // at v1's instant: v1 only (commits AT or AFTER the time)
+    assert(fromTs(ts1) == Seq("b,c@1"), fromTs(ts1).toString)
+    // strictly after v1: nothing (empty range is an error — matches the
+    // batch contract; a STREAM with the same option would wait instead)
+    val past = intercept[Exception] { fromTs(ts1 + 1000) }
+    assert(past.getMessage.contains("invalid change range"), past.getMessage)
+    // at or before v0's instant with full history: everything
+    assert(fromTs(ts0) == Seq("a,b@0", "b,c@1"))
+    // both start options together refuse
+    val both = intercept[Exception] {
+      spark.read.format("fimi").option(FimiChanges.FromOption, 0)
+        .option(FimiChanges.FromTsOption, ts0).load(dest).collect()
+    }
+    assert(both.getMessage.contains("mutually exclusive"), both.getMessage)
+    // with v0 vacuumed, a time at the earliest retained commit is
+    // ambiguous (expired instants unknowable) — refuse with the remedy
+    FimiLog.vacuum(fs, table, retainLast = 1)
+    val vac = intercept[Exception] { fromTs(ts1) }
+    assert(vac.getMessage.contains("vacuumed history"), vac.getMessage)
+  }
+
   test("column pruning reaches the feed: version-only and count scans work") {
     val dest = s"${tmpDir("prune")}/t.fimi"
     writeBaskets(dest, Seq("a b", "b c"), "overwrite")

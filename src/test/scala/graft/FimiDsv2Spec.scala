@@ -266,6 +266,49 @@ class FimiDsv2Spec extends SparkSpec {
     assert(run2 == Seq(Seq("r,s")), run2.toString)
   }
 
+  test("data-update guard: a COW rewrite under an append-only stream fails loudly; ignoreChanges opts in") {
+    val root = tmpDir("updguard")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root, "ns"))
+    val dest = s"$root/ns/t.fimi"
+    val sp = spark
+    import sp.implicits._
+    Seq("a b", "x y").toDF("raw")
+      .select(split(col("raw"), " ").as("items")).coalesce(1)
+      .write.format("fimi").option("snapshots", "true")
+      .mode("overwrite").save(dest)
+    val ck = s"${tmpDir("updguard-ck")}/ck"
+    def drain(ignore: Boolean): Seq[String] = {
+      val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+      val r = spark.readStream.format("fimi")
+      val q = (if (ignore) r.option("ignoreChanges", "true") else r).load(dest)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ck)
+        .foreachBatch { (bdf: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          val rows = bdf.collect().map(_.getSeq[String](1).mkString(","))
+          buf.synchronized { buf ++= rows }
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      buf.synchronized(buf.toSeq).sorted
+    }
+    assert(drain(ignore = false) == Seq("a,b", "x,y"))
+    // a COW DELETE rewrites the delivered file (the survivor re-lands
+    // in a fresh file; the old file leaves the latest listing)
+    spark.conf.set("spark.sql.catalog.graft_ug", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_ug.root", root)
+    spark.sql("DELETE FROM graft_ug.ns.t WHERE array_contains(items, 'a')")
+    // the resumed append-only stream must FAIL (streaming the rewritten
+    // file would duplicate the survivor and silently drop the delete)
+    val e = intercept[Throwable] { drain(ignore = false) }
+    def messages(t: Throwable): String =
+      if (t == null) "" else Option(t.getMessage).getOrElse("") + messages(t.getCause)
+    assert(messages(e).contains("already-delivered"), messages(e).take(500))
+    // ignoreChanges accepts re-delivery: the rewritten file streams as
+    // an append (the survivor row again — documented duplicate)
+    assert(drain(ignore = true) == Seq("x,y"))
+  }
+
   test("storage-partitioned join: two bucketed fimi tables join with ZERO shuffle exchanges") {
     val sp = spark
     import sp.implicits._
