@@ -81,12 +81,16 @@ object FimiChanges {
   /** One commit's file-level diff: the files it added and removed,
     * each with its ordinal in the listing that side resolves against
     * (added: the commit's own version; removed: the previous version)
-    * — the snapshot-positional tid contract. */
+    * — the snapshot-positional tid contract. `truncate`/`op` carry the
+    * commit's kind for consumers that classify commits (the append-only
+    * stream's OPTIMIZE ride-through). */
   private[fimi] case class CommitDiff(
       version: Long,
       tsMicros: Long,
       added: Seq[(String, Int)],
-      removed: Seq[(String, Int)])
+      removed: Seq[(String, Int)],
+      truncate: Boolean,
+      op: Option[String])
 
   /** Validate `[from, to]` against the log and produce each commit's
     * diff, version order, as a SINGLE-USE LAZY iterator: validation and
@@ -152,7 +156,8 @@ object FimiChanges {
       val prevOrd = prev.zipWithIndex.toMap
       val d = CommitDiff(v, tsByV(v),
         added.map(n => n -> curOrd(n)),
-        removed.map(n => n -> prevOrd(n)))
+        removed.map(n => n -> prevOrd(n)),
+        m.truncate, m.op)
       prev = cur
       d
     }

@@ -147,27 +147,64 @@ class FimiMicroBatchStream(
     val fresh: Seq[String] = loggedDir match {
       case Some((p, f)) =>
         val current = FimiLog.resolve(f, p, None).map(n => new Path(p, n).toString)
-        // DATA-UPDATE GUARD: an already-delivered file missing from the
-        // table's latest listing means a table-replacing commit
-        // (row-level DML / INSERT OVERWRITE / TRUNCATE / OPTIMIZE)
-        // rewrote or dropped it. An append-only stream cannot represent
-        // updates or deletes — silently streaming the rewritten files
-        // would duplicate every carried-over row and lose every delete.
-        // Fail with the remedy (same contract as Delta's data-update
-        // detection) unless the user opted into re-delivery.
-        if (!ignoreChanges) {
-          val gone = seen.diff(current.toSet)
-          if (gone.nonEmpty) throw new IllegalStateException(
-            s"fimi stream: ${gone.size} already-delivered file(s) were " +
-              s"replaced by a table-replacing commit on $p (row-level " +
-              "DML, INSERT OVERWRITE, TRUNCATE or OPTIMIZE); an " +
-              "append-only stream cannot represent updates or deletes. " +
-              "Stream the CHANGE FEED instead (readStream.format(\"fimi\")" +
+        val gone = seen.diff(current.toSet)
+        val freshAll = current.filterNot(seen.contains)
+        if (gone.isEmpty || ignoreChanges) freshAll
+        else {
+          // Files this stream already discovered have left the latest
+          // listing — a table-replacing commit rewrote or dropped them.
+          //
+          // OPTIMIZE RIDE-THROUGH: compaction (`#op OPTIMIZE`) rewrites
+          // bytes but preserves row content exactly (FimiCompact
+          // contract, spec-proven), so an optimize commit whose removed
+          // files are ALL in the discovery log is content the stream
+          // already delivers from its immutable log positions (the old
+          // files stay on disk until VACUUM) — its added files are
+          // marked seen WITHOUT being logged, and nothing duplicates.
+          // Chains (optimize of optimize output) account through the
+          // walk in version order. The classification is a pure
+          // function of the durable log + immutable manifests, so a
+          // cold restart re-derives the identical skip set.
+          //
+          // Anything the walk cannot explain as safe compaction —
+          // row-level DML, INSERT OVERWRITE, TRUNCATE, an optimize of
+          // files this stream never discovered, or history vacuumed
+          // past the stream's lag — FAILS LOUDLY with the remedy
+          // (Delta's data-update detection contract): an append-only
+          // stream cannot represent updates or deletes.
+          val hist = FimiLog.history(f, p)
+          val startV =
+            if (hist.head.version == 0 || !hist.head.truncate) hist.head.version
+            else hist.head.version + 1
+          var accounted = log.toSet
+          val explained = scala.collection.mutable.Set.empty[String]
+          val skip = scala.collection.mutable.Set.empty[String]
+          if (startV <= hist.last.version)
+            FimiChanges.diffRange(f, p, startV, hist.last.version).foreach { d =>
+              if (d.truncate && d.op.contains("OPTIMIZE")) {
+                val rm = d.removed.map(x => new Path(p, x._1).toString)
+                val ad = d.added.map(x => new Path(p, x._1).toString)
+                if (rm.forall(accounted.contains)) {
+                  accounted ++= ad
+                  explained ++= rm
+                  skip ++= ad
+                }
+              }
+            }
+          val unexplained = gone.diff(explained)
+          if (unexplained.nonEmpty) throw new IllegalStateException(
+            s"fimi stream: ${unexplained.size} already-delivered file(s) " +
+              s"were replaced by a table-replacing commit on $p " +
+              "(row-level DML, INSERT OVERWRITE, TRUNCATE, or a " +
+              "compaction the log cannot account for); an append-only " +
+              "stream cannot represent updates or deletes. Stream the " +
+              "CHANGE FEED instead (readStream.format(\"fimi\")" +
               ".option(\"changesFrom\", <version>)), or set " +
               ".option(\"ignoreChanges\", \"true\") to accept re-delivered " +
               "rewritten rows")
+          skip.foreach(seen.add)
+          freshAll.filterNot(skip.contains)
         }
-        current.filterNot(seen.contains)
       case None =>
         FimiTable.resolveDataFiles(conf, optionPaths, None)
           .filterNot(st => seen.contains(st.getPath.toString))

@@ -309,6 +309,47 @@ class FimiDsv2Spec extends SparkSpec {
     assert(drain(ignore = true) == Seq("x,y"))
   }
 
+  test("streams ride through OPTIMIZE: compaction-rewritten content is never re-delivered, appends keep flowing") {
+    val dest = s"${tmpDir("optride")}/t.fimi"
+    val sp = spark
+    import sp.implicits._
+    def append(lines: String*): Unit =
+      lines.toSeq.toDF("raw").select(split(col("raw"), " ").as("items")).coalesce(1)
+        .write.format("fimi").option("snapshots", "true").mode("append").save(dest)
+    append("a b"); append("b c"); append("c d") // 3 one-file commits
+    val ck = s"${tmpDir("optride-ck")}/ck"
+    def drain(): Seq[String] = {
+      val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+      val q = spark.readStream.format("fimi").load(dest)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ck)
+        .foreachBatch { (bdf: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          val rows = bdf.collect().map(_.getSeq[String](1).mkString(","))
+          buf.synchronized { buf ++= rows }
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      buf.synchronized(buf.toSeq).sorted
+    }
+    assert(drain() == Seq("a,b", "b,c", "c,d"))
+    // compaction rewrites all delivered bytes into one file — content
+    // identical, so the resumed stream must deliver NOTHING new and
+    // must not fail (the rewritten file is accounted, not re-streamed)
+    assert(graft.sources.fimi.FimiCompact.compact(spark, dest) == 1)
+    assert(drain().isEmpty, "compacted content was re-delivered")
+    // appends after the compaction keep flowing
+    append("d e")
+    assert(drain() == Seq("d,e"))
+    // a second compaction (sources: the first compaction's output plus
+    // the delivered append) accounts through the chain
+    assert(graft.sources.fimi.FimiCompact.compact(spark, dest) == 1)
+    assert(drain().isEmpty, "chained compaction broke the accounting")
+    // and the stream is still live afterwards
+    append("e f")
+    assert(drain() == Seq("e,f"))
+  }
+
   test("storage-partitioned join: two bucketed fimi tables join with ZERO shuffle exchanges") {
     val sp = spark
     import sp.implicits._
