@@ -274,14 +274,13 @@ class FimiChangesScanBuilder(options: CaseInsensitiveStringMap)
   }
 
   /** First version whose commit instant is at or after `ts` (epoch
-    * millis or a Timestamp-parseable string): the successor of the last
-    * RETAINED commit that is strictly earlier ("last" by version, the
-    * same convention as TIMESTAMP AS OF under non-monotone clocks).
-    * When no retained commit is strictly earlier, version 0 qualifies
-    * only if the full history is still present — with vacuumed history
-    * the boundary between expired and requested commits is unknowable,
-    * so the resolution refuses rather than serve a silently partial
-    * feed. */
+    * millis or a Timestamp-parseable string), resolved through
+    * [[FimiLog.versionAtOrAfter]] — the checkpointed `#ts` ledger, so
+    * commits VACUUM expired still anchor the boundary exactly. When the
+    * resolved start itself was vacuumed its changes are gone — refuse
+    * rather than serve a silently partial feed. No commit at or after
+    * the instant resolves to latest+1 (a batch read errors on the
+    * empty range; a stream waits for future commits). */
   private def resolveFromTimestamp(dest: String, ts: String): Long = {
     val ms =
       try ts.toLong
@@ -294,14 +293,15 @@ class FimiChangesScanBuilder(options: CaseInsensitiveStringMap)
         "manifest history (write with .option(\"snapshots\", \"true\"))")
     val hist = FimiLog.history(fs, table)
     require(hist.nonEmpty, s"fimi: $dest has an empty snapshot log")
-    val earlier = hist.filter(_.tsMillis < ms)
-    if (earlier.nonEmpty) earlier.last.version + 1
-    else if (hist.head.version == 0) 0L
-    else throw new IllegalArgumentException(
-      s"fimi: ${FimiChanges.FromTsOption}=$ms reaches at or below the " +
-        s"vacuumed history of $dest (earliest retained version: " +
-        s"${hist.head.version}, committed at ${hist.head.tsMillis}); " +
-        s"pass ${FimiChanges.FromOption} with a retained version instead")
+    FimiLog.versionAtOrAfter(fs, table, ms) match {
+      case None => hist.last.version + 1
+      case Some(v) if v >= hist.head.version => v
+      case Some(v) => throw new IllegalArgumentException(
+        s"fimi: ${FimiChanges.FromTsOption}=$ms resolves to version $v " +
+          s"of $dest, which was vacuumed (earliest retained version: " +
+          s"${hist.head.version}); pass ${FimiChanges.FromOption} with " +
+          "a retained version instead")
+    }
   }
 }
 

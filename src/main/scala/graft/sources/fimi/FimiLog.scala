@@ -345,6 +345,23 @@ object FimiLog {
     None
   }
 
+  /** Smallest committed version whose commit instant is at or after
+    * `tsMillis` — the change feed's starting-timestamp resolution. Uses
+    * the checkpointed version→ts history plus the retained manifest
+    * tail, so commits VACUUM expired still anchor the boundary exactly
+    * (the same ledger [[versionAt]] reads). None = every known commit
+    * is strictly earlier. The returned version may itself be expired —
+    * callers that need its data must check retention. */
+  def versionAtOrAfter(fs: FileSystem, table: Path, tsMillis: Long): Option[Long] = {
+    val l = list(fs, table)
+    if (l.versions.isEmpty) return None
+    val hist: Map[Long, Long] =
+      l.checkpoints.lastOption.map(checkpoint(fs, table, l, _).vts).getOrElse(Map.empty)
+    (hist.keySet ++ l.versions).toSeq.sorted.iterator
+      .map(v => v -> hist.getOrElse(v, commitTs(fs, table, l, v)))
+      .collectFirst { case (v, t) if t >= tsMillis => v }
+  }
+
   /** Every epoch id any committed manifest carries — checkpoint + tail,
     * so a streaming driver's replay check opens O(new manifests). */
   def epochCommitted(fs: FileSystem, table: Path, epoch: Long): Boolean = {

@@ -49,22 +49,71 @@ class FimiMicroBatchStream(
   /** Discovery log: file path per position; positions are tid ordinals. */
   private val log = mutable.ArrayBuffer.empty[String]
   private val seen = mutable.HashSet.empty[String]
+
+  /** Durable OPTIMIZE ride-through classification (see [[discover]]):
+    * `explained` = files whose disappearance from the listing is proven
+    * safe compaction; `skipMarked` = compaction outputs whose content
+    * the log already delivers (seen, never logged). Persisted as
+    * `acct-<seq>` increments next to the discovery log, so the
+    * classification survives restarts AND outlives VACUUM of the
+    * optimize commits it was derived from — without it, a routine
+    * vacuum after a ridden-through compaction would make the gone
+    * files unexplainable forever and kill a fully caught-up stream. */
+  private val explained = mutable.HashSet.empty[String]
+  private val skipMarked = mutable.HashSet.empty[String]
+  private var acctSeq = 0
   restore()
 
   private def restore(): Unit = {
     if (!fs.exists(logDir)) return
-    val entries = fs.listStatus(logDir).map(_.getPath)
-      .filter(_.getName.matches("\\d+-\\d+"))
+    val st = fs.listStatus(logDir).map(_.getPath)
+    st.filter(_.getName.matches("\\d+-\\d+"))
       .sortBy(_.getName.split("-")(0).toLong)
-    entries.foreach { p =>
-      val in = fs.open(p)
-      val content =
-        try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
-        finally in.close()
-      content.split("\n").filter(_.nonEmpty).foreach { f =>
-        if (seen.add(f)) log += f
+      .foreach { p =>
+        readLines(p).foreach { f => if (seen.add(f)) log += f }
       }
-    }
+    st.filter(_.getName.matches("acct-\\d+"))
+      .sortBy(_.getName.stripPrefix("acct-").toLong)
+      .foreach { p =>
+        acctSeq = math.max(acctSeq, p.getName.stripPrefix("acct-").toLong.toInt + 1)
+        readLines(p).foreach {
+          case l if l.startsWith("E ") => explained += l.stripPrefix("E ")
+          case l if l.startsWith("S ") =>
+            val f = l.stripPrefix("S ")
+            skipMarked += f
+            seen += f // accounted content: never re-delivered, never logged
+          case _ => ()
+        }
+      }
+  }
+
+  private def readLines(p: Path): Seq[String] = {
+    val in = fs.open(p)
+    val content =
+      try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+    content.split("\n").filter(_.nonEmpty).toSeq
+  }
+
+  /** Persist one classification increment atomically (temp + rename,
+    * keep-if-exists — re-derivation is deterministic). Durability comes
+    * BEFORE the in-memory sets advance, mirroring [[persist]]. */
+  private def persistAcct(newExplained: Iterable[String], newSkip: Iterable[String]): Unit = {
+    fs.mkdirs(logDir)
+    val name = s"acct-$acctSeq"
+    val body = (newExplained.toSeq.sorted.map("E " + _) ++
+      newSkip.toSeq.sorted.map("S " + _)).mkString("", "\n", "\n")
+    val tmp = new Path(logDir, s".$name.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val target = new Path(logDir, name)
+    if (fs.exists(target)) { fs.delete(tmp, false); acctSeq += 1; return }
+    if (!fs.rename(tmp, target))
+      throw new java.io.IOException(
+        s"fimi stream: rename $tmp -> $target failed; refusing to use " +
+          "an un-persisted ride-through classification")
+    acctSeq += 1
   }
 
   /** Persist one log increment atomically (temp + rename): the offset
@@ -149,7 +198,10 @@ class FimiMicroBatchStream(
         val current = FimiLog.resolve(f, p, None).map(n => new Path(p, n).toString)
         val gone = seen.diff(current.toSet)
         val freshAll = current.filterNot(seen.contains)
-        if (gone.isEmpty || ignoreChanges) freshAll
+        // fast path: every vanished file is already durably explained
+        // (steady state after a ridden-through compaction — no
+        // re-classification walk per trigger)
+        if (gone.diff(explained).isEmpty) freshAll
         else {
           // Files this stream already discovered have left the latest
           // listing — a table-replacing commit rewrote or dropped them.
@@ -176,9 +228,13 @@ class FimiMicroBatchStream(
           val startV =
             if (hist.head.version == 0 || !hist.head.truncate) hist.head.version
             else hist.head.version + 1
-          var accounted = log.toSet
-          val explained = scala.collection.mutable.Set.empty[String]
-          val skip = scala.collection.mutable.Set.empty[String]
+          // accounted = content the stream delivers (or has skip-marked)
+          // regardless of how manifests were since rewritten: the
+          // durable log + the durable skip set — so compaction CHAINS
+          // keep accounting even after VACUUM expired their early links
+          var accounted = log.toSet ++ skipMarked
+          val newExplained = scala.collection.mutable.Set.empty[String]
+          val newSkip = scala.collection.mutable.Set.empty[String]
           if (startV <= hist.last.version)
             FimiChanges.diffRange(f, p, startV, hist.last.version).foreach { d =>
               if (d.truncate && d.op.contains("OPTIMIZE")) {
@@ -186,24 +242,33 @@ class FimiMicroBatchStream(
                 val ad = d.added.map(x => new Path(p, x._1).toString)
                 if (rm.forall(accounted.contains)) {
                   accounted ++= ad
-                  explained ++= rm
-                  skip ++= ad
+                  newExplained ++= rm.filterNot(explained)
+                  newSkip ++= ad.filterNot(skipMarked)
                 }
               }
             }
-          val unexplained = gone.diff(explained)
-          if (unexplained.nonEmpty) throw new IllegalStateException(
-            s"fimi stream: ${unexplained.size} already-delivered file(s) " +
-              s"were replaced by a table-replacing commit on $p " +
-              "(row-level DML, INSERT OVERWRITE, TRUNCATE, or a " +
-              "compaction the log cannot account for); an append-only " +
-              "stream cannot represent updates or deletes. Stream the " +
-              "CHANGE FEED instead (readStream.format(\"fimi\")" +
-              ".option(\"changesFrom\", <version>)), or set " +
-              ".option(\"ignoreChanges\", \"true\") to accept re-delivered " +
-              "rewritten rows")
-          skip.foreach(seen.add)
-          freshAll.filterNot(skip.contains)
+          val unexplained = gone.diff(explained).diff(newExplained)
+          // the ride-through applies BEFORE the opt-in: ignoreChanges
+          // forgives only the UNEXPLAINED remainder (genuine data
+          // changes) — it must never cause proven-safe compaction
+          // output to re-deliver the whole table as duplicates
+          if (unexplained.nonEmpty && !ignoreChanges)
+            throw new IllegalStateException(
+              s"fimi stream: ${unexplained.size} already-delivered file(s) " +
+                s"were replaced by a table-replacing commit on $p " +
+                "(row-level DML, INSERT OVERWRITE, TRUNCATE, or a " +
+                "compaction the log cannot account for); an append-only " +
+                "stream cannot represent updates or deletes. Stream the " +
+                "CHANGE FEED instead (readStream.format(\"fimi\")" +
+                ".option(\"changesFrom\", <version>)), or set " +
+                ".option(\"ignoreChanges\", \"true\") to accept re-delivered " +
+                "rewritten rows")
+          if (newExplained.nonEmpty || newSkip.nonEmpty) {
+            persistAcct(newExplained, newSkip) // durability first
+            explained ++= newExplained
+            newSkip.foreach { s => skipMarked += s; seen += s }
+          }
+          freshAll.filterNot(skipMarked.contains)
         }
       case None =>
         FimiTable.resolveDataFiles(conf, optionPaths, None)

@@ -257,11 +257,13 @@ class FimiChangesSpec extends SparkSpec {
         .option(FimiChanges.FromTsOption, ts0).load(dest).collect()
     }
     assert(both.getMessage.contains("mutually exclusive"), both.getMessage)
-    // with v0 vacuumed, a time at the earliest retained commit is
-    // ambiguous (expired instants unknowable) — refuse with the remedy
+    // after vacuum the checkpointed #ts ledger still anchors the
+    // boundary exactly: a time at the retained commit serves it, a
+    // time reaching the EXPIRED commit refuses with the remedy
     FimiLog.vacuum(fs, table, retainLast = 1)
-    val vac = intercept[Exception] { fromTs(ts1) }
-    assert(vac.getMessage.contains("vacuumed history"), vac.getMessage)
+    assert(fromTs(ts1) == Seq("b,c@1"), fromTs(ts1).toString)
+    val vac = intercept[Exception] { fromTs(ts0) }
+    assert(vac.getMessage.contains("was vacuumed"), vac.getMessage)
   }
 
   test("column pruning reaches the feed: version-only and count scans work") {

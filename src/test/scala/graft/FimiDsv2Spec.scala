@@ -348,6 +348,44 @@ class FimiDsv2Spec extends SparkSpec {
     // and the stream is still live afterwards
     append("e f")
     assert(drain() == Seq("e,f"))
+    // VACUUM expiring the ridden-through optimize commits must NOT kill
+    // the stream: the classification is durable in the checkpoint, not
+    // re-derived from the (now vacuumed) manifests
+    val table = new org.apache.hadoop.fs.Path(dest)
+    graft.sources.fimi.FimiLog.vacuum(
+      table.getFileSystem(spark.sessionState.newHadoopConf()), table, retainLast = 1)
+    append("f g")
+    assert(drain() == Seq("f,g"), "vacuum of ridden-through optimize commits broke the stream")
+  }
+
+  test("ignoreChanges never re-delivers proven-safe compaction output") {
+    val dest = s"${tmpDir("ignopt")}/t.fimi"
+    val sp = spark
+    import sp.implicits._
+    def append(lines: String*): Unit =
+      lines.toSeq.toDF("raw").select(split(col("raw"), " ").as("items")).coalesce(1)
+        .write.format("fimi").option("snapshots", "true").mode("append").save(dest)
+    append("a b"); append("b c")
+    val ck = s"${tmpDir("ignopt-ck")}/ck"
+    def drain(): Seq[String] = {
+      val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+      val q = spark.readStream.format("fimi").option("ignoreChanges", "true").load(dest)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ck)
+        .foreachBatch { (bdf: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          val rows = bdf.collect().map(_.getSeq[String](1).mkString(","))
+          buf.synchronized { buf ++= rows }
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      buf.synchronized(buf.toSeq).sorted
+    }
+    assert(drain() == Seq("a,b", "b,c"))
+    // the opt-in forgives genuine data changes; it must NOT disable the
+    // OPTIMIZE ride-through and duplicate the whole compacted table
+    assert(graft.sources.fimi.FimiCompact.compact(spark, dest) == 1)
+    assert(drain().isEmpty, "ignoreChanges re-delivered compaction output")
   }
 
   test("storage-partitioned join: two bucketed fimi tables join with ZERO shuffle exchanges") {
