@@ -229,14 +229,72 @@ object FimiChanges {
   }
 }
 
-/** Column pruning only: every predicate stays above the scan (the
-  * change feed's work unit is the touched file — predicate pruning
-  * inside a diff would complicate the carryover-cancellation contract
-  * for zero scale win, since the file set is already commit-bounded). */
+/** Column pruning plus PLAN-LEVEL pruning on the two change-metadata
+  * columns: `_commit_version` bounds intersect the diff range (commits
+  * outside the bound are never even diffed), and an `_change_type`
+  * equality drops the whole other side's partitions (an insert-only
+  * consumer reads half the bytes). Every filter is also returned as
+  * residual, so Spark re-evaluates it above the scan — pruning is a
+  * pure work skip, never a semantics change (the batch scan's
+  * tid-range rule). Row-content predicates stay above the scan: the
+  * feed's work unit is the touched file, and carryover cancellation
+  * needs whole files anyway. */
 class FimiChangesScanBuilder(options: CaseInsensitiveStringMap)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
+
+  import org.apache.spark.sql.sources._
 
   private var requiredSchema: StructType = FimiChanges.Schema
+  private var pruneFilters: Array[Filter] = Array.empty
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pruneFilters = filters.filter(f =>
+      versionBound(f).isDefined || sideBound(f).isDefined)
+    filters
+  }
+
+  override def pushedFilters(): Array[Filter] = pruneFilters
+
+  /** [lo, hi] version bound implied by one filter, if it names
+    * `_commit_version`. */
+  private def versionBound(f: Filter): Option[(Long, Long)] = f match {
+    case EqualTo(FimiChanges.VersionCol, v: Long) => Some((v, v))
+    case GreaterThan(FimiChanges.VersionCol, v: Long) => Some((v + 1, Long.MaxValue))
+    case GreaterThanOrEqual(FimiChanges.VersionCol, v: Long) => Some((v, Long.MaxValue))
+    case LessThan(FimiChanges.VersionCol, v: Long) => Some((Long.MinValue, v - 1))
+    case LessThanOrEqual(FimiChanges.VersionCol, v: Long) => Some((Long.MinValue, v))
+    case In(FimiChanges.VersionCol, vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[Long]) =>
+      val ls = vs.map(_.asInstanceOf[Long]); Some((ls.min, ls.max))
+    case And(l, r) =>
+      (versionBound(l), versionBound(r)) match {
+        case (Some((al, ah)), Some((bl, bh))) =>
+          Some((math.max(al, bl), math.min(ah, bh)))
+        case (a, b) => a.orElse(b)
+      }
+    case _ => None
+  }
+
+  /** Allowed change sides (insert=true) implied by one filter, if it
+    * names `_change_type`. */
+  private def sideBound(f: Filter): Option[Set[Boolean]] = f match {
+    case EqualTo(FimiChanges.ChangeTypeCol, v: String) => v match {
+      case "insert" => Some(Set(true))
+      case "delete" => Some(Set(false))
+      case _ => Some(Set.empty[Boolean]) // matches neither side
+    }
+    case In(FimiChanges.ChangeTypeCol, vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[String]) =>
+      Some(vs.map(_.asInstanceOf[String]).collect {
+        case "insert" => true
+        case "delete" => false
+      }.toSet)
+    case And(l, r) =>
+      (sideBound(l), sideBound(r)) match {
+        case (Some(a), Some(b)) => Some(a intersect b)
+        case (a, b) => a.orElse(b)
+      }
+    case _ => None
+  }
 
   private val session = org.apache.spark.sql.SparkSession.active
   private val hadoopKVs = FimiTable.confKVs(session.sessionState.newHadoopConf())
@@ -267,10 +325,17 @@ class FimiChangesScanBuilder(options: CaseInsensitiveStringMap)
       case (None, None) => throw new IllegalStateException(
         "fimi: change-feed scan built without a start option")
     }
+    val vBound = pruneFilters.flatMap(versionBound)
+      .foldLeft((Long.MinValue, Long.MaxValue)) { case ((lo, hi), (l, h)) =>
+        (math.max(lo, l), math.min(hi, h))
+      }
+    val sides = pruneFilters.flatMap(sideBound)
+      .foldLeft(Set(true, false))(_ intersect _)
     new FimiChangesScan(dest, hadoopKVs, requiredSchema, maxSplitBytes, sep,
       from,
       Option(options.get(FimiChanges.ToOption)).map(_.toLong),
-      Option(options.get("maxFilesPerTrigger")).map(_.toInt))
+      Option(options.get("maxFilesPerTrigger")).map(_.toInt),
+      vBound, sides)
   }
 
   /** First version whose commit instant is at or after `ts` (epoch
@@ -324,15 +389,24 @@ class FimiChangesScan(
     sep: String,
     fromVersion: Long,
     toVersion: Option[Long],
-    maxFilesPerTrigger: Option[Int] = None)
+    maxFilesPerTrigger: Option[Int] = None,
+    versionBound: (Long, Long) = (Long.MinValue, Long.MaxValue),
+    sides: Set[Boolean] = Set(true, false))
     extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = requiredSchema
   override def toBatch: Batch = this
 
-  override def description(): String =
+  override def description(): String = {
+    val vb =
+      if (versionBound == ((Long.MinValue, Long.MaxValue))) ""
+      else s", versionBound=[${versionBound._1},${versionBound._2}]"
+    val sd =
+      if (sides == Set(true, false)) ""
+      else s", sides=${sides.map(s => if (s) "insert" else "delete").mkString("+")}"
     s"fimi changes $tablePath, versions=[$fromVersion," +
-      s"${toVersion.map(_.toString).getOrElse("latest")}]"
+      s"${toVersion.map(_.toString).getOrElse("latest")}]$vb$sd"
+  }
 
   /** Streaming form: the feed as an UNBOUNDED source — each micro-batch
     * is a whole number of commits (offsets are versions), so downstream
@@ -358,13 +432,28 @@ class FimiChangesScan(
     require(FimiLog.exists(fs, table),
       s"fimi: $tablePath keeps no snapshot log; the change feed reads " +
         "manifest history (write with .option(\"snapshots\", \"true\"))")
-    val to = toVersion.getOrElse {
-      val hist = FimiLog.history(fs, table)
-      require(hist.nonEmpty, s"fimi: $tablePath has an empty snapshot log")
-      hist.last.version
-    }
-    FimiChanges.planPartitions(fs, conf, table,
-      FimiChanges.diffRange(fs, table, fromVersion, to), maxSplitBytes)
+    val hist = FimiLog.history(fs, table)
+    require(hist.nonEmpty, s"fimi: $tablePath has an empty snapshot log")
+    val latest = hist.last.version
+    val to = toVersion.getOrElse(latest)
+    // the OPTION range must be valid regardless of pushed predicates
+    // (an out-of-history range is a user error, not an empty result —
+    // the same loud contract diffRange enforces)
+    require(fromVersion >= 0 && fromVersion <= to && to <= latest,
+      s"fimi: invalid change range [$fromVersion, $to] on $tablePath " +
+        s"(latest committed version: $latest)")
+    // pushed _commit_version bounds intersect the option range at
+    // planning: out-of-bound commits are never even diffed. An empty
+    // intersection (or an impossible side set) plans zero partitions.
+    val lo = math.max(fromVersion, versionBound._1)
+    val hi = math.min(to, versionBound._2)
+    if (lo > hi || sides.isEmpty) Array.empty[FimiChangesPartition]
+    else FimiChanges.planPartitions(fs, conf, table,
+      FimiChanges.diffRange(fs, table, lo, hi)
+        .map(d => d.copy(
+          added = if (sides(true)) d.added else Nil,
+          removed = if (sides(false)) d.removed else Nil)),
+      maxSplitBytes)
   }
 
   override def planInputPartitions(): Array[InputPartition] =

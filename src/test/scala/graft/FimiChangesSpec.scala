@@ -266,6 +266,38 @@ class FimiChangesSpec extends SparkSpec {
     assert(vac.getMessage.contains("was vacuumed"), vac.getMessage)
   }
 
+  test("pushed _commit_version and _change_type predicates prune feed partitions at planning") {
+    val root = tmpDir("pushdown")
+    Files.createDirectories(java.nio.file.Paths.get(root, "ns"))
+    val dest = s"$root/ns/t.fimi"
+    writeBaskets(dest, Seq("x y"), "overwrite") // v0, file 1
+    writeBaskets(dest, Seq("a b"), "append")    // v1, file 2
+    writeBaskets(dest, Seq("p q"), "append")    // v2, file 3
+    spark.conf.set("spark.sql.catalog.graft_cdpd", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_cdpd.root", root)
+    spark.sql("DELETE FROM graft_cdpd.ns.t WHERE array_contains(items, 'a')") // v3: 1 removed, 0 added
+    val all = changes(dest, 0)
+    assert(all.rdd.getNumPartitions == 4) // 3 adds + 1 remove
+    // version bound: only v1's single add is even diffed
+    val v1 = all.filter(col(FimiChanges.VersionCol) === 1L)
+    assert(v1.rdd.getNumPartitions == 1, s"v1 bound planned ${v1.rdd.getNumPartitions}")
+    assert(basketStrings(v1, FimiChanges.ChangeTypeCol) == Seq(Seq("a,b", "insert")))
+    assert(v1.queryExecution.executedPlan.toString.contains("versionBound=[1,1]"),
+      "pushed version bound missing from the plan")
+    // range bound
+    assert(all.filter(col(FimiChanges.VersionCol) >= 2L).rdd.getNumPartitions == 2)
+    // side bound: an insert-only consumer never reads the delete side
+    val ins = all.filter(col(FimiChanges.ChangeTypeCol) === "insert")
+    assert(ins.rdd.getNumPartitions == 3, s"insert side planned ${ins.rdd.getNumPartitions}")
+    assert(ins.queryExecution.executedPlan.toString.contains("sides=insert"))
+    val del = all.filter(col(FimiChanges.ChangeTypeCol) === "delete")
+    assert(del.rdd.getNumPartitions == 1)
+    assert(basketStrings(del, FimiChanges.VersionCol) == Seq(Seq("a,b", "3")))
+    // combined bounds compose; an impossible side plans zero partitions
+    assert(all.filter(col(FimiChanges.VersionCol) === 3L &&
+      col(FimiChanges.ChangeTypeCol) === "insert").rdd.getNumPartitions == 0)
+  }
+
   test("column pruning reaches the feed: version-only and count scans work") {
     val dest = s"${tmpDir("prune")}/t.fimi"
     writeBaskets(dest, Seq("a b", "b c"), "overwrite")
