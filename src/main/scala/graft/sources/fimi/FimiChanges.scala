@@ -109,20 +109,20 @@ object FimiChanges {
       fs: org.apache.hadoop.fs.FileSystem,
       table: Path,
       from: Long,
-      to: Long): Iterator[CommitDiff] = {
-    val hist = FimiLog.history(fs, table)
-    require(hist.nonEmpty, s"fimi: $table has an empty snapshot log")
-    val latest = hist.last.version
-    require(from >= 0 && from <= to && to <= latest,
-      s"fimi: invalid change range [$from, $to] on $table " +
-        s"(latest committed version: $latest)")
+      to: Long): Iterator[CommitDiff] =
+    diffRange(fs, table, from, to, FimiLog.history(fs, table))
+
+  /** [[diffRange]] with the caller's already-fetched history — callers
+    * that list the log for their own validation avoid a second
+    * names-only listing per plan. */
+  private[fimi] def diffRange(
+      fs: org.apache.hadoop.fs.FileSystem,
+      table: Path,
+      from: Long,
+      to: Long,
+      hist: Seq[FimiLog.HistoryEntry]): Iterator[CommitDiff] = {
+    validateRange(table, from, to, hist)
     val retained = hist.map(_.version).toSet
-    (from to to).foreach { v =>
-      require(retained.contains(v),
-        s"fimi: version $v of $table is not retained (earliest " +
-          s"retained: ${hist.head.version}); the change feed cannot " +
-          "reconstruct vacuumed history")
-    }
     val manifestByV = FimiLog.manifests(fs, table).map(m => m.version -> m).toMap
     val tsByV = hist.map(h => h.version -> h.tsMillis * 1000L).toMap
 
@@ -161,6 +161,36 @@ object FimiChanges {
       prev = cur
       d
     }
+  }
+
+  /** Validate an OPTION range [from, to] against the log's retention —
+    * the same loud contract [[diffRange]] enforces, factored out so
+    * PLAN-LEVEL pruning can clamp the walked range without weakening
+    * the user-facing contract: an out-of-history or vacuumed range is a
+    * user error whether or not the optimizer pushed a narrowing
+    * predicate (pruning is a work skip, never a validity change). */
+  private[fimi] def validateRange(
+      table: Path, from: Long, to: Long,
+      hist: Seq[FimiLog.HistoryEntry]): Unit = {
+    require(hist.nonEmpty, s"fimi: $table has an empty snapshot log")
+    val latest = hist.last.version
+    require(from >= 0 && from <= to && to <= latest,
+      s"fimi: invalid change range [$from, $to] on $table " +
+        s"(latest committed version: $latest)")
+    val retained = hist.map(_.version).toSet
+    (from to to).foreach { v =>
+      require(retained.contains(v),
+        s"fimi: version $v of $table is not retained (earliest " +
+          s"retained: ${hist.head.version}); the change feed cannot " +
+          "reconstruct vacuumed history")
+    }
+    if (from > 0 && !retained.contains(from - 1) &&
+        hist.find(_.version == from).exists(_.truncate))
+      throw new IllegalArgumentException(
+        s"fimi: a change range cannot START at version $from of $table — " +
+          s"it is a table-replacing commit whose removed set needs the " +
+          s"version-${from - 1} listing, which was vacuumed; start at " +
+          s"version ${from + 1}, or re-read the version-$from snapshot")
   }
 
   /** Byte-range split the diffs' touched files into read partitions
@@ -275,6 +305,21 @@ class FimiChangesScanBuilder(options: CaseInsensitiveStringMap)
     case _ => None
   }
 
+  /** Exact version SET implied by one filter, when derivable (EqualTo /
+    * In) — lets a sparse `IN (5, 90000)` prune to exactly two commits
+    * instead of diffing the whole [5, 90000] span. */
+  private def versionSetOf(f: Filter): Option[Set[Long]] = f match {
+    case EqualTo(FimiChanges.VersionCol, v: Long) => Some(Set(v))
+    case In(FimiChanges.VersionCol, vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[Long]) =>
+      Some(vs.map(_.asInstanceOf[Long]).toSet)
+    case And(l, r) =>
+      (versionSetOf(l), versionSetOf(r)) match {
+        case (Some(a), Some(b)) => Some(a intersect b)
+        case (a, b) => a.orElse(b)
+      }
+    case _ => None
+  }
+
   /** Allowed change sides (insert=true) implied by one filter, if it
     * names `_change_type`. */
   private def sideBound(f: Filter): Option[Set[Boolean]] = f match {
@@ -329,13 +374,14 @@ class FimiChangesScanBuilder(options: CaseInsensitiveStringMap)
       .foldLeft((Long.MinValue, Long.MaxValue)) { case ((lo, hi), (l, h)) =>
         (math.max(lo, l), math.min(hi, h))
       }
+    val vSet = pruneFilters.flatMap(versionSetOf).reduceOption(_ intersect _)
     val sides = pruneFilters.flatMap(sideBound)
       .foldLeft(Set(true, false))(_ intersect _)
     new FimiChangesScan(dest, hadoopKVs, requiredSchema, maxSplitBytes, sep,
       from,
       Option(options.get(FimiChanges.ToOption)).map(_.toLong),
       Option(options.get("maxFilesPerTrigger")).map(_.toInt),
-      vBound, sides)
+      vBound, sides, vSet)
   }
 
   /** First version whose commit instant is at or after `ts` (epoch
@@ -391,7 +437,8 @@ class FimiChangesScan(
     toVersion: Option[Long],
     maxFilesPerTrigger: Option[Int] = None,
     versionBound: (Long, Long) = (Long.MinValue, Long.MaxValue),
-    sides: Set[Boolean] = Set(true, false))
+    sides: Set[Boolean] = Set(true, false),
+    versionSet: Option[Set[Long]] = None)
     extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = requiredSchema
@@ -419,7 +466,8 @@ class FimiChangesScan(
       s"fimi: ${FimiChanges.ToOption} does not apply to a streaming " +
         "change feed (bound a drain with Trigger.AvailableNow)")
     new FimiChangesMicroBatchStream(tablePath, hadoopKVs, requiredSchema,
-      sep, maxSplitBytes, fromVersion, maxFilesPerTrigger)
+      sep, maxSplitBytes, fromVersion, maxFilesPerTrigger,
+      versionBound, sides, versionSet)
   }
 
   /** Driver-side plan: fold the manifest tail once, diff each commit in
@@ -434,22 +482,23 @@ class FimiChangesScan(
         "manifest history (write with .option(\"snapshots\", \"true\"))")
     val hist = FimiLog.history(fs, table)
     require(hist.nonEmpty, s"fimi: $tablePath has an empty snapshot log")
-    val latest = hist.last.version
-    val to = toVersion.getOrElse(latest)
-    // the OPTION range must be valid regardless of pushed predicates
-    // (an out-of-history range is a user error, not an empty result —
-    // the same loud contract diffRange enforces)
-    require(fromVersion >= 0 && fromVersion <= to && to <= latest,
-      s"fimi: invalid change range [$fromVersion, $to] on $tablePath " +
-        s"(latest committed version: $latest)")
+    val to = toVersion.getOrElse(hist.last.version)
+    // the FULL option range must be valid regardless of pushed
+    // predicates — a vacuumed or out-of-history range is a user error
+    // whether or not the optimizer narrowed the plan (pruning is a
+    // work skip, never a validity change)
+    FimiChanges.validateRange(table, fromVersion, to, hist)
     // pushed _commit_version bounds intersect the option range at
-    // planning: out-of-bound commits are never even diffed. An empty
+    // planning: out-of-bound commits are never even diffed; an exact
+    // pushed version SET prunes sparse IN lists to their members; a
+    // pushed side drops the other side's partitions. An empty
     // intersection (or an impossible side set) plans zero partitions.
     val lo = math.max(fromVersion, versionBound._1)
     val hi = math.min(to, versionBound._2)
     if (lo > hi || sides.isEmpty) Array.empty[FimiChangesPartition]
     else FimiChanges.planPartitions(fs, conf, table,
-      FimiChanges.diffRange(fs, table, lo, hi)
+      FimiChanges.diffRange(fs, table, lo, hi, hist)
+        .filter(d => versionSet.forall(_.contains(d.version)))
         .map(d => d.copy(
           added = if (sides(true)) d.added else Nil,
           removed = if (sides(false)) d.removed else Nil)),
@@ -508,7 +557,10 @@ class FimiChangesMicroBatchStream(
     sep: String,
     maxSplitBytes: Long,
     fromVersion: Long,
-    maxFilesPerTrigger: Option[Int])
+    maxFilesPerTrigger: Option[Int],
+    versionBound: (Long, Long) = (Long.MinValue, Long.MaxValue),
+    sides: Set[Boolean] = Set(true, false),
+    versionSet: Option[Set[Long]] = None)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
@@ -576,12 +628,22 @@ class FimiChangesMicroBatchStream(
   override def latestOffset(): Offset =
     FimiChangesOffset(FimiLog.latestVersion(fs, table).getOrElse(-1L) + 1)
 
+  /** OFFSETS always advance through every commit (a contiguous version
+    * range is the replay contract); pushed bounds only skip the READ
+    * work of out-of-bound commits inside each batch — the residual
+    * filter above the scan would drop their rows anyway. */
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[FimiChangesOffset].version
     val e = end.asInstanceOf[FimiChangesOffset].version
     if (e <= s) return Array.empty
     FimiChanges.planPartitions(fs, conf, table,
-      FimiChanges.diffRange(fs, table, s, e - 1), maxSplitBytes)
+      FimiChanges.diffRange(fs, table, s, e - 1)
+        .filter(d => d.version >= versionBound._1 && d.version <= versionBound._2)
+        .filter(d => versionSet.forall(_.contains(d.version)))
+        .map(d => d.copy(
+          added = if (sides(true)) d.added else Nil,
+          removed = if (sides(false)) d.removed else Nil)),
+      maxSplitBytes)
       .toArray[InputPartition]
   }
 

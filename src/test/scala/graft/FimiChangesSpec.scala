@@ -296,6 +296,22 @@ class FimiChangesSpec extends SparkSpec {
     // combined bounds compose; an impossible side plans zero partitions
     assert(all.filter(col(FimiChanges.VersionCol) === 3L &&
       col(FimiChanges.ChangeTypeCol) === "insert").rdd.getNumPartitions == 0)
+    // a sparse IN prunes to exactly its members, not the [min,max] span
+    val sparse = all.filter(col(FimiChanges.VersionCol).isin(0L, 3L))
+    assert(sparse.rdd.getNumPartitions == 2,
+      s"IN(0,3) planned ${sparse.rdd.getNumPartitions} partitions")
+    assert(basketStrings(sparse, FimiChanges.ChangeTypeCol,
+        FimiChanges.VersionCol) ==
+      Seq(Seq("a,b", "delete", "3"), Seq("x,y", "insert", "0")))
+    // pruning is a work skip, never a validity change: a pushed bound
+    // must NOT turn a vacuumed option range into a silent success
+    FimiLog.vacuum(new org.apache.hadoop.fs.Path(dest)
+      .getFileSystem(spark.sessionState.newHadoopConf()),
+      new org.apache.hadoop.fs.Path(dest), retainLast = 2)
+    val vac = intercept[Exception] {
+      changes(dest, 0).filter(col(FimiChanges.VersionCol) >= 3L).collect()
+    }
+    assert(vac.getMessage.contains("not retained"), vac.getMessage)
   }
 
   test("column pruning reaches the feed: version-only and count scans work") {
