@@ -306,9 +306,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
         case "optimize" => new GraftProcedures.Optimize(this)
         case "vacuum" => new GraftProcedures.Vacuum(this)
         case "history" => new GraftProcedures.History(this)
+        case "detail" => new GraftProcedures.Detail(this)
         case _ => throw new IllegalArgumentException(
           s"catalog ${name()}: no procedure system.${ident.name()} " +
-            "(available: system.optimize, system.vacuum, system.history)")
+            "(available: system.optimize, system.vacuum, system.history, " +
+            "system.detail)")
       }
     else throw new IllegalArgumentException(
       s"catalog ${name()}: procedures live under the `system` namespace " +
@@ -319,7 +321,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     if (namespace.isEmpty || namespace.sameElements(Array("system")))
       Array(Identifier.of(Array("system"), "optimize"),
         Identifier.of(Array("system"), "vacuum"),
-        Identifier.of(Array("system"), "history"))
+        Identifier.of(Array("system"), "history"),
+        Identifier.of(Array("system"), "detail"))
     else Array.empty
 
   /** Path of `<namespace>.<table>` as a fimi table (procedure support;

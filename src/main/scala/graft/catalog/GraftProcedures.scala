@@ -140,6 +140,49 @@ private[catalog] object GraftProcedures {
     }
   }
 
+  /** `CALL <cat>.system.detail(table => ...)` — one-row table summary
+    * (Delta's `DESCRIBE DETAIL` affordance): where the table lives, how
+    * many commits its retained history spans, and the CURRENT
+    * generation's file count and byte size. All driver-side metadata —
+    * one names-only log listing, cached manifest parses, one
+    * `getFileStatus` per current data file. */
+  final class Detail(cat: GraftCatalog) extends UnboundProcedure with BoundProcedure {
+    override def name(): String = "detail"
+    override def description(): String =
+      "one-row summary of a fimi snapshot table (location, versions, current files/bytes)"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType)
+        .comment("catalog table as '<namespace>.<table>'").build())
+
+    private val outSchema = StructType(Seq(
+      StructField("location", StringType, nullable = false),
+      StructField("latest_version", LongType, nullable = false),
+      StructField("earliest_retained", LongType, nullable = false),
+      StructField("num_commits_retained", IntegerType, nullable = false),
+      StructField("num_data_files", IntegerType, nullable = false),
+      StructField("size_bytes", LongType, nullable = false)))
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val spark = SparkSession.active
+      val table = input.getUTF8String(0).toString
+      val p = fimiPath(cat, spark, table)
+      val fs = cat.fsFor(p)
+      val hist = FimiLog.history(fs, p)
+      require(hist.nonEmpty, s"fimi: $p has an empty snapshot log")
+      val files = FimiLog.resolve(fs, p, None)
+      val bytes = files.map(n => fs.getFileStatus(new Path(p, n)).getLen).sum
+      oneScan(outSchema, InternalRow(
+        UTF8String.fromString(p.toString),
+        hist.last.version,
+        hist.head.version,
+        hist.size,
+        files.size,
+        bytes))
+    }
+  }
+
   /** `CALL <cat>.system.history(table => ...)` — snapshot-history
     * inspection from SQL (Delta's `DESCRIBE HISTORY` / Iceberg's
     * `snapshots` metadata table): one row per RETAINED commit, version

@@ -461,6 +461,26 @@ class GraftCatalogSpec extends SparkSpec {
     assert(visibleFiles(dest).size == 4)
   }
 
+  test("CALL system.detail summarizes table state; vacuum moves the retained window") {
+    val (t, dest) = dmlTable("graft_pr4", Seq("a b", "c d", "e f"))
+    spark.sql(s"INSERT OVERWRITE $t VALUES (9L, array('z', 'z9'))") // v3: truncate generation
+    def detail(): (String, Long, Long, Int, Int, Long) = {
+      val r = spark.sql("CALL graft_pr4.system.detail(table => 'ns.t')").collect()
+      assert(r.length == 1)
+      (r(0).getString(0), r(0).getLong(1), r(0).getLong(2),
+        r(0).getInt(3), r(0).getInt(4), r(0).getLong(5))
+    }
+    val d1 = detail()
+    assert(d1._1.endsWith("/ns/t.fimi"), d1._1)
+    assert((d1._2, d1._3, d1._4, d1._5) == ((3L, 0L, 4, 1)), d1.toString)
+    assert(d1._6 > 0L, "current generation must have bytes")
+    // retention moves the window; the current generation is unchanged
+    spark.sql("CALL graft_pr4.system.vacuum(table => 'ns.t', retain_last => 1)")
+    val d2 = detail()
+    assert((d2._2, d2._3, d2._4, d2._5) == ((3L, 3L, 1, 1)), d2.toString)
+    assert(d2._6 == d1._6)
+  }
+
   test("procedures fail loudly on bad arguments and non-fimi tables") {
     val (_, _) = dmlTable("graft_pr3", Seq("a b"))
     def err(sql: String): String = {
