@@ -400,6 +400,41 @@ object Mining {
     (s"$cat.`$sfName`.t", base)
   }
 
+  /** One-time per (session, corpus) PROVISIONED change-feed fixture:
+    * the cloned snapshot work table driven through the fixed
+    * INSERT (v1) → copy-on-write DELETE (v2) → copy-on-write UPDATE
+    * (v3) commit sequence [[fpmFimiChanges]] reads back. Built once and
+    * shared because the feed keys only READ the manifest history — a
+    * change-feed scan never mutates the log — while re-provisioning per
+    * call would re-price DML work the dedicated DML keys already
+    * measure (r18 VERDICT task 1: ≈80 % of the key's bench time was
+    * provisioning). The `_cdf_ready` marker (holding the corpus
+    * fingerprint) commits the provisioning AFTER the third DML lands,
+    * so a crash mid-provision rebuilds rather than serving a
+    * half-mutated fixture, and a corpus regenerated mid-session lands
+    * in a fresh build (the DML-template fingerprint rule). */
+  private val cdfFixtureLock = new Object
+  private def fimiCdfFixture(s: SparkSession, dir: String): String =
+    cdfFixtureLock.synchronized {
+      val sfName = new java.io.File(dir).getName
+      val root = Tables.workRoot(s, "graft_fimi_cdf")
+      val ready = new java.io.File(s"$root/$sfName/_cdf_ready")
+      val fp = Tables.fingerprint(dir)
+      val current = ready.isFile &&
+        new String(java.nio.file.Files.readAllBytes(ready.toPath), "UTF-8") == fp
+      if (!current) {
+        ready.delete()
+        val (t, path) = fimiDmlTable(s, dir, "graft_fimi_cdf", "graft_dml_cdf")
+        s.sql(s"INSERT INTO $t VALUES (-10L, array('zz_cdf'))")
+        s.sql(s"DELETE FROM $t WHERE array_contains(items, 'Brand#23')")
+        s.sql(
+          s"UPDATE $t SET items = array_union(items, array('zz_upd')) " +
+            "WHERE size(items) >= 7")
+        java.nio.file.Files.write(ready.toPath, fp.getBytes("UTF-8"))
+        path
+      } else s"$root/$sfName/t.fimi"
+    }
+
   /** Per-item supports of the table's LATEST snapshot — the common
     * read-back for the DML keys (unthresholded: every basket's content
     * participates, so any DML defect shifts a count and fails the hash). */
@@ -584,14 +619,16 @@ object Mining {
     * range's commits touched (manifest-diff planning, one log listing —
     * never a table scan), and the netting is one hash aggregate over
     * that commit-bounded slice; at 100 TB the cost tracks the night's
-    * churn, not the table. */
+    * churn, not the table.
+    *
+    * Bench honesty (r18 VERDICT task 1): the DML PROVISIONING — clone +
+    * three copy-on-write commits — is shared once per (session, corpus)
+    * through [[fimiCdfFixture]], so this key's bench number prices the
+    * FEED (plan + scan + netting), not the DML cost three other keys
+    * (`fpm_fimi_insert`/`delete`/`update`) already price. A feed read
+    * never mutates the log, so sharing the fixture is semantics-free. */
   def fpmFimiChanges(s: SparkSession, dir: String): DataFrame = {
-    val (t, path) = fimiDmlTable(s, dir, "graft_fimi_cdf", "graft_dml_cdf")
-    s.sql(s"INSERT INTO $t VALUES (-10L, array('zz_cdf'))")
-    s.sql(s"DELETE FROM $t WHERE array_contains(items, 'Brand#23')")
-    s.sql(
-      s"UPDATE $t SET items = array_union(items, array('zz_upd')) " +
-        "WHERE size(items) >= 7")
+    val path = fimiCdfFixture(s, dir)
     val feed = s.read.format("fimi")
       .option(graft.sources.fimi.FimiChanges.FromOption, 1).load(path)
     graft.sources.fimi.FimiChanges.net(feed)

@@ -286,13 +286,22 @@ class FimiChangesScanBuilder(options: CaseInsensitiveStringMap)
 
   override def pushedFilters(): Array[Filter] = pruneFilters
 
+  /** The impossible range: lo > hi, so planning yields zero partitions. */
+  private val EmptyBound = (Long.MaxValue, Long.MinValue)
+
   /** [lo, hi] version bound implied by one filter, if it names
-    * `_commit_version`. */
+    * `_commit_version`. Strict inequalities at the Long extremes
+    * saturate to the EMPTY range instead of wrapping (r18 ADVICE:
+    * `v+1`/`v-1` overflow would silently widen the bound to no-prune —
+    * harmless to semantics since every filter is residual, but the
+    * pruning contract would quietly degrade). */
   private def versionBound(f: Filter): Option[(Long, Long)] = f match {
     case EqualTo(FimiChanges.VersionCol, v: Long) => Some((v, v))
-    case GreaterThan(FimiChanges.VersionCol, v: Long) => Some((v + 1, Long.MaxValue))
+    case GreaterThan(FimiChanges.VersionCol, v: Long) =>
+      Some(if (v == Long.MaxValue) EmptyBound else (v + 1, Long.MaxValue))
     case GreaterThanOrEqual(FimiChanges.VersionCol, v: Long) => Some((v, Long.MaxValue))
-    case LessThan(FimiChanges.VersionCol, v: Long) => Some((Long.MinValue, v - 1))
+    case LessThan(FimiChanges.VersionCol, v: Long) =>
+      Some(if (v == Long.MinValue) EmptyBound else (Long.MinValue, v - 1))
     case LessThanOrEqual(FimiChanges.VersionCol, v: Long) => Some((Long.MinValue, v))
     case In(FimiChanges.VersionCol, vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[Long]) =>
       val ls = vs.map(_.asInstanceOf[Long]); Some((ls.min, ls.max))
@@ -576,6 +585,19 @@ class FimiChangesMicroBatchStream(
   require(FimiLog.exists(fs, table),
     s"fimi: $tablePath keeps no snapshot log; the change feed reads " +
       "manifest history (write with .option(\"snapshots\", \"true\"))")
+
+  // a start far beyond the next commit is almost certainly a typo'd
+  // version: the batch path fails loudly via validateRange, and an
+  // idle-forever stream would mask it as an empty feed (r18 ADVICE).
+  // latest+1 stays legal — subscribing one version AHEAD is the
+  // tail-the-table case (Delta's startingVersion contract).
+  locally {
+    val latest = FimiLog.latestVersion(fs, table).getOrElse(-1L)
+    require(fromVersion <= latest + 1,
+      s"fimi: ${FimiChanges.FromOption}=$fromVersion is beyond the next " +
+        s"commit of $tablePath (latest committed version: $latest); a " +
+        "stream may subscribe at most one version ahead (latest + 1)")
+  }
 
   override def initialOffset(): Offset = FimiChangesOffset(fromVersion)
 

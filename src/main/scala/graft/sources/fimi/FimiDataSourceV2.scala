@@ -400,12 +400,20 @@ class FimiScanBuilder(
 
   override def pushedFilters(): Array[Filter] = pruneFilters
 
-  /** [lo, hi] tid bound implied by one filter, if it names `tid`. */
+  /** [lo, hi] tid bound implied by one filter, if it names `tid`.
+    * Strict inequalities at the Long extremes saturate to an empty
+    * range (lo > hi — zero splits survive) instead of wrapping
+    * (r18 ADVICE on the sibling version bound: overflow would silently
+    * widen the bound to no-prune). */
   private def tidBound(f: Filter): Option[(Long, Long)] = f match {
     case EqualTo("tid", v: Long) => Some((v, v))
-    case GreaterThan("tid", v: Long) => Some((v + 1, Long.MaxValue))
+    case GreaterThan("tid", v: Long) =>
+      Some(if (v == Long.MaxValue) (Long.MaxValue, Long.MinValue)
+           else (v + 1, Long.MaxValue))
     case GreaterThanOrEqual("tid", v: Long) => Some((v, Long.MaxValue))
-    case LessThan("tid", v: Long) => Some((Long.MinValue, v - 1))
+    case LessThan("tid", v: Long) =>
+      Some(if (v == Long.MinValue) (Long.MaxValue, Long.MinValue)
+           else (Long.MinValue, v - 1))
     case LessThanOrEqual("tid", v: Long) => Some((Long.MinValue, v))
     case In("tid", vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[Long]) =>
       val ls = vs.map(_.asInstanceOf[Long]); Some((ls.min, ls.max))

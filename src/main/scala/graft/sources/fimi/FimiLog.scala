@@ -120,7 +120,7 @@ object FimiLog {
 
   /** Test hook: forget every parsed manifest/checkpoint, simulating a
     * cold driver JVM (the listing itself is never cached). */
-  private[fimi] def clearCache(): Unit = {
+  private[graft] def clearCache(): Unit = {
     manifestCache.clear()
     checkpointCache.clear()
   }

@@ -61,6 +61,13 @@ class FimiMicroBatchStream(
     * files unexplainable forever and kill a fully caught-up stream. */
   private val explained = mutable.HashSet.empty[String]
   private val skipMarked = mutable.HashSet.empty[String]
+  /** Files whose disappearance `ignoreChanges` FORGAVE as a genuine
+    * data change (third acct marker, r18 ADVICE): without durably
+    * recording them, `gone.diff(explained)` stays non-empty forever
+    * after a ride-through and every subsequent trigger repeats the
+    * full-history classification walk — breaking the documented
+    * O(new manifests) per-trigger posture. */
+  private val forgiven = mutable.HashSet.empty[String]
   private var acctSeq = 0
   restore()
 
@@ -82,6 +89,7 @@ class FimiMicroBatchStream(
             val f = l.stripPrefix("S ")
             skipMarked += f
             seen += f // accounted content: never re-delivered, never logged
+          case l if l.startsWith("F ") => forgiven += l.stripPrefix("F ")
           case _ => ()
         }
       }
@@ -95,25 +103,46 @@ class FimiMicroBatchStream(
     content.split("\n").filter(_.nonEmpty).toSeq
   }
 
-  /** Persist one classification increment atomically (temp + rename,
-    * keep-if-exists — re-derivation is deterministic). Durability comes
-    * BEFORE the in-memory sets advance, mirroring [[persist]]. */
-  private def persistAcct(newExplained: Iterable[String], newSkip: Iterable[String]): Unit = {
+  /** Persist one classification increment atomically (temp + rename).
+    * Durability comes BEFORE the in-memory sets advance, mirroring
+    * [[persist]]. A sequence-number collision (a concurrent writer, a
+    * pre-existing file from a crashed attempt) bumps `acctSeq` and
+    * RETRIES at the next number instead of silently dropping the
+    * increment (r18 ADVICE): re-derivation determinism only holds
+    * while the source manifests still exist — once the optimize
+    * commits are vacuumed, a dropped classification is unrecoverable
+    * and a caught-up stream would fail permanently. */
+  private[graft] def persistAcct(
+      newExplained: Iterable[String],
+      newSkip: Iterable[String],
+      newForgiven: Iterable[String] = Nil): Unit = {
     fs.mkdirs(logDir)
-    val name = s"acct-$acctSeq"
     val body = (newExplained.toSeq.sorted.map("E " + _) ++
-      newSkip.toSeq.sorted.map("S " + _)).mkString("", "\n", "\n")
-    val tmp = new Path(logDir, s".$name.tmp")
-    val out = fs.create(tmp, true)
-    try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    val target = new Path(logDir, name)
-    if (fs.exists(target)) { fs.delete(tmp, false); acctSeq += 1; return }
-    if (!fs.rename(tmp, target))
-      throw new java.io.IOException(
-        s"fimi stream: rename $tmp -> $target failed; refusing to use " +
-          "an un-persisted ride-through classification")
-    acctSeq += 1
+      newSkip.toSeq.sorted.map("S " + _) ++
+      newForgiven.toSeq.sorted.map("F " + _)).mkString("", "\n", "\n")
+    var attempts = 0
+    while (true) {
+      val name = s"acct-$acctSeq"
+      val target = new Path(logDir, name)
+      if (fs.exists(target)) { acctSeq += 1 }
+      else {
+        val tmp = new Path(logDir, s".$name.tmp")
+        val out = fs.create(tmp, true)
+        try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+        if (fs.rename(tmp, target)) { acctSeq += 1; return }
+        fs.delete(tmp, false)
+        // rename refused: either a racer landed this name (retry at the
+        // next sequence) or the store failed — bounded so a broken
+        // rename syscall cannot wedge the driver in an infinite loop
+        attempts += 1
+        if (!fs.exists(target) || attempts >= 64)
+          throw new java.io.IOException(
+            s"fimi stream: rename $tmp -> $target failed; refusing to " +
+              "use an un-persisted ride-through classification")
+        acctSeq += 1
+      }
+    }
   }
 
   /** Persist one log increment atomically (temp + rename): the offset
@@ -199,9 +228,10 @@ class FimiMicroBatchStream(
         val gone = seen.diff(current.toSet)
         val freshAll = current.filterNot(seen.contains)
         // fast path: every vanished file is already durably explained
-        // (steady state after a ridden-through compaction — no
-        // re-classification walk per trigger)
-        if (gone.diff(explained).isEmpty) freshAll
+        // (safe compaction) or durably forgiven (an ignoreChanges
+        // ride-through of a genuine data change) — no re-classification
+        // walk per trigger in either steady state
+        if (gone.diff(explained).diff(forgiven).isEmpty) freshAll
         else {
           // Files this stream already discovered have left the latest
           // listing — a table-replacing commit rewrote or dropped them.
@@ -247,7 +277,7 @@ class FimiMicroBatchStream(
                 }
               }
             }
-          val unexplained = gone.diff(explained).diff(newExplained)
+          val unexplained = gone.diff(explained).diff(newExplained).diff(forgiven)
           // the ride-through applies BEFORE the opt-in: ignoreChanges
           // forgives only the UNEXPLAINED remainder (genuine data
           // changes) — it must never cause proven-safe compaction
@@ -263,10 +293,15 @@ class FimiMicroBatchStream(
                 ".option(\"changesFrom\", <version>)), or set " +
                 ".option(\"ignoreChanges\", \"true\") to accept re-delivered " +
                 "rewritten rows")
-          if (newExplained.nonEmpty || newSkip.nonEmpty) {
-            persistAcct(newExplained, newSkip) // durability first
+          // forgiven files persist as a third marker (r18 ADVICE):
+          // without it they never leave gone.diff(explained) and every
+          // later trigger would repeat this full-history walk
+          val newForgiven = if (ignoreChanges) unexplained else Set.empty[String]
+          if (newExplained.nonEmpty || newSkip.nonEmpty || newForgiven.nonEmpty) {
+            persistAcct(newExplained, newSkip, newForgiven) // durability first
             explained ++= newExplained
             newSkip.foreach { s => skipMarked += s; seen += s }
+            forgiven ++= newForgiven
           }
           freshAll.filterNot(skipMarked.contains)
         }

@@ -323,4 +323,46 @@ class FimiChangesSpec extends SparkSpec {
       .collect().map(_.getLong(0)).sorted.toSeq
     assert(versions == Seq(0L, 0L, 1L), versions.toString)
   }
+
+  test("a streaming changesFrom beyond latest+1 fails at start, not as a silent empty stream") {
+    val dest = s"${tmpDir("ahead")}/t.fimi"
+    writeBaskets(dest, Seq("a b"), "overwrite") // v0 only
+    def stream(from: Long): Unit = {
+      val q = spark.readStream.format("fimi")
+        .option(FimiChanges.FromOption, from).load(dest)
+        .writeStream.outputMode("append").format("noop")
+        .option("checkpointLocation", s"${tmpDir(s"ahead-ck-$from")}/ck")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try { if (!q.awaitTermination(120000)) fail("drain did not stop") }
+      finally q.stop()
+    }
+    // latest+1 is the legitimate subscribe-ahead case: an idle stream
+    stream(1L)
+    // latest+2 is a typo'd version — loud failure, never an idle stream
+    def messages(t: Throwable): String =
+      if (t == null) "" else Option(t.getMessage).getOrElse("") + messages(t.getCause)
+    val e = intercept[Throwable] { stream(2L) }
+    assert(messages(e).contains("beyond the next commit"), messages(e).take(500))
+  }
+
+  test("version bounds at the Long extremes saturate to empty, never wrap to no-prune") {
+    val dest = s"${tmpDir("satur")}/t.fimi"
+    writeBaskets(dest, Seq("a b"), "overwrite")
+    writeBaskets(dest, Seq("b c"), "append")
+    val all = changes(dest, 0)
+    // strict bounds past either extreme are unsatisfiable: zero
+    // partitions planned (a v+1/v-1 wraparound would instead plan the
+    // FULL range and return every row through the residual filter)
+    val hi = all.filter(col(FimiChanges.VersionCol) > Long.MaxValue)
+    assert(hi.rdd.getNumPartitions == 0,
+      s"> Long.MaxValue planned ${hi.rdd.getNumPartitions} partitions")
+    assert(hi.count() == 0)
+    val lo = all.filter(col(FimiChanges.VersionCol) < Long.MinValue)
+    assert(lo.rdd.getNumPartitions == 0,
+      s"< Long.MinValue planned ${lo.rdd.getNumPartitions} partitions")
+    assert(lo.count() == 0)
+    // non-strict extremes stay full-range (they are satisfiable)
+    assert(all.filter(col(FimiChanges.VersionCol) <= Long.MaxValue).count() == 2)
+  }
 }

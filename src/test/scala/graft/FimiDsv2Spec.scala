@@ -358,6 +358,97 @@ class FimiDsv2Spec extends SparkSpec {
     assert(drain() == Seq("f,g"), "vacuum of ridden-through optimize commits broke the stream")
   }
 
+  test("an ignoreChanges ride-through is durable: forgiven files persist as acct markers and survive restart + vacuum") {
+    val root = tmpDir("forgive")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root, "ns"))
+    val dest = s"$root/ns/t.fimi"
+    val sp = spark
+    import sp.implicits._
+    Seq("a b", "x y").toDF("raw")
+      .select(split(col("raw"), " ").as("items")).coalesce(1)
+      .write.format("fimi").option("snapshots", "true")
+      .mode("overwrite").save(dest)
+    val ckRoot = tmpDir("forgive-ck")
+    val ck = s"$ckRoot/ck"
+    def drain(): Seq[String] = {
+      val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+      val q = spark.readStream.format("fimi").option("ignoreChanges", "true").load(dest)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ck)
+        .foreachBatch { (bdf: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          val rows = bdf.collect().map(_.getSeq[String](1).mkString(","))
+          buf.synchronized { buf ++= rows }
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      buf.synchronized(buf.toSeq).sorted
+    }
+    assert(drain() == Seq("a,b", "x,y"))
+    spark.conf.set("spark.sql.catalog.graft_fg", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_fg.root", root)
+    spark.sql("DELETE FROM graft_fg.ns.t WHERE array_contains(items, 'a')") // v1: COW rewrite
+    // the opt-in forgives the rewrite (survivor re-delivered, documented)
+    assert(drain() == Seq("x,y"))
+    // the forgiveness is DURABLE: an acct increment carries an F marker
+    // (without it gone.diff(explained) never empties and every later
+    // trigger repeats the full-history classification walk)
+    def acctLines(): Seq[String] = {
+      val ckDir = java.nio.file.Paths.get(ckRoot)
+      val accts = java.nio.file.Files.walk(ckDir).iterator()
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      while (accts.hasNext) {
+        val p = accts.next()
+        if (p.getFileName.toString.matches("acct-\\d+"))
+          out ++= new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+            .split("\n").filter(_.nonEmpty)
+      }
+      out.toSeq
+    }
+    assert(acctLines().exists(_.startsWith("F ")),
+      s"forgiven file not persisted: ${acctLines()}")
+    // vacuum expires the pre-DML history the walk would need; a fresh
+    // stream (cold restore from the checkpoint) must stay clean and
+    // deliver nothing new — the durable F set, not re-derivation,
+    // carries the classification
+    val table = new org.apache.hadoop.fs.Path(dest)
+    graft.sources.fimi.FimiLog.vacuum(
+      table.getFileSystem(spark.sessionState.newHadoopConf()), table, retainLast = 1)
+    graft.sources.fimi.FimiLog.clearCache() // simulate a cold driver JVM
+    assert(drain().isEmpty, "restarted forgiven stream re-delivered or failed")
+    // and later appends keep flowing
+    Seq("p q").toDF("raw").select(split(col("raw"), " ").as("items")).coalesce(1)
+      .write.format("fimi").option("snapshots", "true").mode("append").save(dest)
+    assert(drain() == Seq("p,q"))
+  }
+
+  test("acct persistence retries past a sequence collision instead of dropping the classification") {
+    val dir = tmpDir("acctrace")
+    writeLines(dir, "a.dat", Seq("x y"))
+    val ck = s"${tmpDir("acctrace-ck")}/src0"
+    val kvs = graft.sources.fimi.FimiTable.confKVs(
+      spark.sessionState.newHadoopConf())
+    val stream = new graft.sources.fimi.FimiMicroBatchStream(
+      Seq(dir), kvs, graft.sources.fimi.FimiTable.Schema, "\\s+", ck)
+    // a FOREIGN acct-0 lands AFTER the stream's restore (a concurrent
+    // writer / crashed attempt): the keep-if-exists protocol would
+    // silently drop the increment below — the fix retries at acct-1
+    val logDir = java.nio.file.Paths.get(ck, "graft-fimi-log")
+    java.nio.file.Files.createDirectories(logDir)
+    java.nio.file.Files.write(logDir.resolve("acct-0"),
+      "E foreign\n".getBytes("UTF-8"))
+    stream.persistAcct(Seq("/data/gone1"), Seq("/data/kept1"), Seq("/data/forg1"))
+    def lines(n: Int): Seq[String] =
+      new String(java.nio.file.Files.readAllBytes(
+        logDir.resolve(s"acct-$n")), "UTF-8").split("\n").filter(_.nonEmpty).toSeq
+    assert(lines(0) == Seq("E foreign"), "foreign increment must stay intact")
+    assert(lines(1) == Seq("E /data/gone1", "S /data/kept1", "F /data/forg1"),
+      s"collided increment must land at the next sequence: ${lines(1)}")
+    // the next increment advances normally
+    stream.persistAcct(Seq("/data/gone2"), Nil)
+    assert(lines(2) == Seq("E /data/gone2"), lines(2).toString)
+  }
+
   test("ignoreChanges never re-delivers proven-safe compaction output") {
     val dest = s"${tmpDir("ignopt")}/t.fimi"
     val sp = spark
