@@ -509,34 +509,43 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     }
   }
 
-  /** Property annotations are the ONE mutable surface: `SET/UNSET
-    * TBLPROPERTIES` maintains session-scoped metadata (see [[props]]);
-    * any schema change is rejected — parquet datasets because they are
-    * corpus snapshots, and managed `.fimi` work tables because their
-    * schema IS the format's contract: a fimi table is transaction text
-    * (`tid BIGINT` positional + `items ARRAY<STRING>` — the FIMI
-    * `.dat` convention), so there is no byte layout an added column
-    * could evolve into. Schema evolution for fimi work tables is
-    * therefore an explicit, DOCUMENTED rejection (spec-pinned), not a
-    * missing feature: the migration path is `CREATE TABLE ... AS
-    * SELECT` into a new table (atomic CTAS) — the same posture Delta
-    * takes for types its protocol cannot carry. */
+  /** Mutable surfaces: `SET/UNSET TBLPROPERTIES` (session-scoped
+    * annotations, see [[props]]) and — on managed `.fimi` SNAPSHOT
+    * tables — `ALTER TABLE ... ADD COLUMNS`, the lakehouse
+    * schema-evolution verb: an empty manifest commits the new full
+    * schema (`#schema` header), data files written from then on carry
+    * the added columns as a positional cell suffix per line, and every
+    * file written before simply reads NULL for them (null-fill falls
+    * out of the prefix encoding — zero bytes rewritten; see the
+    * FimiTable scaladoc). Time travel serves each generation under the
+    * schema committed at that version. Added columns must be nullable
+    * scalars appended at the end: DROP / RENAME / retype / reposition
+    * stay rejected, because cells map to columns POSITIONALLY and
+    * removing or reordering one would silently re-key every younger
+    * file's cells — the migration path for those is `CREATE TABLE ...
+    * AS SELECT` (atomic CTAS). Parquet datasets stay fully read-only
+    * (corpus snapshots). */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val isFimi = fs.exists(tablePath(ident, ".fimi"))
+    val adds = changes.collect { case a: TableChange.AddColumn => a }
     val unsupported = changes.filterNot(c =>
       c.isInstanceOf[TableChange.SetProperty] ||
-        c.isInstanceOf[TableChange.RemoveProperty])
-    if (unsupported.nonEmpty && fs.exists(tablePath(ident, ".fimi")))
+        c.isInstanceOf[TableChange.RemoveProperty] ||
+        (isFimi && c.isInstanceOf[TableChange.AddColumn]))
+    if (unsupported.nonEmpty && isFimi)
       throw new UnsupportedOperationException(
         s"fimi table ${name()}.$ident has a fixed schema contract " +
-          "(tid BIGINT, items ARRAY<STRING> — transaction text carries " +
-          "no other columns); schema evolution is not supported — " +
-          "migrate with CREATE TABLE ... USING fimi AS SELECT " +
-          s"(rejected: ${unsupported.mkString(", ")})")
+          "(tid BIGINT positional, items ARRAY<STRING>, plus " +
+          "append-only evolved columns); only ALTER TABLE ... ADD " +
+          "COLUMNS evolves it — DROP/RENAME/retype would re-key the " +
+          "positional cell encoding; migrate with CREATE TABLE ... " +
+          s"USING fimi AS SELECT (rejected: ${unsupported.mkString(", ")})")
     if (unsupported.nonEmpty)
       throw new UnsupportedOperationException(
         s"catalog ${name()} is read-only: only table-property annotations " +
           s"may change (rejected: ${unsupported.mkString(", ")})")
+    if (adds.nonEmpty && isFimi) addColumns(ident, adds)
     val next = changes.foldLeft(props.getOrElse(ident, Map.empty)) {
       case (m, sp: TableChange.SetProperty) => m + (sp.property -> sp.value)
       case (m, rp: TableChange.RemoveProperty) => m - rp.property
@@ -544,6 +553,50 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     }
     if (next.isEmpty) props.remove(ident) else props(ident) = next
     loadTable(ident)
+  }
+
+  /** Commit `ALTER TABLE ... ADD COLUMNS` as one empty manifest carrying
+    * the evolved full schema. Validation is strict because the file
+    * encoding is positional: nullable scalars only (existing rows must
+    * null-fill), appended at the end, no duplicates. */
+  private def addColumns(
+      ident: Identifier, adds: Seq[TableChange.AddColumn]): Unit = {
+    import graft.sources.fimi.{FimiLog, FimiTable}
+    val dest = tablePath(ident, ".fimi")
+    require(FimiLog.exists(fs, dest),
+      s"fimi table ${name()}.$ident keeps no snapshot log; ADD COLUMNS " +
+        "applies to snapshot tables (the manifest log carries the " +
+        "per-generation schema)")
+    val cur = FimiLog.schemaAt(fs, dest, None)
+      .map(j => org.apache.spark.sql.types.DataType.fromJson(j)
+        .asInstanceOf[StructType])
+      .getOrElse(FimiTable.Schema)
+    val next = adds.foldLeft(cur) { (schema, a) =>
+      require(a.fieldNames().length == 1,
+        s"fimi ADD COLUMNS: nested field ${a.fieldNames().mkString(".")} " +
+          "is not supported (top-level scalar columns only)")
+      val colName = a.fieldNames()(0)
+      require(!schema.fieldNames.exists(_.equalsIgnoreCase(colName)),
+        s"fimi ADD COLUMNS: column $colName already exists")
+      require(a.isNullable,
+        s"fimi ADD COLUMNS: $colName must be nullable — rows written " +
+          "before the evolution read the column as NULL")
+      require(a.position() == null,
+        s"fimi ADD COLUMNS: $colName must append at the end (cells map " +
+          "to columns positionally; FIRST/AFTER would re-key younger files)")
+      require(FimiTable.SupportedExtraTypes.contains(a.dataType()),
+        s"fimi ADD COLUMNS: type ${a.dataType().catalogString} is not " +
+          "supported (scalars only: string, bigint, int, double, " +
+          "boolean, date, timestamp)")
+      schema.add(org.apache.spark.sql.types.StructField(
+        colName, a.dataType(), nullable = true))
+    }
+    var v = FimiLog.latestVersion(fs, dest).map(_ + 1).getOrElse(0L)
+    while (!FimiLog.write(fs, dest, v, None, truncate = false, Seq.empty,
+        op = Some("ADD COLUMNS"), schemaJson = Some(next.json)))
+      v += 1
+    FimiLog.maybeCheckpoint(fs, dest)
+    cache.remove(ident)
   }
 
   /** DROP TABLE: managed `.fimi` work tables only (the CTAS/CREATE

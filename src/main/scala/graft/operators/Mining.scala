@@ -642,6 +642,37 @@ object Mining {
       .orderBy("version", "change", "item")
   }
 
+  /** SCHEMA EVOLUTION from SQL (`ALTER TABLE ... ADD COLUMNS` — the
+    * Delta/Iceberg add-column verb): a cloned snapshot work table
+    * evolves with a `quality BIGINT` column (one EMPTY manifest commits
+    * the new schema — zero data bytes move, at any table size), a
+    * copy-on-write UPDATE back-fills `quality = size(items)` for every
+    * basket of ≥ 5 items (carryover rows in rewritten files keep NULL
+    * — the positional-cell alignment under rewrite), and one INSERT
+    * lands a fresh basket with the column populated. The read-back
+    * groups per-item counts AND quality sums by quality-nullness, so
+    * one hash pins: null-fill of pre-evolution rows, cell round-trip
+    * of written values, and COW carryover alignment. The oracle
+    * re-derives the flag and sum relationally from parquet.
+    *
+    * Scale posture: ADD COLUMNS is O(1) in the corpus (the 100 TB ADD
+    * COLUMN is one manifest rename); the UPDATE prices the same COW
+    * data plane `fpm_fimi_update` already measures; the read is the
+    * standard explode + hash aggregate. */
+  def fpmFimiEvolve(s: SparkSession, dir: String): DataFrame = {
+    val (t, _) = fimiDmlTable(s, dir, "graft_fimi_evo", "graft_dml_evo")
+    s.sql(s"ALTER TABLE $t ADD COLUMN quality BIGINT")
+    s.sql(s"UPDATE $t SET quality = CAST(size(items) AS BIGINT) " +
+      "WHERE size(items) >= 5")
+    s.sql(s"INSERT INTO $t VALUES (-5L, array('zz_evo'), 99L)")
+    s.table(t)
+      .select(explode(col("items")).as("item"),
+        col("quality").isNotNull.as("flagged"), col("quality"))
+      .groupBy("item", "flagged")
+      .agg(count(lit(1)).as("n"), sum(col("quality")).as("q_sum"))
+      .orderBy("item", "flagged")
+  }
+
   /** Frequent items at the k-itemset threshold — downward-closure prune set. */
   private def f1(s: SparkSession, dir: String, minSup: Double): DataFrame =
     itemSupports(s, dir)
@@ -1742,6 +1773,7 @@ object Mining {
     "fpm_fimi_merge"   -> (fpmFimiMerge _),
     "fpm_fimi_history" -> (fpmFimiHistory _),
     "fpm_fimi_changes" -> (fpmFimiChanges _),
+    "fpm_fimi_evolve" -> (fpmFimiEvolve _),
     "fpm_fimi_vacuum"  -> (fpmFimiVacuum _),
     "fpm_fimi_compact" -> (fpmFimiCompact _),
     "fpm_fimi_spj"     -> (fpmFimiSpj _),
@@ -2225,6 +2257,26 @@ object Mining {
         |SELECT 'g' || CAST(tid % 3 AS VARCHAR) AS grp, item,
         |       CAST(count(*) AS BIGINT) AS freq
         |FROM tx GROUP BY 1, 2 ORDER BY grp, item""".stripMargin),
+
+    // Schema-evolution ground truth: after ADD COLUMN quality BIGINT,
+    // UPDATE back-fills quality = basket size for >= 5-item baskets
+    // (everything else stays NULL — including carryover rows the COW
+    // rewrite copies), and one (zz_evo, 99) basket lands populated.
+    // Grouping by (item, quality IS NOT NULL) with a quality SUM pins
+    // null-fill, cell round-trip and carryover alignment in one hash.
+    "fpm_fimi_evolve" -> (txCte +
+      """, sz AS (SELECT tid, count(*) AS c FROM tx GROUP BY tid)
+        |SELECT item, flagged, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(q) AS BIGINT) AS q_sum
+        |FROM (
+        |  SELECT t.item AS item, (sz.c >= 5) AS flagged,
+        |         CASE WHEN sz.c >= 5 THEN sz.c END AS q
+        |  FROM tx t JOIN sz ON t.tid = sz.tid
+        |  UNION ALL
+        |  SELECT 'zz_evo', true, 99
+        |)
+        |GROUP BY item, flagged
+        |ORDER BY item, flagged""".stripMargin),
 
     "fpm_eclat" -> (txCte +
       """

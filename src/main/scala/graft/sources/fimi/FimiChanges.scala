@@ -67,13 +67,22 @@ object FimiChanges {
   val VersionCol = "_commit_version"
   val TimestampCol = "_commit_timestamp"
 
-  val Schema: StructType = StructType(Seq(
-    StructField("tid", LongType, nullable = false),
-    StructField("items", ArrayType(StringType, containsNull = false),
-      nullable = false),
+  /** The three change-metadata columns appended after the table's own. */
+  val ChangeFields: Seq[StructField] = Seq(
     StructField(ChangeTypeCol, StringType, nullable = false),
     StructField(VersionCol, LongType, nullable = false),
-    StructField(TimestampCol, TimestampType, nullable = false)))
+    StructField(TimestampCol, TimestampType, nullable = false))
+
+  val ChangeColNames: Set[String] = ChangeFields.map(_.name).toSet
+
+  val Schema: StructType =
+    StructType(FimiTable.Schema.fields.toSeq ++ ChangeFields)
+
+  /** The feed's relation schema for a table schema: the table's own
+    * columns (evolved extras included — the feed serves the same row
+    * shape the snapshot reads do) plus the change metadata. */
+  def schemaFor(tableSchema: StructType): StructType =
+    StructType(tableSchema.fields.toSeq ++ ChangeFields)
 
   def requested(options: CaseInsensitiveStringMap): Boolean =
     options.containsKey(FromOption) || options.containsKey(FromTsOption)
@@ -275,7 +284,9 @@ class FimiChangesScanBuilder(options: CaseInsensitiveStringMap)
 
   import org.apache.spark.sql.sources._
 
-  private var requiredSchema: StructType = FimiChanges.Schema
+  /** The underlying table's schema at latest (evolved extras included). */
+  private val tableSchema: StructType = FimiTable.schemaFor(options)
+  private var requiredSchema: StructType = FimiChanges.schemaFor(tableSchema)
   private var pruneFilters: Array[Filter] = Array.empty
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
@@ -390,7 +401,8 @@ class FimiChangesScanBuilder(options: CaseInsensitiveStringMap)
       from,
       Option(options.get(FimiChanges.ToOption)).map(_.toLong),
       Option(options.get("maxFilesPerTrigger")).map(_.toInt),
-      vBound, sides, vSet)
+      vBound, sides, vSet,
+      FimiTable.extrasOf(tableSchema))
   }
 
   /** First version whose commit instant is at or after `ts` (epoch
@@ -447,7 +459,8 @@ class FimiChangesScan(
     maxFilesPerTrigger: Option[Int] = None,
     versionBound: (Long, Long) = (Long.MinValue, Long.MaxValue),
     sides: Set[Boolean] = Set(true, false),
-    versionSet: Option[Set[Long]] = None)
+    versionSet: Option[Set[Long]] = None,
+    tableExtras: Seq[StructField] = Nil)
     extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = requiredSchema
@@ -476,7 +489,7 @@ class FimiChangesScan(
         "change feed (bound a drain with Trigger.AvailableNow)")
     new FimiChangesMicroBatchStream(tablePath, hadoopKVs, requiredSchema,
       sep, maxSplitBytes, fromVersion, maxFilesPerTrigger,
-      versionBound, sides, versionSet)
+      versionBound, sides, versionSet, tableExtras)
   }
 
   /** Driver-side plan: fold the manifest tail once, diff each commit in
@@ -518,7 +531,7 @@ class FimiChangesScan(
     partitions.toArray[InputPartition]
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new FimiChangesReaderFactory(hadoopKVs, requiredSchema, sep)
+    new FimiChangesReaderFactory(hadoopKVs, requiredSchema, sep, tableExtras)
 
   override def estimateStatistics(): Statistics = new Statistics {
     override def sizeInBytes(): OptionalLong =
@@ -569,7 +582,8 @@ class FimiChangesMicroBatchStream(
     maxFilesPerTrigger: Option[Int],
     versionBound: (Long, Long) = (Long.MinValue, Long.MaxValue),
     sides: Set[Boolean] = Set(true, false),
-    versionSet: Option[Set[Long]] = None)
+    versionSet: Option[Set[Long]] = None,
+    tableExtras: Seq[StructField] = Nil)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
@@ -670,7 +684,7 @@ class FimiChangesMicroBatchStream(
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new FimiChangesReaderFactory(hadoopKVs, requiredSchema, sep)
+    new FimiChangesReaderFactory(hadoopKVs, requiredSchema, sep, tableExtras)
 
   override def deserializeOffset(json: String): Offset =
     FimiChangesOffset.fromJson(json)
@@ -680,20 +694,25 @@ class FimiChangesMicroBatchStream(
   override def stop(): Unit = ()
 }
 
-/** Wraps the batch line reader: the inner reader serves the (tid,
-  * items) subset of the pruned schema; the three change columns are
-  * per-partition constants appended on the driver-planned metadata. */
+/** Wraps the batch line reader: the inner reader serves the table-side
+  * subset of the pruned schema (tid, items and any evolved extras); the
+  * three change columns are per-partition constants appended on the
+  * driver-planned metadata. Old-generation files on the delete side
+  * simply carry fewer cells — the positional prefix property null-fills
+  * them exactly like a snapshot read. */
 class FimiChangesReaderFactory(
     hadoopKVs: Array[(String, String)],
     requiredSchema: StructType,
-    sep: String) extends PartitionReaderFactory {
+    sep: String,
+    tableExtras: Seq[StructField] = Nil) extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val part = partition.asInstanceOf[FimiChangesPartition]
-    val innerSchema = StructType(requiredSchema.fields.filter(f =>
-      f.name == "tid" || f.name == "items"))
+    val innerSchema = StructType(requiredSchema.fields.filterNot(f =>
+      FimiChanges.ChangeColNames.contains(f.name)))
     val inner = new FimiPartitionReader(
-      part.inner, FimiTable.rebuildConf(hadoopKVs), innerSchema, sep, -1)
+      part.inner, FimiTable.rebuildConf(hadoopKVs), innerSchema, sep, -1,
+      tableExtras)
     val innerIdx = innerSchema.fieldNames.zipWithIndex.toMap
     val changeType =
       UTF8String.fromString(if (part.insert) "insert" else "delete")
@@ -705,14 +724,12 @@ class FimiChangesReaderFactory(
         val row = new GenericInternalRow(requiredSchema.length)
         var i = 0
         while (i < requiredSchema.length) {
-          requiredSchema.fields(i).name match {
-            case "tid" => row.update(i, in.getLong(innerIdx("tid")))
-            case "items" => row.update(i, in.getArray(innerIdx("items")))
+          val f = requiredSchema.fields(i)
+          f.name match {
             case FimiChanges.ChangeTypeCol => row.update(i, changeType)
             case FimiChanges.VersionCol => row.update(i, part.version)
             case FimiChanges.TimestampCol => row.update(i, part.tsMicros)
-            case other => throw new IllegalStateException(
-              s"fimi changes: unexpected pruned column $other")
+            case other => row.update(i, in.get(innerIdx(other), f.dataType))
           }
           i += 1
         }

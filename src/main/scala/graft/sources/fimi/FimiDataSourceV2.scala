@@ -71,7 +71,9 @@ class FimiDataSourceV2 extends TableProvider with DataSourceRegister {
   override def shortName(): String = "fimi"
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    if (FimiChanges.requested(options)) FimiChanges.Schema else FimiTable.Schema
+    if (FimiChanges.requested(options))
+      FimiChanges.schemaFor(FimiTable.schemaFor(options))
+    else FimiTable.schemaFor(options)
 
   override def getTable(
       schema: StructType,
@@ -85,6 +87,143 @@ object FimiTable {
     StructField("tid", LongType, nullable = false),
     StructField("items", ArrayType(StringType, containsNull = false),
       nullable = false)))
+
+  // ------------------------------------------------- schema evolution
+  //
+  // `ALTER TABLE ... ADD COLUMNS` on a fimi SNAPSHOT table commits an
+  // empty manifest carrying the new full schema (`#schema` header, see
+  // FimiLog). Data files encode the evolved columns as a positional
+  // CELL suffix per line: `item1 item2<US>cell1<US>cell2` where <US> is
+  // U+001F (unit separator — a control char no FIMI item token or
+  // whitespace separator contains). Cells map positionally onto the
+  // table's extra columns; columns only ever APPEND, so a file written
+  // under an older schema simply has fewer cells and the missing tail
+  // reads as NULL — null-fill of pre-evolution generations falls out of
+  // the encoding, with zero rewrite of existing bytes. A row whose
+  // cells are all null writes the PLAIN line (the all-null suffix is
+  // dropped), so un-evolved tables and carryover rows stay
+  // byte-identical to the base format.
+
+  /** Separator between the items text and each evolved-column cell. */
+  val CellSep: Char = '\u001f'
+
+  /** Evolved (non-structural) columns of a table schema, in cell order. */
+  def extrasOf(schema: StructType): Seq[StructField] =
+    schema.fields.filter(f =>
+      f.name != "tid" && f.name != "items" && f.name != FileColName).toSeq
+
+  /** Types an added column may take — scalars with an unambiguous
+    * one-token text form (strings are JSON-quoted; date/timestamp ride
+    * their internal int days / long micros). */
+  val SupportedExtraTypes: Set[DataType] = Set(
+    StringType, LongType, IntegerType, DoubleType, BooleanType,
+    DateType, TimestampType)
+
+  /** The full logical schema the table serves at the options' version
+    * (latest when no `versionAsOf`): the manifest log's folded `#schema`
+    * when the single path is a snapshot table that evolved, the base
+    * (tid, items) contract otherwise. */
+  def schemaFor(options: CaseInsensitiveStringMap): StructType = {
+    val conf = SparkSession.active.sessionState.newHadoopConf()
+    val vAsOf = Option(options.get("versionAsOf")).map(_.toLong)
+    paths(options) match {
+      case Seq(one) =>
+        val p = new Path(one)
+        val fs = p.getFileSystem(conf)
+        if (fs.exists(p) && fs.getFileStatus(p).isDirectory &&
+            FimiLog.exists(fs, p))
+          FimiLog.schemaAt(fs, p, vAsOf)
+            .map(j => DataType.fromJson(j).asInstanceOf[StructType])
+            .getOrElse(Schema)
+        else Schema
+      case _ => Schema
+    }
+  }
+
+  /** One cell's text form (non-null `row(i)` of type `dt`). */
+  def encodeCell(
+      row: org.apache.spark.sql.catalyst.expressions.SpecializedGetters,
+      i: Int, dt: DataType): String = dt match {
+    case StringType => quoteCell(row.getUTF8String(i).toString)
+    case LongType | TimestampType => row.getLong(i).toString
+    case IntegerType | DateType => row.getInt(i).toString
+    case DoubleType => row.getDouble(i).toString
+    case BooleanType => row.getBoolean(i).toString
+    case other => throw new IllegalStateException(
+      s"fimi: unsupported evolved-column type $other")
+  }
+
+  /** Parse one cell back to its InternalRow value (null for the `null`
+    * literal and for the empty cell a hand-truncated file could carry). */
+  def decodeCell(cell: String, dt: DataType): Any =
+    if (cell == "null" || cell.isEmpty) null
+    else dt match {
+      case StringType => UTF8String.fromString(unquoteCell(cell))
+      case LongType | TimestampType => java.lang.Long.valueOf(cell)
+      case IntegerType | DateType => Integer.valueOf(cell)
+      case DoubleType => java.lang.Double.valueOf(cell)
+      case BooleanType => java.lang.Boolean.valueOf(cell)
+      case other => throw new IllegalStateException(
+        s"fimi: unsupported evolved-column type $other")
+    }
+
+  /** Cell layout for a write: one (input ordinal, type) per TABLE extra
+    * column in schema order; ordinal −1 = the input carries no such
+    * column (the cell writes null). */
+  def cellLayout(
+      tableSchema: StructType, inputSchema: StructType): Seq[(Int, DataType)] =
+    extrasOf(tableSchema).map { f =>
+      (inputSchema.fieldNames.indexWhere(_.equalsIgnoreCase(f.name)), f.dataType)
+    }
+
+  /** JSON-style string quoting: quotes, backslashes and every control
+    * char (newline, CellSep, ...) escape, so a quoted cell can never
+    * contain a literal line break or cell separator. */
+  private def quoteCell(s: String): String = {
+    val b = new java.lang.StringBuilder(s.length + 2)
+    b.append('"')
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '"') b.append("\\\"")
+      else if (c == '\\') b.append("\\\\")
+      else if (c < ' ') b.append(f"\\u${c.toInt}%04x")
+      else b.append(c)
+      i += 1
+    }
+    b.append('"')
+    b.toString
+  }
+
+  private def unquoteCell(s: String): String = {
+    require(s.length >= 2 && s.charAt(0) == '"' && s.charAt(s.length - 1) == '"',
+      s"fimi: malformed string cell: $s")
+    val b = new java.lang.StringBuilder(s.length - 2)
+    var i = 1
+    while (i < s.length - 1) {
+      val c = s.charAt(i)
+      if (c == '\\') {
+        i += 1
+        s.charAt(i) match {
+          case '"' => b.append('"')
+          case '\\' => b.append('\\')
+          case '/' => b.append('/')
+          case 'n' => b.append('\n')
+          case 't' => b.append('\t')
+          case 'r' => b.append('\r')
+          case 'b' => b.append('\b')
+          case 'f' => b.append('\f')
+          case 'u' =>
+            b.append(Integer.parseInt(s.substring(i + 1, i + 5), 16).toChar)
+            i += 4
+          case other => throw new IllegalArgumentException(
+            s"fimi: bad escape \\$other in cell $s")
+        }
+      } else b.append(c)
+      i += 1
+    }
+    b.toString
+  }
 
   /** Metadata column exposing the data file serving each row — the
     * GROUP identity for copy-on-write row-level DML (Spark's runtime
@@ -252,8 +391,15 @@ class FimiTable(options: CaseInsensitiveStringMap)
     * options become the table's properties. */
   private def isChangeFeed: Boolean = FimiChanges.requested(options)
 
+  /** Resolved once per table instance: the manifest log's folded
+    * `#schema` for an evolved snapshot table (at the options' version
+    * for time travel), the base contract otherwise. GraftCatalog
+    * invalidates its cached instance on ALTER, so a fresh resolution
+    * always follows a schema change. */
+  private lazy val resolvedSchema: StructType = FimiTable.schemaFor(options)
+
   override def schema(): StructType =
-    if (isChangeFeed) FimiChanges.Schema else FimiTable.Schema
+    if (isChangeFeed) FimiChanges.schemaFor(resolvedSchema) else resolvedSchema
 
   private def bucketCount: Int =
     Option(options.get("buckets")).map(_.toInt).getOrElse(0)
@@ -370,7 +516,10 @@ class FimiScanBuilder(
     with SupportsPushDownLimit
     with SupportsPushDownFilters {
 
-  private var requiredSchema: StructType = FimiTable.Schema
+  /** The table's full schema at the options' version — the pruning
+    * baseline and the evolved-cell layout readers decode against. */
+  private val tableSchema: StructType = FimiTable.schemaFor(options)
+  private var requiredSchema: StructType = tableSchema
   private var limit: Int = -1
   private var pruneFilters: Array[Filter] = Array.empty
 
@@ -434,7 +583,7 @@ class FimiScanBuilder(
       // and (b) know which groups the replacement rows were computed from
       return op.rewriteScan(
         FimiTable.paths(options).toIndexedSeq, hadoopKVs, requiredSchema,
-        maxSplitBytes, sep)
+        maxSplitBytes, sep, FimiTable.extrasOf(tableSchema))
     }
     val buckets = Option(options.get("buckets")).map(_.toInt).getOrElse(0)
     if (buckets > 0)
@@ -452,7 +601,8 @@ class FimiScanBuilder(
         maxSplitBytes, sep, limit, bound._1, bound._2,
         Option(options.get("versionAsOf")).map(_.toLong),
         Option(options.get("maxFilesPerTrigger")).map(_.toInt),
-        Option(options.get("ignoreChanges")).exists(_.toBoolean))
+        Option(options.get("ignoreChanges")).exists(_.toBoolean),
+        FimiTable.extrasOf(tableSchema))
     }
   }
 }
@@ -474,7 +624,8 @@ class FimiScan(
     tidHi: Long,
     versionAsOf: Option[Long] = None,
     maxFilesPerTrigger: Option[Int] = None,
-    ignoreChanges: Boolean = false) extends Scan with Batch with SupportsReportStatistics {
+    ignoreChanges: Boolean = false,
+    tableExtras: Seq[StructField] = Nil) extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = requiredSchema
   override def toBatch: Batch = this
@@ -568,7 +719,7 @@ class FimiScan(
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new FimiPartitionReaderFactory(hadoopKVs, requiredSchema, sep, limit)
+    new FimiPartitionReaderFactory(hadoopKVs, requiredSchema, sep, limit, tableExtras)
 
   override def estimateStatistics(): Statistics = new Statistics {
     override def sizeInBytes(): OptionalLong =
@@ -581,12 +732,13 @@ class FimiPartitionReaderFactory(
     hadoopKVs: Array[(String, String)],
     requiredSchema: StructType,
     sep: String,
-    limit: Int) extends PartitionReaderFactory {
+    limit: Int,
+    tableExtras: Seq[StructField] = Nil) extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new FimiPartitionReader(
       partition.asInstanceOf[FimiInputPartition],
-      FimiTable.rebuildConf(hadoopKVs), requiredSchema, sep, limit)
+      FimiTable.rebuildConf(hadoopKVs), requiredSchema, sep, limit, tableExtras)
 }
 
 class FimiPartitionReader(
@@ -594,7 +746,8 @@ class FimiPartitionReader(
     conf: Configuration,
     requiredSchema: StructType,
     sep: String,
-    limit: Int) extends PartitionReader[InternalRow] {
+    limit: Int,
+    tableExtras: Seq[StructField] = Nil) extends PartitionReader[InternalRow] {
 
   private val wantTid = requiredSchema.fieldNames.contains("tid")
   private val wantItems = requiredSchema.fieldNames.contains("items")
@@ -604,6 +757,22 @@ class FimiPartitionReader(
   private val fileIdx = requiredSchema.fieldNames.indexOf(FimiTable.FileColName)
   private val fileVal =
     if (fileIdx >= 0) UTF8String.fromString(part.filePath) else null
+  // evolved columns: (required ordinal, cell ordinal in the table's
+  // extra order, type) per required extra — cells map positionally and
+  // columns only append, so a file written under an OLDER schema has
+  // fewer cells and the missing tail null-fills
+  private val extraCols: Array[(Int, Int, DataType)] =
+    requiredSchema.fields.zipWithIndex.collect {
+      case (f, i) if f.name != "tid" && f.name != "items" &&
+          f.name != FimiTable.FileColName =>
+        val cell = tableExtras.indexWhere(_.name == f.name)
+        if (cell < 0) throw new IllegalStateException(
+          s"fimi: required column ${f.name} is not an evolved column of " +
+            s"this table (extras: ${tableExtras.map(_.name).mkString(",")})")
+        (i, cell, f.dataType)
+    }.toArray
+  private val wantCells = extraCols.nonEmpty
+  private val cellSplitRe = java.util.regex.Pattern.quote(FimiTable.CellSep.toString)
 
   private val reader = {
     val split = new FileSplit(new Path(part.filePath), part.start, part.length, null)
@@ -629,8 +798,11 @@ class FimiPartitionReader(
     while (reader.nextKeyValue()) {
       lineNo += 1
       val line = reader.getCurrentValue.toString
-      val trimmed = line.trim
-      if (trimmed.nonEmpty) {
+      // the evolved-cell suffix must split off BEFORE trimming: CellSep
+      // is a control char below U+0020, which String.trim would eat
+      val sepAt = line.indexOf(FimiTable.CellSep)
+      val trimmed = (if (sepAt < 0) line else line.substring(0, sepAt)).trim
+      if (trimmed.nonEmpty || sepAt >= 0) {
         val row = new GenericInternalRow(requiredSchema.length)
         if (wantTid) {
           val offset = if (compressed) lineNo else reader.getCurrentKey.get()
@@ -641,6 +813,23 @@ class FimiPartitionReader(
           val items = trimmed.split(sep).filter(_.nonEmpty).distinct.sorted
           row.update(itemsIdx,
             new GenericArrayData(items.map(UTF8String.fromString(_))))
+        }
+        if (wantCells) {
+          val cells: Array[String] =
+            if (sepAt < 0) Array.empty
+            else {
+              var cp = line.substring(sepAt + 1)
+              if (cp.endsWith("\r")) cp = cp.dropRight(1)
+              cp.split(cellSplitRe, -1)
+            }
+          var e = 0
+          while (e < extraCols.length) {
+            val (i, cell, dt) = extraCols(e)
+            row.update(i,
+              if (cell < cells.length) FimiTable.decodeCell(cells(cell), dt)
+              else null)
+            e += 1
+          }
         }
         if (fileIdx >= 0) row.update(fileIdx, fileVal)
         current = row
@@ -685,10 +874,19 @@ class FimiWriteBuilder(options: CaseInsensitiveStringMap, info: LogicalWriteInfo
         s"bucketed fimi write needs a `tid BIGINT` column; got ${info.schema()}")
       new FimiBucketedWrite(dest, kvs, tidIdx, itemsIdx, info.queryId(),
         truncateExisting, buckets)
-    } else
+    } else {
+      // evolved-column cells: one per TABLE extra in schema order,
+      // valued from the input column of the same name when present,
+      // null otherwise. Input columns matching no table extra are
+      // ignored, like `tid` always was (the path surface is permissive
+      // by contract; catalog writes schema-resolve before they get here)
+      val cells = FimiTable.cellLayout(
+        FimiTable.schemaFor(options), info.schema())
       new FimiBatchWrite(dest, kvs, itemsIdx, info.queryId(), truncateExisting,
         Option(options.get("snapshots")).exists(_.toBoolean),
-        commitOp = Option(options.get("commitOp")))
+        commitOp = Option(options.get("commitOp")),
+        cells = cells)
+    }
   }
 }
 
@@ -704,7 +902,9 @@ class FimiBatchWrite(
     // history verb override (the staged CTAS/RTAS paths label their data
     // commit with the DDL statement that drove it); None = the write
     // mode's own verb (OVERWRITE / APPEND)
-    commitOp: Option[String] = None) extends Write with BatchWrite {
+    commitOp: Option[String] = None,
+    cells: Seq[(Int, org.apache.spark.sql.types.DataType)] = Nil)
+    extends Write with BatchWrite {
 
   override def toBatch: BatchWrite = this
 
@@ -713,12 +913,12 @@ class FimiBatchWrite(
     * destination a snapshot table: the manifest IS the epoch-dedup
     * ledger. */
   override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
-    new FimiStreamingWrite(dest, hadoopKVs, itemsIdx)
+    new FimiStreamingWrite(dest, hadoopKVs, itemsIdx, cells)
 
   private def stagingDir = new Path(dest, s".graft-staging-$queryId")
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new FimiWriterFactory(stagingDir.toString, hadoopKVs, itemsIdx)
+    new FimiWriterFactory(stagingDir.toString, hadoopKVs, itemsIdx, cells)
 
   /** Job commit — the only point where data becomes visible: clear old
     * part files under truncate, then rename each COMMITTED task file
@@ -784,7 +984,9 @@ class FimiBatchWrite(
 class FimiWriterFactory(
     stagingDir: String,
     hadoopKVs: Array[(String, String)],
-    itemsIdx: Int) extends DataWriterFactory {
+    itemsIdx: Int,
+    cells: Seq[(Int, org.apache.spark.sql.types.DataType)] = Nil)
+    extends DataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
     // The job-unique staging-dir suffix rides into the FINAL name too:
@@ -793,7 +995,7 @@ class FimiWriterFactory(
     val jobTag = new Path(stagingDir).getName
       .stripPrefix(".graft-staging-").replaceAll("[^a-zA-Z0-9]", "").take(8)
     val file = new Path(stagingDir, f"part-$partitionId%05d-$taskId-$jobTag.dat")
-    new FimiLineWriter(file, FimiTable.rebuildConf(hadoopKVs), itemsIdx)
+    new FimiLineWriter(file, FimiTable.rebuildConf(hadoopKVs), itemsIdx, cells)
   }
 }
 
@@ -806,12 +1008,15 @@ class FimiWriterFactory(
 class FimiLineWriter(
     file: Path,
     conf: Configuration,
-    itemsIdx: Int) extends DataWriter[InternalRow] {
+    itemsIdx: Int,
+    cells: Seq[(Int, org.apache.spark.sql.types.DataType)] = Nil)
+    extends DataWriter[InternalRow] {
 
   private val fs = file.getFileSystem(conf)
   private val out = new java.io.BufferedWriter(
     new java.io.OutputStreamWriter(fs.create(file, true),
       java.nio.charset.StandardCharsets.UTF_8))
+  private val cellArr = cells.toArray
 
   override def write(row: InternalRow): Unit = {
     val arr = row.getArray(itemsIdx)
@@ -821,6 +1026,22 @@ class FimiLineWriter(
       if (i > 0) out.write(' ')
       out.write(arr.getUTF8String(i).toString)
       i += 1
+    }
+    if (cellArr.nonEmpty) {
+      // drop the all-null suffix: a row whose evolved columns are all
+      // null writes the PLAIN base line (byte-identical pre/post
+      // evolution — the null-fill contract in reverse)
+      var last = cellArr.length - 1
+      while (last >= 0 &&
+          (cellArr(last)._1 < 0 || row.isNullAt(cellArr(last)._1))) last -= 1
+      var c = 0
+      while (c <= last) {
+        out.write(FimiTable.CellSep.toInt)
+        val (ord, dt) = cellArr(c)
+        if (ord < 0 || row.isNullAt(ord)) out.write("null")
+        else out.write(FimiTable.encodeCell(row, ord, dt))
+        c += 1
+      }
     }
     out.write('\n')
   }

@@ -89,7 +89,15 @@ object FimiLog {
       truncate: Boolean,
       files: Seq[String],
       ts: Option[Long] = None,
-      op: Option[String] = None)
+      op: Option[String] = None,
+      // `#schema <StructType.json>` — SCHEMA EVOLUTION: the table's full
+      // logical schema FROM this version on (ALTER TABLE ADD COLUMNS
+      // commits an empty manifest carrying it). Schema folds
+      // independently of `#truncate`: columns only ever APPEND over a
+      // table's lifetime (the positional-cell file encoding depends on
+      // the prefix property), so a table-replacing commit keeps the
+      // evolved schema and its new files simply carry null extras.
+      schemaJson: Option[String] = None)
 
   /** Folded log state at `version`: the resolved file list, every epoch
     * id committed at or below it, the version→commit-ts history, and
@@ -99,7 +107,8 @@ object FimiLog {
       epochs: Set[Long],
       vts: Map[Long, Long],
       minRetained: Long,
-      files: Seq[String])
+      files: Seq[String],
+      schemaJson: Option[String] = None)
 
   private val NameRe = """(\d{20})\.manifest""".r
   private val CkptRe = """(\d{20})\.checkpoint""".r
@@ -183,7 +192,9 @@ object FimiLog {
         ts = headers.collectFirst { case h if h.startsWith("#ts ") =>
           h.stripPrefix("#ts ").trim.toLong },
         op = headers.collectFirst { case h if h.startsWith("#op ") =>
-          h.stripPrefix("#op ").trim })
+          h.stripPrefix("#op ").trim },
+        schemaJson = headers.collectFirst { case h if h.startsWith("#schema ") =>
+          h.stripPrefix("#schema ").trim })
     })
   }
 
@@ -204,7 +215,9 @@ object FimiLog {
           v.toLong -> t.toLong }.toMap,
         minRetained = headers.collectFirst { case h if h.startsWith("#minretained ") =>
           h.stripPrefix("#minretained ").trim.toLong }.getOrElse(0L),
-        files = files)
+        files = files,
+        schemaJson = headers.collectFirst { case h if h.startsWith("#schemajson ") =>
+          h.stripPrefix("#schemajson ").trim })
     })
   }
 
@@ -274,6 +287,28 @@ object FimiLog {
 
   def latestVersion(fs: FileSystem, table: Path): Option[Long] =
     list(fs, table).versions.lastOption
+
+  /** The table's full schema JSON visible at `versionAsOf` (latest when
+    * None): the newest `#schema` header at or below the target, resolved
+    * from the nearest checkpoint's folded schema plus the manifest tail
+    * — bounded opens, like every other fold. None = the table never
+    * evolved (the connector's base schema applies). An unknown target
+    * version resolves leniently to the fold at or below it: callers
+    * needing loud unknown-version failure go through [[resolve]], which
+    * every scan already does. */
+  def schemaAt(fs: FileSystem, table: Path, versionAsOf: Option[Long]): Option[String] = {
+    val l = list(fs, table)
+    if (l.versions.isEmpty) return None
+    val target = versionAsOf.getOrElse(l.versions.last)
+    val (seed, from) = ckptAtOrBelow(l, target) match {
+      case Some(cv) => (checkpoint(fs, table, l, cv).schemaJson, cv)
+      case None => (None, -1L)
+    }
+    l.versions.filter(v => v > from && v <= target)
+      .foldLeft(seed) { (acc, v) =>
+        manifest(fs, table, l, v).schemaJson.orElse(acc)
+      }
+  }
 
   /** One snapshot-history row per RETAINED commit (vacuum deletes
     * expired manifests, so history spans what is still readable). */
@@ -391,7 +426,8 @@ object FimiLog {
       epoch: Option[Long],
       truncate: Boolean,
       files: Seq[String],
-      op: Option[String] = None): Boolean = {
+      op: Option[String] = None,
+      schemaJson: Option[String] = None): Boolean = {
     val dir = logDir(table)
     fs.mkdirs(dir)
     val name = f"$version%020d.manifest"
@@ -401,7 +437,8 @@ object FimiLog {
       Seq(s"#ts ${System.currentTimeMillis()}") ++
         epoch.map(e => s"#epoch $e").toSeq ++
         (if (truncate) Seq("#truncate") else Nil) ++
-        op.map(o => s"#op $o").toSeq
+        op.map(o => s"#op $o").toSeq ++
+        schemaJson.map(j => s"#schema $j").toSeq
     val body = (header ++ files).mkString("", "\n", "\n")
     val tmp = new Path(dir, s".$name.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
     val out = fs.create(tmp, true)
@@ -471,7 +508,8 @@ object FimiLog {
           epochs = st.epochs ++ m.epoch,
           vts = st.vts + (v -> commitTs(fs, table, l, v)),
           minRetained = st.minRetained,
-          files = (if (m.truncate) Vector.empty else st.files.toVector) ++ m.files)
+          files = (if (m.truncate) Vector.empty else st.files.toVector) ++ m.files,
+          schemaJson = m.schemaJson.orElse(st.schemaJson))
       }
   }
 
@@ -485,7 +523,8 @@ object FimiLog {
     val header =
       state.epochs.toSeq.sorted.map(e => s"#epoch $e") ++
         state.vts.toSeq.sortBy(_._1).map { case (v, t) => s"#vts $v:$t" } ++
-        Seq(s"#minretained ${state.minRetained}")
+        Seq(s"#minretained ${state.minRetained}") ++
+        state.schemaJson.map(j => s"#schemajson $j").toSeq
     val body = (header ++ state.files).mkString("", "\n", "\n")
     val tmp = new Path(dir, s".$name.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
     val out = fs.create(tmp, true)

@@ -71,11 +71,14 @@ class FimiRowLevelOperation(
       hadoopKVs: Array[(String, String)],
       requiredSchema: StructType,
       maxSplitBytes: Long,
-      sep: String): FimiRowLevelScan = synchronized {
+      sep: String,
+      tableExtras: Seq[org.apache.spark.sql.types.StructField] = Nil)
+      : FimiRowLevelScan = synchronized {
     configuredScan match {
       case null =>
         configuredScan = FimiRowLevelScan.plan(
-          optionPaths, hadoopKVs, requiredSchema, maxSplitBytes, sep, this)
+          optionPaths, hadoopKVs, requiredSchema, maxSplitBytes, sep, this,
+          tableExtras)
         configuredScan
       case s =>
         // structural compare (names + types, nullability/metadata
@@ -124,10 +127,14 @@ class FimiRowLevelOperation(
       s"fimi DML write schema has no `items` column: ${winfo.schema()}")
     val kvs = FimiTable.confKVs(
       org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
+    // evolved columns ride the rewrite: replacement rows carry the full
+    // evolved schema, written back as positional cells
+    val cells = FimiTable.cellLayout(
+      FimiTable.schemaFor(tableOptions), winfo.schema())
     new WriteBuilder {
       override def build(): Write =
         new FimiReplaceDataWrite(dest, kvs, itemsIdx, winfo.queryId(),
-          FimiRowLevelOperation.this)
+          FimiRowLevelOperation.this, cells)
     }
   }
 
@@ -146,7 +153,9 @@ object FimiRowLevelScan {
       requiredSchema: StructType,
       maxSplitBytes: Long,
       sep: String,
-      op: FimiRowLevelOperation): FimiRowLevelScan = {
+      op: FimiRowLevelOperation,
+      tableExtras: Seq[org.apache.spark.sql.types.StructField] = Nil)
+      : FimiRowLevelScan = {
     val dest = optionPaths match {
       case Seq(one) => new Path(one)
       case many => throw new IllegalArgumentException(
@@ -162,7 +171,7 @@ object FimiRowLevelScan {
     val base = FimiLog.latestVersion(fs, dest).getOrElse(
       throw new IllegalStateException(s"fimi: $dest has an empty snapshot log"))
     new FimiRowLevelScan(optionPaths, hadoopKVs, requiredSchema,
-      maxSplitBytes, sep, base, op)
+      maxSplitBytes, sep, base, op, tableExtras)
   }
 }
 
@@ -177,10 +186,11 @@ class FimiRowLevelScan(
     maxSplitBytes: Long,
     sep: String,
     val baseVersion: Long,
-    op: FimiRowLevelOperation)
+    op: FimiRowLevelOperation,
+    tableExtras: Seq[org.apache.spark.sql.types.StructField] = Nil)
     extends FimiScan(optionPaths, hadoopKVs, requiredSchema, maxSplitBytes,
       sep, limit = -1, tidLo = Long.MinValue, tidHi = Long.MaxValue,
-      versionAsOf = Some(baseVersion))
+      versionAsOf = Some(baseVersion), tableExtras = tableExtras)
     with SupportsRuntimeV2Filtering {
 
   @volatile private var keep: Option[Set[String]] = None
@@ -232,14 +242,16 @@ class FimiReplaceDataWrite(
     hadoopKVs: Array[(String, String)],
     itemsIdx: Int,
     queryId: String,
-    op: FimiRowLevelOperation) extends Write with BatchWrite {
+    op: FimiRowLevelOperation,
+    cells: Seq[(Int, org.apache.spark.sql.types.DataType)] = Nil)
+    extends Write with BatchWrite {
 
   override def toBatch: BatchWrite = this
 
   private def stagingDir = new Path(dest, s".graft-dml-$queryId")
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new FimiWriterFactory(stagingDir.toString, hadoopKVs, itemsIdx)
+    new FimiWriterFactory(stagingDir.toString, hadoopKVs, itemsIdx, cells)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val conf = FimiTable.rebuildConf(hadoopKVs)

@@ -45,7 +45,9 @@ import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactor
 class FimiStreamingWrite(
     dest: String,
     hadoopKVs: Array[(String, String)],
-    itemsIdx: Int) extends StreamingWrite {
+    itemsIdx: Int,
+    cells: Seq[(Int, org.apache.spark.sql.types.DataType)] = Nil)
+    extends StreamingWrite {
 
   private def conf = FimiTable.rebuildConf(hadoopKVs)
   private def destPath = new Path(dest)
@@ -55,7 +57,7 @@ class FimiStreamingWrite(
 
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): StreamingDataWriterFactory =
-    new FimiStreamingWriterFactory(dest, hadoopKVs, itemsIdx)
+    new FimiStreamingWriterFactory(dest, hadoopKVs, itemsIdx, cells)
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val fs = destPath.getFileSystem(conf)
@@ -97,7 +99,9 @@ class FimiStreamingWrite(
 class FimiStreamingWriterFactory(
     dest: String,
     hadoopKVs: Array[(String, String)],
-    itemsIdx: Int) extends StreamingDataWriterFactory {
+    itemsIdx: Int,
+    cells: Seq[(Int, org.apache.spark.sql.types.DataType)] = Nil)
+    extends StreamingDataWriterFactory {
 
   override def createWriter(
       partitionId: Int,
@@ -107,6 +111,6 @@ class FimiStreamingWriterFactory(
     val file = new Path(
       new Path(dest, s".graft-streaming-e$epochId"),
       f"part-$partitionId%05d-e$epochId-$tag.dat")
-    new FimiLineWriter(file, FimiTable.rebuildConf(hadoopKVs), itemsIdx)
+    new FimiLineWriter(file, FimiTable.rebuildConf(hadoopKVs), itemsIdx, cells)
   }
 }

@@ -339,27 +339,108 @@ class GraftCatalogSpec extends SparkSpec {
     assert(String.valueOf(e.getMessage).toLowerCase.contains("truncate"), e.getMessage)
   }
 
-  test("schema evolution on fimi work tables is an explicit contract rejection, not a silent no-op") {
-    val (t, _) = dmlTable("graft_evo", Seq("a b"))
+  test("schema evolution: ADD COLUMNS round-trip — null-fill, evolved DML, per-generation time travel") {
+    val (t, dest) = dmlTable("graft_evo", Seq("a b", "x y"))
+    // v0, v1 committed above; evolve: quality BIGINT appends (v2)
+    spark.sql(s"ALTER TABLE $t ADD COLUMN quality BIGINT")
+    // DESCRIBE serves the evolved schema
+    val cols = spark.sql(s"DESCRIBE TABLE $t")
+      .collect().map(_.getString(0)).takeWhile(_.nonEmpty).toSeq
+    assert(cols == Seq("tid", "items", "quality"), cols.toString)
+    // pre-evolution rows null-fill with ZERO bytes rewritten
+    def rows(sel: String): Seq[String] =
+      spark.sql(sel).collect()
+        .map(r => s"${r.getSeq[String](0).mkString(" ")}|${r.get(1)}").sorted.toSeq
+    assert(rows(s"SELECT items, quality FROM $t") ==
+      Seq("a b|null", "x y|null"))
+    // INSERT with the evolved column (v3); a second evolution (v4)
+    // APPENDS — older cells keep their position (prefix property)
+    spark.sql(s"INSERT INTO $t VALUES (9L, array('c', 'd'), 7L)")
+    spark.sql(s"ALTER TABLE $t ADD COLUMN src STRING")
+    spark.sql(s"INSERT INTO $t VALUES (10L, array('e'), 8L, 'web archive')") // v5
+    assert(spark.sql(s"SELECT items, quality, src FROM $t").collect()
+      .map(r => s"${r.getSeq[String](0).mkString(" ")}|${r.get(1)}|${r.get(2)}")
+      .sorted.toSeq ==
+      Seq("a b|null|null", "c d|7|null", "e|8|web archive", "x y|null|null"))
+    // copy-on-write DML on the evolved schema: UPDATE writes cells back
+    spark.sql(s"UPDATE $t SET quality = 1L, src = 'flagged' " +
+      "WHERE array_contains(items, 'a')") // v6
+    assert(spark.sql(s"SELECT items, quality, src FROM $t " +
+        "WHERE array_contains(items, 'a')").collect()
+      .map(r => s"${r.get(1)}|${r.get(2)}").toSeq == Seq("1|flagged"))
+    // string cells round-trip quoting (space above; separators here)
+    spark.sql(s"INSERT INTO $t VALUES (11L, array('q'), NULL, " +
+      "'line\\nbreak \"quoted\" back\\\\slash')")
+    assert(spark.sql(s"SELECT src FROM $t WHERE array_contains(items, 'q')")
+      .head().getString(0) == "line\nbreak \"quoted\" back\\slash")
+    // TIME TRAVEL: each generation reads under its own schema
+    assert(spark.sql(s"SELECT * FROM $t VERSION AS OF 1").columns.toSeq ==
+      Seq("tid", "items"))
+    assert(spark.sql(s"SELECT * FROM $t VERSION AS OF 3").columns.toSeq ==
+      Seq("tid", "items", "quality"))
+    val v3q = spark.sql(s"SELECT items, quality FROM $t VERSION AS OF 3")
+      .collect().map(r => s"${r.getSeq[String](0).mkString(" ")}|${r.get(1)}")
+      .sorted.toSeq
+    assert(v3q == Seq("a b|null", "c d|7", "x y|null"), v3q.toString)
+    // history labels the evolution commits
+    val ops = spark.sql("CALL graft_evo.system.history(table => 'ns.t')")
+      .collect().map(_.getString(2)).toSeq
+    assert(ops.count(_ == "ADD COLUMNS") == 2, ops.toString)
+    // the CHANGE FEED serves the evolved shape too
+    val feed = spark.read.format("fimi").option("changesFrom", 5).load(dest)
+    assert(feed.columns.toSeq ==
+      Seq("tid", "items", "quality", "src", "_change_type",
+        "_commit_version", "_commit_timestamp"))
+    val v5ins = feed.filter(col("_commit_version") === 5L &&
+        col("_change_type") === "insert")
+      .select(col("quality"), col("src")).collect()
+      .map(r => s"${r.get(0)}|${r.get(1)}").toSeq
+    assert(v5ins == Seq("8|web archive"), v5ins.toString)
+    // guards: DROP / RENAME / retype / non-nullable / unsupported type /
+    // positioned adds stay rejected, naming the contract
     def err(sql: String): String = {
       val e = intercept[Exception] { spark.sql(sql).collect() }
       def msgs(x: Throwable): Seq[String] =
         if (x == null) Nil else Option(x.getMessage).toSeq ++ msgs(x.getCause)
       msgs(e).mkString(" | ")
     }
-    // ADD / DROP / RENAME / retype all name the contract and the
-    // migration path (CTAS), not a generic read-only message
-    val add = err(s"ALTER TABLE $t ADD COLUMN quality INT")
-    assert(add.contains("fixed schema contract") && add.contains("AS SELECT"), add)
-    assert(err(s"ALTER TABLE $t DROP COLUMN tid").contains("fixed schema contract"))
+    assert(err(s"ALTER TABLE $t DROP COLUMN quality")
+      .contains("fixed schema contract"))
     assert(err(s"ALTER TABLE $t RENAME COLUMN items TO basket")
       .contains("fixed schema contract"))
-    // the table is untouched and still fully DML-capable afterwards
-    spark.sql(s"INSERT INTO $t VALUES (9L, array('c'))")
-    assert(contents(t) == Seq("a b", "c"))
-    // property annotations (the one mutable surface) still work
+    assert(err(s"ALTER TABLE $t ADD COLUMN quality2 ARRAY<INT>")
+      .contains("not") , "unsupported type must refuse")
+    assert(err(s"ALTER TABLE $t ADD COLUMN dup STRING FIRST")
+      .toLowerCase.contains("append"))
+    assert(err(s"ALTER TABLE $t ADD COLUMN quality BIGINT")
+      .contains("already exists"))
+    // property annotations still work alongside evolution
     spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES ('tier' = 'gold')")
-    assert(contents(t) == Seq("a b", "c"))
+    assert(spark.sql(s"SELECT count(*) FROM $t").head().getLong(0) == 5L)
+  }
+
+  test("schema evolution survives OPTIMIZE, VACUUM and a cold manifest cache") {
+    val (t, dest) = dmlTable("graft_evo2", Seq("a b", "x y"))
+    spark.sql(s"ALTER TABLE $t ADD COLUMN w DOUBLE")
+    spark.sql(s"INSERT INTO $t VALUES (5L, array('c'), 0.25D)")
+    // compaction byte-copies lines, so cells ride through it
+    assert(graft.sources.fimi.FimiCompact.compact(spark, dest) == 1)
+    def all(): Seq[String] =
+      spark.sql(s"SELECT items, w FROM $t").collect()
+        .map(r => s"${r.getSeq[String](0).mkString(" ")}|${r.get(1)}").sorted.toSeq
+    assert(all() == Seq("a b|null", "c|0.25", "x y|null"))
+    // vacuum to the newest version: the boundary checkpoint must carry
+    // the folded schema even though the ADD COLUMNS manifest expires
+    val p = new org.apache.hadoop.fs.Path(dest)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    graft.sources.fimi.FimiLog.vacuum(fs, p, retainLast = 1)
+    graft.sources.fimi.FimiLog.clearCache() // cold reader
+    spark.sessionState.catalogManager.catalog("graft_evo2")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+      .invalidateTable(org.apache.spark.sql.connector.catalog.Identifier.of(
+        Array("ns"), "t"))
+    assert(all() == Seq("a b|null", "c|0.25", "x y|null"))
+    assert(spark.table(t).columns.toSeq == Seq("tid", "items", "w"))
   }
 
   test("MERGE INTO NOT MATCHED BY SOURCE: retire-unmatched DELETE and UPDATE both apply") {
