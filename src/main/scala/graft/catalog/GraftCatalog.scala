@@ -194,7 +194,23 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
         }
       }.getOrElse(t)
 
-  override def loadTable(ident: Identifier): Table = withAnnotations(ident, {
+  override def loadTable(ident: Identifier): Table = {
+    // SELECT-able metadata tables (`<cat>.<ns>.<t>.history` / `.files`,
+    // the Iceberg convention): a 4-part reference resolves here as
+    // Identifier([ns, t], history|files). Served uncached — rows are
+    // computed at scan planning anyway, and the ledger must never be
+    // staler than the query reading it.
+    if (ident.namespace().length == 2 &&
+        GraftMetadataTables.Names.contains(ident.name().toLowerCase)) {
+      val base = Identifier.of(ident.namespace().take(1), ident.namespace()(1))
+      val fimi = tablePath(base, ".fimi")
+      if (fs.exists(fimi) && graft.sources.fimi.FimiLog.exists(fs, fimi))
+        return GraftMetadataTables.table(ident.name().toLowerCase, fimi, fs)
+    }
+    loadDataTable(ident)
+  }
+
+  private def loadDataTable(ident: Identifier): Table = withAnnotations(ident, {
     val fimib = tablePath(ident, ".fimib")
     if (ident.namespace().length == 1 && fs.exists(fimib)) {
       // bucketed FIMI layout (storage-partitioned join capable): bucket

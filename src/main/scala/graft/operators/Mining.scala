@@ -556,9 +556,11 @@ object Mining {
     s.sql(s"INSERT INTO $t SELECT tid + 10 AS tid, " +
       s"array_union(items, array('z')) AS items FROM $t")
     s.sql(s"DELETE FROM $t WHERE array_contains(items, 'a')")
-    s.sql(s"CALL graft_dml_hist.system.history(table => '`${wc.ns}`.t')")
-      .select(col("version"), col("operation"), col("truncated"))
-      .orderBy("version")
+    // the relational metadata-table form (r19): `<t>.history` is the
+    // same ledger the CALL procedure serves (spec-pinned equal), but
+    // composes — here it feeds a plain SELECT like any table
+    s.sql(s"SELECT version, operation, truncated FROM $t.history " +
+      "ORDER BY version")
   }
 
   /** RETENTION from SQL (`CALL <cat>.system.vacuum(table, retain_last)`)

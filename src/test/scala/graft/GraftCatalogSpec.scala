@@ -419,6 +419,66 @@ class GraftCatalogSpec extends SparkSpec {
     assert(spark.sql(s"SELECT count(*) FROM $t").head().getLong(0) == 5L)
   }
 
+  test("metadata tables: <t>.history and <t>.files SELECT, filter and join like any relation") {
+    val (t, dest) = dmlTable("graft_meta", Seq("a b", "x y", "p q"))
+    spark.sql(s"DELETE FROM $t WHERE array_contains(items, 'a')") // v3 COW
+    // history relation ≡ the CALL procedure's rows (same ledger)
+    val viaTable = spark.sql(
+      s"SELECT version, operation, truncated, file_count FROM $t.history " +
+        "ORDER BY version")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getBoolean(2), r.getInt(3))).toSeq
+    val viaCall = spark.sql(
+      "CALL graft_meta.system.history(table => 'ns.t')")
+      .select(col("version"), col("operation"), col("truncated"), col("file_count"))
+      .orderBy("version")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getBoolean(2), r.getInt(3))).toSeq
+    assert(viaTable == viaCall && viaTable.size == 4, viaTable.toString)
+    assert(viaTable.map(_._2) ==
+      Seq("OVERWRITE", "APPEND", "APPEND", "DELETE"), viaTable.toString)
+    // it COMPOSES: aggregate + filter, like any relation
+    assert(spark.sql(
+      s"SELECT CAST(count(*) AS BIGINT) FROM $t.history WHERE NOT truncated")
+      .head().getLong(0) == 2L)
+    // files relation: exactly the current generation, ordinal order,
+    // with real sizes and the adding commit
+    val files = spark.sql(
+      s"SELECT file, ordinal, size_bytes, version_added FROM $t.files " +
+        "ORDER BY ordinal")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSeq
+    val p = new org.apache.hadoop.fs.Path(dest)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    assert(files.map(_._1) == graft.sources.fimi.FimiLog.resolve(fs, p, None),
+      files.toString)
+    assert(files.map(_._2) == files.indices.toSeq)
+    // the two untouched files keep their real sizes; the DELETE's
+    // rewritten group had no survivors, so its replacement part file is
+    // EMPTY (0 bytes — planned away by the >0-length split filter)
+    assert(files.count(_._3 > 0) == 2 && files.forall(_._3 >= 0), files.toString)
+    // provenance: survivors trace to their original APPEND commits, the
+    // empty rewrite output to the DELETE commit
+    assert(files.map(_._4).toSet.subsetOf(Set(1L, 2L, 3L)), files.toString)
+    // history JOINS files on the adding version — the audit-shape query
+    // the procedures could never run
+    val joined = spark.sql(
+      s"""SELECT h.operation, CAST(count(*) AS BIGINT) AS n
+         |FROM $t.files f JOIN $t.history h ON f.version_added = h.version
+         |GROUP BY h.operation ORDER BY h.operation""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(joined == Seq(("APPEND", 2L), ("DELETE", 1L)), joined.toString)
+    // guards: unknown metadata name and non-fimi targets resolve to
+    // NO SUCH TABLE, not a silent empty relation
+    val bad = intercept[Exception] {
+      spark.sql(s"SELECT * FROM $t.bogus").collect()
+    }
+    assert(String.valueOf(bad.getMessage).toUpperCase.contains("TABLE"),
+      bad.getMessage)
+    val parq = intercept[Exception] {
+      spark.sql("SELECT * FROM graft.`sf0.001`.lineitem.history").collect()
+    }
+    assert(String.valueOf(parq.getMessage).toUpperCase.contains("TABLE"),
+      parq.getMessage)
+  }
+
   test("schema evolution survives OPTIMIZE, VACUUM and a cold manifest cache") {
     val (t, dest) = dmlTable("graft_evo2", Seq("a b", "x y"))
     spark.sql(s"ALTER TABLE $t ADD COLUMN w DOUBLE")
