@@ -81,7 +81,9 @@ private[catalog] object GraftProcedures {
   final class Optimize(cat: GraftCatalog) extends UnboundProcedure with BoundProcedure {
     override def name(): String = "optimize"
     override def description(): String =
-      "compact the latest generation of a fimi snapshot table into ~target_file_bytes files"
+      "compact the latest generation of a fimi snapshot table into " +
+        "~target_file_bytes files; zorder => 'c1[,c2..]' sort-clusters the " +
+        "rewrite on evolved columns so per-file stats tighten for data skipping"
     override def bind(inputType: StructType): BoundProcedure = this
     override def isDeterministic: Boolean = false
     override def parameters(): Array[ProcedureParameter] = Array(
@@ -89,7 +91,11 @@ private[catalog] object GraftProcedures {
         .comment("catalog table as '<namespace>.<table>'").build(),
       ProcedureParameter.in("target_file_bytes", LongType)
         .defaultValue((128L << 20).toString)
-        .comment("target compacted file size in bytes").build())
+        .comment("target compacted file size in bytes").build(),
+      ProcedureParameter.in("zorder", StringType)
+        .defaultValue("''")
+        .comment("comma-separated EVOLVED columns to sort-cluster by " +
+          "(empty = order-preserving bin-pack)").build())
 
     private val outSchema = StructType(Seq(
       StructField("table", StringType, nullable = false),
@@ -99,7 +105,12 @@ private[catalog] object GraftProcedures {
       val spark = SparkSession.active
       val table = input.getUTF8String(0).toString
       val target = input.getLong(1)
-      val n = FimiCompact.compact(spark, fimiPath(cat, spark, table).toString, target)
+      val cluster =
+        if (input.isNullAt(2)) Nil
+        else input.getUTF8String(2).toString.split(",").map(_.trim)
+          .filter(_.nonEmpty).toSeq
+      val n = FimiCompact.compact(
+        spark, fimiPath(cat, spark, table).toString, target, cluster)
       oneScan(outSchema, InternalRow(UTF8String.fromString(table), n))
     }
   }

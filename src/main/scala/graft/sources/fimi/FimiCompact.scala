@@ -67,14 +67,33 @@ object FimiCompact {
   /** Compact the LATEST generation of `table` into files of about
     * `targetBytes`. Returns the number of files the new generation
     * holds, or 0 if compaction would not reduce the file count (no
-    * commit is made in that case). */
+    * commit is made in that case).
+    *
+    * `clusterBy` (SORT-CLUSTERED OPTIMIZE — Delta's `OPTIMIZE ZORDER
+    * BY`): instead of order-preserving byte concatenation, the latest
+    * generation is REWRITTEN with rows clustered on the given EVOLVED
+    * columns, so each output file covers a narrow range of the cluster
+    * key and the manifest's per-file stats (see [[FimiStats]]) actually
+    * prune — the layout move that makes data skipping bite after a
+    * write pattern scattered the key. One column: exact range
+    * clustering (optimal in 1-D). 2–4 numeric columns: Morton
+    * interleave of 16-bit quantized ranks (the `rel_zorder` arithmetic
+    * applied to layout) — locality in every dimension at once. Other
+    * multi-column shapes: lexicographic range sort (leading columns
+    * bound tightest). Unlike plain compaction this REORDERS rows, so
+    * the new generation's positional tids re-key (the same contract
+    * every OPTIMIZE already documents); content is preserved as a
+    * multiset and old versions stay time-travel-readable. */
   def compact(
       spark: SparkSession,
       table: String,
-      targetBytes: Long = 128L << 20): Int = {
+      targetBytes: Long = 128L << 20,
+      clusterBy: Seq[String] = Nil): Int = {
     val conf = spark.sessionState.newHadoopConf()
     val destPath = new Path(table)
     val fs = destPath.getFileSystem(conf)
+    if (clusterBy.nonEmpty)
+      return compactClustered(spark, fs, destPath, targetBytes, clusterBy)
     require(FimiLog.exists(fs, destPath),
       s"fimi compact: $table has no ${FimiLog.DirName} snapshot log — " +
         "compaction only applies to snapshot tables (write with " +
@@ -93,6 +112,133 @@ object FimiCompact {
       }
     }
     0 // unreachable
+  }
+
+  /** Sort-clustered rewrite (see [[compact]]'s `clusterBy` doc): plan a
+    * range/z-ordered shuffle of the latest generation, write one staged
+    * file per range partition through [[FimiLineWriter]] (stats
+    * included), and commit optimistically at base+1 — same conflict
+    * rule as plain compaction, retried up to [[MaxAttempts]]. */
+  private def compactClustered(
+      spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem,
+      destPath: Path,
+      targetBytes: Long,
+      clusterBy: Seq[String]): Int = {
+    import org.apache.spark.sql.functions._
+    require(FimiLog.exists(fs, destPath),
+      s"fimi compact: $destPath has no ${FimiLog.DirName} snapshot log")
+    require(clusterBy.size <= 4,
+      s"fimi optimize: at most 4 cluster columns (got ${clusterBy.size})")
+    var attempt = 0
+    while (attempt < MaxAttempts) {
+      attempt += 1
+      val baseVersion = FimiLog.latestVersion(fs, destPath)
+      val names = FimiLog.resolve(fs, destPath, baseVersion)
+      if (names.isEmpty) return 0
+      val schema = FimiLog.schemaAt(fs, destPath, baseVersion)
+        .map(j => org.apache.spark.sql.types.DataType.fromJson(j)
+          .asInstanceOf[org.apache.spark.sql.types.StructType])
+        .getOrElse(FimiTable.Schema)
+      val extras = FimiTable.extrasOf(schema)
+      clusterBy.foreach { c =>
+        require(extras.exists(_.name.equalsIgnoreCase(c)),
+          s"fimi optimize: cluster column $c is not an evolved column of " +
+            s"$destPath (evolved: ${extras.map(_.name).mkString(", ")}; " +
+            "tid is positional and items is the basket array — neither " +
+            "is a cluster key)")
+      }
+      val cols = clusterBy.map(c => extras.find(_.name.equalsIgnoreCase(c)).get)
+      val totalBytes =
+        names.map(n => fs.getFileStatus(new Path(destPath, n)).getLen).sum
+      val numBins = math.max(1, ((totalBytes + targetBytes - 1) / targetBytes).toInt)
+      val df = spark.read.format("fimi")
+        .option("versionAsOf", baseVersion.get).load(destPath.toString)
+      import org.apache.spark.sql.types._
+      val numericZ = cols.size >= 2 && cols.forall(f =>
+        f.dataType == LongType || f.dataType == IntegerType ||
+          f.dataType == DoubleType)
+      val (clustered, sortCols) =
+        if (cols.size == 1)
+          (df, Seq(col(cols.head.name)))
+        else if (numericZ) {
+          // Morton interleave of 16-bit quantized ranks: bit i of
+          // column j lands at position i*n + (n-1-j) — the rel_zorder
+          // arithmetic generalized to n dims. Mins/maxes come from one
+          // aggregate over the generation; nulls quantize to 0 (first).
+          val aggs = cols.flatMap(f => Seq(
+            min(col(f.name).cast("double")), max(col(f.name).cast("double"))))
+          val mm = df.agg(aggs.head, aggs.tail: _*).head()
+          val n = cols.size
+          val zs = cols.zipWithIndex.map { case (f, j) =>
+            val lo = if (mm.isNullAt(2 * j)) 0.0 else mm.getDouble(2 * j)
+            val hi = if (mm.isNullAt(2 * j + 1)) 0.0 else mm.getDouble(2 * j + 1)
+            val span = if (hi > lo) hi - lo else 1.0
+            val q = when(col(f.name).isNull, lit(0L)).otherwise(
+              least(greatest(
+                ((col(f.name).cast("double") - lit(lo)) / lit(span) * 65535.0)
+                  .cast("long"), lit(0L)), lit(65535L)))
+            (0 until 16).map(i =>
+              shiftleft(shiftright(q, i).bitwiseAND(lit(1L)),
+                i * n + (n - 1 - j))).reduce((a, b) => a + b)
+          }
+          (df.withColumn("__graft_z", zs.reduce(_ + _)), Seq(col("__graft_z")))
+        } else (df, cols.map(f => col(f.name)))
+      val sorted = clustered
+        .repartitionByRange(numBins, sortCols: _*)
+        .sortWithinPartitions(sortCols: _*)
+        .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+      val tag = java.util.UUID.randomUUID().toString.take(8)
+      val stagingDir = new Path(destPath, s".graft-zorder-$tag")
+      val stagingStr = stagingDir.toString
+      val kvs = FimiTable.confKVs(spark.sessionState.newHadoopConf())
+      val itemsIdx = schema.fieldNames.indexOf("items")
+      val cells = FimiTable.cellLayout(schema, schema)
+      // one staged file per non-empty range partition, written through
+      // the standard line writer (cells + stats included)
+      val written: Array[(Int, String, Option[String])] = sorted
+        .queryExecution.toRdd.mapPartitionsWithIndex { (i, rows) =>
+          if (!rows.hasNext) Iterator.empty
+          else {
+            val c = FimiTable.rebuildConf(kvs)
+            val outName = f"zorder-$i%05d-$tag.dat"
+            val w = new FimiLineWriter(
+              new Path(stagingStr, outName), c, itemsIdx, cells)
+            var ok = false
+            try {
+              rows.foreach(w.write)
+              val msg = w.commit().asInstanceOf[FimiCommitMessage]
+              ok = true
+              Iterator.single((i, outName, msg.statsJson))
+            } finally if (!ok) w.abort()
+          }
+        }.collect() // O(bins) names — driver-side by design
+      val ordered = written.sortBy(_._1)
+      ordered.foreach { case (_, n, _) =>
+        val s = new Path(stagingDir, n)
+        if (!fs.rename(s, new Path(destPath, n)))
+          throw new java.io.IOException(
+            s"fimi optimize: rename $s -> $destPath/$n failed")
+      }
+      val outNames = ordered.map(_._2).toSeq
+      val stats = ordered.collect { case (_, n, Some(j)) => n -> j }.toMap
+      beforeCommitHook()
+      val v = baseVersion.map(_ + 1).getOrElse(0L)
+      val won = FimiLog.write(fs, destPath, v, None, truncate = true, outNames,
+        op = Some(s"OPTIMIZE ZORDER(${clusterBy.mkString(",")})"),
+        stats = stats)
+      if (won) {
+        FimiLog.maybeCheckpoint(fs, destPath)
+        fs.delete(stagingDir, true)
+        return outNames.size
+      }
+      outNames.foreach(n => fs.delete(new Path(destPath, n), false))
+      fs.delete(stagingDir, true)
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"fimi optimize: $destPath gained new commits during each of " +
+        s"$MaxAttempts clustered-rewrite attempts; re-run when the write " +
+        "rate allows")
   }
 
   /** One optimistic attempt: Some(newFileCount) on success (0 = nothing
@@ -182,13 +328,65 @@ object FimiCompact {
     val outNames = packed.indices.map { i =>
       copied.getOrElse(i, packed(i).head.getPath.getName)
     }
+    // CONTENT STATS for copied bins: a bin is exactly its members'
+    // union (byte concatenation), so stats MERGE — rows/nulls sum,
+    // min/max widen — when every member has them; single-file bins
+    // keep their name and therefore their original stats line. An
+    // unstated member leaves the bin stats-less (conservative: never
+    // prune on a partial range).
+    val extras: Map[String, org.apache.spark.sql.types.DataType] =
+      FimiLog.schemaAt(fs, destPath, baseVersion)
+        .map(j => FimiTable.extrasOf(
+          org.apache.spark.sql.types.DataType.fromJson(j)
+            .asInstanceOf[org.apache.spark.sql.types.StructType])
+          .map(f => f.name -> f.dataType).toMap)
+        .getOrElse(Map.empty)
+    val binStats: Map[String, String] =
+      if (extras.isEmpty || copied.isEmpty) Map.empty
+      else {
+        val baseStats = FimiLog.statsAt(fs, destPath, baseVersion)
+        // all-null synthesis for unstated members: a file first listed
+        // BEFORE every evolved column existed is provably all-null for
+        // them (immutability), so it merges as (rows≈1, all nulls) —
+        // the fudge scale never flips a null-count comparison, because
+        // nulls == rows holds per member exactly when the member is
+        // all-null
+        var colAdded = Map.empty[String, Long]
+        var fileFirst = Map.empty[String, Long]
+        FimiLog.manifests(fs, destPath).foreach { m =>
+          m.schemaJson.foreach { j =>
+            org.apache.spark.sql.types.DataType.fromJson(j)
+              .asInstanceOf[org.apache.spark.sql.types.StructType]
+              .fieldNames.foreach { f =>
+                if (!colAdded.contains(f)) colAdded += f -> m.version
+              }
+          }
+          m.files.foreach { n =>
+            if (!fileFirst.contains(n)) fileFirst += n -> m.version
+          }
+        }
+        def memberStats(name: String): Option[FimiStats.FileStats] =
+          baseStats.get(name).flatMap(FimiStats.parse(_, extras)).orElse {
+            if (extras.keys.forall(c => colAdded.get(c).exists(av =>
+                fileFirst.get(name).exists(_ < av))))
+              Some(FimiStats.FileStats(1L,
+                extras.map { case (c, _) =>
+                  c -> FimiStats.ColStats(None, None, 1L) }))
+            else None
+          }
+        copyWork.flatMap { case (i, paths) =>
+          FimiStats.merge(
+            paths.map(p => memberStats(new Path(p).getName)), extras)
+            .map(j => copied(i) -> j)
+        }.toMap
+      }
     // OPTIMISTIC commit: only at observed-base + 1 — a taken version
     // means someone committed since `names` was resolved, and this
     // truncate list is stale. Clean up and signal a restart.
     beforeCommitHook()
     val v = baseVersion.map(_ + 1).getOrElse(0L)
     val won = FimiLog.write(fs, destPath, v, None, truncate = true, outNames,
-      op = Some("OPTIMIZE"))
+      op = Some("OPTIMIZE"), stats = binStats)
     if (won) {
       FimiLog.maybeCheckpoint(fs, destPath)
       fs.delete(stagingDir, true)

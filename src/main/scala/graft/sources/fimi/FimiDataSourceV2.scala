@@ -167,14 +167,43 @@ object FimiTable {
         s"fimi: unsupported evolved-column type $other")
     }
 
-  /** Cell layout for a write: one (input ordinal, type) per TABLE extra
-    * column in schema order; ordinal −1 = the input carries no such
-    * column (the cell writes null). */
+  /** Cell layout for a write: one (column name, input ordinal, type)
+    * per TABLE extra column in schema order; ordinal −1 = the input
+    * carries no such column (the cell writes null). */
   def cellLayout(
-      tableSchema: StructType, inputSchema: StructType): Seq[(Int, DataType)] =
+      tableSchema: StructType,
+      inputSchema: StructType): Seq[(String, Int, DataType)] =
     extrasOf(tableSchema).map { f =>
-      (inputSchema.fieldNames.indexWhere(_.equalsIgnoreCase(f.name)), f.dataType)
+      (f.name,
+        inputSchema.fieldNames.indexWhere(_.equalsIgnoreCase(f.name)),
+        f.dataType)
     }
+
+  /** [[encodeCell]] for an already-boxed internal value (stats min/max). */
+  def encodeValue(v: Any, dt: DataType): String = dt match {
+    case StringType => quoteCell(v.asInstanceOf[UTF8String].toString)
+    case _ => v.toString
+  }
+
+  /** Ordering of two non-null internal cell values of `dt` (strings by
+    * UTF8String binary order — Spark's own string comparison). */
+  def compareCells(dt: DataType, a: Any, b: Any): Int = dt match {
+    case StringType =>
+      a.asInstanceOf[UTF8String].compareTo(b.asInstanceOf[UTF8String])
+    case LongType | TimestampType =>
+      java.lang.Long.compare(a.asInstanceOf[Long], b.asInstanceOf[Long])
+    case IntegerType | DateType =>
+      Integer.compare(a.asInstanceOf[Int], b.asInstanceOf[Int])
+    case DoubleType =>
+      java.lang.Double.compare(a.asInstanceOf[Double], b.asInstanceOf[Double])
+    case BooleanType =>
+      java.lang.Boolean.compare(a.asInstanceOf[Boolean], b.asInstanceOf[Boolean])
+    case other => throw new IllegalStateException(
+      s"fimi: unsupported evolved-column type $other")
+  }
+
+  /** JSON string form of a column name (manifest stats keys). */
+  def jsonName(s: String): String = quoteCell(s)
 
   /** JSON-style string quoting: quotes, backslashes and every control
     * char (newline, CellSep, ...) escape, so a quoted cell can never
@@ -539,11 +568,17 @@ class FimiScanBuilder(
   // isPartiallyPushed stays at its default `true`: Spark keeps its own
   // global limit above the scan; readers just stop early.
 
-  /** tid-range filters prune SPLITS at planning; every filter is
+  private val extrasTypes: Map[String, org.apache.spark.sql.types.DataType] =
+    FimiTable.extrasOf(tableSchema).map(f => f.name -> f.dataType).toMap
+
+  /** tid-range filters prune SPLITS at planning, and comparison filters
+    * on EVOLVED columns prune whole FILES against the manifest's
+    * per-file content stats (see [[FimiStats]]); every filter is
     * returned as residual so Spark re-evaluates it above the scan —
     * pruning is a pure work-skip, never a semantics change. */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    pruneFilters = filters.filter(tidBound(_).isDefined)
+    pruneFilters = filters.filter(f =>
+      tidBound(f).isDefined || FimiStats.prunable(f, extrasTypes))
     filters
   }
 
@@ -602,7 +637,8 @@ class FimiScanBuilder(
         Option(options.get("versionAsOf")).map(_.toLong),
         Option(options.get("maxFilesPerTrigger")).map(_.toInt),
         Option(options.get("ignoreChanges")).exists(_.toBoolean),
-        FimiTable.extrasOf(tableSchema))
+        FimiTable.extrasOf(tableSchema),
+        pruneFilters.filter(FimiStats.prunable(_, extrasTypes)).toSeq)
     }
   }
 }
@@ -625,7 +661,8 @@ class FimiScan(
     versionAsOf: Option[Long] = None,
     maxFilesPerTrigger: Option[Int] = None,
     ignoreChanges: Boolean = false,
-    tableExtras: Seq[StructField] = Nil) extends Scan with Batch with SupportsReportStatistics {
+    tableExtras: Seq[StructField] = Nil,
+    statFilters: Seq[Filter] = Nil) extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = requiredSchema
   override def toBatch: Batch = this
@@ -648,7 +685,10 @@ class FimiScan(
         s", tidRange=[$tidLo,$tidHi]"
       else ""
     val ver = versionAsOf.map(v => s", versionAsOf=$v").getOrElse("")
-    s"fimi ${optionPaths.mkString(",")}$lim$rng$ver"
+    val sf =
+      if (statFilters.isEmpty) ""
+      else s", statsFilters=[${statFilters.mkString(", ")}]"
+    s"fimi ${optionPaths.mkString(",")}$lim$rng$ver$sf"
   }
 
   /** Row-level rewrite hook: the runtime group filter narrows the scan
@@ -674,8 +714,72 @@ class FimiScan(
     val files = FimiTable.resolveDataFiles(conf, optionPaths, versionAsOf)
     require(files.size < (1 << (63 - FimiTable.OffsetBits)),
       s"fimi: ${files.size} files exceeds the tid file-ordinal range")
+    // DATA SKIPPING on pushed evolved-column predicates: files whose
+    // manifest stats PROVE no match are dropped AFTER ordinal
+    // assignment (tids are positional — skipping must never re-key
+    // them), conservative-keep on missing/unparseable stats. Residual
+    // filters above the scan make this a pure work-skip.
+    val mayMatchFile: String => Boolean =
+      if (statFilters.isEmpty || tableExtras.isEmpty) _ => true
+      else {
+        val extras = tableExtras.map(f => f.name -> f.dataType).toMap
+        var statsMap = Map.empty[String, String]
+        // provenance for the ALL-NULL inference below: when each column
+        // first appeared in a committed schema, and when each file was
+        // first listed — a file listed BEFORE a column existed cannot
+        // hold a value for it (files are immutable), so the column is
+        // provably all-null there even with no recorded stats. One pass
+        // over cached manifests; vacuumed history degrades to
+        // conservative keep (addVersion unknown).
+        var colAdded = Map.empty[String, Long]
+        var fileFirst = Map.empty[String, Long]
+        optionPaths.foreach { p =>
+          val path = new Path(p)
+          val pfs = path.getFileSystem(conf)
+          if (pfs.exists(path) && pfs.getFileStatus(path).isDirectory &&
+              FimiLog.exists(pfs, path)) {
+            statsMap ++= FimiLog.statsAt(pfs, path, versionAsOf)
+            FimiLog.manifests(pfs, path).foreach { m =>
+              m.schemaJson.foreach { j =>
+                org.apache.spark.sql.types.DataType.fromJson(j)
+                  .asInstanceOf[StructType].fieldNames.foreach { f =>
+                    if (!colAdded.contains(f)) colAdded += f -> m.version
+                  }
+              }
+              m.files.foreach { n =>
+                if (!fileFirst.contains(n)) fileFirst += n -> m.version
+              }
+            }
+          }
+        }
+        name => {
+          val recorded = statsMap.get(name).flatMap(FimiStats.parse(_, extras))
+          val rows = recorded.map(_.rows).getOrElse(1L)
+          val inferredNull: Map[String, FimiStats.ColStats] = extras.collect {
+            case (c, _) if !recorded.exists(_.cols.contains(c)) &&
+                colAdded.get(c).exists(av =>
+                  fileFirst.get(name).exists(_ < av)) =>
+              c -> FimiStats.ColStats(None, None, rows)
+          }
+          val effective: Option[FimiStats.FileStats] = recorded match {
+            case Some(r) =>
+              Some(if (inferredNull.isEmpty) r
+                   else r.copy(cols = inferredNull ++ r.cols))
+            case None if inferredNull.nonEmpty =>
+              Some(FimiStats.FileStats(rows, inferredNull))
+            case None => None
+          }
+          effective match {
+            case Some(fst) =>
+              statFilters.forall(FimiStats.mayMatch(fst, _, extras))
+            case None => true
+          }
+        }
+      }
     val codecs = new CompressionCodecFactory(conf)
-    files.iterator.zipWithIndex.flatMap { case (st, ord) =>
+    files.iterator.zipWithIndex
+      .filter { case (st, _) => mayMatchFile(st.getPath.getName) }
+      .flatMap { case (st, ord) =>
       val len = st.getLen
       require(len < (1L << FimiTable.OffsetBits),
         s"fimi: ${st.getPath} is ${len} bytes; tid offset range is " +
@@ -890,7 +994,12 @@ class FimiWriteBuilder(options: CaseInsensitiveStringMap, info: LogicalWriteInfo
   }
 }
 
-case class FimiCommitMessage(stagedPath: String) extends WriterCommitMessage
+case class FimiCommitMessage(
+    stagedPath: String,
+    // per-file content stats for the manifest's `#stats` line (data
+    // skipping): {"rows":N,"cols":{"<name>":{"nulls":K,"min":..,"max":..}}}
+    // — present only when the table has evolved columns
+    statsJson: Option[String] = None) extends WriterCommitMessage
 
 class FimiBatchWrite(
     dest: String,
@@ -903,7 +1012,7 @@ class FimiBatchWrite(
     // commit with the DDL statement that drove it); None = the write
     // mode's own verb (OVERWRITE / APPEND)
     commitOp: Option[String] = None,
-    cells: Seq[(Int, org.apache.spark.sql.types.DataType)] = Nil)
+    cells: Seq[(String, Int, org.apache.spark.sql.types.DataType)] = Nil)
     extends Write with BatchWrite {
 
   override def toBatch: BatchWrite = this
@@ -948,15 +1057,16 @@ class FimiBatchWrite(
         if (st.isFile && !n.startsWith("_") && !n.startsWith("."))
           fs.delete(st.getPath, false)
       }
-    val finalNames = messages.toSeq.map {
-      case FimiCommitMessage(staged) =>
-        val s = new Path(staged)
+    val committed = messages.toSeq.map {
+      case m: FimiCommitMessage =>
+        val s = new Path(m.stagedPath)
         if (!fs.rename(s, new Path(destPath, s.getName)))
           throw new java.io.IOException(
             s"fimi commit: rename $s -> $destPath/${s.getName} failed")
-        s.getName
+        (s.getName, m.statsJson)
       case other => throw new IllegalStateException(s"unexpected $other")
     }
+    val finalNames = committed.map(_._1)
     if (snapshotMode) {
       // first snapshot commit of a dir with pre-existing native files
       // adopts them as generation 0 so they stay readable
@@ -964,10 +1074,12 @@ class FimiBatchWrite(
         if (FimiLog.exists(fs, destPath)) Seq.empty
         else FimiTable.listDataFiles(conf, Seq(dest))
           .map(_.getPath.getName).filterNot(finalNames.contains)
+      val stats = committed.collect { case (n, Some(j)) => n -> j }.toMap
       var v = FimiLog.latestVersion(fs, destPath).map(_ + 1).getOrElse(0L)
       while (!FimiLog.write(fs, destPath, v, None, truncate,
           (if (truncate) Seq.empty else adopted) ++ finalNames,
-          op = commitOp.orElse(Some(if (truncate) "OVERWRITE" else "APPEND"))))
+          op = commitOp.orElse(Some(if (truncate) "OVERWRITE" else "APPEND")),
+          stats = stats))
         v += 1
       FimiLog.maybeCheckpoint(fs, destPath)
     }
@@ -985,7 +1097,7 @@ class FimiWriterFactory(
     stagingDir: String,
     hadoopKVs: Array[(String, String)],
     itemsIdx: Int,
-    cells: Seq[(Int, org.apache.spark.sql.types.DataType)] = Nil)
+    cells: Seq[(String, Int, org.apache.spark.sql.types.DataType)] = Nil)
     extends DataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
@@ -1009,7 +1121,7 @@ class FimiLineWriter(
     file: Path,
     conf: Configuration,
     itemsIdx: Int,
-    cells: Seq[(Int, org.apache.spark.sql.types.DataType)] = Nil)
+    cells: Seq[(String, Int, org.apache.spark.sql.types.DataType)] = Nil)
     extends DataWriter[InternalRow] {
 
   private val fs = file.getFileSystem(conf)
@@ -1017,6 +1129,14 @@ class FimiLineWriter(
     new java.io.OutputStreamWriter(fs.create(file, true),
       java.nio.charset.StandardCharsets.UTF_8))
   private val cellArr = cells.toArray
+  // per-file content stats (data skipping): rows written, and per
+  // evolved column min/max/null-count — O(extras) driver-free state,
+  // folded into the commit message and landed as the manifest's
+  // `#stats` line
+  private var rowCount = 0L
+  private val statMin = new Array[Any](cellArr.length)
+  private val statMax = new Array[Any](cellArr.length)
+  private val statNulls = new Array[Long](cellArr.length)
 
   override def write(row: InternalRow): Unit = {
     val arr = row.getArray(itemsIdx)
@@ -1033,22 +1153,61 @@ class FimiLineWriter(
       // evolution — the null-fill contract in reverse)
       var last = cellArr.length - 1
       while (last >= 0 &&
-          (cellArr(last)._1 < 0 || row.isNullAt(cellArr(last)._1))) last -= 1
+          (cellArr(last)._2 < 0 || row.isNullAt(cellArr(last)._2))) last -= 1
       var c = 0
       while (c <= last) {
         out.write(FimiTable.CellSep.toInt)
-        val (ord, dt) = cellArr(c)
+        val (_, ord, dt) = cellArr(c)
         if (ord < 0 || row.isNullAt(ord)) out.write("null")
         else out.write(FimiTable.encodeCell(row, ord, dt))
         c += 1
       }
+      // stats fold over ALL cells (the dropped suffix is still null)
+      var s = 0
+      while (s < cellArr.length) {
+        val (_, ord, dt) = cellArr(s)
+        if (ord < 0 || row.isNullAt(ord)) statNulls(s) += 1
+        else {
+          val v: Any = dt match {
+            case org.apache.spark.sql.types.StringType =>
+              row.getUTF8String(ord).clone()
+            case org.apache.spark.sql.types.LongType |
+                 org.apache.spark.sql.types.TimestampType => row.getLong(ord)
+            case org.apache.spark.sql.types.IntegerType |
+                 org.apache.spark.sql.types.DateType => row.getInt(ord)
+            case org.apache.spark.sql.types.DoubleType => row.getDouble(ord)
+            case org.apache.spark.sql.types.BooleanType => row.getBoolean(ord)
+            case other => throw new IllegalStateException(
+              s"fimi: unsupported evolved-column type $other")
+          }
+          if (statMin(s) == null || FimiTable.compareCells(dt, v, statMin(s)) < 0)
+            statMin(s) = v
+          if (statMax(s) == null || FimiTable.compareCells(dt, v, statMax(s)) > 0)
+            statMax(s) = v
+        }
+        s += 1
+      }
     }
+    rowCount += 1
     out.write('\n')
+  }
+
+  private def statsJson: Option[String] = {
+    if (cellArr.isEmpty) return None
+    val cols = cellArr.indices.map { s =>
+      val (name, _, dt) = cellArr(s)
+      val mm =
+        if (statMin(s) == null) ""
+        else s""","min":${FimiTable.encodeValue(statMin(s), dt)}""" +
+          s""","max":${FimiTable.encodeValue(statMax(s), dt)}"""
+      s"""${FimiTable.jsonName(name)}:{"nulls":${statNulls(s)}$mm}"""
+    }
+    Some(s"""{"rows":$rowCount,"cols":{${cols.mkString(",")}}}""")
   }
 
   override def commit(): WriterCommitMessage = {
     out.close()
-    FimiCommitMessage(file.toString)
+    FimiCommitMessage(file.toString, statsJson)
   }
 
   override def abort(): Unit = {

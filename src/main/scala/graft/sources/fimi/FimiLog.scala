@@ -97,7 +97,14 @@ object FimiLog {
       // table's lifetime (the positional-cell file encoding depends on
       // the prefix property), so a table-replacing commit keeps the
       // evolved schema and its new files simply carry null extras.
-      schemaJson: Option[String] = None)
+      schemaJson: Option[String] = None,
+      // `#stats <file> <json>` — per-file CONTENT STATS for data
+      // skipping (rows + per-evolved-column min/max/null-count),
+      // stamped by the writer that created the file. Data files are
+      // immutable, so a stats line from ANY manifest stays valid for
+      // the file's lifetime; re-listing commits (DML truncates,
+      // OPTIMIZE) need not repeat survivors' stats.
+      stats: Map[String, String] = Map.empty)
 
   /** Folded log state at `version`: the resolved file list, every epoch
     * id committed at or below it, the version→commit-ts history, and
@@ -108,7 +115,8 @@ object FimiLog {
       vts: Map[Long, Long],
       minRetained: Long,
       files: Seq[String],
-      schemaJson: Option[String] = None)
+      schemaJson: Option[String] = None,
+      stats: Map[String, String] = Map.empty)
 
   private val NameRe = """(\d{20})\.manifest""".r
   private val CkptRe = """(\d{20})\.checkpoint""".r
@@ -194,7 +202,10 @@ object FimiLog {
         op = headers.collectFirst { case h if h.startsWith("#op ") =>
           h.stripPrefix("#op ").trim },
         schemaJson = headers.collectFirst { case h if h.startsWith("#schema ") =>
-          h.stripPrefix("#schema ").trim })
+          h.stripPrefix("#schema ").trim },
+        stats = headers.collect { case h if h.startsWith("#stats ") =>
+          val Array(n, j) = h.stripPrefix("#stats ").split(" ", 2)
+          n -> j }.toMap)
     })
   }
 
@@ -217,7 +228,10 @@ object FimiLog {
           h.stripPrefix("#minretained ").trim.toLong }.getOrElse(0L),
         files = files,
         schemaJson = headers.collectFirst { case h if h.startsWith("#schemajson ") =>
-          h.stripPrefix("#schemajson ").trim })
+          h.stripPrefix("#schemajson ").trim },
+        stats = headers.collect { case h if h.startsWith("#fstats ") =>
+          val Array(n, j) = h.stripPrefix("#fstats ").split(" ", 2)
+          n -> j }.toMap)
     })
   }
 
@@ -308,6 +322,24 @@ object FimiLog {
       .foldLeft(seed) { (acc, v) =>
         manifest(fs, table, l, v).schemaJson.orElse(acc)
       }
+  }
+
+  /** Per-file content-stats JSON visible at `versionAsOf` (latest when
+    * None): the union of every retained manifest's `#stats` lines up to
+    * the target, seeded from the nearest checkpoint's folded stats —
+    * bounded opens. Files without an entry (legacy writers, adopted
+    * native files) simply have no stats and are never pruned. */
+  def statsAt(
+      fs: FileSystem, table: Path, versionAsOf: Option[Long]): Map[String, String] = {
+    val l = list(fs, table)
+    if (l.versions.isEmpty) return Map.empty
+    val target = versionAsOf.getOrElse(l.versions.last)
+    val (seed, from) = ckptAtOrBelow(l, target) match {
+      case Some(cv) => (checkpoint(fs, table, l, cv).stats, cv)
+      case None => (Map.empty[String, String], -1L)
+    }
+    l.versions.filter(v => v > from && v <= target)
+      .foldLeft(seed) { (acc, v) => acc ++ manifest(fs, table, l, v).stats }
   }
 
   /** One snapshot-history row per RETAINED commit (vacuum deletes
@@ -427,7 +459,8 @@ object FimiLog {
       truncate: Boolean,
       files: Seq[String],
       op: Option[String] = None,
-      schemaJson: Option[String] = None): Boolean = {
+      schemaJson: Option[String] = None,
+      stats: Map[String, String] = Map.empty): Boolean = {
     val dir = logDir(table)
     fs.mkdirs(dir)
     val name = f"$version%020d.manifest"
@@ -438,7 +471,8 @@ object FimiLog {
         epoch.map(e => s"#epoch $e").toSeq ++
         (if (truncate) Seq("#truncate") else Nil) ++
         op.map(o => s"#op $o").toSeq ++
-        schemaJson.map(j => s"#schema $j").toSeq
+        schemaJson.map(j => s"#schema $j").toSeq ++
+        stats.toSeq.sortBy(_._1).map { case (n, j) => s"#stats $n $j" }
     val body = (header ++ files).mkString("", "\n", "\n")
     val tmp = new Path(dir, s".$name.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
     val out = fs.create(tmp, true)
@@ -509,7 +543,8 @@ object FimiLog {
           vts = st.vts + (v -> commitTs(fs, table, l, v)),
           minRetained = st.minRetained,
           files = (if (m.truncate) Vector.empty else st.files.toVector) ++ m.files,
-          schemaJson = m.schemaJson.orElse(st.schemaJson))
+          schemaJson = m.schemaJson.orElse(st.schemaJson),
+          stats = st.stats ++ m.stats)
       }
   }
 
@@ -520,11 +555,18 @@ object FimiLog {
       fs: FileSystem, table: Path, state: Checkpoint): Unit = {
     val dir = logDir(table)
     val name = f"${state.version}%020d.checkpoint"
+    // stats prune to the checkpoint's own file list: entries for files
+    // no retained version serves would otherwise accumulate forever
+    val liveStats = {
+      val live = state.files.toSet
+      state.stats.filter { case (n, _) => live.contains(n) }
+    }
     val header =
       state.epochs.toSeq.sorted.map(e => s"#epoch $e") ++
         state.vts.toSeq.sortBy(_._1).map { case (v, t) => s"#vts $v:$t" } ++
         Seq(s"#minretained ${state.minRetained}") ++
-        state.schemaJson.map(j => s"#schemajson $j").toSeq
+        state.schemaJson.map(j => s"#schemajson $j").toSeq ++
+        liveStats.toSeq.sortBy(_._1).map { case (n, j) => s"#fstats $n $j" }
     val body = (header ++ state.files).mkString("", "\n", "\n")
     val tmp = new Path(dir, s".$name.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
     val out = fs.create(tmp, true)

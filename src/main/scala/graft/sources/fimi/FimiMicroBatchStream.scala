@@ -267,7 +267,10 @@ class FimiMicroBatchStream(
           val newSkip = scala.collection.mutable.Set.empty[String]
           if (startV <= hist.last.version)
             FimiChanges.diffRange(f, p, startV, hist.last.version).foreach { d =>
-              if (d.truncate && d.op.contains("OPTIMIZE")) {
+              // OPTIMIZE and OPTIMIZE ZORDER(...) both preserve row
+              // content as a multiset (clustering only reorders), which
+              // is exactly what the accounting needs
+              if (d.truncate && d.op.exists(_.startsWith("OPTIMIZE"))) {
                 val rm = d.removed.map(x => new Path(p, x._1).toString)
                 val ad = d.added.map(x => new Path(p, x._1).toString)
                 if (rm.forall(accounted.contains)) {

@@ -83,17 +83,23 @@ class FimiRowLevelOperation(
       case s =>
         // structural compare (names + types, nullability/metadata
         // ignored — r17 ADVICE): a re-analysis that only re-derives
-        // nullability or column metadata is the SAME pruning and must
-        // reuse the pinned scan; only a genuinely different column set
-        // refuses, because then the commit's replaced-set witness could
-        // come from a scan that never executed
-        require(structurallySame(s.readSchema(), requiredSchema),
-          s"fimi DML: a second rewrite scan was planned with a different " +
-            s"schema (${s.readSchema().fieldNames.mkString(",")} vs " +
-            s"${requiredSchema.fieldNames.mkString(",")}); refusing — the " +
-            "commit's replaced-set witness must come from the one scan " +
-            "that executed")
-        s
+        // nullability or column metadata is the SAME pruning and
+        // reuses the pinned scan. A genuinely different column set
+        // RE-PLANS instead of refusing (r18 VERDICT task 5): builds
+        // happen during query planning — before any execution — so the
+        // LAST-built scan is the one Spark executes, and making it the
+        // configured scan keeps the commit's replaced-set witness
+        // aligned with the scan that actually ran. The re-plan pins the
+        // SAME snapshot version as the first build (never re-resolving
+        // latest), so two planning passes can never straddle a
+        // concurrent commit.
+        if (structurallySame(s.readSchema(), requiredSchema)) s
+        else {
+          configuredScan = FimiRowLevelScan.planAt(
+            optionPaths, hadoopKVs, requiredSchema, maxSplitBytes, sep,
+            s.baseVersion, this, tableExtras)
+          configuredScan
+        }
     }
   }
 
@@ -173,6 +179,22 @@ object FimiRowLevelScan {
     new FimiRowLevelScan(optionPaths, hadoopKVs, requiredSchema,
       maxSplitBytes, sep, base, op, tableExtras)
   }
+
+  /** Re-plan at an ALREADY-PINNED snapshot version (the second-build
+    * path: a differently-pruned build must keep the first build's
+    * version pin — see the rewriteScan scaladoc). */
+  def planAt(
+      optionPaths: Seq[String],
+      hadoopKVs: Array[(String, String)],
+      requiredSchema: StructType,
+      maxSplitBytes: Long,
+      sep: String,
+      baseVersion: Long,
+      op: FimiRowLevelOperation,
+      tableExtras: Seq[org.apache.spark.sql.types.StructField])
+      : FimiRowLevelScan =
+    new FimiRowLevelScan(optionPaths, hadoopKVs, requiredSchema,
+      maxSplitBytes, sep, baseVersion, op, tableExtras)
 }
 
 /** The rewrite scan: a plain [[FimiScan]] pinned to `baseVersion`, plus
@@ -243,7 +265,7 @@ class FimiReplaceDataWrite(
     itemsIdx: Int,
     queryId: String,
     op: FimiRowLevelOperation,
-    cells: Seq[(Int, org.apache.spark.sql.types.DataType)] = Nil)
+    cells: Seq[(String, Int, org.apache.spark.sql.types.DataType)] = Nil)
     extends Write with BatchWrite {
 
   override def toBatch: BatchWrite = this
@@ -266,22 +288,24 @@ class FimiReplaceDataWrite(
     val replaced = scan.plannedFilePaths.map(p => new Path(p).getName).toSet
     val survivors = baseFiles.filterNot(replaced)
     // land the new data files (invisible until the manifest commits)
-    val newNames = messages.toSeq.map {
-      case FimiCommitMessage(staged) =>
-        val s = new Path(staged)
+    val landed = messages.toSeq.map {
+      case m: FimiCommitMessage =>
+        val s = new Path(m.stagedPath)
         if (!fs.rename(s, new Path(destPath, s.getName)))
           throw new java.io.IOException(
             s"fimi DML commit: rename $s -> $destPath/${s.getName} failed")
-        s.getName
+        (s.getName, m.statsJson)
       case other => throw new IllegalStateException(s"unexpected $other")
     }
+    val newNames = landed.map(_._1)
     // optimistic commit at base+1 ONLY: a conflicting commit means the
     // rewrite was computed against a stale snapshot — abort, never
     // re-commit the stale listing at a higher version (FimiCompact rule)
     FimiReplaceDataWrite.beforeCommitHook()
     val committed = FimiLog.latestVersion(fs, destPath).contains(base) &&
       FimiLog.write(fs, destPath, base + 1, None, truncate = true,
-        survivors ++ newNames, op = Some(op.command().toString))
+        survivors ++ newNames, op = Some(op.command().toString),
+        stats = landed.collect { case (n, Some(j)) => n -> j }.toMap)
     if (!committed) {
       newNames.foreach(n => fs.delete(new Path(destPath, n), false))
       fs.delete(stagingDir, true)

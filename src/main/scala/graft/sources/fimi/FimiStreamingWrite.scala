@@ -46,7 +46,7 @@ class FimiStreamingWrite(
     dest: String,
     hadoopKVs: Array[(String, String)],
     itemsIdx: Int,
-    cells: Seq[(Int, org.apache.spark.sql.types.DataType)] = Nil)
+    cells: Seq[(String, Int, org.apache.spark.sql.types.DataType)] = Nil)
     extends StreamingWrite {
 
   private def conf = FimiTable.rebuildConf(hadoopKVs)
@@ -68,21 +68,23 @@ class FimiStreamingWrite(
       fs.delete(stagingDir(epochId), true)
       return
     }
-    val finalNames = messages.toSeq.map {
-      case FimiCommitMessage(staged) =>
-        val s = new Path(staged)
+    val committed = messages.toSeq.map {
+      case m: FimiCommitMessage =>
+        val s = new Path(m.stagedPath)
         val target = new Path(destPath, s.getName)
         if (!fs.rename(s, target) && !fs.exists(target))
           throw new java.io.IOException(
             s"fimi streaming commit: rename $s -> $target failed")
-        s.getName
+        (s.getName, m.statsJson)
       case other => throw new IllegalStateException(s"unexpected $other")
     }
+    val finalNames = committed.map(_._1)
     // manifest rename = the commit point; version race with a concurrent
     // batch writer resolves by retrying at the next version
     var v = FimiLog.latestVersion(fs, destPath).map(_ + 1).getOrElse(0L)
     while (!FimiLog.write(fs, destPath, v, Some(epochId), truncate = false,
-        finalNames, op = Some("STREAMING APPEND")))
+        finalNames, op = Some("STREAMING APPEND"),
+        stats = committed.collect { case (n, Some(j)) => n -> j }.toMap))
       v += 1
     // periodic checkpoint keeps cold-reader planning and restarted-driver
     // replay checks bounded however many epochs this stream ever commits
@@ -100,7 +102,7 @@ class FimiStreamingWriterFactory(
     dest: String,
     hadoopKVs: Array[(String, String)],
     itemsIdx: Int,
-    cells: Seq[(Int, org.apache.spark.sql.types.DataType)] = Nil)
+    cells: Seq[(String, Int, org.apache.spark.sql.types.DataType)] = Nil)
     extends StreamingDataWriterFactory {
 
   override def createWriter(

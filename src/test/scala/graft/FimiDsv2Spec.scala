@@ -479,6 +479,65 @@ class FimiDsv2Spec extends SparkSpec {
     assert(drain().isEmpty, "ignoreChanges re-delivered compaction output")
   }
 
+  test("data skipping: evolved-column predicates prune whole files via manifest stats, tids unchanged") {
+    val root = tmpDir("skip")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root, "ns"))
+    val dest = s"$root/ns/t.fimi"
+    val sp = spark
+    import sp.implicits._
+    Seq("a b").toDF("raw").select(split(col("raw"), " ").as("items")).coalesce(1)
+      .write.format("fimi").option("snapshots", "true").mode("overwrite").save(dest)
+    spark.conf.set("spark.sql.catalog.graft_sk", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_sk.root", root)
+    val t = "graft_sk.ns.t"
+    spark.sql(s"ALTER TABLE $t ADD COLUMN q BIGINT")
+    spark.sql(s"ALTER TABLE $t ADD COLUMN src STRING")
+    // four one-row commits (one file each) with DISJOINT q ranges
+    spark.sql(s"INSERT INTO $t VALUES (1L, array('c'), 1L, 'web')")
+    spark.sql(s"INSERT INTO $t VALUES (3L, array('e'), 5L, 'books')")
+    spark.sql(s"INSERT INTO $t VALUES (4L, array('f'), 6L, NULL)")
+    spark.sql(s"INSERT INTO $t VALUES (5L, array('g'), 9L, 'code')")
+    def parts(df: org.apache.spark.sql.DataFrame): Int = df.rdd.getNumPartitions
+    val all = spark.table(t)
+    assert(parts(all) == 5, s"expected 5 files, got ${parts(all)}")
+    // range predicate: only the covering file plans
+    val hi = all.filter(col("q") > 8L)
+    assert(parts(hi) == 1, s"q>8 planned ${parts(hi)}")
+    assert(hi.select("items").collect().map(_.getSeq[String](0).mkString(",")).toSeq
+      == Seq("g"))
+    // equality inside a gap between ranges: zero files
+    assert(parts(all.filter(col("q") === 4L)) == 0)
+    // the pre-evolution file is all-null for src: IS NULL keeps it (and
+    // the explicit-NULL file); IS NOT NULL prunes both
+    assert(parts(all.filter(col("src").isNull)) == 2)
+    assert(all.filter(col("src").isNull).count() == 2) // 'a b' + the NULL row
+    assert(parts(all.filter(col("q").isNotNull)) == 4)
+    // string stats prune too
+    val web = all.filter(col("src") === "web")
+    assert(parts(web) == 1, s"src='web' planned ${parts(web)}")
+    // plan surfaces the pushed stats filters
+    assert(web.queryExecution.executedPlan.toString.contains("statsFilters="),
+      "pushed stats filters missing from the plan")
+    // skipping must never re-key tids: the kept file's tids equal the
+    // unpruned read's tids for the same rows
+    val unpruned = all.select(col("tid"), col("items")).collect()
+      .map(r => (r.getLong(0), r.getSeq[String](1).mkString(","))).toMap
+    val pruned = hi.select(col("tid"), col("items")).collect()
+      .map(r => (r.getLong(0), r.getSeq[String](1).mkString(","))).toSeq
+    assert(pruned.forall { case (tid, b) => unpruned.get(tid).contains(b) },
+      "stats skipping re-keyed tids")
+    // OPTIMIZE merges member stats into the bin (rows/nulls sum,
+    // min/max widen); skipping keeps working on the compacted table
+    assert(graft.sources.fimi.FimiCompact.compact(spark, dest) == 1)
+    val afterOpt = spark.table(t)
+    assert(parts(afterOpt) == 1)
+    assert(parts(afterOpt.filter(col("q") > 100L)) == 0,
+      "merged bin stats must still prune an out-of-range predicate")
+    assert(afterOpt.filter(col("q") > 8L).count() == 1)
+    // correctness is never affected: residual filters re-evaluate
+    assert(afterOpt.filter(col("q") === 4L).count() == 0)
+  }
+
   test("storage-partitioned join: two bucketed fimi tables join with ZERO shuffle exchanges") {
     val sp = spark
     import sp.implicits._

@@ -479,6 +479,71 @@ class GraftCatalogSpec extends SparkSpec {
       parq.getMessage)
   }
 
+  test("sort-clustered OPTIMIZE: zorder rewrite narrows per-file stats so skipping bites") {
+    val (t, dest) = dmlTable("graft_zo", Seq("seed x"))
+    spark.sql(s"ALTER TABLE $t ADD COLUMN q BIGINT")
+    spark.sql(s"ALTER TABLE $t ADD COLUMN w BIGINT")
+    // SCATTER the cluster key: each commit lands ONE file spanning the
+    // whole q range (coalesce(1)), so pre-optimize stats prune NOTHING
+    val sp = spark
+    import sp.implicits._
+    def appendScattered(rows: (String, Long, Long)*): Unit =
+      rows.toSeq.map { case (i, q, w) => (Seq(i), q, w) }
+        .toDF("items", "q", "w").coalesce(1)
+        .write.format("fimi").mode("append").save(dest)
+    appendScattered(("a", 1L, 10L), ("b", 99L, 20L))
+    appendScattered(("c", 2L, 30L), ("d", 98L, 40L))
+    appendScattered(("e", 3L, 50L), ("f", 97L, 60L))
+    def parts(df: org.apache.spark.sql.DataFrame): Int = df.rdd.getNumPartitions
+    val before = spark.table(t)
+    val nFilesBefore = parts(before)
+    assert(nFilesBefore >= 3, s"fixture needs several files, got $nFilesBefore")
+    // every data file covers [lo, hi] of q: a selective filter prunes
+    // only the seed file (all-null q by the add-after inference)
+    assert(parts(before.filter(col("q") > 90L)) == nFilesBefore - 1)
+    val contentBefore = before.select(array_join(col("items"), " "), col("q"), col("w"))
+      .collect().map(r => (r.getString(0), r.get(1), r.get(2))).sortBy(_.toString).toSeq
+    val preVersion = spark.sql(s"SELECT max(version) FROM $t.history").head().getLong(0)
+    // cluster by q into ~2-row files
+    val out = spark.sql(
+      s"CALL graft_zo.system.optimize(table => 'ns.t', " +
+        "target_file_bytes => 16, zorder => 'q')")
+      .head().getInt(1)
+    assert(out >= 2, s"clustered rewrite produced $out files")
+    val after = spark.table(t)
+    // content preserved as a multiset
+    val contentAfter = after.select(array_join(col("items"), " "), col("q"), col("w"))
+      .collect().map(r => (r.getString(0), r.get(1), r.get(2))).sortBy(_.toString).toSeq
+    assert(contentAfter == contentBefore, s"$contentAfter vs $contentBefore")
+    // the clustered layout's stats now PRUNE: the q>90 rows live in one
+    // tail file
+    val hi = after.filter(col("q") > 90L)
+    assert(parts(hi) < out, s"clustered skip planned ${parts(hi)} of $out")
+    assert(hi.count() == 3)
+    // time travel to the pre-optimize generation is intact
+    assert(spark.sql(s"SELECT count(*) FROM $t VERSION AS OF $preVersion")
+      .head().getLong(0) == 7L)
+    // history labels the clustered rewrite
+    val ops = spark.sql(s"SELECT operation FROM $t.history ORDER BY version")
+      .collect().map(_.getString(0)).toSeq
+    assert(ops.last.startsWith("OPTIMIZE ZORDER"), ops.toString)
+    // MULTI-COLUMN numeric z-interleave composes the same way
+    val out2 = spark.sql(
+      s"CALL graft_zo.system.optimize(table => 'ns.t', " +
+        "target_file_bytes => 16, zorder => 'q,w')")
+      .head().getInt(1)
+    assert(out2 >= 2)
+    assert(spark.table(t).count() == 7L)
+    // a non-evolved cluster key refuses with the contract
+    val bad = intercept[Exception] {
+      spark.sql(s"CALL graft_zo.system.optimize(table => 'ns.t', " +
+        "zorder => 'tid')").collect()
+    }
+    def msgs(x: Throwable): String =
+      if (x == null) "" else Option(x.getMessage).getOrElse("") + msgs(x.getCause)
+    assert(msgs(bad).contains("not an evolved column"), msgs(bad).take(300))
+  }
+
   test("schema evolution survives OPTIMIZE, VACUUM and a cold manifest cache") {
     val (t, dest) = dmlTable("graft_evo2", Seq("a b", "x y"))
     spark.sql(s"ALTER TABLE $t ADD COLUMN w DOUBLE")

@@ -304,12 +304,14 @@ class FimiLogSpec extends graft.SparkSpec {
     assert(after == expected, s"aborted SQL optimize lost a commit: $after")
   }
 
-  test("the row-level rewrite scan is cached per operation; a schema-mismatched second build fails loudly") {
+  test("the row-level rewrite scan is cached per operation; a schema-mismatched second build re-plans at the same pin") {
     // r16 ADVICE: commit correctness (replaced-set = planned files)
     // requires the scan the executors ran to BE the scan commit reads.
     // A repeated build() must return the same pinned scan (not re-pin a
-    // later snapshot), and a second build with a different pruned schema
-    // must throw rather than silently swap the commit's witness.
+    // later snapshot); a second build with a genuinely different pruned
+    // schema RE-PLANS (r18 VERDICT task 5) — the last-built scan is the
+    // one Spark executes — but must keep the FIRST build's version pin,
+    // so two planning passes can never straddle a concurrent commit.
     val root = tmpDir("scancache")
     val dest = s"$root/t.fimi"
     val sp = spark
@@ -338,15 +340,24 @@ class FimiLogSpec extends graft.SparkSpec {
       .pruneColumns(org.apache.spark.sql.types.StructType(
         FimiTable.Schema.fields.map(_.copy(nullable = true))))
     assert(b1b.build() eq s1, "nullability-only re-plan dropped the pinned scan")
-    // a second builder pruned to a genuinely narrower schema must fail
-    // loudly (the commit's replaced-set witness would be ambiguous)
+    // a second builder pruned to a genuinely narrower schema RE-PLANS:
+    // the new scan becomes the configured witness, pinned at the SAME
+    // snapshot version as the first build (never re-resolving latest —
+    // here a concurrent append lands in between to prove it)
+    Seq("c d").toDF("line").select(split(col("line"), " ").as("items"))
+      .write.format("fimi").option("snapshots", "true")
+      .mode("append").save(dest)
     val b2 = op.newScanBuilder(org.apache.spark.sql.util.CaseInsensitiveStringMap.empty())
     b2.asInstanceOf[org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns]
       .pruneColumns(org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("tid",
           org.apache.spark.sql.types.LongType))))
-    val e = intercept[IllegalArgumentException] { b2.build() }
-    assert(e.getMessage.contains("second rewrite scan"), e.getMessage)
+    val s3 = b2.build().asInstanceOf[FimiRowLevelScan]
+    assert(!(s3 eq s1), "differently-pruned build must re-plan")
+    assert(op.configuredScan eq s3, "re-plan must become the commit witness")
+    assert(s3.baseVersion == s1.asInstanceOf[FimiRowLevelScan].baseVersion,
+      "re-plan re-resolved the snapshot pin")
+    assert(s3.readSchema().fieldNames.toSeq == Seq("tid"))
   }
 
   test("property: random op sequences — the log always folds like the reference model, cold or warm, before and after vacuum") {
