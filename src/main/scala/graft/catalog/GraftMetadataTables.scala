@@ -52,7 +52,12 @@ private[catalog] object GraftMetadataTables {
     StructField("file", StringType, nullable = false),
     StructField("ordinal", IntegerType, nullable = false),
     StructField("size_bytes", LongType, nullable = false),
-    StructField("version_added", LongType, nullable = false)))
+    StructField("version_added", LongType, nullable = false),
+    // the manifest's `#stats` JSON (rows + per-evolved-column
+    // min/max/null-count) — the data-skipping ledger, SELECT-able so
+    // users can audit why a predicate did (not) prune; null for files
+    // written before stats existed or by stat-less writers
+    StructField("stats", StringType, nullable = true)))
 
   def table(kind: String, tableDir: Path, fs: FileSystem): Table =
     new MetaTable(kind, tableDir, fs)
@@ -79,12 +84,14 @@ private[catalog] object GraftMetadataTables {
         if (!firstListed.contains(n)) firstListed(n) = m.version
       }
     }
+    val stats = FimiLog.statsAt(fs, dir, None)
     FimiLog.resolve(fs, dir, None).zipWithIndex.map { case (n, ord) =>
       InternalRow(
         UTF8String.fromString(n),
         ord,
         fs.getFileStatus(new Path(dir, n)).getLen,
-        firstListed(n))
+        firstListed(n),
+        stats.get(n).map(UTF8String.fromString).orNull)
     }.toArray
   }
 

@@ -397,6 +397,14 @@ object Mining {
     }
     s.conf.set(s"spark.sql.catalog.$cat", "graft.catalog.GraftCatalog")
     s.conf.set(s"spark.sql.catalog.$cat.root", root)
+    // the clone REPLACED the table directory: a previously-registered
+    // catalog instance may cache the old incarnation's Table (schema
+    // included — the evolve key ALTERs per call), so drop that entry
+    // like any external rewrite (the invalidateTable contract)
+    s.sessionState.catalogManager.catalog(cat)
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+      .invalidateTable(
+        org.apache.spark.sql.connector.catalog.Identifier.of(Array(sfName), "t"))
     (s"$cat.`$sfName`.t", base)
   }
 
@@ -673,6 +681,72 @@ object Mining {
       .groupBy("item", "flagged")
       .agg(count(lit(1)).as("n"), sum(col("quality")).as("q_sum"))
       .orderBy("item", "flagged")
+  }
+
+  /** FILE-LEVEL METADATA RELATION (`SELECT ... FROM <t>.files` — the
+    * Iceberg `files` table on the fimi manifest log): a managed table
+    * is driven through a fixed CREATE → three single-basket INSERTs →
+    * copy-on-write DELETE sequence, and the current generation's file
+    * listing is read back RELATIONALLY — ordinal (the positional-tid
+    * file ordinal), size_bytes (exact content bytes: the line writer's
+    * output is deterministic), and version_added (the earliest retained
+    * manifest listing the file). Ground truth is byte arithmetic on the
+    * write protocol: the two untouched single-basket files survive BY
+    * NAME with their original bytes and adding commits, and the
+    * DELETE's rewritten group has no survivors, so its replacement part
+    * file is EMPTY (0 bytes) and traces to the DELETE commit. Any
+    * protocol defect — a lost or reordered listing, a wrong provenance
+    * version, a phantom byte — shifts a row and fails the hash.
+    *
+    * Scale posture: O(1) in the corpus (metadata inspection, like
+    * [[fpmFimiHistory]]) — one names-only log listing + cached manifest
+    * parses + one getFileStatus per current file, LocalScan rows. */
+  def fpmFimiFiles(s: SparkSession, dir: String): DataFrame = {
+    val wc = Tables.fimiWorkCatalog(s, "graft_fimi_files", "graft_dml_files", dir)
+    val t = s"${wc.prefix}.t"
+    s.sql(s"DROP TABLE IF EXISTS $t")
+    s.sql(s"CREATE TABLE $t (tid BIGINT, items ARRAY<STRING>) USING fimi")
+    s.sql(s"INSERT INTO $t VALUES (0L, array('a', 'b'))")   // v1: "a b\n"  = 4 B
+    s.sql(s"INSERT INTO $t VALUES (1L, array('ccc'))")      // v2: "ccc\n"  = 4 B
+    s.sql(s"INSERT INTO $t VALUES (2L, array('dd', 'e'))")  // v3: "dd e\n" = 5 B
+    s.sql(s"DELETE FROM $t WHERE array_contains(items, 'ccc')") // v4: COW
+    s.sql(s"SELECT ordinal, size_bytes, version_added FROM $t.files " +
+      "ORDER BY ordinal")
+  }
+
+  /** SORT-CLUSTERED OPTIMIZE from SQL (`CALL system.optimize(...,
+    * zorder => 'q')` — Delta's OPTIMIZE ZORDER BY on the fimi manifest
+    * log): the cloned work table evolves a `q BIGINT` column, a
+    * copy-on-write UPDATE back-fills `q = size(items)` for EVERY basket
+    * (whole-table rewrite), and the clustered rewrite re-lays the
+    * generation sorted by q into small files. The read-back groups
+    * per-(q, item) counts — the clustered rewrite must preserve content
+    * as an exact multiset, so the hash pins rewrite losslessness; the
+    * cross-joined `zordered` flag (latest history operation is
+    * `OPTIMIZE ZORDER(...)`) pins that the clustered path actually
+    * committed, not a no-op. The layout WIN (per-file stats narrow →
+    * skipping prunes) is plan-gated in GraftCatalogSpec; a hash cannot
+    * see layout, only that clustering never corrupts.
+    *
+    * Scale posture: the rewrite is one range shuffle + per-partition
+    * streamed line writes (the same data plane the DML keys price); the
+    * ALTER is O(1); at 100 TB this is the nightly layout job that makes
+    * the morning's selective scans skip. */
+  def fpmFimiZorder(s: SparkSession, dir: String): DataFrame = {
+    val (t, _) = fimiDmlTable(s, dir, "graft_fimi_zo", "graft_dml_zo")
+    val sfName = new java.io.File(dir).getName
+    s.sql(s"ALTER TABLE $t ADD COLUMN q BIGINT")
+    s.sql(s"UPDATE $t SET q = CAST(size(items) AS BIGINT)")
+    s.sql(s"CALL graft_dml_zo.system.optimize(table => '`$sfName`.t', " +
+      s"target_file_bytes => ${32L << 10}, zorder => 'q')")
+    val z = s.sql(s"SELECT operation FROM $t.history " +
+        "ORDER BY version DESC LIMIT 1")
+      .select(col("operation").startsWith("OPTIMIZE ZORDER").as("zordered"))
+    s.table(t)
+      .select(col("q"), explode(col("items")).as("item"))
+      .groupBy("q", "item").agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(z))
+      .orderBy("q", "item")
   }
 
   /** Frequent items at the k-itemset threshold — downward-closure prune set. */
@@ -1776,6 +1850,8 @@ object Mining {
     "fpm_fimi_history" -> (fpmFimiHistory _),
     "fpm_fimi_changes" -> (fpmFimiChanges _),
     "fpm_fimi_evolve" -> (fpmFimiEvolve _),
+    "fpm_fimi_files" -> (fpmFimiFiles _),
+    "fpm_fimi_zorder" -> (fpmFimiZorder _),
     "fpm_fimi_vacuum"  -> (fpmFimiVacuum _),
     "fpm_fimi_compact" -> (fpmFimiCompact _),
     "fpm_fimi_spj"     -> (fpmFimiSpj _),
@@ -2259,6 +2335,32 @@ object Mining {
         |SELECT 'g' || CAST(tid % 3 AS VARCHAR) AS grp, item,
         |       CAST(count(*) AS BIGINT) AS freq
         |FROM tx GROUP BY 1, 2 ORDER BY grp, item""".stripMargin),
+
+    // Files-relation ground truth: byte arithmetic on the fixed
+    // CREATE → 3 single-basket INSERTs → COW DELETE sequence — the two
+    // untouched files survive with their exact content bytes and adding
+    // commits; the rewritten group had no survivors, so its replacement
+    // part file is empty and traces to the DELETE commit (v4).
+    "fpm_fimi_files" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(0 AS INT), CAST(4 AS BIGINT), CAST(1 AS BIGINT)),
+        |  (CAST(1 AS INT), CAST(5 AS BIGINT), CAST(3 AS BIGINT)),
+        |  (CAST(2 AS INT), CAST(0 AS BIGINT), CAST(4 AS BIGINT))
+        |) AS f(ordinal, size_bytes, version_added)
+        |ORDER BY ordinal""".stripMargin,
+
+    // Clustered-rewrite ground truth: after the whole-table back-fill
+    // q = basket size and OPTIMIZE ZORDER(q), content must be the exact
+    // multiset the relational derivation predicts (clustering only
+    // reorders), and the latest history op must be the clustered
+    // rewrite (zordered = true in every row).
+    "fpm_fimi_zorder" -> (txCte +
+      """, sz AS (SELECT tid, count(*) AS c FROM tx GROUP BY tid)
+        |SELECT CAST(sz.c AS BIGINT) AS q, t.item,
+        |       CAST(count(*) AS BIGINT) AS n, true AS zordered
+        |FROM tx t JOIN sz ON t.tid = sz.tid
+        |GROUP BY 1, 2
+        |ORDER BY q, item""".stripMargin),
 
     // Schema-evolution ground truth: after ADD COLUMN quality BIGINT,
     // UPDATE back-fills quality = basket size for >= 5-item baskets

@@ -536,6 +536,13 @@ class FimiDsv2Spec extends SparkSpec {
     assert(afterOpt.filter(col("q") > 8L).count() == 1)
     // correctness is never affected: residual filters re-evaluate
     assert(afterOpt.filter(col("q") === 4L).count() == 0)
+    // the stats ledger is SELECT-able through the files metadata table
+    // (the audit affordance: why did/didn't a predicate prune?)
+    val ledger = spark.sql(
+      "SELECT stats FROM graft_sk.ns.t.files WHERE stats IS NOT NULL")
+      .collect().map(_.getString(0)).toSeq
+    assert(ledger.size == 1 && ledger.head.contains("\"min\"") &&
+      ledger.head.contains("\"q\""), ledger.toString)
   }
 
   test("storage-partitioned join: two bucketed fimi tables join with ZERO shuffle exchanges") {
