@@ -583,34 +583,50 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
       s"fimi table ${name()}.$ident keeps no snapshot log; ADD COLUMNS " +
         "applies to snapshot tables (the manifest log carries the " +
         "per-generation schema)")
-    val cur = FimiLog.schemaAt(fs, dest, None)
-      .map(j => org.apache.spark.sql.types.DataType.fromJson(j)
-        .asInstanceOf[StructType])
-      .getOrElse(FimiTable.Schema)
-    val next = adds.foldLeft(cur) { (schema, a) =>
-      require(a.fieldNames().length == 1,
-        s"fimi ADD COLUMNS: nested field ${a.fieldNames().mkString(".")} " +
-          "is not supported (top-level scalar columns only)")
-      val colName = a.fieldNames()(0)
-      require(!schema.fieldNames.exists(_.equalsIgnoreCase(colName)),
-        s"fimi ADD COLUMNS: column $colName already exists")
-      require(a.isNullable,
-        s"fimi ADD COLUMNS: $colName must be nullable — rows written " +
-          "before the evolution read the column as NULL")
-      require(a.position() == null,
-        s"fimi ADD COLUMNS: $colName must append at the end (cells map " +
-          "to columns positionally; FIRST/AFTER would re-key younger files)")
-      require(FimiTable.SupportedExtraTypes.contains(a.dataType()),
-        s"fimi ADD COLUMNS: type ${a.dataType().catalogString} is not " +
-          "supported (scalars only: string, bigint, int, double, " +
-          "boolean, date, timestamp)")
-      schema.add(org.apache.spark.sql.types.StructField(
-        colName, a.dataType(), nullable = true))
+    // the connector's own column namespace is reserved: _file is the
+    // metadata column every read can project, and the three change
+    // columns ride the feed relation — a user column shadowing any of
+    // them would silently misroute on read
+    val reserved = Set(graft.sources.fimi.FimiTable.FileColName) ++
+      graft.sources.fimi.FimiChanges.ChangeColNames
+    // schema and version are (re)computed INSIDE the commit loop: a
+    // lost race means a concurrent writer advanced the table — possibly
+    // with its own ADD COLUMNS — and committing a schema folded from
+    // the stale read would silently drop that writer's columns and
+    // positionally re-key every file already carrying their cells
+    var committed = false
+    while (!committed) {
+      val cur = FimiLog.schemaAt(fs, dest, None)
+        .map(j => org.apache.spark.sql.types.DataType.fromJson(j)
+          .asInstanceOf[StructType])
+        .getOrElse(FimiTable.Schema)
+      val next = adds.foldLeft(cur) { (schema, a) =>
+        require(a.fieldNames().length == 1,
+          s"fimi ADD COLUMNS: nested field ${a.fieldNames().mkString(".")} " +
+            "is not supported (top-level scalar columns only)")
+        val colName = a.fieldNames()(0)
+        require(!reserved.exists(_.equalsIgnoreCase(colName)),
+          s"fimi ADD COLUMNS: $colName is a reserved connector column " +
+            s"(reserved: ${reserved.mkString(", ")})")
+        require(!schema.fieldNames.exists(_.equalsIgnoreCase(colName)),
+          s"fimi ADD COLUMNS: column $colName already exists")
+        require(a.isNullable,
+          s"fimi ADD COLUMNS: $colName must be nullable — rows written " +
+            "before the evolution read the column as NULL")
+        require(a.position() == null,
+          s"fimi ADD COLUMNS: $colName must append at the end (cells map " +
+            "to columns positionally; FIRST/AFTER would re-key younger files)")
+        require(FimiTable.SupportedExtraTypes.contains(a.dataType()),
+          s"fimi ADD COLUMNS: type ${a.dataType().catalogString} is not " +
+            "supported (scalars only: string, bigint, int, double, " +
+            "boolean, date, timestamp)")
+        schema.add(org.apache.spark.sql.types.StructField(
+          colName, a.dataType(), nullable = true))
+      }
+      val v = FimiLog.latestVersion(fs, dest).map(_ + 1).getOrElse(0L)
+      committed = FimiLog.write(fs, dest, v, None, truncate = false, Seq.empty,
+        op = Some("ADD COLUMNS"), schemaJson = Some(next.json))
     }
-    var v = FimiLog.latestVersion(fs, dest).map(_ + 1).getOrElse(0L)
-    while (!FimiLog.write(fs, dest, v, None, truncate = false, Seq.empty,
-        op = Some("ADD COLUMNS"), schemaJson = Some(next.json)))
-      v += 1
     FimiLog.maybeCheckpoint(fs, dest)
     cache.remove(ident)
   }

@@ -77,20 +77,18 @@ private[catalog] object GraftMetadataTables {
     // provenance: the earliest RETAINED manifest listing each current
     // file (data files are immutable, so any lister is a valid witness;
     // the earliest is the add — or the adopting/truncate re-list when
-    // the true add expired)
-    val firstListed = scala.collection.mutable.Map.empty[String, Long]
-    FimiLog.manifests(fs, dir).foreach { m =>
-      m.files.foreach { n =>
-        if (!firstListed.contains(n)) firstListed(n) = m.version
-      }
-    }
+    // the true add expired). A live file NO retained manifest lists
+    // was seeded from a vacuum-boundary checkpoint: its witness is the
+    // earliest retained version, never a crash.
+    val prov = FimiLog.provenance(fs, dir)
+    val earliest = FimiLog.history(fs, dir).headOption.map(_.version).getOrElse(0L)
     val stats = FimiLog.statsAt(fs, dir, None)
     FimiLog.resolve(fs, dir, None).zipWithIndex.map { case (n, ord) =>
       InternalRow(
         UTF8String.fromString(n),
         ord,
         fs.getFileStatus(new Path(dir, n)).getLen,
-        firstListed(n),
+        prov.fileFirst.getOrElse(n, earliest),
         stats.get(n).map(UTF8String.fromString).orNull)
     }.toArray
   }

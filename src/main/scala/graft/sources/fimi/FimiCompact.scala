@@ -162,23 +162,29 @@ object FimiCompact {
         if (cols.size == 1)
           (df, Seq(col(cols.head.name)))
         else if (numericZ) {
-          // Morton interleave of 16-bit quantized ranks: bit i of
-          // column j lands at position i*n + (n-1-j) — the rel_zorder
-          // arithmetic generalized to n dims. Mins/maxes come from one
-          // aggregate over the generation; nulls quantize to 0 (first).
+          // Morton interleave of quantized ranks: bit i of column j
+          // lands at position i*n + (n-1-j) — the rel_zorder arithmetic
+          // generalized to n dims. Mins/maxes come from one aggregate
+          // over the generation; nulls quantize to 0 (first). Bits per
+          // dimension cap so the TOP interleave position stays below
+          // bit 63 (n=4 → 15 bits): bit 63 would flip the Long sign and
+          // split the z-curve at the sign boundary, wrecking the
+          // leading dimension's file ranges.
           val aggs = cols.flatMap(f => Seq(
             min(col(f.name).cast("double")), max(col(f.name).cast("double"))))
           val mm = df.agg(aggs.head, aggs.tail: _*).head()
           val n = cols.size
+          val dimBits = math.min(16, 63 / n)
+          val qMax = (1L << dimBits) - 1
           val zs = cols.zipWithIndex.map { case (f, j) =>
             val lo = if (mm.isNullAt(2 * j)) 0.0 else mm.getDouble(2 * j)
             val hi = if (mm.isNullAt(2 * j + 1)) 0.0 else mm.getDouble(2 * j + 1)
             val span = if (hi > lo) hi - lo else 1.0
             val q = when(col(f.name).isNull, lit(0L)).otherwise(
               least(greatest(
-                ((col(f.name).cast("double") - lit(lo)) / lit(span) * 65535.0)
-                  .cast("long"), lit(0L)), lit(65535L)))
-            (0 until 16).map(i =>
+                ((col(f.name).cast("double") - lit(lo)) / lit(span) * qMax.toDouble)
+                  .cast("long"), lit(0L)), lit(qMax)))
+            (0 until dimBits).map(i =>
               shiftleft(shiftright(q, i).bitwiseAND(lit(1L)),
                 i * n + (n - 1 - j))).reduce((a, b) => a + b)
           }
@@ -201,7 +207,14 @@ object FimiCompact {
           if (!rows.hasNext) Iterator.empty
           else {
             val c = FimiTable.rebuildConf(kvs)
-            val outName = f"zorder-$i%05d-$tag.dat"
+            // the task ATTEMPT id rides the staged name (the
+            // FimiWriterFactory convention): under speculation two
+            // attempts of partition i must never write one file — only
+            // the winning attempt's name reaches the driver, the
+            // loser's file dies with the staging dir
+            val attempt = Option(org.apache.spark.TaskContext.get())
+              .map(_.taskAttemptId()).getOrElse(0L)
+            val outName = f"zorder-$i%05d-$attempt-$tag.dat"
             val w = new FimiLineWriter(
               new Path(stagingStr, outName), c, itemsIdx, cells)
             var ok = false
@@ -351,24 +364,11 @@ object FimiCompact {
         // the fudge scale never flips a null-count comparison, because
         // nulls == rows holds per member exactly when the member is
         // all-null
-        var colAdded = Map.empty[String, Long]
-        var fileFirst = Map.empty[String, Long]
-        FimiLog.manifests(fs, destPath).foreach { m =>
-          m.schemaJson.foreach { j =>
-            org.apache.spark.sql.types.DataType.fromJson(j)
-              .asInstanceOf[org.apache.spark.sql.types.StructType]
-              .fieldNames.foreach { f =>
-                if (!colAdded.contains(f)) colAdded += f -> m.version
-              }
-          }
-          m.files.foreach { n =>
-            if (!fileFirst.contains(n)) fileFirst += n -> m.version
-          }
-        }
+        val prov = FimiLog.provenance(fs, destPath)
         def memberStats(name: String): Option[FimiStats.FileStats] =
           baseStats.get(name).flatMap(FimiStats.parse(_, extras)).orElse {
-            if (extras.keys.forall(c => colAdded.get(c).exists(av =>
-                fileFirst.get(name).exists(_ < av))))
+            if (extras.keys.forall(c => prov.colAdded.get(c).exists(av =>
+                prov.fileFirst.get(name).exists(_ < av))))
               Some(FimiStats.FileStats(1L,
                 extras.map { case (c, _) =>
                   c -> FimiStats.ColStats(None, None, 1L) }))

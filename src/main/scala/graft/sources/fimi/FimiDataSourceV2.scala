@@ -676,7 +676,7 @@ class FimiScan(
       checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new FimiMicroBatchStream(
       optionPaths, hadoopKVs, requiredSchema, sep, checkpointLocation,
-      maxFilesPerTrigger, ignoreChanges)
+      maxFilesPerTrigger, ignoreChanges, tableExtras)
 
   override def description(): String = {
     val lim = if (limit >= 0) s", pushedLimit=$limit" else ""
@@ -724,12 +724,10 @@ class FimiScan(
       else {
         val extras = tableExtras.map(f => f.name -> f.dataType).toMap
         var statsMap = Map.empty[String, String]
-        // provenance for the ALL-NULL inference below: when each column
-        // first appeared in a committed schema, and when each file was
-        // first listed — a file listed BEFORE a column existed cannot
-        // hold a value for it (files are immutable), so the column is
-        // provably all-null there even with no recorded stats. One pass
-        // over cached manifests; vacuumed history degrades to
+        // provenance for the ALL-NULL inference below: a file listed
+        // BEFORE a column existed cannot hold a value for it (files
+        // are immutable), so the column is provably all-null there
+        // even with no recorded stats. Vacuumed history degrades to
         // conservative keep (addVersion unknown).
         var colAdded = Map.empty[String, Long]
         var fileFirst = Map.empty[String, Long]
@@ -739,17 +737,9 @@ class FimiScan(
           if (pfs.exists(path) && pfs.getFileStatus(path).isDirectory &&
               FimiLog.exists(pfs, path)) {
             statsMap ++= FimiLog.statsAt(pfs, path, versionAsOf)
-            FimiLog.manifests(pfs, path).foreach { m =>
-              m.schemaJson.foreach { j =>
-                org.apache.spark.sql.types.DataType.fromJson(j)
-                  .asInstanceOf[StructType].fieldNames.foreach { f =>
-                    if (!colAdded.contains(f)) colAdded += f -> m.version
-                  }
-              }
-              m.files.foreach { n =>
-                if (!fileFirst.contains(n)) fileFirst += n -> m.version
-              }
-            }
+            val prov = FimiLog.provenance(pfs, path)
+            colAdded ++= prov.colAdded
+            fileFirst ++= prov.fileFirst
           }
         }
         name => {
@@ -1196,8 +1186,18 @@ class FimiLineWriter(
     if (cellArr.isEmpty) return None
     val cols = cellArr.indices.map { s =>
       val (name, _, dt) = cellArr(s)
+      // NaN/Infinity have no JSON number form — rendering them would
+      // make the whole blob unparseable and silently void EVERY
+      // column's stats for this file; drop just this column's range
+      // instead (null-count still recorded)
+      def renderable(v: Any): Boolean = dt match {
+        case org.apache.spark.sql.types.DoubleType =>
+          java.lang.Double.isFinite(v.asInstanceOf[Double])
+        case _ => true
+      }
       val mm =
-        if (statMin(s) == null) ""
+        if (statMin(s) == null || !renderable(statMin(s)) ||
+            !renderable(statMax(s))) ""
         else s""","min":${FimiTable.encodeValue(statMin(s), dt)}""" +
           s""","max":${FimiTable.encodeValue(statMax(s), dt)}"""
       s"""${FimiTable.jsonName(name)}:{"nulls":${statNulls(s)}$mm}"""

@@ -324,6 +324,34 @@ object FimiLog {
       }
   }
 
+  /** PROVENANCE over the retained manifests: the first retained version
+    * listing each file, and the first retained version whose committed
+    * schema contains each column — the shared inputs of the all-null
+    * inference (a file listed before a column existed is provably null
+    * for it; see FimiStats) and the `files` metadata relation. One pass
+    * over cached manifest parses; vacuumed history simply starts the
+    * walk at the earliest retained manifest (callers treat a missing
+    * entry conservatively). */
+  case class Provenance(fileFirst: Map[String, Long], colAdded: Map[String, Long])
+
+  def provenance(fs: FileSystem, table: Path): Provenance = {
+    var colAdded = Map.empty[String, Long]
+    var fileFirst = Map.empty[String, Long]
+    manifests(fs, table).foreach { m =>
+      m.schemaJson.foreach { j =>
+        org.apache.spark.sql.types.DataType.fromJson(j)
+          .asInstanceOf[org.apache.spark.sql.types.StructType]
+          .fieldNames.foreach { f =>
+            if (!colAdded.contains(f)) colAdded += f -> m.version
+          }
+      }
+      m.files.foreach { n =>
+        if (!fileFirst.contains(n)) fileFirst += n -> m.version
+      }
+    }
+    Provenance(fileFirst, colAdded)
+  }
+
   /** Per-file content-stats JSON visible at `versionAsOf` (latest when
     * None): the union of every retained manifest's `#stats` lines up to
     * the target, seeded from the nearest checkpoint's folded stats —

@@ -39,7 +39,8 @@ class FimiMicroBatchStream(
     sep: String,
     checkpointLocation: String,
     maxFilesPerTrigger: Option[Int] = None,
-    ignoreChanges: Boolean = false)
+    ignoreChanges: Boolean = false,
+    tableExtras: Seq[org.apache.spark.sql.types.StructField] = Nil)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   private val conf: Configuration = FimiTable.rebuildConf(hadoopKVs)
@@ -348,7 +349,7 @@ class FimiMicroBatchStream(
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new FimiPartitionReaderFactory(hadoopKVs, requiredSchema, sep, -1)
+    new FimiPartitionReaderFactory(hadoopKVs, requiredSchema, sep, -1, tableExtras)
 
   override def deserializeOffset(json: String): Offset = FimiOffset.fromJson(json)
 

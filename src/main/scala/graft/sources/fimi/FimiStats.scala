@@ -52,8 +52,13 @@ private[fimi] object FimiStats {
                 s"fimi stats: unsupported type $other")
             }
           }
-          cols += name -> ColStats(v("min"), v("max"),
-            Option(c.get("nulls")).map(_.asLong()).getOrElse(0L))
+          val (mn, mx) = (v("min"), v("max"))
+          // min and max travel as a pair; a blob carrying only one
+          // (hand-edited manifest, format drift) degrades that column
+          // to no-stats rather than crash planning on the missing bound
+          if (mn.isDefined == mx.isDefined)
+            cols += name -> ColStats(mn, mx,
+              Option(c.get("nulls")).map(_.asLong()).getOrElse(0L))
         }
       }
       Some(FileStats(rows, cols.result()))

@@ -762,14 +762,23 @@ object Streaming {
   def streamFimiChanges(s: SparkSession, dir: String): DataFrame = {
     import graft.sources.fimi.FimiChanges
     val (path, ckRoot) = cdcFixture(s, dir)
+    // each call replays the full feed from a FRESH checkpoint; the
+    // previous call's checkpoint is deleted here rather than
+    // accumulating one ck-<uuid> dir per call under the long-lived
+    // fixture namespace
+    val ck = new java.io.File(ckRoot, "ck")
+    def rmCk(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rmCk)
+      f.delete(): Unit
+    }
+    rmCk(ck)
     val acc = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
     val q = s.readStream.format("fimi")
       .option(FimiChanges.FromOption, 1)
       .option("maxFilesPerTrigger", 8)
       .load(path)
       .writeStream.outputMode("append")
-      .option("checkpointLocation",
-        s"$ckRoot/ck-${java.util.UUID.randomUUID().toString.take(8)}")
+      .option("checkpointLocation", ck.getAbsolutePath)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .foreachBatch { (bdf: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         val rows = FimiChanges.net(bdf)

@@ -544,6 +544,58 @@ class GraftCatalogSpec extends SparkSpec {
     assert(msgs(bad).contains("not an evolved column"), msgs(bad).take(300))
   }
 
+  test("the exactly-once streaming sink writes evolved columns as cells") {
+    val (t, dest) = dmlTable("graft_sevo", Seq("a b"))
+    spark.sql(s"ALTER TABLE $t ADD COLUMN q BIGINT")
+    // a second managed table as the streaming SOURCE
+    val root = new java.io.File(dest).getParentFile.getParent
+    val srcDir = s"$root/ns/src.fimi"
+    val sp = spark
+    import sp.implicits._
+    Seq((10L, Seq("x", "y")), (11L, Seq("z"))).toDF("tid", "items")
+      .coalesce(1).write.format("fimi").mode("overwrite").save(srcDir)
+    val ck = s"${java.nio.file.Files.createTempDirectory("graft-sevo-ck")}/ck"
+    val q = spark.readStream.table(s"${t.stripSuffix(".t")}.src")
+      .select(col("tid"), col("items"),
+        (col("tid") * 100L).as("q")) // evolved column fed by the stream
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ck)
+      .toTable(t)
+    try q.processAllAvailable() finally q.stop()
+    val rows = spark.sql(
+      s"SELECT array_join(items, ' ') AS b, q FROM $t ORDER BY b")
+      .collect().map(r => (r.getString(0), Option(r.get(1)))).toSeq
+    // the pre-evolution row null-fills; streamed rows carry their cells
+    assert(rows.map(_._1) == Seq("a b", "x y", "z"), rows.toString)
+    assert(rows.map(_._2.orNull).count(_ == null) == 1, rows.toString)
+    // source tids are positional (byte offsets 0 and 4), so q = 0, 400
+    assert(rows.collect { case (_, Some(v)) => v.asInstanceOf[Long] }.sorted
+      == Seq(0L, 400L), rows.toString)
+    // and the epoch's stats line landed, so skipping applies to
+    // stream-written files too
+    val pruned = spark.table(t).filter(col("q") > 5000L)
+    assert(pruned.rdd.getNumPartitions == 0, "streamed cells missing stats")
+    // streaming READ of the evolved table serves cells too (the
+    // micro-batch reader must carry the table's extras — a dropped
+    // extras list crashes the first projected batch)
+    val got = scala.collection.mutable.ArrayBuffer.empty[(String, Any)]
+    val ck2 = s"${java.nio.file.Files.createTempDirectory("graft-sevo-ck2")}/ck"
+    val q2 = spark.readStream.table(t)
+      .select(array_join(col("items"), " ").as("b"), col("q"))
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ck2)
+      .foreachBatch { (bdf: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val batch = bdf.collect().map(r => (r.getString(0), r.get(1)))
+        got.synchronized { got ++= batch }
+        ()
+      }
+      .start()
+    try q2.processAllAvailable() finally q2.stop()
+    val streamed = got.synchronized(got.toSeq).sortBy(_._1)
+    assert(streamed.map(_._1) == Seq("a b", "x y", "z"), streamed.toString)
+    assert(streamed.map(_._2) == Seq(null, 0L, 400L), streamed.toString)
+  }
+
   test("schema evolution survives OPTIMIZE, VACUUM and a cold manifest cache") {
     val (t, dest) = dmlTable("graft_evo2", Seq("a b", "x y"))
     spark.sql(s"ALTER TABLE $t ADD COLUMN w DOUBLE")
