@@ -449,6 +449,102 @@ class FimiLogSpec extends graft.SparkSpec {
     }
   }
 
+  test("property: schema and stats folds agree with the model across vacuum and cold restarts") {
+    // Model-based check of the r19 fold surface: for random sequences
+    // of appends (with per-file #stats), truncates, ADD COLUMNS commits
+    // (#schema), vacuums and cold restarts, the real log must agree
+    // with a pure reference model on schemaAt (last schema at or below
+    // every retained version — carried through the boundary checkpoint
+    // when the ALTER manifest expires) and on statsAt for every file
+    // LIVE at every retained version (stats are immutable per-file
+    // facts; checkpoints prune dead entries but may never lose a live
+    // one). Fixed seeds (offline scalacheck).
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    sealed trait Op
+    case class Append(nFiles: Int) extends Op
+    case class Truncate(nFiles: Int) extends Op
+    case object Evolve extends Op
+    case class Vacuum(retain: Int) extends Op
+    case object Cold extends Op
+    val opGen: Gen[Op] = Gen.frequency(
+      5 -> Gen.chooseNum(0, 3).map(Append(_)),
+      2 -> Gen.chooseNum(0, 2).map(Truncate(_)),
+      2 -> Gen.const(Evolve),
+      2 -> Gen.chooseNum(1, 4).map(Vacuum(_)),
+      2 -> Gen.const(Cold))
+    val seqGen = Gen.chooseNum(10, 28).flatMap(n => Gen.listOfN(n, opGen))
+    (1 to 10).foreach { i =>
+      val ops = seqGen.pureApply(Gen.Parameters.default, Seed(3400L + i))
+      val table = new Path(tmpDir(s"schemaprop$i") + "/t")
+      val fs = hfs(table.toString)
+      fs.mkdirs(table)
+      var committed = Vector.empty[
+        (Long, Boolean, Seq[String], Option[String], Map[String, String])]
+      var boundary = 0L
+      var nextFile = 0
+      var nextCol = 0
+      def commit(tr: Boolean, files: Seq[String], schema: Option[String],
+          stats: Map[String, String], op: String): Unit = {
+        var v = FimiLog.latestVersion(fs, table).map(_ + 1).getOrElse(0L)
+        while (!FimiLog.write(fs, table, v, None, tr, files, op = Some(op),
+            schemaJson = schema, stats = stats)) v += 1
+        FimiLog.maybeCheckpoint(fs, table)
+        committed :+= ((v, tr, files, schema, stats))
+      }
+      def freshFiles(n: Int): Seq[String] =
+        (0 until n).map { _ => nextFile += 1; f"f$nextFile%04d.dat" }
+      ops.foreach {
+        case Append(n) =>
+          val files = freshFiles(n)
+          val stats = files.map(f => f ->
+            s"""{"rows":1,"cols":{"c1":{"nulls":0,"min":$nextFile,"max":$nextFile}}}""").toMap
+          commit(tr = false, files, None, stats, "APPEND")
+        case Truncate(n) =>
+          val files = freshFiles(n)
+          commit(tr = true, files, None,
+            files.map(f => f -> """{"rows":2,"cols":{}}""").toMap, "OVERWRITE")
+        case Evolve =>
+          nextCol += 1
+          val schema = org.apache.spark.sql.types.StructType(
+            FimiTable.Schema.fields.toSeq ++ (1 to nextCol).map(k =>
+              org.apache.spark.sql.types.StructField(
+                s"c$k", org.apache.spark.sql.types.LongType))).json
+          commit(tr = false, Seq.empty, Some(schema), Map.empty, "ADD COLUMNS")
+        case Vacuum(r) =>
+          if (committed.nonEmpty) {
+            val retained = committed.map(_._1).filter(_ >= boundary)
+            FimiLog.vacuum(fs, table, r)
+            if (retained.size > r) boundary = retained(retained.size - r)
+          }
+        case Cold => FimiLog.clearCache()
+      }
+      def modelSchema(v: Long): Option[String] =
+        committed.filter(_._1 <= v).flatMap(_._4).lastOption
+      def modelResolve(v: Long): Vector[String] =
+        committed.filter(_._1 <= v).foldLeft(Vector.empty[String]) {
+          case (acc, (_, tr, fs0, _, _)) => (if (tr) Vector.empty else acc) ++ fs0
+        }
+      val modelStatsAll: Map[String, String] = committed.flatMap(_._5).toMap
+      (0 to 1).foreach { pass =>
+        if (pass == 0) FimiLog.clearCache()
+        val retained = committed.map(_._1).filter(_ >= boundary)
+        retained.foreach { v =>
+          assert(FimiLog.schemaAt(fs, table, Some(v)) == modelSchema(v),
+            s"schemaAt($v) diverged from model (case $i)")
+          val st = FimiLog.statsAt(fs, table, Some(v))
+          modelResolve(v).foreach { f =>
+            assert(st.get(f) == modelStatsAll.get(f),
+              s"statsAt($v)[$f] diverged from model (case $i)")
+          }
+        }
+        assert(FimiLog.schemaAt(fs, table, None) ==
+          committed.lastOption.map(_._1).flatMap(modelSchema),
+          s"schemaAt(latest) diverged (case $i)")
+      }
+    }
+  }
+
   test("property: the change-feed diff reconstructs every retained listing (random op sequences)") {
     // Model-based check of FimiChanges.diffRange against the same pure
     // reference model as the protocol property above: for random
