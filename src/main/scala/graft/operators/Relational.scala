@@ -558,7 +558,7 @@ object Relational {
     * column and this stays a one-scan profile with bounded sketch
     * state; min/max/count are cheap partial aggregates at any scale. */
   def relProfile(s: SparkSession, dir: String): DataFrame =
-    profileOver(s, dir, c => countDistinct(c))
+    profileOver(s, dir, c => countDistinct(c), splitMinMax = true)
 
   /** The 100-TB twin of [[relProfile]]: identical one-scan profile shape
     * with `approx_count_distinct` (HLL++, rsd 0.02) in the distinct
@@ -573,16 +573,34 @@ object Relational {
     * registers ⇒ 0.66 s; 2% error is ample for a profile's distinct
     * slot, and at 100 TB the sketch is 4× smaller to ship). */
   def relProfileApprox(s: SparkSession, dir: String): DataFrame =
-    profileOver(s, dir, c => approx_count_distinct(c, 0.02))
+    profileOver(s, dir, c => approx_count_distinct(c, 0.02), splitMinMax = false)
 
   private def profileOver(s: SparkSession, dir: String,
-      nd: Column => Column): DataFrame = {
+      nd: Column => Column, splitMinMax: Boolean): DataFrame = {
     val numCols = Seq("o_custkey", "o_totalprice")
     val strCols = Seq("o_orderstatus", "o_orderpriority")
-    val aggs =
+    // EXACT profile (splitMinMax): the min/max folds live in their OWN
+    // global aggregate (r19 opt) — a min/max(string) buffer is immutable
+    // in an UnsafeRow, so keeping them inside the wide aggregate demotes
+    // the whole Expand × multi-distinct chain to SortAggregate (three
+    // sort-based aggregate levels + two extra Sorts over rows ×
+    // profiled-columns). Split out, the hot count+distinct aggregate
+    // stays HashAggregate/codegen, and the min/max fold is a
+    // grouping-free partial+final SortAggregate (no Sort node — nothing
+    // to order by). Both branches reference all four profiled columns so
+    // they prune to the IDENTICAL projection and AQE reuses the
+    // repartition exchange at runtime: still one orders scan, gated on
+    // the executed plan in ContractSpec.
+    // APPROX profile (!splitMinMax): stays ONE global aggregate — with
+    // approx_count_distinct there is no Expand and a grouping-free
+    // SortAggregate needs no Sort, so the one-agg fold is already the
+    // cheapest shape; splitting it only adds two query stages and a
+    // broadcast (measured +0.4 s at sf0.1).
+    val countAggs =
       (numCols ++ strCols).flatMap(c => Seq(
         count(col(c)).as(s"nn_$c"),
-        nd(col(c)).as(s"nd_$c"))) ++
+        nd(col(c)).as(s"nd_$c")))
+    val mmAggs =
       numCols.flatMap(c => Seq(
         min(col(c)).cast("double").as(s"mn_$c"),
         max(col(c)).cast("double").as(s"mx_$c"))) ++
@@ -591,9 +609,16 @@ object Relational {
         max(col(c)).as(s"smx_$c")))
     // fanOut: the Expand × 20-buffer partial aggregate otherwise fuses
     // into a single-row-group scan's one task (no-op on wide inputs)
-    val wide = Tables.fanOut(Tables.load(s, dir, "orders")
-        .select((numCols ++ strCols).map(col): _*), col("o_custkey"))
-      .agg(aggs.head, aggs.tail: _*)
+    val base = Tables.fanOut(Tables.load(s, dir, "orders")
+      .select((numCols ++ strCols).map(col): _*), col("o_custkey"))
+    val wide =
+      if (splitMinMax)
+        base.agg(countAggs.head, countAggs.tail: _*)
+          .crossJoin(base.agg(mmAggs.head, mmAggs.tail: _*))
+      else {
+        val aggs = countAggs ++ mmAggs
+        base.agg(aggs.head, aggs.tail: _*)
+      }
     val stacked =
       (numCols.map(c =>
         s"'$c', nn_$c, nd_$c, mn_$c, mx_$c, CAST(NULL AS STRING), CAST(NULL AS STRING)") ++

@@ -109,11 +109,27 @@ class ContractSpec extends SparkSpec {
     // profile: one-pass multi-column profiling — a SINGLE orders scan
     // feeds the Expand-planned multi-distinct wide aggregate; four
     // UNION'd per-column scans (the oracle's formulation) would defeat
-    // the operator's point
-    val pf = operators.Relational.relProfile(spark, sf)
-      .queryExecution.executedPlan.toString
-    assert(pf.contains("Expand"), s"profile not Expand-planned:\n$pf")
-    assert(pf.split("FileScan").length - 1 == 1, s"profile re-scans:\n$pf")
+    // the operator's point. Since the r19 split of the min/max fold out
+    // of the hot aggregate (SortAggregate-fallback fix), the two
+    // aggregate branches share the repartition exchange via AQE's
+    // runtime stage reuse, so the single-scan property is asserted on
+    // the EXECUTED adaptive plan (runtimeOps), not the static text; the
+    // hot count+distinct chain must plan HashAggregate, never
+    // SortAggregate.
+    val pfDf = operators.Relational.relProfile(spark, sf)
+    pfDf.collect()
+    val pfOps = org.apache.spark.sql.graft.Bridge.runtimeOps(
+      pfDf.queryExecution.executedPlan)
+    assert(pfOps.exists(_.nodeName.contains("Expand")),
+      s"profile not Expand-planned:\n${pfOps.map(_.nodeName)}")
+    assert(pfOps.count(_.isInstanceOf[
+      org.apache.spark.sql.execution.FileSourceScanExec]) == 1,
+      s"profile re-scans:\n${pfOps.map(_.nodeName)}")
+    assert(pfOps.exists(_.nodeName.contains("ReusedExchange")),
+      s"profile branches do not share the scan exchange:\n${pfOps.map(_.nodeName)}")
+    assert(!pfOps.exists(p => p.nodeName.contains("SortAggregate") &&
+      p.toString.contains("count(")),
+      s"profile distinct chain fell back to SortAggregate:\n${pfOps.map(_.nodeName)}")
     // retrieval join: the probes×k hit table broadcasts — the corpus
     // metadata scan must not shuffle for the join
     val rj = operators.LlmOps.retrievalJoin(spark, sf)

@@ -582,9 +582,14 @@ class RelationalSpec extends SparkSpec {
     // and, unlike the exact twin, it must NOT plan an Expand: the whole
     // point of the HLL slot is bounded sketch state instead of the
     // rows × profiled-columns Expand replication (the 100 TB claim,
-    // asserted here rather than argued in the scaladoc)
+    // asserted here rather than argued in the scaladoc). Asserted on
+    // the EXECUTED adaptive plan: since the r19 min/max-fold split the
+    // two aggregate branches share the scan exchange via AQE runtime
+    // stage reuse, which the initial static plan does not show.
+    val apDf = Relational.relProfileApprox(spark, sf)
+    apDf.collect()
     val ops = org.apache.spark.sql.graft.Bridge.runtimeOps(
-      Relational.relProfileApprox(spark, sf).queryExecution.executedPlan)
+      apDf.queryExecution.executedPlan)
     val scans = ops.count(
       _.isInstanceOf[org.apache.spark.sql.execution.FileSourceScanExec])
     assert(scans == 1, s"expected one orders scan, saw $scans")
