@@ -442,7 +442,7 @@ object LlmOps {
     val bucketCap = 1024
     // one (doc_id, long) row per doc, referenced 4× below (bucket sizing
     // + both self-join sides) — materialize the fingerprints once
-    val sh = simhash(s, dir).select(col("doc_id"), col("simhash"))
+    val sh = simhashRaw(s, dir).select(col("doc_id"), col("simhash"))
       .localCheckpoint(true)
     val bands = sh
       .select(col("doc_id"), col("simhash"),
@@ -459,8 +459,12 @@ object LlmOps {
           && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
         expr("bit_count(x.simhash ^ y.simhash)").cast("long").as("hamming"))
-      .distinct()
+      // filter BEFORE the dedup (r19 opt, guide §2.3): hamming is a
+      // cheap codegen'd expression, and dropping >radius pairs first
+      // shrinks the distinct's exchange to the (rare) true near-dups
+      // instead of every band collision × up-to-4 duplicate bands
       .filter(col("hamming") <= 3)
+      .distinct()
       .orderBy("doc_a", "doc_b")
   }
 
@@ -623,23 +627,34 @@ object LlmOps {
     * shuffle. (The naive form explodes 64 bit-rows per token — a 64×
     * shuffle blow-up; kept below as [[simhashExploded]] and pinned
     * equal in LlmOpsSpec.) */
-  def simhash(s: SparkSession, dir: String): DataFrame = {
-    // fanOut: the tokenize+explode+65-buffer partial aggregate otherwise
-    // fuses into a single-row-group scan's ONE task (Tables.fanOut —
-    // no-op on any input that already scans wide)
-    val toks = Tables.fanOut(Tables.load(s, dir, "documents")
+  def simhash(s: SparkSession, dir: String): DataFrame =
+    simhashRaw(s, dir).orderBy("doc_id")
+
+  /** [[simhash]] without the declared key's total ORDER BY — the
+    * [[simhashNeardup]] feeder checkpoints and self-joins the
+    * fingerprints, so paying a global range-partition + sort before the
+    * checkpoint is pure waste (r19 opt, guide §2.4: an orderBy used only
+    * to make output deterministic is an accidental exchange).
+    *
+    * r19 shape: a PURE PROJECTION through the native one-pass
+    * [[graft.expressions.SimHashBits]] expression — hash each token
+    * once, take the 64 bit-majorities in one tight JVM pass. The
+    * previous fused form exploded tokens into a 65-sum hash aggregate:
+    * correct and map-side-combined, but it paid an explode, a 65-buffer
+    * aggregate and a shuffle for what is per-row arithmetic (guide §2.4:
+    * remove shuffles outright; the signature never needed grouping).
+    * The explode/aggregate reference forms stay below, spec-pinned
+    * equal. The null-text filter replicates the exploded form's
+    * semantics (explode of a null array emits no row). fanOut keeps the
+    * per-row bit work off a single-row-group scan's one task. */
+  private def simhashRaw(s: SparkSession, dir: String): DataFrame = {
+    graft.expressions.SimHashBits.register(s)
+    Tables.fanOut(Tables.load(s, dir, "documents")
         .select(col("doc_id"), col("text")), col("doc_id"))
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
-    val ones = (0 until 64).map(b =>
-      sum(shiftright(col("h"), b).bitwiseAND(lit(1L))).as(s"o$b"))
-    val votes = toks.groupBy("doc_id")
-      .agg(count(lit(1)).as("total"), ones: _*)
-    // majority vote per bit; disjoint powers of two, so + ≡ bitwise OR
-    val fingerprint = (0 until 64).map(b =>
-      when(col(s"o$b") * 2 > col("total"), lit(1L << b)).otherwise(lit(0L)))
-      .reduce(_ + _)
-    votes.select(col("doc_id"), fingerprint.as("simhash")).orderBy("doc_id")
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        call_function("graft_simhash",
+          expr("transform(split(text, ' '), t -> xxhash64(t))")).as("simhash"))
   }
 
   /** Third formulation of [[simhash]] via the custom

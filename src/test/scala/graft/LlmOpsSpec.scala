@@ -395,6 +395,33 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("native graft_simhash matches the HOF formulation on edge cases") {
+    graft.expressions.SimHashBits.register(spark)
+    import org.apache.spark.sql.functions._
+    // ties (2*ones == n must NOT set the bit), empty array (sig 0),
+    // all-bits element, null elements (count toward the total, never
+    // toward ones), and a NULL array (HOF yields 0; native is null →
+    // the operator call sites coalesce to 0)
+    val rows = spark.sql(
+      """SELECT id, hs FROM VALUES
+        |  (1, array(3L, 3L, 1L)),
+        |  (2, array()),
+        |  (3, array(-1L)),
+        |  (4, array(1L, CAST(NULL AS BIGINT), 1L, 2L)),
+        |  (5, array(5L, 5L, 2L, 2L)),
+        |  (6, CAST(NULL AS ARRAY<BIGINT>))
+        |AS t(id, hs)""".stripMargin)
+    val got = rows.select(col("id"),
+        coalesce(call_function("graft_simhash", col("hs")), lit(0L)).as("sig"),
+        expr(graft.streaming.Streaming.SimhashFromHashesSql).as("ref"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    got.foreach { case (id, sig, ref) =>
+      assert(sig == ref, s"row $id: native $sig != HOF $ref")
+    }
+    assert(got.find(_._1 == 2).get._2 == 0L)
+    assert(got.find(_._1 == 3).get._2 == -1L)
+  }
+
   test("simhash: fused sums ≡ per-bit explosion ≡ TypedImperativeAggregate") {
     val fused = LlmOps.simhash(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
