@@ -1049,11 +1049,21 @@ object Mining {
         struct(col("ts"), col("event_id")).as("k"))
     val perType = ev.groupBy("user_id", "event_type")
       .agg(min(col("k")).as("first_k"), max(col("k")).as("last_k"))
-    val users = ev.select(countDistinct(col("user_id")).as("n_users"))
+    // user denominator off perType, not a second raw-events pass (r19
+    // opt, guide §2.3): every user in ev appears in perType, and the
+    // perType exchange is shared with the join branches by AQE runtime
+    // stage reuse — the distinct runs over users×types rows, not events
+    val users = perType.select(countDistinct(col("user_id")).as("n_users"))
     val a = perType.select(col("user_id"), col("event_type").as("eta"), col("first_k"))
     val b = perType.select(col("user_id").as("uid_b"), col("event_type").as("etb"), col("last_k"))
     a.join(b, col("user_id") === col("uid_b") && col("first_k") < col("last_k"))
-      .groupBy("eta", "etb").agg(countDistinct(col("user_id")).as("users"))
+      // count, not countDistinct (r19 opt): (user, eta, etb) is unique
+      // by construction — perType holds ONE row per (user, type), so the
+      // self-join emits at most one row per (user, eta, etb) and the
+      // distinct rewrite's extra aggregate level over the pair frame is
+      // pure overhead. Result-identical; the oracle still states
+      // count(DISTINCT user_id) as the spec.
+      .groupBy("eta", "etb").agg(count(lit(1)).as("users"))
       .crossJoin(broadcast(users))
       .filter(col("users") >= col("n_users") * MinSupUsers)
       .select(col("eta"), col("etb"), col("users"))
@@ -1306,14 +1316,17 @@ object Mining {
         struct(col("ts"), col("event_id")).as("k"))
     val perType = ev.groupBy("user_id", "event_type")
       .agg(min(col("k")).as("first_k"), max(col("k")).as("last_k"))
-    val users = ev.select(countDistinct(col("user_id")).as("n_users"))
+    // same two r19 cuts as [[fpmSeqPairs]]: denominator off perType
+    // (AQE-shared exchange) and plain count over the unique-by-
+    // construction (user, eta, etb) pair frame
+    val users = perType.select(countDistinct(col("user_id")).as("n_users"))
     val aSup = perType.groupBy(col("event_type"))
       .agg(count(lit(1)).as("a_users"))
       .select(col("event_type").as("eta2"), col("a_users"))
     val a = perType.select(col("user_id"), col("event_type").as("eta"), col("first_k"))
     val b = perType.select(col("user_id").as("uid_b"), col("event_type").as("etb"), col("last_k"))
     a.join(b, col("user_id") === col("uid_b") && col("first_k") < col("last_k"))
-      .groupBy("eta", "etb").agg(countDistinct(col("user_id")).as("users"))
+      .groupBy("eta", "etb").agg(count(lit(1)).as("users"))
       .crossJoin(broadcast(users))
       .filter(col("users") >= col("n_users") * MinSupUsers)
       .join(broadcast(aSup), col("eta") === col("eta2"))
@@ -1654,6 +1667,11 @@ object Mining {
     val f = Tables.load(s, dir, "events")
       .groupBy("user_id", "event_type")
       .agg(min(struct(col("ts"), col("event_id"), col("event_type"))).as("k"))
+      // checkpoint the first-occurrence frame (r19 opt): its three join
+      // copies otherwise each re-run the per-(user, type) min aggregate
+      // over the events shuffle (AQE reuses the exchange but not the
+      // aggregate above it) — f is users×types rows, tiny to hold
+      .localCheckpoint(true)
     val a = f.select(col("user_id"), col("event_type").as("step1"), col("k").as("ka"))
     val b = f.select(col("user_id").as("ub"), col("event_type").as("step2"), col("k").as("kb"))
     val c = f.select(col("user_id").as("uc"), col("event_type").as("step3"), col("k").as("kc"))
