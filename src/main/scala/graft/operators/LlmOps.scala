@@ -2383,7 +2383,11 @@ object LlmOps {
       s, col("text"), 8, keepDistinct = true, shortWhole = true)
     val ex = Tables.load(s, dir, "documents")
       .select(col("doc_id"), explode(spans).as("span"))
-    val counts = ex.groupBy("span").agg(countDistinct(col("doc_id")).as("ndocs"))
+    // count, not countDistinct (r19 opt): the span array is generated
+    // keepDistinct per doc, so (doc_id, span) rows are unique and the
+    // distinct rewrite's extra aggregate level is pure overhead —
+    // result-identical, the oracle still states count(DISTINCT doc_id)
+    val counts = ex.groupBy("span").agg(count(lit(1)).as("ndocs"))
     ex.join(counts, "span")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_spans"),
@@ -2613,6 +2617,11 @@ object LlmOps {
 
   def bpeTrainRounds(s: SparkSession, dir: String, rounds: Int): DataFrame = {
     import s.implicits._
+    // NOT fanned out (r19 measurement): repartitioning the text bodies
+    // before the tokenize cost more than the single-task tokenize saves
+    // at sf0.1 (A/B 1.73 s vs 2.06 s) — the word-count partial aggregate
+    // collapses to the vocabulary in-task, so the exchange moves far
+    // more bytes than it parallelizes away
     var words = Tables.load(s, dir, "documents")
       .select(explode(split(col("text"), " ")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("cnt"))
@@ -2638,11 +2647,15 @@ object LlmOps {
       else {
         val (l, rr, tot) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         rules += ((r + 1, l, rr, tot))
-        words = words.as[(Seq[String], Long)]
-          .map { case (syms, c) => (bpeMerge(syms, l, rr), c) }
-          .toDF("syms", "cnt")
-          .localCheckpoint(true)
         r += 1
+        // the final round's merged vocabulary has no reader — skip its
+        // merge + checkpoint job (r19 opt); rules are already complete
+        if (r < rounds) {
+          words = words.as[(Seq[String], Long)]
+            .map { case (syms, c) => (bpeMerge(syms, l, rr), c) }
+            .toDF("syms", "cnt")
+            .localCheckpoint(true)
+        }
       }
     }
     rules.toSeq.toDF("rank", "left", "right", "pair_count")
