@@ -1624,7 +1624,13 @@ object Mining {
   def fpmHuiPairs(s: SparkSession, dir: String): DataFrame = {
     val u = utilityItems(s, dir)
     val a = u.select(col("tid"), col("item").as("ia"), col("util").as("ua"))
+    // hash, not sort-merge (r19 opt, the relJoinSkewSalted measurement):
+    // sort-merge sorts BOTH sides of the cached utility frame before
+    // merging; hashing the per-tid partitions skips the sorts — per-tid
+    // group size is vocabulary-bounded, so the build side is safe at
+    // any corpus scale
     val b = u.select(col("tid").as("tid_b"), col("item").as("ib"), col("util").as("ub"))
+      .hint("SHUFFLE_HASH")
     val pu = a.join(b, a("tid") === b("tid_b") && col("ia") < col("ib"))
       .groupBy("ia", "ib")
       .agg(sum(col("ua") + col("ub")).as("putil"), count(lit(1)).as("freq"))

@@ -1774,21 +1774,36 @@ object Relational {
       .withColumn("prev_us", lag("ts_us", 1).over(wLag))
       .filter(col("prev_us").isNotNull)
       .select(col("event_type"), expr("(ts_us - prev_us) div 1000000").as("g"))
-    val wRank = Window.partitionBy("event_type").orderBy("g")
-    val ranked = gaps.withColumn("rn", row_number().over(wRank))
-    val counts = gaps.groupBy("event_type").agg(count(lit(1)).as("n"))
-    val quart = ranked.join(broadcast(counts), "event_type")
+    // ONE gaps pass (r19 opt, the relAggQuantile histogram argument):
+    // the previous form consumed gaps three times (row_number rank,
+    // count, final fence scan) and ranked EVERY gap inside ≤|event
+    // types| partition sorts — the dimension-cardinality sort cliff the
+    // selection family already removed elsewhere. Gaps are integer
+    // seconds, so the (event_type, g) histogram is value-domain-bounded:
+    // the quartile at rank t = ceil(p·n) is the value whose closed rank
+    // interval [hi−cnt+1, hi] contains t (tie-independent — the value at
+    // a rank is fixed by the sorted multiset), and the fence count is a
+    // cnt-weighted sum over the same histogram. No second scan, no join,
+    // no full-frame sort; every window is keyed by event_type over the
+    // aggregated histogram only.
+    val hist = gaps.groupBy("event_type", "g").agg(count(lit(1)).as("cnt"))
+    val wc = Window.partitionBy("event_type").orderBy("g")
+    val wAll = Window.partitionBy("event_type")
+    val t1 = ceil(lit(0.25) * col("n")).cast("long")
+    val t3 = ceil(lit(0.75) * col("n")).cast("long")
+    hist
+      .withColumn("hi", sum(col("cnt")).over(wc))
+      .withColumn("lo", col("hi") - col("cnt") + lit(1L))
+      .withColumn("n", sum(col("cnt")).over(wAll))
+      .withColumn("q1",
+        max(when(t1 >= col("lo") && t1 <= col("hi"), col("g"))).over(wAll))
+      .withColumn("q3",
+        max(when(t3 >= col("lo") && t3 <= col("hi"), col("g"))).over(wAll))
       .groupBy("event_type")
-      .agg(max(when(col("rn") === ceil(lit(0.25) * col("n")).cast("long"), col("g")))
-          .as("q1"),
-        max(when(col("rn") === ceil(lit(0.75) * col("n")).cast("long"), col("g")))
-          .as("q3"))
-    gaps.join(broadcast(quart), "event_type")
-      .groupBy("event_type")
-      .agg(count(lit(1)).as("n_gaps"),
+      .agg(sum(col("cnt")).as("n_gaps"),
         sum(when(col("g") * 2 < col("q1") * 5 - col("q3") * 3
-          || col("g") * 2 > col("q3") * 5 - col("q1") * 3, 1L).otherwise(0L))
-          .as("n_outliers"))
+          || col("g") * 2 > col("q3") * 5 - col("q1") * 3, col("cnt"))
+          .otherwise(0L)).as("n_outliers"))
       .select(col("event_type"), col("n_gaps"), col("n_outliers"),
         (col("n_outliers").cast("double") / col("n_gaps").cast("double"))
           .as("outlier_rate"))
