@@ -354,7 +354,24 @@ object Tables {
     * generator emits, instead of special-casing events.ts, and lets us
     * distinguish a genuine long column from a nanos timestamp that
     * `nanosAsLong` surfaced as LongType. */
+  /** Footer-probe cache (r19 opt): [[load]] runs once per table
+    * REFERENCE, so the NANOS-column probe otherwise re-opens a parquet
+    * footer on every call — pure driver-side I/O repeated hundreds of
+    * times per bench sweep. The answer is a pure function of the file's
+    * bytes, so it caches by (path, mtime, length) file identity — a
+    * regenerated corpus changes mtime/length and re-probes; this is
+    * metadata about an input file, never derived data. */
+  private val nanosColsCache =
+    scala.collection.concurrent.TrieMap[(String, Long, Long), Set[String]]()
+
   private def nanosTimestampCols(spark: SparkSession, path: String): Set[String] = {
+    val f = new java.io.File(path)
+    nanosColsCache.getOrElseUpdate((path, f.lastModified, f.length),
+      nanosTimestampColsUncached(spark, path))
+  }
+
+  private def nanosTimestampColsUncached(
+      spark: SparkSession, path: String): Set[String] = {
     import scala.jdk.CollectionConverters._
     import org.apache.parquet.schema.LogicalTypeAnnotation
     val hconf = spark.sessionState.newHadoopConf()
