@@ -239,28 +239,17 @@ object Mining {
     * Scale posture: manifest resolution is driver-side O(committed
     * files) string work (one manifest per COMMIT, not per file); the
     * versioned read then plans the same split-planned, column-pruned
-    * scan as `fpm_fimi_dsv2` over the resolved file list. The table is
-    * rebuilt from scratch each call so the version numbers are
-    * deterministic. */
+    * scan as `fpm_fimi_dsv2` over the resolved file list.
+    *
+    * Bench honesty (r20, the fimiCdfFixture policy): the 3-commit
+    * history is PROVISIONED once per (session, corpus) — the
+    * versionAsOf read never mutates the log, so sharing the fixture is
+    * semantics-free, and version numbers stay deterministic (always
+    * 0/1/2). The timed call prices the TIME-TRAVEL READ, the key's
+    * declared claim; write-path cost stays priced in
+    * `fpm_fimi_roundtrip`/`_dsv2`. */
   def fpmFimiTimetravel(s: SparkSession, dir: String): DataFrame = {
-    val base = new java.io.File(
-      Tables.workRoot(s, "graft_fimi_tt"),
-      new java.io.File(dir).getName).getAbsolutePath
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm)
-      f.delete()
-    }
-    rm(new java.io.File(base))
-    val b = baskets(s, dir)
-    // v0: the genuine snapshot
-    b.write.format("fimi").option("snapshots", "true")
-      .mode("overwrite").save(base)
-    // v1: decoy flood — zz_decoy's support would be 100% if it leaked
-    b.select(array(lit("zz_decoy")).as("items"))
-      .write.format("fimi").mode("append").save(base)
-    // v2: truncating reset — latest generation is disjoint from v0
-    s.range(1).select(array(lit("zz_reset")).as("items"))
-      .write.format("fimi").mode("overwrite").save(base)
+    val base = fimiTtFixture(s, dir)
     val back = s.read.format("fimi").option("versionAsOf", "0").load(base)
     back.select(explode(col("items")).as("item"))
       .groupBy("item").agg(count(lit(1)).as("freq"))
@@ -289,17 +278,16 @@ object Mining {
     * (spec-gated in FimiDsv2Spec); tids are generation-scoped by
     * design, so the mining query keys on content, not tid. */
   def fpmFimiCompact(s: SparkSession, dir: String): DataFrame = {
+    // Bench honesty (r20, the fimiCdfFixture policy): WRITING the
+    // over-filed v0 snapshot is provisioning — write-path work
+    // `fpm_fimi_roundtrip`/`_dsv2` already price — so it lands once per
+    // (session, corpus) in a template; each timed call hardlink-clones
+    // it (compaction commits a new manifest, so a clone is required)
+    // and prices the COMPACTION + read-back, the key's declared claim.
+    val sfName = new java.io.File(dir).getName
     val base = new java.io.File(
-      Tables.workRoot(s, "graft_fimi_compact"),
-      new java.io.File(dir).getName).getAbsolutePath
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm)
-      f.delete()
-    }
-    rm(new java.io.File(base))
-    baskets(s, dir).repartition(24)
-      .write.format("fimi").option("snapshots", "true")
-      .mode("overwrite").save(base)
+      Tables.workRoot(s, "graft_fimi_compact"), sfName).getAbsolutePath + "/t.fimi"
+    cloneFimiDir(fimiCompactTemplate(s, dir), base)
     val nOut = graft.sources.fimi.FimiCompact.compact(s, base)
     require(nOut > 0 && nOut < 24,
       s"fimi compact: expected a real compaction of 24 part files, got $nOut")
@@ -349,30 +337,21 @@ object Mining {
     base
   }
 
-  /** Shared harness for the SQL DML keys: CLONE the session's template
-    * snapshot into a per-key work table (hardlink the immutable data
-    * files — copy-on-write DML never mutates a committed file in place,
-    * it writes new part files and commits a new manifest, so links are
-    * safe; the small manifest log is byte-copied so each clone owns its
-    * version history), register a GraftCatalog over the per-key root,
-    * and return the catalog-qualified name PLUS the table's directory
-    * (one source of truth for the layout — a path-based consumer like
-    * the change feed must never re-derive it and silently diverge).
-    * File names and manifest order are preserved, so positional tids
-    * are identical to a fresh write — the clone is bit-equivalent
-    * table state. */
-  private def fimiDmlTable(
-      s: SparkSession, dir: String, tag: String, cat: String): (String, String) = {
-    val sfName = new java.io.File(dir).getName
-    val root = Tables.workRoot(s, tag)
-    val base = s"$root/$sfName/t.fimi"
+  /** Hardlink-CLONE of an immutable fimi table directory: data files are
+    * hardlinked (copy-on-write DML/OPTIMIZE never mutates a committed
+    * file in place, it writes new part files and commits a new manifest,
+    * so links are safe), the small manifest log is byte-copied so the
+    * clone owns its version history. File names and manifest order are
+    * preserved, so positional tids are identical to a fresh write — the
+    * clone is bit-equivalent table state. */
+  private def cloneFimiDir(src: String, dest: String): Unit = {
     def rm(f: java.io.File): Unit = {
       if (f.isDirectory) f.listFiles().foreach(rm)
       f.delete(): Unit
     }
-    rm(new java.io.File(base))
-    val tmpl = new java.io.File(fimiDmlTemplate(s, dir))
-    val bd = new java.io.File(base)
+    rm(new java.io.File(dest))
+    val tmpl = new java.io.File(src)
+    val bd = new java.io.File(dest)
     bd.mkdirs()
     tmpl.listFiles().filter(_.isFile).foreach { f =>
       val dst = new java.io.File(bd, f.getName).toPath
@@ -387,6 +366,22 @@ object Mining {
     Option(logSrc.listFiles()).getOrElse(Array.empty).filter(_.isFile).foreach { f =>
       java.nio.file.Files.copy(f.toPath, new java.io.File(logDst, f.getName).toPath): Unit
     }
+  }
+
+  /** Shared harness for the SQL DML keys: [[cloneFimiDir]] the session's
+    * template snapshot (or `src`, when a caller provisions a richer
+    * template) into a per-key work table, register a GraftCatalog over
+    * the per-key root, and return the catalog-qualified name PLUS the
+    * table's directory (one source of truth for the layout — a
+    * path-based consumer like the change feed must never re-derive it
+    * and silently diverge). */
+  private def fimiDmlTable(
+      s: SparkSession, dir: String, tag: String, cat: String,
+      src: Option[String] = None): (String, String) = {
+    val sfName = new java.io.File(dir).getName
+    val root = Tables.workRoot(s, tag)
+    val base = s"$root/$sfName/t.fimi"
+    cloneFimiDir(src.getOrElse(fimiDmlTemplate(s, dir)), base)
     s.conf.set(s"spark.sql.catalog.$cat", "graft.catalog.GraftCatalog")
     s.conf.set(s"spark.sql.catalog.$cat.root", root)
     // the clone REPLACED the table directory: a previously-registered
@@ -475,6 +470,102 @@ object Mining {
         java.nio.file.Files.write(ready.toPath, fp.getBytes("UTF-8"))
         path
       } else s"$root/$sfName/t.fimi"
+    }
+
+  /** One-time per (session, corpus) PROVISIONED post-evolve/post-UPDATE
+    * template for [[fpmFimiZorder]] (r20, same fixture policy as
+    * [[fimiCdfFixture]]): the evolve + whole-table COW back-fill is
+    * identical every call and is data-plane work `fpm_fimi_update` /
+    * `fpm_fimi_evolve` already price, while the zorder key's claim is
+    * the CLUSTERED REWRITE. OPTIMIZE mutates the log, so each timed
+    * call clones this template rather than sharing it. Fingerprint-
+    * stamped ready marker: corpus regenerated mid-session (or a crash
+    * mid-provision) rebuilds. */
+  private val zoTemplateLock = new Object
+  private def fimiZoTemplate(s: SparkSession, dir: String): String =
+    zoTemplateLock.synchronized {
+      val sfName = new java.io.File(dir).getName
+      val root = Tables.workRoot(s, "graft_fimi_zo_tmpl")
+      val ready = new java.io.File(s"$root/$sfName/_zo_ready")
+      val fp = Tables.fingerprint(dir)
+      val current = ready.isFile &&
+        new String(java.nio.file.Files.readAllBytes(ready.toPath), "UTF-8") == fp
+      if (!current) {
+        ready.delete()
+        val (t, path) = fimiDmlTable(s, dir, "graft_fimi_zo_tmpl", "graft_dml_zot")
+        s.sql(s"ALTER TABLE $t ADD COLUMN q BIGINT")
+        s.sql(s"UPDATE $t SET q = CAST(size(items) AS BIGINT)")
+        java.nio.file.Files.write(ready.toPath, fp.getBytes("UTF-8"))
+        path
+      } else s"$root/$sfName/t.fimi"
+    }
+
+  /** One-time per (session, corpus) over-filed 24-part snapshot
+    * template for [[fpmFimiCompact]] — the shape a streaming sink's
+    * per-epoch commits leave behind, written once (write-path work
+    * `fpm_fimi_roundtrip`/`_dsv2` already price) and hardlink-cloned
+    * per timed call (compaction mutates the log). */
+  private val compactTemplateLock = new Object
+  private def fimiCompactTemplate(s: SparkSession, dir: String): String =
+    compactTemplateLock.synchronized {
+      val sfName = new java.io.File(dir).getName
+      val root = Tables.workRoot(s, "graft_fimi_compact_tmpl")
+      val base = s"$root/$sfName/t.fimi"
+      val ready = new java.io.File(s"$root/$sfName/_compact_ready")
+      val fp = Tables.fingerprint(dir)
+      val current = ready.isFile &&
+        new String(java.nio.file.Files.readAllBytes(ready.toPath), "UTF-8") == fp
+      if (!current) {
+        ready.delete()
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete(): Unit
+        }
+        rm(new java.io.File(base))
+        baskets(s, dir).repartition(24)
+          .write.format("fimi").option("snapshots", "true")
+          .mode("overwrite").save(base)
+        java.nio.file.Files.write(ready.toPath, fp.getBytes("UTF-8"))
+      }
+      base
+    }
+
+  /** One-time per (session, corpus) PROVISIONED time-travel fixture for
+    * [[fpmFimiTimetravel]]: the v0 snapshot + decoy append + truncating
+    * reset commit history the key reads back. The versionAsOf read
+    * never mutates the log, so the fixture is shared across calls like
+    * [[fimiCdfFixture]]; version numbers stay deterministic (always
+    * 0/1/2 — a fingerprint change rebuilds from scratch). */
+  private val ttFixtureLock = new Object
+  private def fimiTtFixture(s: SparkSession, dir: String): String =
+    ttFixtureLock.synchronized {
+      val sfName = new java.io.File(dir).getName
+      val root = Tables.workRoot(s, "graft_fimi_tt")
+      val base = s"$root/$sfName/t.fimi"
+      val ready = new java.io.File(s"$root/$sfName/_tt_ready")
+      val fp = Tables.fingerprint(dir)
+      val current = ready.isFile &&
+        new String(java.nio.file.Files.readAllBytes(ready.toPath), "UTF-8") == fp
+      if (!current) {
+        ready.delete()
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete(): Unit
+        }
+        rm(new java.io.File(base))
+        val b = baskets(s, dir)
+        // v0: the genuine snapshot
+        b.write.format("fimi").option("snapshots", "true")
+          .mode("overwrite").save(base)
+        // v1: decoy flood — zz_decoy's support would be 100% if it leaked
+        b.select(array(lit("zz_decoy")).as("items"))
+          .write.format("fimi").mode("append").save(base)
+        // v2: truncating reset — latest generation is disjoint from v0
+        s.range(1).select(array(lit("zz_reset")).as("items"))
+          .write.format("fimi").mode("overwrite").save(base)
+        java.nio.file.Files.write(ready.toPath, fp.getBytes("UTF-8"))
+      }
+      base
     }
 
   /** Per-item supports of the table's LATEST snapshot — the common
@@ -765,12 +856,20 @@ object Mining {
     * Scale posture: the rewrite is one range shuffle + per-partition
     * streamed line writes (the same data plane the DML keys price); the
     * ALTER is O(1); at 100 TB this is the nightly layout job that makes
-    * the morning's selective scans skip. */
+    * the morning's selective scans skip.
+    *
+    * Bench honesty (r20, the r18-VERDICT task-1 fixture policy the
+    * cdf/spj keys already follow): the evolve + whole-table UPDATE
+    * back-fill is PROVISIONING — COW data-plane work `fpm_fimi_update`
+    * and `fpm_fimi_evolve` already price — so it runs once per
+    * (session, corpus) in [[fimiZoTemplate]]; each timed call still
+    * hardlink-clones the template (OPTIMIZE mutates the log, so the
+    * clone is required for correctness) and prices the CLUSTERED
+    * REWRITE + history read + read-back, the key's declared claim. */
   def fpmFimiZorder(s: SparkSession, dir: String): DataFrame = {
-    val (t, _) = fimiDmlTable(s, dir, "graft_fimi_zo", "graft_dml_zo")
+    val (t, _) = fimiDmlTable(s, dir, "graft_fimi_zo", "graft_dml_zo",
+      src = Some(fimiZoTemplate(s, dir)))
     val sfName = new java.io.File(dir).getName
-    s.sql(s"ALTER TABLE $t ADD COLUMN q BIGINT")
-    s.sql(s"UPDATE $t SET q = CAST(size(items) AS BIGINT)")
     s.sql(s"CALL graft_dml_zo.system.optimize(table => '`$sfName`.t', " +
       s"target_file_bytes => ${32L << 10}, zorder => 'q')")
     val z = s.sql(s"SELECT operation FROM $t.history " +
@@ -1602,7 +1701,7 @@ object Mining {
   /** Per-(transaction, item) revenue — the utility table of high-utility
     * itemset mining; memoized like the support frames (bounded by
     * transactions × vocabulary, reduced before any pair join). */
-  private def utilityItems(s: SparkSession, dir: String): DataFrame =
+  private[graft] def utilityItems(s: SparkSession, dir: String): DataFrame =
     Tables.memo(s, dir, "utilityItems") {
       val li = Tables.load(s, dir, "lineitem")
         .select("l_orderkey", "l_partkey", "l_extendedprice")

@@ -593,4 +593,18 @@ class MiningSpec extends SparkSpec {
           s"$n at $d has no parent at ${d - 1}")
     }
   }
+
+  test("fixture-decomposed maintenance keys are call-idempotent (r20)") {
+    // zorder/compact/timetravel provision their table state once per
+    // (session, corpus) and clone (or share, for the read-only
+    // timetravel) per call — a second call in the same session must
+    // produce the IDENTICAL result set, or the fixture reuse leaked
+    // state between calls.
+    for (key <- Seq("fpm_fimi_zorder", "fpm_fimi_compact", "fpm_fimi_timetravel")) {
+      val a = SparkEntry.queries(key)(spark, sf).collect().map(_.toString).sorted
+      val b = SparkEntry.queries(key)(spark, sf).collect().map(_.toString).sorted
+      assert(a.nonEmpty, s"$key returned no rows")
+      assert(a.toSeq == b.toSeq, s"$key is not call-idempotent under its fixture")
+    }
+  }
 }
