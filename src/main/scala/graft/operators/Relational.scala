@@ -1494,10 +1494,16 @@ object Relational {
     * left as a scan and only the cell frame cached, pass 2 is a plain
     * pruned scan + broadcast join at every scale). */
   private def qselCentsFact(s: SparkSession, dir: String): DataFrame =
-    Tables.fanOut(Tables.load(s, dir, "lineitem")
-        .select(col("l_returnflag").as("grp"),
-          (dec("l_extendedprice") * lit(100)).cast("long").as("v")),
-      col("grp"), col("v"))
+    // No fanOut (r20, guide §2.4 remove shuffles / §1.2 "the valve is
+    // only for per-row-HEAVY first stages"): pass 2's per-row work is
+    // one log + one broadcast-hash probe — measured LIGHTER than the
+    // round-robin exchange the valve adds (fact noop 0.19 s unfanned vs
+    // 0.34 s fanned; full bucketed key 0.86 vs 0.90-0.99 s, same
+    // window). On a wide 100 TB scan the valve was a no-op anyway, so
+    // removing it changes nothing at scale and drops one Exchange here.
+    Tables.load(s, dir, "lineitem")
+      .select(col("l_returnflag").as("grp"),
+        (dec("l_extendedprice") * lit(100)).cast("long").as("v"))
 
   /** Parameterized form — RelationalSpec shrinks the cells-per-e-fold
     * K (down to 0, the degenerate everything-in-one-cell case) to
